@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every SURVEY.md §2 M-tier operator ships here as a named query with a
+  * DuckDB oracle; X-tier operators ship as rows-only queries (no oracle)
+  * plus unit/property tests under src/test.
+  */
 object SparkEntry {
+
+  /** All query packs, one per SURVEY.md §2 category letter. */
+  def packs: Seq[QueryPack] = Seq(
+    Relational,   // §2.A scans + §2.B row transforms + §7.1 flagship
+    Validation)   // §2.C checks
+
+  private lazy val all: Seq[QueryDef] = {
+    val ds = packs.flatMap(_.defs)
+    val dup = ds.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dup.isEmpty, s"duplicate query names: ${dup.mkString(",")}")
+    ds
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.pricingSummary.build(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(d => d.name -> d.build).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    all.collect { case QueryDef(n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** SURVEY.md §2.C — validation checks ("customisable validation", the
+  * reference's core domain). Each check is a per-row boolean; the two
+  * consumers are the quarantine split (§2.B5) and the aggregated metrics
+  * row per check (check_name, pass_cnt, fail_cnt).
+  *
+  * Scale: metrics are computed in ONE pass over the table — all check
+  * predicates are evaluated as projected columns inside a single
+  * aggregate (map-side partial agg → tiny shuffle), never one job per
+  * check. At 100 TB this is a single scan regardless of check count.
+  */
+object Validation extends QueryPack {
+  import QueryDef._
+
+  /** The §2.B5 split predicate, shared by b5_split_pass/quarantine. */
+  private def splitPred: Column =
+    col("l_discount").between(0, 0.1) && (col("l_quantity") > 0)
+
+  def splitLineitem(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+    val ord = Seq(col("l_orderkey"), col("l_linenumber"))
+    (li.where(splitPred).orderBy(ord: _*), li.where(!splitPred).orderBy(ord: _*))
+  }
+
+  /** One row per check, computed in a single scan. Spark side evaluates
+    * every predicate in one agg; the oracle mirrors with COUNT(CASE). */
+  val cMetrics: QueryDef = {
+    // (name, spark predicate, duckdb predicate) — kept side by side so the
+    // two dialects cannot drift.
+    val checks: Seq[(String, Column, String)] = Seq(
+      ("c1_not_null_orderkey", col("l_orderkey").isNotNull,
+        "l_orderkey IS NOT NULL"),
+      ("c2_range_discount", col("l_discount").between(0, 0.1),
+        "l_discount BETWEEN 0 AND 0.1"),
+      ("c3_set_returnflag", col("l_returnflag").isin("A", "N", "R"),
+        "l_returnflag IN ('A','N','R')"),
+      ("c4_regex_linestatus", col("l_linestatus").rlike("^[OF]$"),
+        "regexp_matches(l_linestatus, '^[OF]$')"),
+      ("c5_strlen_shipmode", length(col("l_returnflag")).between(1, 1),
+        "length(l_returnflag) BETWEEN 1 AND 1"),
+      ("c8_cross_column", col("l_extendedprice") >= col("l_quantity"),
+        "l_extendedprice >= l_quantity"))
+    val oracleRows = checks.map { case (n, _, p) =>
+      s"""SELECT '$n' AS check_name,
+         |  COUNT(CASE WHEN $p THEN 1 END) AS pass_cnt,
+         |  COUNT(CASE WHEN NOT ($p) THEN 1 END) AS fail_cnt
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY check_name")
+    m("c_metrics", oracleRows) { (spark, dir) =>
+      val li = Tables.lineitem(spark, dir)
+      // single pass: one aggregate producing 2 columns per check, then
+      // unpivoted to (check_name, pass_cnt, fail_cnt) rows driver-side of
+      // the plan (stack over a 1-row frame — no extra scan).
+      val aggCols = checks.flatMap { case (n, p, _) =>
+        Seq(count(when(p, lit(1))).as(s"${n}__pass"),
+          count(when(!p, lit(1))).as(s"${n}__fail"))
+      }
+      val one = li.agg(aggCols.head, aggCols.tail: _*)
+      val stackArgs = checks.map { case (n, _, _) =>
+        s"'$n', `${n}__pass`, `${n}__fail`"
+      }.mkString(", ")
+      one.select(expr(
+        s"stack(${checks.size}, $stackArgs) AS (check_name, pass_cnt, fail_cnt)"))
+        .orderBy(col("check_name"))
+    }
+  }
+
+  /** §2.C6 — uniqueness: keys appearing more than once. */
+  val c6: QueryDef = m(
+    "c6_unique_violations",
+    """SELECT l_orderkey, COUNT(*) AS dup_cnt FROM lineitem
+      |GROUP BY l_orderkey HAVING COUNT(*) > 1
+      |ORDER BY l_orderkey""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("dup_cnt"))
+      .where(col("dup_cnt") > 1)
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** §2.C7 — referential integrity: lineitem orphans w.r.t. orders.
+    * left_anti shuffles on the key; at scale AQE handles skew. */
+  val c7: QueryDef = m(
+    "c7_referential_orphans",
+    """SELECT l_orderkey, l_linenumber FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** §2.C9 — freshness: dataset-level recency check on events. */
+  val c9: QueryDef = m(
+    "c9_freshness",
+    """SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts,
+      |  MAX(CAST(ts AS TIMESTAMP)) >= TIMESTAMP '2024-01-01 00:00:00' AS is_fresh
+      |FROM events""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .agg(max(col("event_ts")).as("max_ts"),
+        (max(col("event_ts")) >= Tables.tsLit("2024-01-01 00:00:00")).as("is_fresh"))
+  }
+
+  /** §2.C10 — row-count expectation (dataset-level). */
+  val c10: QueryDef = m(
+    "c10_rowcount",
+    """SELECT COUNT(*) AS n_rows,
+      |  COUNT(*) BETWEEN 100 AND 100000000 AS within_bounds
+      |FROM lineitem""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).as("n_rows"),
+        count(lit(1)).between(100, 100000000L).as("within_bounds"))
+  }
+
+  /** §2.C11 — table fingerprint: per-row md5 over canonicalized columns,
+    * rolled up as (count, min, max) — order-independent, drift-detecting.
+    * Doubles are canonicalized through BIGINT (quantity is integral) so no
+    * engine-specific float→string formatting enters the hash. */
+  val c11: QueryDef = m(
+    "c11_checksum",
+    """SELECT COUNT(*) AS n_rows, MIN(row_md5) AS min_md5, MAX(row_md5) AS max_md5
+      |FROM (
+      |  SELECT md5(concat_ws('|',
+      |    CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+      |    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR),
+      |    l_returnflag, l_linestatus)) AS row_md5
+      |  FROM lineitem
+      |) t""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    Tables.lineitem(spark, dir)
+      .select(md5(concat_ws("|",
+        col("l_orderkey").cast(StringType),
+        col("l_linenumber").cast(StringType),
+        col("l_quantity").cast(LongType).cast(StringType),
+        col("l_returnflag"), col("l_linestatus"))).as("row_md5"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("row_md5")).as("min_md5"),
+        max(col("row_md5")).as("max_md5"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(cMetrics, c6, c7, c9, c10, c11)
+}
