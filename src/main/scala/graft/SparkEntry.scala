@@ -15,7 +15,11 @@ object SparkEntry {
   /** All query packs, one per SURVEY.md §2 category letter. */
   def packs: Seq[QueryPack] = Seq(
     Relational,   // §2.A scans + §2.B row transforms + §7.1 flagship
-    Validation)   // §2.C checks
+    Validation,   // §2.C checks
+    Joins,        // §2.D joins incl. as-of + interval
+    Aggregates,   // §2.E aggregation
+    Windows,      // §2.F windows + §2.G sort/limit
+    SetOps)       // §2.H set operations
 
   private lazy val all: Seq[QueryDef] = {
     val ds = packs.flatMap(_.defs)
