@@ -161,11 +161,11 @@ object Aggregates extends QueryPack {
       |SELECT l_orderkey, l_linenumber, 'quantity', l_quantity FROM lineitem
       |UNION ALL
       |SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
-      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (spark, dir) =>
+      |ORDER BY l_orderkey, l_linenumber, measure, val""".stripMargin) { (spark, dir) =>
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
         expr("stack(3, 'discount', l_discount, 'quantity', l_quantity, 'tax', l_tax) AS (measure, val)"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"), col("val"))
   }
 
   /** §2.E10 — deterministic-seed sampling: X-tier (engine RNGs differ);

@@ -87,14 +87,17 @@ object Relational extends QueryPack {
       |  CAST(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS net_price,
       |  CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS order_class
       |FROM lineitem
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+      |ORDER BY l_orderkey, l_linenumber, net_price, order_class""".stripMargin) { (spark, dir) =>
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    // the final sort covers every projected column so tied rows are
+    // identical and engine interleaving cannot differ (D-rule 1).
     Tables.lineitem(spark, dir)
       .withColumn("net_price",
         money(dec2(col("l_extendedprice")) * (one - rate(col("l_discount")))))
       .withColumn("order_class",
         when(col("l_quantity") >= 25, "bulk").otherwise("small"))
       .select(col("l_orderkey"), col("l_linenumber"), col("net_price"), col("order_class"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("net_price"), col("order_class"))
   }
 
   /** §2.B3 — literal / run-metadata columns. */
@@ -135,7 +138,7 @@ object Relational extends QueryPack {
     """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
       |FROM lineitem
       |WHERE l_discount BETWEEN 0 AND 0.1 AND l_quantity > 0
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin) { (spark, dir) =>
     Validation.splitLineitem(spark, dir)._1
   }
 
@@ -145,7 +148,7 @@ object Relational extends QueryPack {
     """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
       |FROM lineitem
       |WHERE NOT (l_discount BETWEEN 0 AND 0.1 AND l_quantity > 0)
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin) { (spark, dir) =>
     Validation.splitLineitem(spark, dir)._2
   }
 
@@ -193,7 +196,7 @@ object Relational extends QueryPack {
       |FROM customer ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     Tables.customer(spark, dir)
-      .withColumn("sk", row_number().over(Window.orderBy(col("c_custkey"))))
+      .withColumn("sk", row_number().over(Window.orderBy(col("c_custkey"))).cast(LongType))
       .select(col("sk"), col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
   }

@@ -25,7 +25,10 @@ object Validation extends QueryPack {
   def splitLineitem(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
-    val ord = Seq(col("l_orderkey"), col("l_linenumber"))
+    // sort covers every projected column — (l_orderkey, l_linenumber) is
+    // not unique in the synthetic data (see Windows.fullKey note).
+    val ord = Seq(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity"), col("l_discount"))
     (li.where(splitPred).orderBy(ord: _*), li.where(!splitPred).orderBy(ord: _*))
   }
 

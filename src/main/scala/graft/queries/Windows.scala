@@ -18,80 +18,91 @@ import graft.core.Det._
 object Windows extends QueryPack {
   import QueryDef._
 
-  private val fullKey = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+  /** Total-order key for lineitem windows. (l_orderkey, l_linenumber) is
+    * NOT unique in the synthetic data (measured: 11785 duplicate pairs at
+    * sf0.01); adding l_shipdate + l_extendedprice makes it unique at every
+    * SF (0 duplicate quads at sf0.001/0.01/0.1 — verified via DuckDB).
+    * Every window over lineitem orders by this quad so that rank/offset/
+    * frame results are engine-independent (D-rule 1/5). */
+  private val fullKey = Seq(col("l_shipdate"), col("l_orderkey"),
+    col("l_linenumber"), col("l_extendedprice"))
+  private val oFullKey = "l_shipdate, l_orderkey, l_linenumber, l_extendedprice"
 
   /** §2.F1 — ranking family. */
   val f1: QueryDef = m(
     "f1_ranking",
-    """SELECT l_suppkey, l_orderkey, l_linenumber,
-      |  ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
-      |  RANK() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS rnk,
-      |  DENSE_RANK() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS drnk,
-      |  PERCENT_RANK() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS prnk,
-      |  CUME_DIST() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS cd,
-      |  NTILE(4) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS tile
-      |FROM lineitem
-      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+    s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+       |  ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY $oFullKey) AS rn,
+       |  RANK() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS rnk,
+       |  DENSE_RANK() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS drnk,
+       |  PERCENT_RANK() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS prnk,
+       |  CUME_DIST() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS cd,
+       |  NTILE(4) OVER (PARTITION BY l_suppkey ORDER BY $oFullKey) AS tile
+       |FROM lineitem
+       |ORDER BY l_suppkey, rn""".stripMargin) { (spark, dir) =>
     val wTotal = Window.partitionBy(col("l_suppkey")).orderBy(fullKey: _*)
     val wTies = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
     Tables.lineitem(spark, dir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        row_number().over(wTotal).as("rn"),
-        rank().over(wTies).as("rnk"),
-        dense_rank().over(wTies).as("drnk"),
+        row_number().over(wTotal).cast("long").as("rn"),
+        rank().over(wTies).cast("long").as("rnk"),
+        dense_rank().over(wTies).cast("long").as("drnk"),
         percent_rank().over(wTies).as("prnk"),
         cume_dist().over(wTies).as("cd"),
-        ntile(4).over(wTotal).as("tile"))
-      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+        ntile(4).over(wTotal).cast("long").as("tile"))
+      .orderBy(col("l_suppkey"), col("rn"))
   }
 
   /** §2.F2 — offset functions (defaults included). Offset values are raw
     * double pass-throughs — no arithmetic, bit-identical. */
   val f2: QueryDef = m(
     "f2_offset",
-    """SELECT l_suppkey, l_orderkey, l_linenumber,
-      |  lag(l_extendedprice, 1) OVER w AS prev_price,
-      |  lead(l_extendedprice, 2, -1.0) OVER w AS next2_price
-      |FROM lineitem
-      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
-      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+    s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_extendedprice,
+       |  lag(l_extendedprice, 1) OVER w AS prev_price,
+       |  lead(l_extendedprice, 2, -1.0) OVER w AS next2_price
+       |FROM lineitem
+       |WINDOW w AS (PARTITION BY l_suppkey ORDER BY $oFullKey)
+       |ORDER BY l_suppkey, $oFullKey""".stripMargin) { (spark, dir) =>
     val w = Window.partitionBy(col("l_suppkey")).orderBy(fullKey: _*)
     Tables.lineitem(spark, dir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_extendedprice"),
         lag(col("l_extendedprice"), 1).over(w).as("prev_price"),
         lead(col("l_extendedprice"), 2, -1.0).over(w).as("next2_price"))
-      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_suppkey") +: fullKey: _*)
   }
 
   /** §2.F3 — running (cumulative) frame with exact decimal sums. */
   val f3: QueryDef = m(
     "f3_running_sum",
-    s"""SELECT l_suppkey, l_orderkey, l_linenumber,
-       |  ${oMoney(s"SUM(${oDec2("l_extendedprice")}) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_price
+    s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_extendedprice,
+       |  ${oMoney(s"SUM(${oDec2("l_extendedprice")}) OVER (PARTITION BY l_suppkey ORDER BY $oFullKey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_price
        |FROM lineitem
-       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+       |ORDER BY l_suppkey, $oFullKey""".stripMargin) { (spark, dir) =>
     val w = Window.partitionBy(col("l_suppkey")).orderBy(fullKey: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(spark, dir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_extendedprice"),
         money(sum(dec2(col("l_extendedprice"))).over(w)).as("running_price"))
-      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_suppkey") +: fullKey: _*)
   }
 
   /** §2.F4 — sliding frame: 3-row moving average (decimal, D-rule 2). */
   val f4: QueryDef = m(
     "f4_moving_avg",
-    s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+    s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_extendedprice,
        |  ${oMoney(s"SUM(${oDec2("l_quantity")}) OVER w3")} / COUNT(l_quantity) OVER w3 AS mov_avg_qty
        |FROM lineitem
-       |WINDOW w3 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+       |WINDOW w3 AS (PARTITION BY l_suppkey ORDER BY $oFullKey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       |ORDER BY l_suppkey, $oFullKey""".stripMargin) { (spark, dir) =>
     val w3 = Window.partitionBy(col("l_suppkey")).orderBy(fullKey: _*)
       .rowsBetween(-2, Window.currentRow)
     Tables.lineitem(spark, dir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_extendedprice"),
         (money(sum(dec2(col("l_quantity"))).over(w3)) / count(col("l_quantity")).over(w3)).as("mov_avg_qty"))
-      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_suppkey") +: fullKey: _*)
   }
 
   /** §2.F5 — range frame: trailing 7-day event count per user, ordered by
@@ -114,14 +125,14 @@ object Windows extends QueryPack {
   /** §2.F6 — first_value / last_value with explicit frames + IGNORE NULLS. */
   val f6: QueryDef = m(
     "f6_first_last",
-    """SELECT l_suppkey, l_orderkey, l_linenumber,
-      |  first_value(l_extendedprice) OVER wf AS first_price,
-      |  last_value(l_extendedprice) OVER wf AS last_price,
-      |  first_value(nullif(l_discount, 0) IGNORE NULLS) OVER wf AS first_nonzero_disc
-      |FROM lineitem
-      |WINDOW wf AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+    s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+       |  first_value(l_extendedprice) OVER wf AS first_price,
+       |  last_value(l_extendedprice) OVER wf AS last_price,
+       |  first_value(nullif(l_discount, 0) IGNORE NULLS) OVER wf AS first_nonzero_disc
+       |FROM lineitem
+       |WINDOW wf AS (PARTITION BY l_suppkey ORDER BY $oFullKey
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
     val wf = Window.partitionBy(col("l_suppkey")).orderBy(fullKey: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     Tables.lineitem(spark, dir)
@@ -138,14 +149,14 @@ object Windows extends QueryPack {
     """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
       |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
       |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
-      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_shipdate) AS rn
       |  FROM lineitem) t
       |WHERE rn <= 3
       |ORDER BY l_suppkey, rn""".stripMargin) { (spark, dir) =>
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
     Tables.lineitem(spark, dir)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= 3)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice"), col("rn"))
