@@ -19,7 +19,10 @@ object SparkEntry {
     Joins,        // §2.D joins incl. as-of + interval
     Aggregates,   // §2.E aggregation
     Windows,      // §2.F windows + §2.G sort/limit
-    SetOps)       // §2.H set operations
+    SetOps,       // §2.H set operations
+    Scalars,      // §2.I scalar function surface
+    TextOps,      // §2.J text analysis
+    Similarity)   // §2.K dedup + similarity search
 
   private lazy val all: Seq[QueryDef] = {
     val ds = packs.flatMap(_.defs)

@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.core.Det._
+
+/** SURVEY.md §2.I — the scalar function surface of the derived-column
+  * grammar (config `derive` expressions), one micro-query per family.
+  *
+  * Dialect mappings measured against DuckDB 1.0.0 this session:
+  *  - int-returning Spark fns (length/instr/year/...) ↔ BIGINT in DuckDB →
+  *    Spark side casts to LONG;
+  *  - DuckDB has no `initcap` → oracle emulates per word;
+  *  - DuckDB `regexp_replace` is first-match unless the 'g' flag is given
+  *    (Spark replaces all) → oracle passes 'g';
+  *  - DuckDB `dayofweek` is 0=Sunday, Spark is 1=Sunday → oracle +1;
+  *  - DuckDB `date_trunc` yields DATE for month/year → oracle re-casts;
+  *  - DuckDB `list_distinct` does not preserve order → both sides sort;
+  *  - `ceil`/`floor` on DOUBLE: Spark → LONG, DuckDB → DOUBLE → oracle casts;
+  *  - transcendentals (exp/ln/log10/pow) are libm-dependent → compared at
+  *    6 dp (D-rule 7); `bround` (half-even) has no DuckDB twin → X-tier.
+  *
+  * Scale posture: every query is a pure projection over one scan — no
+  * shuffle except the output sort; all functions are codegen'd built-ins.
+  */
+object Scalars extends QueryPack {
+  import QueryDef._
+
+  /** §2.I1 — string family. */
+  val i1: QueryDef = m(
+    "i1_string",
+    """SELECT c_custkey,
+      |  upper(c_mktsegment) AS seg_up, lower(c_name) AS name_lo,
+      |  trim(concat('  ', c_mktsegment, ' ')) AS trimmed,
+      |  ltrim(concat('xx', c_name), 'x') AS ltrimmed,
+      |  rtrim(concat(c_name, 'yy'), 'y') AS rtrimmed,
+      |  length(c_name) AS name_len,
+      |  substring(c_name, 10, 5) AS name_mid,
+      |  concat(c_mktsegment, '|', c_name) AS joined,
+      |  concat_ws('-', c_mktsegment, c_name, 'z') AS joined_ws,
+      |  string_split(c_name, '#') AS parts,
+      |  lpad(c_mktsegment, 12, '*') AS padded_l,
+      |  rpad(c_mktsegment, 12, '*') AS padded_r,
+      |  replace(c_name, '0', '_') AS replaced,
+      |  array_to_string(list_transform(string_split(lower(c_mktsegment), ' '),
+      |    w -> upper(w[1]) || lower(w[2:])), ' ') AS initcapped,
+      |  reverse(c_mktsegment) AS reversed,
+      |  instr(c_name, '#') AS hash_pos
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_up"),
+        lower(col("c_name")).as("name_lo"),
+        trim(concat(lit("  "), col("c_mktsegment"), lit(" "))).as("trimmed"),
+        ltrim(concat(lit("xx"), col("c_name")), "x").as("ltrimmed"),
+        rtrim(concat(col("c_name"), lit("yy")), "y").as("rtrimmed"),
+        length(col("c_name")).cast(LongType).as("name_len"),
+        substring(col("c_name"), 10, 5).as("name_mid"),
+        concat(col("c_mktsegment"), lit("|"), col("c_name")).as("joined"),
+        concat_ws("-", col("c_mktsegment"), col("c_name"), lit("z")).as("joined_ws"),
+        split(col("c_name"), "#").as("parts"),
+        lpad(col("c_mktsegment"), 12, "*").as("padded_l"),
+        rpad(col("c_mktsegment"), 12, "*").as("padded_r"),
+        regexp_replace(col("c_name"), "0", "_").as("replaced"),
+        initcap(lower(col("c_mktsegment"))).as("initcapped"),
+        reverse(col("c_mktsegment")).as("reversed"),
+        instr(col("c_name"), "#").cast(LongType).as("hash_pos"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** §2.I2 — regex family (portable RE2-safe patterns only). */
+  val i2: QueryDef = m(
+    "i2_regex",
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 1) AS first_word,
+      |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+      |  regexp_replace(p_name, '[aeiou]', '.', 'g') AS devoweled,
+      |  regexp_matches(p_type, '^(ECONOMY|PREMIUM)$') AS is_tier
+      |FROM part ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 1).as("first_word"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+        regexp_replace(col("p_name"), "[aeiou]", ".").as("devoweled"),
+        col("p_type").rlike("^(ECONOMY|PREMIUM)$").as("is_tier"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** §2.I3 — date/time family over TIMESTAMP_NTZ o_orderdate. */
+  val i3: QueryDef = m(
+    "i3_datetime",
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS y, month(o_orderdate) AS mo,
+      |  dayofmonth(o_orderdate) AS dom,
+      |  dayofweek(o_orderdate) + 1 AS dow,
+      |  hour(o_orderdate) AS hh, minute(o_orderdate) AS mi,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  date_diff('day', o_orderdate, TIMESTAMP '1998-09-02 00:00:00') AS days_to_cut,
+      |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+      |  CAST(o_orderdate AS DATE) - 7 AS minus7,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  make_date(year(o_orderdate), 1, 1) AS year_start,
+      |  CAST(o_orderdate AS DATE) AS as_date,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val d = col("o_orderdate")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(d).cast(LongType).as("y"),
+        month(d).cast(LongType).as("mo"),
+        dayofmonth(d).cast(LongType).as("dom"),
+        dayofweek(d).cast(LongType).as("dow"),
+        hour(d).cast(LongType).as("hh"),
+        minute(d).cast(LongType).as("mi"),
+        date_trunc("month", d).cast(TimestampNTZType).as("month_start"),
+        datediff(Tables.tsLit("1998-09-02 00:00:00"), d).cast(LongType).as("days_to_cut"),
+        date_add(d.cast(DateType), 30).as("plus30"),
+        date_sub(d.cast(DateType), 7).as("minus7"),
+        last_day(d.cast(DateType)).as("month_end"),
+        make_date(year(d), lit(1), lit(1)).as("year_start"),
+        to_date(d).as("as_date"),
+        unix_timestamp(d.cast(TimestampType)).as("epoch_s"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** §2.I4 — math family. round() routes through DECIMAL (half-up agrees
+    * cross-engine in the decimal domain); transcendentals compared at 6dp. */
+  val i4: QueryDef = m(
+    "i4_math",
+    """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice,
+      |  abs(l_extendedprice * -1) AS abs_price,
+      |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+      |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+      |  CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS DOUBLE) AS round1,
+      |  round(sqrt(l_quantity), 6) AS sqrt_qty,
+      |  round(exp(l_discount), 6) AS exp_disc,
+      |  round(ln(l_extendedprice), 6) AS ln_price,
+      |  round(log10(l_extendedprice), 6) AS log10_price,
+      |  round(pow(l_quantity, 1.5), 6) AS qty_pow,
+      |  ((l_orderkey % 7) + 7) % 7 AS pmod7,
+      |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn,
+      |  greatest(l_quantity, l_discount * 100) AS gr,
+      |  least(l_quantity, l_discount * 100) AS le
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_shipdate, l_extendedprice""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("l_extendedprice"),
+        abs(col("l_extendedprice") * -1).as("abs_price"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        round(dec2(col("l_extendedprice")), 1).cast(DoubleType).as("round1"),
+        round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+        round(exp(col("l_discount")), 6).as("exp_disc"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        round(log10(col("l_extendedprice")), 6).as("log10_price"),
+        round(pow(col("l_quantity"), 1.5), 6).as("qty_pow"),
+        pmod(col("l_orderkey"), lit(7)).as("pmod7"),
+        signum(col("l_discount") - 0.05).as("sgn"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
+        least(col("l_quantity"), col("l_discount") * 100).as("le"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("l_extendedprice"))
+  }
+
+  /** §2.I4b — bround (half-even) has no DuckDB twin: X-tier, law-tested
+    * in ScalarsSpec. */
+  val i4x: QueryDef = x("i4x_bround") { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        bround(col("l_extendedprice"), 1).as("bround1"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("bround1"))
+  }
+
+  /** §2.I5 — conditional / null family. */
+  val i5: QueryDef = m(
+    "i5_conditional",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 150000 THEN 'high'
+      |       WHEN o_totalprice > 50000 THEN 'mid' ELSE 'low' END AS bucket,
+      |  CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS is_open,
+      |  coalesce(nullif(o_orderstatus, 'F'), 'done') AS status_or_done,
+      |  nullif(o_orderstatus, 'O') AS null_if_open,
+      |  coalesce(nullif(o_orderpriority, o_orderpriority), o_orderpriority) AS prio2,
+      |  (nullif(o_orderstatus, 'O') IS NULL) AS isnull_flag,
+      |  CASE WHEN isnan(o_totalprice) THEN 0.0 ELSE o_totalprice END AS nan_guard
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 150000, "high")
+          .when(col("o_totalprice") > 50000, "mid").otherwise("low").as("bucket"),
+        expr("if(o_orderstatus = 'O', 1, 0)").as("is_open"),
+        coalesce(nullif(col("o_orderstatus"), lit("F")), lit("done")).as("status_or_done"),
+        nullif(col("o_orderstatus"), lit("O")).as("null_if_open"),
+        expr("nvl(nullif(o_orderpriority, o_orderpriority), o_orderpriority)").as("prio2"),
+        isnull(nullif(col("o_orderstatus"), lit("O"))).as("isnull_flag"),
+        nanvl(col("o_totalprice"), lit(0.0)).as("nan_guard"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** §2.I6 — array family + higher-order functions. */
+  val i6: QueryDef = m(
+    "i6_array",
+    """SELECT p_partkey, toks,
+      |  len(toks) AS n_toks,
+      |  list_contains(toks, 'red') AS has_red,
+      |  list_sort(toks) AS sorted_toks,
+      |  list_sort(list_distinct(toks)) AS distinct_toks,
+      |  list_slice(toks, 1, 1) AS first_slice,
+      |  toks[1] AS first_tok,
+      |  range(1, 4) AS seq13,
+      |  list_sort(list_distinct(list_concat(toks, ['red', 'zz']))) AS union_red,
+      |  list_sort(list_intersect(toks, ['red', 'blue', 'green'])) AS colors,
+      |  list_sort(list_filter(toks, t -> t NOT IN ('red', 'blue', 'green'))) AS non_colors,
+      |  flatten([toks, ['x']]) AS flat,
+      |  list_transform(toks, t -> upper(t)) AS upped,
+      |  list_filter(toks, t -> length(t) > 3) AS longtoks,
+      |  len(list_filter(toks, t -> t = 'bolt')) > 0 AS has_bolt,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> length(t))), (a, b) -> a + b) AS BIGINT) AS total_len,
+      |  list_transform(list_zip(toks, toks), p -> p[1] || p[2]) AS doubled
+      |FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
+      |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    Tables.part(spark, dir)
+      .withColumn("toks", split(col("p_name"), " "))
+      .select(
+        col("p_partkey"), col("toks"),
+        size(col("toks")).cast(LongType).as("n_toks"),
+        array_contains(col("toks"), "red").as("has_red"),
+        sort_array(col("toks")).as("sorted_toks"),
+        sort_array(array_distinct(col("toks"))).as("distinct_toks"),
+        slice(col("toks"), 1, 1).as("first_slice"),
+        element_at(col("toks"), 1).as("first_tok"),
+        sequence(lit(1L), lit(3L)).as("seq13"),
+        sort_array(array_union(col("toks"), array(lit("red"), lit("zz")))).as("union_red"),
+        sort_array(array_intersect(col("toks"), array(lit("red"), lit("blue"), lit("green")))).as("colors"),
+        sort_array(expr("filter(toks, t -> NOT t IN ('red','blue','green'))")).as("non_colors"),
+        flatten(array(col("toks"), array(lit("x")))).as("flat"),
+        expr("transform(toks, t -> upper(t))").as("upped"),
+        expr("filter(toks, t -> length(t) > 3)").as("longtoks"),
+        expr("exists(toks, t -> t = 'bolt')").as("has_bolt"),
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("total_len"),
+        expr("zip_with(toks, toks, (a, b) -> concat(a, b))").as("doubled"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** §2.I7 — map family over parsed JSON props (compared as extracted
+    * scalars + sorted key lists, D-rule 6). */
+  val i7: QueryDef = m(
+    "i7_map",
+    """SELECT event_id,
+      |  CAST(json_keys(props) AS VARCHAR[]) AS mkeys,
+      |  [CAST(props->>'$.k' AS INT)] AS mvals,
+      |  CAST(props->>'$.k' AS INT) AS k_val,
+      |  CAST(props->>'$.k' AS INT) AS k_val_entries
+      |FROM events ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .withColumn("m", from_json(col("props"), MapType(StringType, IntegerType)))
+      .select(
+        col("event_id"),
+        map_keys(col("m")).as("mkeys"),
+        map_values(col("m")).as("mvals"),
+        element_at(col("m"), "k").as("k_val"),
+        element_at(
+          expr("map_from_entries(transform(map_keys(m), k -> struct(k, m[k])))"),
+          "k").as("k_val_entries"))
+      .orderBy(col("event_id"))
+  }
+
+  /** §2.I8 — JSON family (b8 covers get_json_object; this adds json_tuple,
+    * from_json struct, to_json round-trip — formats verified identical). */
+  val i8: QueryDef = m(
+    "i8_json",
+    """SELECT event_id,
+      |  props->>'$.k' AS k_str,
+      |  CAST(props->>'$.k' AS BIGINT) AS k_num,
+      |  to_json(struct_pack(k := CAST(props->>'$.k' AS BIGINT))) AS rebuilt
+      |FROM events ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val parsed = from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+    Tables.events(spark, dir)
+      .selectExpr("event_id", "props", "json_tuple(props, 'k') AS k_str")
+      .select(
+        col("event_id"),
+        col("k_str"),
+        parsed.getField("k").as("k_num"),
+        to_json(struct(parsed.getField("k").as("k"))).as("rebuilt"))
+      .orderBy(col("event_id"))
+  }
+
+  /** §2.I9 — portable hashes (md5 / sha2-256). */
+  val i9: QueryDef = m(
+    "i9_hash",
+    """SELECT n_nationkey,
+      |  md5(concat_ws('|', CAST(n_nationkey AS VARCHAR), n_name)) AS row_md5,
+      |  sha256(n_name) AS name_sha
+      |FROM nation ORDER BY n_nationkey""".stripMargin) { (spark, dir) =>
+    Tables.nation(spark, dir)
+      .select(
+        col("n_nationkey"),
+        md5(concat_ws("|", col("n_nationkey").cast(StringType), col("n_name"))).as("row_md5"),
+        sha2(col("n_name"), 256).as("name_sha"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** §2.I9b — engine-internal hashes + ids: X-tier (no cross-engine twin);
+    * stability law-tested in ScalarsSpec. */
+  val i9x: QueryDef = x("i9x_engine_hashes") { (spark, dir) =>
+    Tables.nation(spark, dir)
+      .select(
+        col("n_nationkey"),
+        hash(col("n_name")).as("h32"),
+        xxhash64(col("n_name")).as("h64"),
+        crc32(col("n_name").cast("binary")).as("crc"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  override def defs: Seq[QueryDef] =
+    Seq(i1, i2, i3, i4, i4x, i5, i6, i7, i8, i9, i9x)
+}

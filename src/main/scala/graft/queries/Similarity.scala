@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.core.Det._
+
+/** SURVEY.md §2.K — dedup + similarity search over `embeddings`
+  * (ARRAY<FLOAT>, 64-dim) and `documents`.
+  *
+  * Float determinism: embeddings are cast to ARRAY<DOUBLE> on both engines
+  * before any arithmetic (float32 accumulation would diverge); dot products
+  * are sequential index-order folds on both sides (DuckDB's
+  * list_dot_product ≡ sequential list_reduce — verified bit-identical this
+  * session), and every score is rounded to 6 dp (D-rule 7).
+  *
+  * Scale posture: K3/K4 are scan + projection + top-k (TakeOrdered — no
+  * global sort); K5's O(n²) pair join is explicitly bounded to a candidate
+  * subset — at 100 TB candidates come from K6's LSH banding, a pure
+  * shuffle-by-band-key path with no cross join anywhere.
+  */
+object Similarity extends QueryPack {
+  import QueryDef._
+
+  /** Sequential-fold dot product of two ARRAY<DOUBLE> columns (index
+    * order fixed → deterministic; stays inside codegen'd HOFs). */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+  private def cosine(a: String, b: String): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Embeddings with the vector widened to DOUBLE. */
+  private def emb(df: DataFrame): DataFrame =
+    df.withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+
+  /** §2.K1 — exact dedup with a deterministic survivor: first doc_id per
+    * (lang, source) under total order — never bare dropDuplicates (whose
+    * survivor is partition-order-dependent). */
+  val k1: QueryDef = m(
+    "k1_exact_dedup",
+    """SELECT lang, source, doc_id, n_chars FROM documents
+      |QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+      |ORDER BY lang, source""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** §2.K2 — full-row distinct. */
+  val k2: QueryDef = m(
+    "k2_distinct",
+    """SELECT DISTINCT lang, source FROM documents ORDER BY lang, source""".stripMargin) {
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("lang"), col("source")).distinct()
+        .orderBy(col("lang"), col("source"))
+  }
+
+  /** §2.K3 — cosine similarity of every vector against the vec_id=0 query
+    * vector (broadcast single-row dim — no shuffle of the fact side). */
+  val k3: QueryDef = m(
+    "k3_cosine",
+    """SELECT v.vec_id, v.label,
+      |  ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+      |                               CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+      |FROM embeddings v
+      |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    val v = emb(Tables.embeddings(spark, dir))
+    val q = emb(Tables.embeddings(spark, dir).where(col("vec_id") === 0))
+      .select(col("e").as("q"))
+    v.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        score6(cosine("e", "q")).as("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** §2.K4 — brute-force top-k similarity search: top-20 by
+    * (score DESC, vec_id) — rank-with-tiebreak, never bare LIMIT over
+    * ties (D-rule 5). Physical plan: TakeOrderedAndProject (per-partition
+    * heap + driver merge of 20), no global sort at any scale. */
+  val k4: QueryDef = m(
+    "k4_topk_search",
+    """SELECT vec_id, cos_sim FROM (
+      |  SELECT v.vec_id,
+      |    ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+      |                                 CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+      |  FROM embeddings v
+      |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      |  WHERE v.vec_id <> 0)
+      |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin) { (spark, dir) =>
+    val v = emb(Tables.embeddings(spark, dir)).where(col("vec_id") =!= 0)
+    val q = emb(Tables.embeddings(spark, dir).where(col("vec_id") === 0))
+      .select(col("e").as("q"))
+    v.crossJoin(broadcast(q))
+      .select(col("vec_id"), score6(cosine("e", "q")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** §2.K5 — all-pairs near-duplicates over a bounded candidate set
+    * (vec_id < 300, cos ≥ 0.30 — embeddings are near-orthogonal random,
+    * measured max pairwise ≈ 0.40). */
+  val k5: QueryDef = m(
+    "k5_near_dup_pairs",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings WHERE vec_id < 300)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.30
+      |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    val v = emb(Tables.embeddings(spark, dir))
+      .where(col("vec_id") < 300).select(col("vec_id"), col("e"))
+    val a = v.toDF("id_a", "e_a")
+    val b = v.toDF("id_b", "e_b")
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", score6(cosine("e_a", "e_b")))
+      .where(col("cos_sim") >= 0.30)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** §2.K7 — vector norm + normalization (first component at 6 dp). */
+  val k7: QueryDef = m(
+    "k7_vector_norm",
+    """SELECT vec_id,
+      |  ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                              CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+      |  ROUND(CAST(embedding[1] AS DOUBLE)
+      |    / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                            CAST(embedding AS DOUBLE[]))), 6) AS unit_first
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    emb(Tables.embeddings(spark, dir))
+      .select(col("vec_id"),
+        score6(sqrt(dot("e", "e"))).as("l2_norm"),
+        score6(element_at(col("e"), 1) / sqrt(dot("e", "e"))).as("unit_first"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** §2.K6 — MinHash-LSH near-dup candidates (the 100 TB dedup path).
+    * X-tier: hash family is engine-specific (xxhash64), so no SQL oracle;
+    * SimilaritySpec property-tests that LSH candidates ⊇ high-Jaccard
+    * ground-truth pairs on sf0.001.
+    *
+    * Construction: per doc, 12 minhashes (xxhash64 seeded by slot) over
+    * distinct tokens; 4 bands × 3 rows; docs sharing any band signature
+    * become candidates. Pure groupBy-band shuffle — no cross join; at
+    * scale the band key is (band_id, signature) and bucket occupancy
+    * bounds the pair blow-up. */
+  val k6: QueryDef = x("k6_minhash_lsh") { (spark, dir) =>
+    val nHashes = 12
+    val rowsPerBand = 3
+    val docs = TextOps.tokens(Tables.documents(spark, dir))
+      .select(col("doc_id"), array_distinct(col("toks")).as("ts"))
+    val sigs = docs.select(
+      col("doc_id"),
+      array((0 until nHashes).map { h =>
+        array_min(expr(s"transform(ts, t -> xxhash64(concat('seed$h:', t)))"))
+      }: _*).as("sig"))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, ${nHashes / rowsPerBand - 1}), " +
+        s"b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))")))
+      .toDF("doc_id", "band_id", "band_sig")
+    val buckets = bands.groupBy(col("band_id"), col("band_sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    buckets.select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))"))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(k1, k2, k3, k4, k5, k6, k7)
+}
