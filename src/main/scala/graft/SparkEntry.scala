@@ -22,7 +22,9 @@ object SparkEntry {
     SetOps,       // §2.H set operations
     Scalars,      // §2.I scalar function surface
     TextOps,      // §2.J text analysis
-    Similarity)   // §2.K dedup + similarity search
+    Similarity,   // §2.K dedup + similarity search
+    Extensions,   // §2.M UDF/UDAF/Expression/Generator + §2.B7
+    Sources)      // §2.A3/A4/A7/A8 + EP1 config pipeline
 
   private lazy val all: Seq[QueryDef] = {
     val ds = packs.flatMap(_.defs)

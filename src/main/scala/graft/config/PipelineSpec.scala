@@ -1,0 +1,145 @@
+package graft.config
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+
+/** The reference's declared surface (/root/reference/README.md:2): a
+  * "unified, configuration-driven data ingestion platform … dynamically
+  * handle various data sources through YAML configurations, perform
+  * customisable validation and enrichment."
+  *
+  * This is that config model, made concrete: YAML → typed spec. Parsing is
+  * explicit tree-walking (jackson-dataformat-yaml ships in
+  * /opt/spark/jars) — no reflection/databind magic, so unknown fields and
+  * type mismatches fail with a path-qualified error instead of a null.
+  */
+final case class PipelineSpec(
+    name: String,
+    source: SourceSpec,
+    checks: Seq[CheckSpec],
+    transforms: Seq[TransformSpec],
+    sink: Option[SinkSpec],
+    quarantine: Option[SinkSpec])
+
+/** format ∈ parquet | csv | json | jdbc (§2.A3-A5). `schema` is a Spark
+  * DDL string ("a INT, b STRING"); required for csv/json, ignored for
+  * parquet, unused for jdbc (driver-resolved). */
+final case class SourceSpec(
+    format: String,
+    path: Option[String],
+    table: Option[String],
+    schema: Option[String],
+    options: Map[String, String])
+
+/** §2.C check taxonomy. Exactly one payload shape per `typ`. */
+final case class CheckSpec(
+    typ: String,                  // not_null | range | in_set | regex | str_len | cross | unique | ref
+    name: Option[String],
+    col: Option[String],
+    lo: Option[Double],
+    hi: Option[Double],
+    values: Seq[String],
+    pattern: Option[String],
+    expr: Option[String],
+    refTable: Option[SourceSpec], // for `ref`: the dimension side
+    refCol: Option[String]) {
+  def checkName: String = name.getOrElse(s"${typ}_${col.getOrElse(expr.getOrElse("x"))}")
+}
+
+/** §2.B transform taxonomy, interpreted in declared order. */
+final case class TransformSpec(
+    op: String,                   // select | rename | drop | derive | filter | cast | join | limit | sort
+    cols: Seq[String],
+    name: Option[String],
+    expr: Option[String],
+    to: Option[String],
+    table: Option[SourceSpec],
+    on: Seq[String],
+    how: Option[String],
+    broadcast: Boolean)
+
+final case class SinkSpec(
+    format: String,               // parquet | csv | json
+    path: String,
+    mode: String,                 // overwrite | append | errorifexists
+    partitionBy: Seq[String],
+    options: Map[String, String])
+
+object PipelineSpec {
+  private val mapper = new ObjectMapper(new YAMLFactory())
+
+  def parse(yaml: String): PipelineSpec = {
+    val root = mapper.readTree(yaml)
+    PipelineSpec(
+      name = reqStr(root, "name", "pipeline"),
+      source = source(req(root, "source", "pipeline"), "source"),
+      checks = arr(root, "checks").zipWithIndex.map { case (n, i) => check(n, s"checks[$i]") },
+      transforms = arr(root, "transforms").zipWithIndex.map { case (n, i) => transform(n, s"transforms[$i]") },
+      sink = opt(root, "sink").map(sink(_, "sink")),
+      quarantine = opt(root, "quarantine").map(sink(_, "quarantine")))
+  }
+
+  private def source(n: JsonNode, at: String): SourceSpec = {
+    val fmt = reqStr(n, "format", at)
+    require(Set("parquet", "csv", "json", "jdbc")(fmt), s"$at.format: unknown '$fmt'")
+    val s = SourceSpec(fmt,
+      path = optStr(n, "path"), table = optStr(n, "table"),
+      schema = optStr(n, "schema"), options = strMap(n, "options"))
+    if (fmt != "jdbc") require(s.path.isDefined || s.table.isDefined,
+      s"$at: needs path or table")
+    s
+  }
+
+  private def check(n: JsonNode, at: String): CheckSpec = {
+    val t = reqStr(n, "type", at)
+    require(Set("not_null", "range", "in_set", "regex", "str_len", "cross", "unique", "ref")(t),
+      s"$at.type: unknown '$t'")
+    CheckSpec(t,
+      name = optStr(n, "name"), col = optStr(n, "col"),
+      lo = optNum(n, "lo"), hi = optNum(n, "hi"),
+      values = strArr(n, "values"), pattern = optStr(n, "pattern"),
+      expr = optStr(n, "expr"),
+      refTable = opt(n, "ref_table").map(source(_, s"$at.ref_table")),
+      refCol = optStr(n, "ref_col"))
+  }
+
+  private def transform(n: JsonNode, at: String): TransformSpec = {
+    val op = reqStr(n, "op", at)
+    require(Set("select", "rename", "drop", "derive", "filter", "cast", "join", "limit", "sort")(op),
+      s"$at.op: unknown '$op'")
+    TransformSpec(op,
+      cols = strArr(n, "cols"), name = optStr(n, "name"),
+      expr = optStr(n, "expr"), to = optStr(n, "to"),
+      table = opt(n, "table").map(source(_, s"$at.table")),
+      on = strArr(n, "on"), how = optStr(n, "how"),
+      broadcast = opt(n, "broadcast").exists(_.asBoolean(false)))
+  }
+
+  private def sink(n: JsonNode, at: String): SinkSpec = {
+    val fmt = reqStr(n, "format", at)
+    require(Set("parquet", "csv", "json")(fmt), s"$at.format: unknown '$fmt'")
+    SinkSpec(fmt, reqStr(n, "path", at),
+      mode = optStr(n, "mode").getOrElse("overwrite"),
+      partitionBy = strArr(n, "partitionBy"), options = strMap(n, "options"))
+  }
+
+  // -- tree helpers ---------------------------------------------------------
+  private def req(n: JsonNode, f: String, at: String): JsonNode = {
+    val c = n.get(f)
+    require(c != null && !c.isNull, s"$at.$f: required"); c
+  }
+  private def reqStr(n: JsonNode, f: String, at: String): String = req(n, f, at).asText()
+  private def opt(n: JsonNode, f: String): Option[JsonNode] =
+    Option(n.get(f)).filterNot(_.isNull)
+  private def optStr(n: JsonNode, f: String): Option[String] = opt(n, f).map(_.asText())
+  private def optNum(n: JsonNode, f: String): Option[Double] = opt(n, f).map(_.asDouble())
+  private def arr(n: JsonNode, f: String): Seq[JsonNode] =
+    opt(n, f).map(_.elements().asScala.toSeq).getOrElse(Nil)
+  private def strArr(n: JsonNode, f: String): Seq[String] = arr(n, f).map(_.asText())
+  private def strMap(n: JsonNode, f: String): Map[String, String] =
+    opt(n, f).map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty)
+}

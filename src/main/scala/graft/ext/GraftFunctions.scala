@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.functions.udaf
+
+/** Registration surface for the §2.M extension points.
+  *
+  * Two routes to the same functions:
+  *  - [[GraftSparkExtensions]] for `spark.sql.extensions=graft.ext.GraftSparkExtensions`
+  *    (the blessed SparkSessionExtensions route — catalog-level, survives
+  *    for the session lifetime);
+  *  - [[GraftFunctions.register]] for sessions already built without the
+  *    conf (the driver's Verify/Bench sessions) — registers the same
+  *    builders into the live FunctionRegistry. Idempotent.
+  */
+object GraftFunctions {
+
+  private def ngramsBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(arr, Literal(n: Int, _)) => NGramsGen(arr, n)
+    case Seq(arr) => NGramsGen(arr, 2)
+    case _ => throw new IllegalArgumentException(
+      "graft_ngrams(array<string>, <int literal n>)")
+  }
+
+  val catalystFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[NGramsGen].getName, "graft_ngrams"),
+      ngramsBuilder))
+
+  /** Register every §2.M function into a live session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    catalystFunctions.foreach { case (ident, info, builder) =>
+      reg.registerFunction(ident, info, builder)
+    }
+    // M2 typed UDAF + M1 config-referenced scalar UDF (for `derive` exprs).
+    spark.udf.register("graft_geomean", udaf(GeoMean))
+    spark.udf.register("graft_norm_text",
+      (s: String) => if (s == null) null
+      else s.replaceAll(" +", " ").trim.toLowerCase)
+  }
+}
+
+/** `SparkSessionExtensions` injection point (§2.M3 contract route). */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.catalystFunctions.foreach(ext.injectFunction)
+}

@@ -1,0 +1,166 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.config._
+import graft.ext.GraftFunctions
+
+/** SURVEY.md §3.2 EP1 — the config-driven pipeline interpreter: YAML →
+  * source → checks (pass/quarantine split + metrics) → transforms → sink.
+  *
+  * Execution model (the Spark-native design decision): every stage only
+  * grows one Catalyst LogicalPlan — `build` performs no action. Checks are
+  * evaluated as N boolean columns in a single projection (codegen fuses
+  * them into one pass over the scan; never one job per check), the split
+  * reuses the same conjunction predicate, and metrics aggregate those
+  * booleans map-side. At 100 TB a pipeline run is: one scan, one fused
+  * validation projection, the transforms' own shuffles, one write.
+  */
+object PipelineRunner {
+
+  /** Everything a run produces. `metrics` forces one aggregate job;
+    * `passed`/`quarantined` are unexecuted plans unless sinks write them. */
+  final case class RunResult(
+      spec: PipelineSpec,
+      passed: DataFrame,
+      quarantined: DataFrame,
+      metrics: Seq[CheckMetric])
+
+  final case class CheckMetric(check: String, passCnt: Long, failCnt: Long)
+
+  def runFile(spark: SparkSession, yamlPath: String): RunResult =
+    run(spark, Files.readString(Paths.get(yamlPath)))
+
+  def run(spark: SparkSession, yaml: String): RunResult = {
+    val spec = PipelineSpec.parse(yaml)
+    GraftFunctions.register(spark) // M1 UDFs usable in derive/filter exprs
+    val src = read(spark, spec.source)
+
+    val (passed0, quarantined, metrics) = validate(spark, src, spec.checks)
+    val out = spec.transforms.foldLeft(passed0)((df, t) => applyTransform(spark, df, t))
+
+    spec.sink.foreach(write(out, _))
+    spec.quarantine.foreach(write(quarantined, _))
+    RunResult(spec, out, quarantined, metrics)
+  }
+
+  // -- sources (§2.A) -------------------------------------------------------
+  def read(spark: SparkSession, s: SourceSpec): DataFrame = {
+    val path = s.path.orElse(s.table.map(t => s"${t}.parquet")).getOrElse(
+      throw new IllegalArgumentException("source needs path or table"))
+    s.format match {
+      case "parquet" => spark.read.options(s.options).parquet(path)
+      case "csv" =>
+        val r = spark.read.options(s.options)
+        s.schema.map(ddl => r.schema(StructType.fromDDL(ddl))).getOrElse(r).csv(path)
+      case "json" =>
+        val r = spark.read.options(s.options)
+        s.schema.map(ddl => r.schema(StructType.fromDDL(ddl))).getOrElse(r).json(path)
+      case "jdbc" => // §2.A5: config-model passthrough (no driver offline)
+        spark.read.format("jdbc").options(s.options).load()
+    }
+  }
+
+  // -- validation (§2.C) ----------------------------------------------------
+  /** One boolean Column per check (null-safe: null comparisons fail the
+    * check rather than vanishing). */
+  def checkPredicate(spark: SparkSession, df: DataFrame, c: CheckSpec): Column = {
+    def cl: Column = col(c.col.getOrElse(
+      throw new IllegalArgumentException(s"check ${c.checkName}: col required")))
+    val p = c.typ match {
+      case "not_null" => cl.isNotNull
+      case "range"    => cl.between(c.lo.get, c.hi.get)
+      case "in_set"   => cl.isin(c.values: _*)
+      case "regex"    => cl.rlike(c.pattern.get)
+      case "str_len"  => length(cl).between(c.lo.get, c.hi.get)
+      case "cross"    => expr(c.expr.get)
+      case "unique"   =>
+        // window count per key == 1; one extra shuffle by the key only
+        import org.apache.spark.sql.expressions.Window
+        count(lit(1)).over(Window.partitionBy(cl)) === 1
+      case "ref" => throw new IllegalStateException(
+        "ref checks join a dim table — handled in validate(), not as a scalar predicate")
+      case other => throw new IllegalArgumentException(s"unknown check type $other")
+    }
+    coalesce(p, lit(false))
+  }
+
+  /** Split + metrics in one pass: add all check booleans, conjunction
+    * splits rows, the same booleans aggregate into per-check counts. */
+  def validate(spark: SparkSession, df: DataFrame, checks: Seq[CheckSpec])
+      : (DataFrame, DataFrame, Seq[CheckMetric]) = {
+    if (checks.isEmpty) return (df, df.limit(0), Nil)
+
+    // `ref` checks need a join, not a scalar predicate: fold them in first
+    // as boolean columns via a broadcast left join on the dim key.
+    var work = df
+    val flags = checks.zipWithIndex.map { case (c, i) =>
+      val flag = s"__chk_$i"
+      c.typ match {
+        case "ref" =>
+          val key = c.col.get
+          val dim = read(spark, c.refTable.get)
+            .select(col(c.refCol.get).as(s"__ref_$i")).distinct()
+          work = work.join(broadcast(dim), col(key) === col(s"__ref_$i"), "left")
+            .withColumn(flag, col(s"__ref_$i").isNotNull)
+            .drop(s"__ref_$i")
+        case _ =>
+          work = work.withColumn(flag, coalesce(checkPredicate(spark, work, c), lit(false)))
+      }
+      flag
+    }
+    val allPass = flags.map(col).reduce(_ && _)
+    val passed = work.where(allPass).drop(flags: _*)
+    val quarantined = work.where(!allPass).drop(flags: _*)
+    val row = work.agg(
+      count(lit(1)).as("__n"),
+      flags.flatMap(f => Seq(sum(col(f).cast("long")).as(s"${f}_pass"))): _*).head()
+    val n = row.getAs[Long]("__n")
+    val metrics = checks.zipWithIndex.map { case (c, i) =>
+      val p = Option(row.getAs[Long](s"__chk_${i}_pass")).getOrElse(0L)
+      CheckMetric(c.checkName, p, n - p)
+    }
+    (passed, quarantined, metrics)
+  }
+
+  // -- transforms (§2.B, §2.D) ---------------------------------------------
+  def applyTransform(spark: SparkSession, df: DataFrame, t: TransformSpec): DataFrame =
+    t.op match {
+      case "select" => df.selectExpr(t.cols: _*)
+      case "rename" => // cols as ["old:new", ...]
+        t.cols.foldLeft(df) { (d, spec) =>
+          val Array(from, to) = spec.split(":", 2)
+          d.withColumnRenamed(from, to)
+        }
+      case "drop"   => df.drop(t.cols: _*)
+      case "derive" => df.withColumn(t.name.get, expr(t.expr.get))
+      case "filter" => df.where(expr(t.expr.get))
+      case "cast"   => df.withColumn(t.name.orElse(t.cols.headOption).get,
+        col(t.cols.head).cast(t.to.get))
+      case "join" =>
+        val right0 = read(spark, t.table.get)
+        val right = if (t.broadcast) broadcast(right0) else right0
+        val how = t.how.getOrElse("inner")
+        if (t.on.nonEmpty) df.join(right, t.on, how)
+        else df.join(right, expr(t.expr.getOrElse(
+          throw new IllegalArgumentException("join needs `on` cols or an `expr` condition"))), how)
+      case "limit" => df.limit(t.expr.get.toInt)
+      case "sort"  => df.orderBy(t.cols.map(expr): _*)
+      case other   => throw new IllegalArgumentException(s"unknown transform $other")
+    }
+
+  // -- sinks (§2.A6-A8) -----------------------------------------------------
+  def write(df: DataFrame, s: SinkSpec): Unit = {
+    var w = df.write.mode(s.mode).options(s.options)
+    if (s.partitionBy.nonEmpty) w = w.partitionBy(s.partitionBy: _*)
+    s.format match {
+      case "parquet" => w.parquet(s.path)
+      case "csv"     => w.option("header", s.options.getOrElse("header", "true")).csv(s.path)
+      case "json"    => w.json(s.path)
+    }
+  }
+}

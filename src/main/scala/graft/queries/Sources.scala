@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.pipeline.PipelineRunner
+
+/** SURVEY.md §2.A — non-parquet sources and sinks, plus the EP1
+  * config-driven pipeline run as an oracle-checked query.
+  *
+  * A3/A4/A7 protocol: the engine first WRITES the format under
+  * /tmp/graft_io (deterministic content, coalesce(1) for a single file),
+  * reads it back through the config-driven reader, and the DuckDB oracle
+  * reads the same files — so the round-trip (writer ∘ reader) is what is
+  * actually verified, covering A6/A8 sinks in the same pass.
+  */
+object Sources extends QueryPack {
+  import QueryDef._
+
+  private val ioDir = "/tmp/graft_io"
+
+  /** §2.A3 + A8 — CSV sink → config-driven CSV source with declared
+    * schema, header, delimiter, FAILFAST. */
+  val a3: QueryDef = m(
+    "a3_csv_roundtrip",
+    s"""SELECT n_nationkey, n_name, n_regionkey
+       |FROM read_csv('$ioDir/nation_csv/*.csv', delim = ';', header = true,
+       |  columns = {'n_nationkey': 'BIGINT', 'n_name': 'VARCHAR', 'n_regionkey': 'BIGINT'})
+       |ORDER BY n_nationkey""".stripMargin) { (spark, dir) =>
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .coalesce(1).write.mode("overwrite")
+      .option("header", "true").option("delimiter", ";")
+      .csv(s"$ioDir/nation_csv")
+    spark.read
+      .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+      .option("header", "true").option("delimiter", ";").option("mode", "FAILFAST")
+      .csv(s"$ioDir/nation_csv")
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** §2.A4 + A8 — JSON-lines sink → source with declared schema. */
+  val a4: QueryDef = m(
+    "a4_json_roundtrip",
+    s"""SELECT r_regionkey, r_name
+       |FROM read_json('$ioDir/region_json/*.json',
+       |  columns = {'r_regionkey': 'BIGINT', 'r_name': 'VARCHAR'}, format = 'newline_delimited')
+       |ORDER BY r_regionkey""".stripMargin) { (spark, dir) =>
+    Tables.region(spark, dir)
+      .select(col("r_regionkey"), col("r_name"))
+      .coalesce(1).write.mode("overwrite").json(s"$ioDir/region_json")
+    spark.read
+      .schema("r_regionkey BIGINT, r_name STRING")
+      .json(s"$ioDir/region_json")
+      .orderBy(col("r_regionkey"))
+  }
+
+  /** §2.A7 — partitioned parquet sink, read back hive-style (DuckDB
+    * hive_partitioning recovers the partition column as VARCHAR → the
+    * engine output casts to match). */
+  val a7: QueryDef = m(
+    "a7_partitioned_sink",
+    s"""SELECT CAST(n_regionkey AS VARCHAR) AS n_regionkey, n_nationkey, n_name
+       |FROM read_parquet('$ioDir/nation_part/*/*.parquet', hive_partitioning = true)
+       |ORDER BY n_nationkey""".stripMargin) { (spark, dir) =>
+    Tables.nation(spark, dir)
+      .write.mode("overwrite").partitionBy("n_regionkey")
+      .parquet(s"$ioDir/nation_part")
+    spark.read.parquet(s"$ioDir/nation_part")
+      .select(col("n_regionkey").cast("string").as("n_regionkey"),
+        col("n_nationkey"), col("n_name"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** §3.2 EP1 — a full config-driven pipeline (YAML string → source →
+    * checks → quarantine split → derive/join/select → result), verified
+    * against the equivalent hand-written SQL. */
+  val ep1: QueryDef = m(
+    "ep1_config_pipeline",
+    s"""SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, l.l_extendedprice,
+       |  CAST(CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS net_price,
+       |  o.o_orderpriority
+       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |WHERE l.l_discount BETWEEN 0.0 AND 0.1 AND l.l_quantity > 0
+       |  AND l.l_returnflag IN ('A','N','R') AND l.l_extendedprice >= l.l_quantity
+       |  AND l.l_quantity >= 10
+       |ORDER BY l.l_orderkey, l.l_linenumber, l.l_shipdate, l.l_extendedprice""".stripMargin) { (spark, dir) =>
+    val yaml =
+      s"""name: ep1_demo
+         |source: {format: parquet, path: "$dir/lineitem.parquet"}
+         |checks:
+         |  - {type: range, col: l_discount, lo: 0.0, hi: 0.1}
+         |  - {type: cross, expr: "l_quantity > 0"}
+         |  - {type: in_set, col: l_returnflag, values: [A, N, R]}
+         |  - {type: cross, expr: "l_extendedprice >= l_quantity"}
+         |transforms:
+         |  - {op: filter, expr: "l_quantity >= 10"}
+         |  - {op: derive, name: net_price,
+         |     expr: "CAST(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))), 2) AS DECIMAL(18,2)) AS DOUBLE)"}
+         |  - {op: join, table: {format: parquet, path: "$dir/orders.parquet"},
+         |     expr: "l_orderkey = o_orderkey", how: inner, broadcast: false}
+         |  - {op: select, cols: [l_orderkey, l_linenumber, l_shipdate, l_extendedprice, net_price, o_orderpriority]}
+         |  - {op: sort, cols: [l_orderkey, l_linenumber, l_shipdate, l_extendedprice]}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml).passed
+  }
+
+  override def defs: Seq[QueryDef] = Seq(a3, a4, a7, ep1)
+}
