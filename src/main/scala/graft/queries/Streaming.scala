@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.streaming.StreamOps
+
+/** SURVEY.md §2.L — Structured Streaming operators, each executed as a
+  * real AvailableNow micro-batch stream (see StreamOps.runToBatch) and
+  * oracle-checked against the equivalent batch SQL.
+  *
+  * Aggregates output only order-free exact stats (count/min/max) so
+  * engine-side accumulation order cannot matter; window starts compare as
+  * NTZ timestamps (both engines UTC).
+  */
+object Streaming extends QueryPack {
+  import QueryDef._
+
+  /** §2.L1 — tumbling 1-hour window by event_type. */
+  val l1: QueryDef = m(
+    "l1_tumbling_window",
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+      |  COUNT(*) AS n, min(value) AS min_v, max(value) AS max_v
+      |FROM events GROUP BY w_start, event_type
+      |ORDER BY w_start, event_type""".stripMargin) { (spark, dir) =>
+    val s = StreamOps.eventsStream(spark, dir)
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .select(col("window.start").cast(TimestampNTZType).as("w_start"),
+        col("event_type"), col("n"), col("min_v"), col("max_v"))
+    StreamOps.runToBatch(spark, "l1", s, "update")
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
+  /** §2.L2 — sliding window (1 hour, 15-minute slide): each event lands in
+    * 4 windows; oracle expands buckets with generate_series. */
+  val l2: QueryDef = m(
+    "l2_sliding_window",
+    """WITH b AS (SELECT CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900 AS BIGINT)) AS TIMESTAMP) AS b15,
+      |             event_id FROM events),
+      |x AS (SELECT unnest(generate_series(b15 - INTERVAL 45 MINUTE, b15, INTERVAL 15 MINUTE)) AS w_start FROM b)
+      |SELECT w_start, COUNT(*) AS n FROM x GROUP BY w_start ORDER BY w_start""".stripMargin) { (spark, dir) =>
+    val s = StreamOps.eventsStream(spark, dir)
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast(TimestampNTZType).as("w_start"), col("n"))
+    StreamOps.runToBatch(spark, "l2", s, "update")
+      .orderBy(col("w_start"))
+  }
+
+  /** §2.L3 — session windows (30-minute gap) per user; oracle is the
+    * classic islands-and-gaps construction. Two Spark semantics encoded:
+    * (1) session ranges are [start, last+gap) — an event at exactly
+    * prev+gap starts a NEW session, so the new-session flag uses >=;
+    * (2) append mode only emits sessions CLOSED by the final watermark
+    * (max event time − 1h delay), so the oracle applies the same cutoff:
+    * last_ts + 30 min < max(ts) − 1 h. */
+  val l3: QueryDef = m(
+    "l3_session_window",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+      |wm AS (SELECT max(t) - INTERVAL 1 HOUR AS w FROM e),
+      |lagd AS (SELECT user_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt FROM e),
+      |flag AS (SELECT user_id, t,
+      |  CASE WHEN pt IS NULL OR t - pt >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS f FROM lagd),
+      |sess AS (SELECT user_id, t,
+      |  SUM(f) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM flag)
+      |SELECT user_id, min(t) AS session_start, max(t) AS last_ts, COUNT(*) AS n
+      |FROM sess CROSS JOIN wm GROUP BY user_id, sid, wm.w
+      |HAVING max(t) + INTERVAL 30 MINUTE < wm.w
+      |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
+    val s = StreamOps.eventsStream(spark, dir)
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(session_window(col("event_ts"), "30 minutes"), col("user_id"))
+      .agg(min(col("event_ts")).as("ss"), max(col("event_ts")).as("lt"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"),
+        col("ss").cast(TimestampNTZType).as("session_start"),
+        col("lt").cast(TimestampNTZType).as("last_ts"), col("n"))
+    StreamOps.runToBatch(spark, "l3", s, "append")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** §2.L5 — streaming exact-once dedup by key within the stream. */
+  val l5: QueryDef = m(
+    "l5_streaming_dedup",
+    """SELECT event_id, user_id, event_type FROM events
+      |QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts) = 1
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val s = StreamOps.eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .dropDuplicates("event_id")
+    StreamOps.runToBatch(spark, "l5", s, "append")
+      .orderBy(col("event_id"))
+  }
+
+  /** §2.L6 — stream ⋈ static broadcast dim enrichment + windowless agg. */
+  val l6: QueryDef = m(
+    "l6_stream_static_join",
+    """SELECT n.n_name, COUNT(*) AS n_events
+      |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (spark, dir) =>
+    val dim = Tables.nation(spark, dir)
+    val s = StreamOps.eventsStream(spark, dir)
+      .join(broadcast(dim), col("user_id") % 25 === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"))
+    StreamOps.runToBatch(spark, "l6", s, "update")
+      .orderBy(col("n_name"))
+  }
+
+  /** §2.L7 — arbitrary stateful op (flatMapGroupsWithState): per-user
+    * running counters, emitting the state after each batch (single batch
+    * ⇒ final totals). Outputs are order-free (count / max). */
+  val l7: QueryDef = m(
+    "l7_stateful_counters",
+    """SELECT user_id, COUNT(*) AS n, max(value) AS max_v
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val s = StreamOps.eventsStream(spark, dir)
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          var (n, mx) = state.getOption.getOrElse((0L, Double.NegativeInfinity))
+          rows.foreach { case (_, v) => n += 1; if (v > mx) mx = v }
+          state.update((n, mx))
+          Iterator((user, n, mx))
+      }
+      .toDF("user_id", "n", "max_v")
+    StreamOps.runToBatch(spark, "l7", s, "update")
+      .orderBy(col("user_id"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(l1, l2, l3, l5, l6, l7)
+}
