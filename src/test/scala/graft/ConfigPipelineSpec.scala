@@ -1,0 +1,78 @@
+package graft
+
+import graft.config._
+import graft.pipeline.PipelineRunner
+
+/** §2.A5 config model + EP1 interpreter semantics (SURVEY §5.2 item 3). */
+class ConfigPipelineSpec extends SparkSpecBase {
+
+  test("A5: jdbc source is representable in config without a driver") {
+    val spec = PipelineSpec.parse(
+      """name: jdbc_demo
+        |source: {format: jdbc, options: {url: "jdbc:postgresql://h/db", dbtable: t}}
+        |""".stripMargin)
+    spec.source.format shouldBe "jdbc"
+    spec.source.options("dbtable") shouldBe "t"
+  }
+
+  test("parse errors are path-qualified") {
+    val e1 = intercept[IllegalArgumentException](PipelineSpec.parse("name: x\n"))
+    e1.getMessage should include("pipeline.source")
+    val e2 = intercept[IllegalArgumentException](PipelineSpec.parse(
+      """name: x
+        |source: {format: nonsense, path: p}
+        |""".stripMargin))
+    e2.getMessage should include("source.format")
+    val e3 = intercept[IllegalArgumentException](PipelineSpec.parse(
+      s"""name: x
+         |source: {format: parquet, path: p}
+         |checks: [{type: wat, col: c}]
+         |""".stripMargin))
+    e3.getMessage should include("checks[0].type")
+  }
+
+  test("EP1: quarantine split + metrics count every check in one pass") {
+    val yaml =
+      s"""name: split_demo
+         |source: {format: parquet, path: "$sf/lineitem.parquet"}
+         |checks:
+         |  - {type: not_null, col: l_orderkey}
+         |  - {type: range, col: l_discount, lo: 0.0, hi: 0.05}
+         |""".stripMargin
+    val r = PipelineRunner.run(spark, yaml)
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    r.passed.count() + r.quarantined.count() shouldBe total
+    val m = r.metrics.map(m => m.check -> m).toMap
+    m("not_null_l_orderkey").failCnt shouldBe 0
+    m("range_l_discount").passCnt + m("range_l_discount").failCnt shouldBe total
+    // the quarantine is exactly the range-check failures (not_null never fails)
+    r.quarantined.count() shouldBe m("range_l_discount").failCnt
+  }
+
+  test("EP1: ref check quarantines orphans via broadcast dim join") {
+    val yaml =
+      s"""name: ref_demo
+         |source: {format: parquet, path: "$sf/customer.parquet"}
+         |checks:
+         |  - {type: ref, col: c_nationkey, ref_col: n_nationkey,
+         |     ref_table: {format: parquet, path: "$sf/nation.parquet"}}
+         |""".stripMargin
+    val r = PipelineRunner.run(spark, yaml)
+    r.quarantined.count() shouldBe 0 // fixture data is referentially intact
+    r.metrics.head.passCnt shouldBe spark.read.parquet(s"$sf/customer.parquet").count()
+  }
+
+  test("EP1: rename / cast / drop transforms compose in order") {
+    val yaml =
+      s"""name: t_demo
+         |source: {format: parquet, path: "$sf/region.parquet"}
+         |transforms:
+         |  - {op: rename, cols: ["r_name:region_name"]}
+         |  - {op: cast, cols: [r_regionkey], to: string}
+         |  - {op: drop, cols: [r_comment]}
+         |""".stripMargin
+    val out = PipelineRunner.run(spark, yaml).passed
+    out.columns should contain("region_name")
+    out.schema("r_regionkey").dataType.typeName shouldBe "string"
+  }
+}

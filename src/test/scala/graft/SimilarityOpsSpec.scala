@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+
+import graft.core.Tables
+import graft.ext.GraftFunctions
+import graft.queries.Similarity
+
+/** §2.K laws: cosine bounds, expression≡HOF agreement, K6 LSH recall
+  * against K5-style ground truth (SURVEY §5.2 items 3-4). */
+class SimilarityOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val vec = Gen.listOfN(8, Gen.chooseNum(-10.0, 10.0))
+    .suchThat(v => v.exists(_ != 0.0))
+
+  private def cosineDF(a: List[Double], b: List[Double]) = {
+    GraftFunctions.register(spark)
+    Seq((a, b)).toDF("a", "b")
+      .select(
+        expr("graft_cosine(a, b)").as("expr_cos"),
+        (expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+          (sqrt(expr("aggregate(zip_with(a, a, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")) *
+           sqrt(expr("aggregate(zip_with(b, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))).as("hof_cos"))
+      .head()
+  }
+
+  test("K3/M3: cosine ∈ [-1, 1], cos(v, v) = 1, Expression ≡ HOF bit-for-bit") {
+    forSamples(Gen.zip(vec, vec), 12) { case (a, b) =>
+      val r = cosineDF(a, b)
+      val e = r.getDouble(0); val h = r.getDouble(1)
+      e shouldBe h // identical sequential accumulation → bit-equal
+      e should be >= -1.0000001
+      e should be <= 1.0000001
+      cosineDF(a, a).getDouble(0) shouldBe 1.0 +- 1e-9
+    }
+  }
+
+  test("M3: graft_cosine survives codegen and interpreted paths equally") {
+    GraftFunctions.register(spark)
+    val d = Tables.embeddings(spark, sf)
+      .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+    val on = d.select(expr("graft_cosine(e, e)").as("c")).agg(sum("c")).head().getDouble(0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off = try d.select(expr("graft_cosine(e, e)").as("c")).agg(sum("c")).head().getDouble(0)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    on shouldBe off
+  }
+
+  test("K6: LSH recall ≥ 0.85 at Jaccard ≥ 0.8; exact-dup sets always candidates") {
+    val candidates = Similarity.k6.build(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_distinct(split(lower(col("text")), " ")).as("ts"))
+      .as[(Long, Seq[String])].collect()
+    val jac = for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      j = (ta.toSet & tb.toSet).size.toDouble / (ta.toSet ++ tb.toSet).size
+    } yield ((ia, ib), j)
+    // identical token SETS have identical minhash signatures → always found
+    val exactDups = jac.collect { case (p, j) if j == 1.0 => p }.toSet
+    exactDups.diff(candidates) shouldBe empty
+    // banding theory: P(candidate | j=0.8) = 1-(1-0.8^3)^4 ≈ 0.94; the
+    // mass of truth pairs sits above 0.8 → recall comfortably ≥ 0.85.
+    val truth = jac.collect { case (p, j) if j >= 0.8 => p }.toSet
+    val recall = truth.count(candidates).toDouble / math.max(truth.size, 1)
+    withClue(s"truth=${truth.size} candidates=${candidates.size} recall=$recall: ") {
+      recall should be >= 0.85
+    }
+  }
+
+  test("E5: approx_count_distinct within 3·rsd of exact") {
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_orderkey"), 0.05)).head().getLong(0)
+    math.abs(approx - exact).toDouble / exact should be <= 0.15
+  }
+
+  test("E10: sampling with a fixed seed is stable across runs") {
+    val li = Tables.lineitem(spark, sf)
+    val a = li.sample(withReplacement = false, 0.1, 42L).count()
+    val b = li.sample(withReplacement = false, 0.1, 42L).count()
+    a shouldBe b
+  }
+}

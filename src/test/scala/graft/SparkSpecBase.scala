@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Shared local session for all specs (one JVM-wide session — scalatest
+  * suites run sequentially in the forked test JVM). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+abstract class SparkSpecBase extends AnyFunSuite with Matchers {
+  lazy val spark: SparkSession = TestSpark.spark
+  lazy val sf: String = TestSpark.sf
+
+  /** Minimal property-check driver over scalacheck Gens with fixed seeds
+    * (scalatestplus is not in the offline cache). Deterministic runs. */
+  def forSamples[A](gen: org.scalacheck.Gen[A], n: Int = 15)(f: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      val a = gen.pureApply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong * 7919L))
+      withClue(s"[seed $i] input $a: ")(f(a))
+    }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamOps
+
+/** §2.L4 — watermark / late-data semantics, exercised with a two-file
+  * ordered replay (maxFilesPerTrigger=1) so the watermark advances between
+  * micro-batches and genuinely drops late rows — the single-batch path used
+  * by the oracle queries can never drop anything (SURVEY §5.2 item 5). */
+class StreamingOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def writeBatchFile(dir: String, name: String, rows: Seq[(Long, String)]): Unit =
+    rows.toDF("epoch_s", "k")
+      .select(timestamp_seconds($"epoch_s").as("ts"), $"k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+
+  test("L4: rows later than the watermark are dropped from append aggregation") {
+    val base = "/tmp/graft_stream_test/l4"
+    StreamOps.rmrf(base)
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    val h = 3600L
+
+    // Two sequential AvailableNow runs over ONE checkpoint: the watermark
+    // persists across restarts, so run 2 starts with wm = 3h − 1h = 2h and
+    // must drop the late row. (A single AvailableNow pass puts all files in
+    // one batch — watermark never advances mid-batch.)
+    def runOnce(runId: Int): Unit = {
+      val stream = spark.readStream
+        .schema("ts TIMESTAMP, k STRING")
+        .parquet(s"$in/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour"))
+        .agg(count(lit(1)).as("n"), sort_array(collect_list($"k")).as("ks"))
+        .select($"window.start".cast("string").as("w"), $"n", $"ks")
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$base/out/run${runId}_batch_$id")
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    // run 1: events at hours 0..3 → checkpointed watermark = 2h
+    writeBatchFile(in, "f1.parquet",
+      Seq((0 * h, "a"), (1 * h, "a"), (2 * h, "a"), (3 * h, "a")))
+    runOnce(1)
+    // run 2: a late row back at hour 0 (< wm 2h → dropped) + an in-time row
+    // at 4.5h → final watermark 3.5h, strictly between window ends
+    writeBatchFile(in, "f2.parquet", Seq((0 * h + 60, "late"), (4 * h + 1800, "b")))
+    runOnce(2)
+
+    import scala.jdk.CollectionConverters._
+    val dirs = Files.list(Paths.get(s"$base/out")).iterator().asScala.map(_.toString).toSeq
+    val rows = spark.read.parquet(dirs: _*)
+      .as[(String, Long, Seq[String])].collect().sortBy(_._1)
+
+    val emitted = rows.map(r => r._1.substring(11, 13) -> r._3.mkString(",")).toMap
+    // hour-0 window emitted exactly once, holding ONLY the original event —
+    // the late row was dropped, and no re-emission happened in run 2
+    rows.count(_._1.substring(11, 13) == "00") shouldBe 1
+    emitted("00") shouldBe "a"
+    // hours 1 and 2 closed by the final watermark (3.5h)
+    emitted.keySet should contain allOf ("01", "02")
+    // hour 3 and 4 windows end after 3.5h → never emitted
+    emitted.keySet should not contain "03"
+    emitted.keySet should not contain "04"
+  }
+
+  test("L5: streaming dedup drops crafted duplicate keys within the stream") {
+    val base = "/tmp/graft_stream_test/l5"
+    StreamOps.rmrf(base)
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "y"), (3L, "z"))
+      .toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(s"$in/f1.parquet")
+
+    val stream = spark.readStream.schema("id BIGINT, v STRING").parquet(s"$in/*")
+      .dropDuplicates("id")
+    val out = s"$base/out"
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$out/batch_$id")
+      }
+      .start()
+    q.awaitTermination()
+
+    import scala.jdk.CollectionConverters._
+    val dirs = Files.list(Paths.get(out)).iterator().asScala.map(_.toString).toSeq
+    spark.read.parquet(dirs: _*).as[(Long, String)].collect()
+      .sortBy(_._1) shouldBe Array((1L, "x"), (2L, "y"), (3L, "z"))
+  }
+}
