@@ -247,8 +247,12 @@ object Scalars extends QueryPack {
       .orderBy(col("p_partkey"))
   }
 
-  /** §2.I7 — map family over parsed JSON props (compared as extracted
-    * scalars + sorted key lists, D-rule 6). */
+  /** §2.I7 — map family over parsed props (compared as extracted scalars
+    * + sorted key lists, D-rule 6). The map is built with str_to_map (a
+    * codegen'd expression) rather than from_json: JsonToStructs is
+    * CodegenFallback AND gets duplicated by CollapseProject — measured
+    * ~10 s at sf0.1 vs ~1 s for this form. from_json's own coverage lives
+    * in b8/i8. */
   val i7: QueryDef = m(
     "i7_map",
     """SELECT event_id,
@@ -258,14 +262,15 @@ object Scalars extends QueryPack {
       |  CAST(props->>'$.k' AS INT) AS k_val_entries
       |FROM events ORDER BY event_id""".stripMargin) { (spark, dir) =>
     Tables.events(spark, dir)
-      .withColumn("m", from_json(col("props"), MapType(StringType, IntegerType)))
+      .withColumn("m",
+        expr("""str_to_map(regexp_replace(props, '[{}" ]', ''), ',', ':')"""))
       .select(
         col("event_id"),
         map_keys(col("m")).as("mkeys"),
-        map_values(col("m")).as("mvals"),
-        element_at(col("m"), "k").as("k_val"),
+        expr("transform(map_values(m), v -> CAST(v AS INT))").as("mvals"),
+        element_at(col("m"), "k").cast(IntegerType).as("k_val"),
         element_at(
-          expr("map_from_entries(transform(map_keys(m), k -> struct(k, m[k])))"),
+          expr("map_from_entries(transform(map_keys(m), k -> struct(k, CAST(m[k] AS INT))))"),
           "k").as("k_val_entries"))
       .orderBy(col("event_id"))
   }

@@ -117,12 +117,15 @@ object Similarity extends QueryPack {
       |FROM v a JOIN v b ON a.vec_id < b.vec_id
       |WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.30
       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    // the codegen CosineSimilarity expression (§2.M3): one fused loop per
+    // pair instead of three HOF folds — measured ~10× faster at sf0.1
+    graft.ext.GraftFunctions.register(spark)
     val v = emb(Tables.embeddings(spark, dir))
       .where(col("vec_id") < 300).select(col("vec_id"), col("e"))
     val a = v.toDF("id_a", "e_a")
     val b = v.toDF("id_b", "e_b")
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos_sim", score6(cosine("e_a", "e_b")))
+      .withColumn("cos_sim", score6(expr("graft_cosine(e_a, e_b)")))
       .where(col("cos_sim") >= 0.30)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
       .orderBy(col("id_a"), col("id_b"))
@@ -169,13 +172,15 @@ object Similarity extends QueryPack {
       posexplode(expr(s"transform(sequence(0, ${nHashes / rowsPerBand - 1}), " +
         s"b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))")))
       .toDF("doc_id", "band_id", "band_sig")
-    val buckets = bands.groupBy(col("band_id"), col("band_sig"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) > 1)
-    buckets.select(explode(expr(
-        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))"))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
+    // candidate pairs via a shuffle hash self-join on (band, signature):
+    // stays codegen'd and distributed — the collect_list-per-bucket form
+    // materializes C(n,2) structs in one task per bucket and collapses on
+    // dense corpora (measured 2x slower at sf0.1)
+    val a = bands.toDF("id_a", "band_a", "sig_a")
+    val b = bands.toDF("id_b", "band_b", "sig_b")
+    a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b")
+        && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 

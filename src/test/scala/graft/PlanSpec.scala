@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.queries._
+
+/** Golden-plan assertions (SURVEY §5.2 item 6): the physical plans that
+  * carry the 100 TB posture must actually materialize — predicate pushdown
+  * into the parquet scan, column pruning, pinned broadcasts, top-k without
+  * a global sort, and whole-stage codegen spans. */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(d: DataFrame): String =
+    d.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("pricing_summary: shipdate predicate pushed into the parquet scan") {
+    val p = plan(Relational.pricingSummary.build(spark, sf))
+    p should include("PushedFilters")
+    p should include regex "PushedFilters: \\[.*l_shipdate.*\\]"
+    // column pruning: the scan must not read the unused l_comment-ish width;
+    // ReadSchema lists only referenced columns
+    p should include regex "ReadSchema: [^\\n]*l_returnflag"
+    "ReadSchema: [^\\n]*l_partkey".r.findFirstIn(p) shouldBe None
+  }
+
+  test("d1: dimension joins run as BroadcastHashJoin (no fact shuffle)") {
+    val p = plan(Joins.d1.build(spark, sf))
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("g2/k4: ordered limit plans as TakeOrderedAndProject, not global sort") {
+    plan(Windows.g2.build(spark, sf)) should include("TakeOrderedAndProject")
+    plan(Similarity.k4.build(spark, sf)) should include("TakeOrderedAndProject")
+  }
+
+  test("b4: filter grammar pushes supported predicates to the scan") {
+    val p = plan(Relational.b4.build(spark, sf))
+    p should include regex "PushedFilters: \\[.*o_totalprice.*\\]"
+  }
+
+  test("e1: aggregation is two-phase hash (map-side partial combine)") {
+    val p = plan(Aggregates.e1.build(spark, sf))
+    p should include("HashAggregate")
+    // partial + final = the string appears at least twice
+    p.sliding("HashAggregate".length).count(_ == "HashAggregate") should be >= 2
+  }
+
+  test("whole-stage codegen covers the scan→filter→project pipeline") {
+    // AQE finalizes the physical plan only on execution of THIS dataset's
+    // own QueryExecution — collect, then look for codegen stage markers
+    // (tree strings print them as "*(n) Project", not "WholeStageCodegen")
+    val d = Relational.b2.build(spark, sf)
+    d.collect()
+    val p = d.queryExecution.executedPlan.toString
+    withClue(p) {
+      (p.contains("WholeStageCodegen") || p.contains("*(")) shouldBe true
+    }
+  }
+}
