@@ -25,7 +25,8 @@ object SparkEntry {
     Similarity,   // §2.K dedup + similarity search
     Extensions,   // §2.M UDF/UDAF/Expression/Generator + §2.B7
     Sources,      // §2.A3/A4/A7/A8 + EP1 config pipeline
-    Streaming)    // §2.L structured streaming (AvailableNow → batch check)
+    Streaming,    // §2.L structured streaming (AvailableNow → batch check)
+    MultimodalQ)  // NS multimodal binary columns + mapPartitions extract
 
   private lazy val all: Seq[QueryDef] = {
     val ds = packs.flatMap(_.defs)

@@ -25,13 +25,23 @@ object GraftFunctions {
       "graft_ngrams(array<string>, <int literal n>)")
   }
 
+  private def bottomKBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(c, Literal(k: Int, _)) => BottomKSketch(c, k).toAggregateExpression()
+    case Seq(c) => BottomKSketch(c, 64).toAggregateExpression()
+    case _ => throw new IllegalArgumentException(
+      "graft_bottomk(col, <int literal k>)")
+  }
+
   val catalystFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
     (FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[NGramsGen].getName, "graft_ngrams"),
-      ngramsBuilder))
+      ngramsBuilder),
+    (FunctionIdentifier("graft_bottomk"),
+      new ExpressionInfo(classOf[BottomKSketch].getName, "graft_bottomk"),
+      bottomKBuilder))
 
   /** Register every §2.M function into a live session. */
   def register(spark: SparkSession): Unit = {

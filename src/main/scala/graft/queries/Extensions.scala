@@ -93,5 +93,17 @@ object Extensions extends QueryPack {
       .orderBy(col("doc_id"), col("pos"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(m1, m2, m3, m4, b7)
+  /** §2.M5 — TypedImperativeAggregate bottom-k (KMV) sketch per group:
+    * X-tier (engine-internal hash); merge/determinism laws in
+    * ExtensionsSpec. */
+  val m5: QueryDef = x("m5_bottomk_sketch") { (spark, dir) =>
+    GraftFunctions.register(spark)
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("graft_bottomk(o_custkey, 16)").as("sketch"),
+        countDistinct(col("o_custkey")).as("exact_nd"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(m1, m2, m3, m4, m5, b7)
 }

@@ -59,6 +59,20 @@ class ExtensionsSpec extends SparkSpecBase {
       Array((2.0, 3.0), (4.0, 4.0)) // 2.5→2 (even) vs 3; 3.5→4 both
   }
 
+  test("M5: bottom-k sketch is deterministic across partitionings and bounded") {
+    GraftFunctions.register(spark)
+    forSamples(Gen.listOfN(60, Gen.chooseNum(0L, 40L)), 6) { xs =>
+      def sketch(parts: Int): Seq[Long] =
+        xs.toDF("x").repartition(parts)
+          .agg(expr("graft_bottomk(x, 8)")).head().getSeq[Long](0)
+      val s1 = sketch(1); val s7 = sketch(7)
+      s1 shouldBe s7                        // merge-order invariance
+      s1.length should be <= 8
+      s1.length shouldBe math.min(xs.distinct.size, 8) // distinct hashes of distinct values
+      s1 shouldBe s1.sorted                 // ascending (k smallest)
+    }
+  }
+
   test("I9x: engine hashes are stable across invocations (golden)") {
     val r1 = Seq("ALGERIA").toDF("s")
       .select(xxhash64($"s"), hash($"s"), crc32($"s".cast("binary"))).head()
