@@ -282,7 +282,7 @@ object Scalars extends QueryPack {
     """SELECT event_id,
       |  props->>'$.k' AS k_str,
       |  CAST(props->>'$.k' AS BIGINT) AS k_num,
-      |  to_json(struct_pack(k := CAST(props->>'$.k' AS BIGINT))) AS rebuilt
+      |  CAST(to_json(struct_pack(k := CAST(props->>'$.k' AS BIGINT))) AS VARCHAR) AS rebuilt
       |FROM events ORDER BY event_id""".stripMargin) { (spark, dir) =>
     val parsed = from_json(col("props"), StructType(Seq(StructField("k", LongType))))
     Tables.events(spark, dir)

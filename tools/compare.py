@@ -36,9 +36,11 @@ def canon(v):
 def fetch(con, sql):
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
+    types = [str(d[1]) for d in cur.description]
     rows = cur.fetchall()
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return ([cols[i] for i in order],
+            [types[i] for i in order],
             [tuple(canon(r[i]) for i in order) for r in rows])
 
 
@@ -52,13 +54,13 @@ def main(sf_dir, out_dir):
     for name in sorted(oracle):
         sql = oracle[name]
         try:
-            ocols, orows = fetch(con, sql)
+            ocols, otypes, orows = fetch(con, sql)
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             n_bad += 1
             continue
         try:
-            scols, srows = fetch(
+            scols, stypes, srows = fetch(
                 con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
         except Exception as e:
             print(f"FAIL  {name}: spark output unreadable: {e}")
@@ -68,6 +70,11 @@ def main(sf_dir, out_dir):
             print(f"FAIL  {name}: columns spark={scols} oracle={ocols}")
             n_bad += 1
             continue
+        if stypes != otypes:
+            diffs = [f"{c}: spark={s} oracle={o}"
+                     for c, s, o in zip(scols, stypes, otypes) if s != o]
+            print(f"TYPE  {name}: {'; '.join(diffs)}")
+            # type-only mismatch is reported but rows are still compared
         if len(srows) != len(orows):
             print(f"FAIL  {name}: rowcount spark={len(srows)} oracle={len(orows)}")
             n_bad += 1
