@@ -26,7 +26,8 @@ object SparkEntry {
     Extensions,   // §2.M UDF/UDAF/Expression/Generator + §2.B7
     Sources,      // §2.A3/A4/A7/A8 + EP1 config pipeline
     Streaming,    // §2.L structured streaming (AvailableNow → batch check)
-    MultimodalQ)  // NS multimodal binary columns + mapPartitions extract
+    MultimodalQ,  // NS multimodal binary columns + mapPartitions extract
+    TextOps2)     // NS n-gram Jaccard, lang-ID, SimHash, SRP-LSH ANN
 
   private lazy val all: Seq[QueryDef] = {
     val ds = packs.flatMap(_.defs)

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.core.Det._
+
+/** North-star text/dedup additions beyond §2.J/K: n-gram-shingle Jaccard,
+  * a deterministic language-ID heuristic, SimHash near-dup, and an
+  * SRP-LSH-bucketed approximate nearest-neighbor path.
+  */
+object TextOps2 extends QueryPack {
+  import QueryDef._
+
+  /** N-gram (trigram-shingle) Jaccard over a bounded pair set — the
+    * shingle variant of j6's token-set Jaccard (order-sensitive overlap).
+    * Scale path: shingle sets feed k6's MinHash banding, never a cross
+    * join. */
+  val j6b: QueryDef = m(
+    "j6b_ngram_jaccard",
+    """WITH d AS (
+      |  SELECT doc_id, list_sort(list_distinct(list_transform(
+      |    range(1, len(t) - 3 + 2),
+      |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS sh
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |        FROM documents WHERE doc_id < 30))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .where(col("doc_id") < 30)
+      .withColumn("t", split(lower(col("text")), " "))
+      .withColumn("sh", sort_array(array_distinct(
+        expr("transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"))))
+      .select(col("doc_id"), col("sh"))
+    val a = d.toDF("id_a", "sh_a")
+    val b = d.toDF("id_b", "sh_b")
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
+          / size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Language-ID by marker-token vote: fixed per-language marker lists,
+    * predicted = highest marker count with lexicographic tiebreak. The
+    * heuristic is deterministic SQL on both engines (the corpus vocabulary
+    * is synthetic, so accuracy is not the point — the operator shape is). */
+  val j9: QueryDef = {
+    val markers = Seq(
+      "de" -> Seq("der", "und", "batch", "spark"),
+      "en" -> Seq("the", "and", "data", "table"),
+      "es" -> Seq("el", "los", "row", "scan"),
+      "fr" -> Seq("le", "les", "value", "hash"),
+      "zh" -> Seq("de0", "shi", "agg", "join"))
+    def oCount(ws: Seq[String]) =
+      s"len(list_filter(string_split(lower(text), ' '), t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))"
+    def sCount(ws: Seq[String]) =
+      s"size(filter(split(lower(text), ' '), t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))"
+    m(
+      "j9_langid_heuristic",
+      s"""SELECT doc_id, lang,
+         |  ${markers.map { case (l, ws) => s"${oCount(ws)} AS n_$l" }.mkString(",\n  ")},
+         |  CASE ${markers.map { case (l, _) =>
+              s"WHEN n_$l >= greatest(${markers.map(m => s"n_${m._1}").mkString(",")}) THEN '$l'"
+            }.mkString(" ")} END AS predicted
+         |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      var d = Tables.documents(spark, dir)
+      markers.foreach { case (l, ws) =>
+        d = d.withColumn(s"n_$l", expr(sCount(ws)).cast(LongType))
+      }
+      // first language (marker order) reaching the max wins — identical
+      // WHEN order to the oracle's CASE
+      val greatestAll = greatest(markers.map(m => col(s"n_${m._1}")): _*)
+      val predLtr = markers
+        .foldLeft(org.apache.spark.sql.functions.when(lit(false), "x")) {
+          case (acc, (l, _)) => acc.when(col(s"n_$l") >= greatestAll, l)
+        }
+      d.select(col("doc_id") +: col("lang") +:
+          markers.map(m => col(s"n_${m._1}")) :+ predLtr.as("predicted"): _*)
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** SimHash near-dup (X-tier: xxhash64 bit math is engine-internal).
+    * 64-bit signature: bit b is the sign of Σ_tokens (±1 by token-hash bit
+    * b); candidate pairs have hamming distance ≤ 16 within a bounded set.
+    * Scale path: group by signature bands (like k6) instead of the pair
+    * join used here at sf scale. */
+  val k8: QueryDef = x("k8_simhash") { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+      .where(col("doc_id") < 200)
+      .withColumn("hs", expr("transform(array_distinct(split(lower(text), ' ')), t -> xxhash64(t))"))
+      .withColumn("bits", expr(
+        """transform(sequence(0, 63), b ->
+          |  CASE WHEN aggregate(hs, 0L, (a, h) ->
+          |    a + CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+          |  THEN 1L ELSE 0L END)""".stripMargin))
+      // shiftleft|or, not a*2+x: setting bit 63 overflows signed-long
+      // multiplication under ANSI mode
+      .withColumn("simhash", expr("aggregate(bits, 0L, (a, x) -> shiftleft(a, 1) | x)"))
+      .select(col("doc_id"), col("simhash"))
+    val a = docs.toDF("id_a", "sh_a")
+    val b = docs.toDF("id_b", "sh_b")
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .where(col("hamming") <= 16)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SRP-LSH-bucketed approximate nearest-neighbor search (X-tier): each
+    * vector gets an 8-bit signed-random-projection signature from fixed
+    * hash-derived hyperplanes; the query probes only its own bucket and
+    * ranks candidates by exact cosine. At 100 TB the bucket id is the
+    * shuffle key and each probe touches 1/256th of the corpus (plus
+    * hamming-1 neighbor buckets for recall). */
+  val k9: QueryDef = x("k9_srp_ann") { (spark, dir) =>
+    graft.ext.GraftFunctions.register(spark)
+    val v = Tables.embeddings(spark, dir)
+      .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+      // hyperplane j component i = ±1 from a fixed hash — deterministic
+      .withColumn("sig", expr(
+        """aggregate(sequence(0, 7), 0L, (acc, j) ->
+          |  acc * 2 + CASE WHEN aggregate(zip_with(e, sequence(0, size(e) - 1),
+          |    (x, i) -> x * (CAST((xxhash64(concat('hp', j, ':', i)) & 1) * 2 - 1 AS DOUBLE))),
+          |    0D, (s, x) -> s + x) > 0 THEN 1 ELSE 0 END)""".stripMargin))
+    val q = v.where(col("vec_id") === 0)
+      .select(col("e").as("qe"), col("sig").as("qsig"))
+    // multi-probe: own bucket plus all hamming-1 neighbor buckets (standard
+    // LSH recall lever — 9 of 256 buckets ≈ 3.5% of the corpus scanned)
+    v.where(col("vec_id") =!= 0)
+      .join(broadcast(q), expr("bit_count(sig ^ qsig) <= 1"))
+      .select(col("vec_id"), score6(expr("graft_cosine(e, qe)")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  override def defs: Seq[QueryDef] = Seq(j6b, j9, k8, k9)
+}
