@@ -72,6 +72,37 @@ class SimilarityOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("K8: identical documents get identical SimHash (hamming 0 candidates)") {
+    import graft.queries.TextOps2
+    // run the query on sf0.001; every pair listed must satisfy the
+    // hamming bound, and self-similar docs (dense shared vocab) dominate
+    val pairs = TextOps2.k8.build(spark, sf)
+      .as[(Long, Long, Int)].collect()
+    pairs.foreach { case (a, b, h) =>
+      a should be < b
+      h should be <= 16
+      h should be >= 0
+    }
+    pairs should not be empty
+  }
+
+  test("K9: ANN candidates rank identically to brute force on shared ids") {
+    import graft.queries.TextOps2
+    val ann = TextOps2.k9.build(spark, sf).as[(Long, Double)].collect()
+    ann.length should be <= 10
+    // scores must be descending with id tiebreak — same D-rule 5 ordering
+    // brute force uses, so any shared prefix would be identical
+    ann.sliding(2).foreach {
+      case Array((ia, sa), (ib, sb)) =>
+        assert(sa > sb || (sa == sb && ia < ib))
+      case _ =>
+    }
+    // every ANN score equals the brute-force cosine for that id
+    val brute = Similarity.k3.build(spark, sf)
+      .select(col("vec_id"), col("cos_sim")).as[(Long, Double)].collect().toMap
+    ann.foreach { case (id, s) => s shouldBe brute(id) }
+  }
+
   test("E5: approx_count_distinct within 3·rsd of exact") {
     val li = Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)
