@@ -91,17 +91,25 @@ object TextOps2 extends QueryPack {
     * Scale path: group by signature bands (like k6) instead of the pair
     * join used here at sf scale. */
   val k8: QueryDef = x("k8_simhash") { (spark, dir) =>
-    val docs = Tables.documents(spark, dir)
+    // Columnar construction: explode token hashes once, then 64 codegen'd
+    // conditional sums in ONE hash aggregate (the nested-HOF form — a
+    // per-(row,bit) interpreted lambda — measured ~10x slower). One
+    // shuffle by doc_id; bit b lands at position 63-b (bit order is
+    // arbitrary but fixed; hamming distance is order-invariant).
+    // shiftleft|or, not a*2+x: setting bit 63 overflows signed-long
+    // multiplication under ANSI mode.
+    val tok = Tables.documents(spark, dir)
       .where(col("doc_id") < 200)
-      .withColumn("hs", expr("transform(array_distinct(split(lower(text), ' ')), t -> xxhash64(t))"))
-      .withColumn("bits", expr(
-        """transform(sequence(0, 63), b ->
-          |  CASE WHEN aggregate(hs, 0L, (a, h) ->
-          |    a + CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
-          |  THEN 1L ELSE 0L END)""".stripMargin))
-      // shiftleft|or, not a*2+x: setting bit 63 overflows signed-long
-      // multiplication under ANSI mode
-      .withColumn("simhash", expr("aggregate(bits, 0L, (a, x) -> shiftleft(a, 1) | x)"))
+      .select(col("doc_id"),
+        explode(expr("transform(array_distinct(split(lower(text), ' ')), t -> xxhash64(t))")).as("h"))
+    val sums = tok.groupBy(col("doc_id")).agg(
+      sum(expr("CASE WHEN ((h >> 0) & 1) = 1 THEN 1 ELSE -1 END")).as("b0"),
+      (1 until 64).map(b =>
+        sum(expr(s"CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"b$b")): _*)
+    val docs = sums.withColumn("simhash", expr(
+        (0 until 64).map(b =>
+          s"shiftleft(CAST(CASE WHEN b$b > 0 THEN 1 ELSE 0 END AS BIGINT), ${63 - b})")
+          .mkString(" | ")))
       .select(col("doc_id"), col("simhash"))
     val a = docs.toDF("id_a", "sh_a")
     val b = docs.toDF("id_b", "sh_b")
