@@ -62,6 +62,26 @@ class ConfigPipelineSpec extends SparkSpecBase {
     r.metrics.head.passCnt shouldBe spark.read.parquet(s"$sf/customer.parquet").count()
   }
 
+  test("EP1: example YAML runs end-to-end, writing sink + quarantine") {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("graft_ep1").toString
+    val yaml = Files.readString(Paths.get("examples/validate_enrich.yaml"))
+      .replace("SFDIR", sf).replace("OUTDIR", out)
+    val r = PipelineRunner.run(spark, yaml)
+    val passed = spark.read.parquet(s"$out/passed")
+    val quarantined = spark.read.parquet(s"$out/quarantined")
+    passed.columns.toSeq shouldBe
+      Seq("l_orderkey", "l_linenumber", "net_price", "normalized_flag")
+    passed.count() should be > 0L
+    // quarantine keeps the ORIGINAL schema (pre-transform rows)
+    quarantined.columns should contain("l_discount")
+    r.metrics should have size 6
+    r.metrics.map(_.passCnt).sum should be > 0L
+    // passed ≤ (total − quarantined): the post-split filter only shrinks
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    passed.count() should be <= (total - quarantined.count())
+  }
+
   test("EP1: rename / cast / drop transforms compose in order") {
     val yaml =
       s"""name: t_demo
