@@ -147,5 +147,30 @@ object TextOps2 extends QueryPack {
       .limit(10)
   }
 
-  override def defs: Seq[QueryDef] = Seq(j6b, j9, k8, k9)
+  /** Token counting (whitespace + BPE-ish regex segmentation) and a
+    * polynomial rolling-hash fingerprint — exact int64 arithmetic with a
+    * prime modulus so both engines agree digit-for-digit. */
+  val j10: QueryDef = m(
+    "j10_tokens_fingerprint",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+')) AS n_bpeish_tokens,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (h, c) -> (h * 31 + c) % 1000000007) AS rolling_hash
+      |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[aeiou]+|[^aeiou ]+', 0)"))
+          .cast(LongType).as("n_bpeish_tokens"),
+        expr("""aggregate(
+            |  transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+            |  0L, (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin)
+          .as("rolling_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(j6b, j9, j10, k8, k9)
 }
