@@ -75,15 +75,25 @@ object StreamOps {
     val base = s"/tmp/graft_stream/$name"
     rmrf(base)
     val out = s"$base/out"
-    val q = stream.writeStream
-      .outputMode(mode)
-      .option("checkpointLocation", s"$base/cp")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        batch.write.mode("overwrite").parquet(s"$out/batch_$id")
-      }
-      .start()
-    q.awaitTermination()
+    // State-store partition count is fixed at checkpoint creation. The
+    // per-partition fixed cost (provider init, snapshot, WAL) dominates at
+    // test scale, so streams default to 8 partitions here; at real scale
+    // set SPARK_GRAFT_STREAM_PARTITIONS to shard state wide. Batch conf is
+    // restored after the run.
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    val batchParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+    try {
+      val q = stream.writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/batch_$id")
+        }
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", batchParts)
     // Explicit multi-path read (not a glob): Spark's single-path batch read
     // probes FileStreamSink metadata with the raw string, and a glob there
     // throws FileNotFoundException instead of expanding.
