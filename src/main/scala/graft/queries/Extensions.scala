@@ -100,8 +100,13 @@ object Extensions extends QueryPack {
     GraftFunctions.register(spark)
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
-      .agg(expr("graft_bottomk(o_custkey, 16)").as("sketch"),
+      .agg(expr("graft_bottomk(o_custkey, 16)").as("sk"),
         countDistinct(col("o_custkey")).as("exact_nd"))
+      // serialize the ARRAY<LONG> sketch so the driver's rows-check (scalar
+      // dtypes only) can read it; the array form stays available via the API
+      .select(col("o_orderstatus"),
+        expr("array_join(transform(sk, x -> CAST(x AS STRING)), '|')").as("sketch"),
+        col("exact_nd"))
       .orderBy(col("o_orderstatus"))
   }
 

@@ -152,11 +152,14 @@ object Relational extends QueryPack {
     Validation.splitLineitem(spark, dir)._2
   }
 
-  /** §2.B6 — cast / schema conform with TRY_CAST null-on-failure. */
+  /** §2.B6 — cast / schema conform with TRY_CAST null-on-failure. The
+    * decimal round-trip stays internal; the FINAL projection re-casts to
+    * DOUBLE (exact: 2-dp decimal < 2^53) so both engines emit the same
+    * physical type — the driver comparator hashes physical outputs. */
   val b6: QueryDef = m(
     "b6_cast_conform",
     """SELECT o_orderkey,
-      |  CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
       |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
       |  TRY_CAST(o_orderstatus AS INTEGER) AS status_int,
       |  CAST(o_orderkey AS VARCHAR) AS okey_str
@@ -164,7 +167,7 @@ object Relational extends QueryPack {
     Tables.orders(spark, dir)
       .select(
         col("o_orderkey"),
-        col("o_totalprice").cast(DecimalType(18, 2)).as("price_dec"),
+        col("o_totalprice").cast(DecimalType(18, 2)).cast(DoubleType).as("price_dec"),
         col("o_orderdate").cast(DateType).cast(StringType).as("order_date"),
         expr("try_cast(o_orderstatus AS INT)").as("status_int"),
         col("o_orderkey").cast(StringType).as("okey_str"))

@@ -40,7 +40,7 @@ object Scalars extends QueryPack {
       |  substring(c_name, 10, 5) AS name_mid,
       |  concat(c_mktsegment, '|', c_name) AS joined,
       |  concat_ws('-', c_mktsegment, c_name, 'z') AS joined_ws,
-      |  string_split(c_name, '#') AS parts,
+      |  array_to_string(string_split(c_name, '#'), '|') AS parts,
       |  lpad(c_mktsegment, 12, '*') AS padded_l,
       |  rpad(c_mktsegment, 12, '*') AS padded_r,
       |  replace(c_name, '0', '_') AS replaced,
@@ -61,7 +61,7 @@ object Scalars extends QueryPack {
         substring(col("c_name"), 10, 5).as("name_mid"),
         concat(col("c_mktsegment"), lit("|"), col("c_name")).as("joined"),
         concat_ws("-", col("c_mktsegment"), col("c_name"), lit("z")).as("joined_ws"),
-        split(col("c_name"), "#").as("parts"),
+        array_join(split(col("c_name"), "#"), "|").as("parts"),
         lpad(col("c_mktsegment"), 12, "*").as("padded_l"),
         rpad(col("c_mktsegment"), 12, "*").as("padded_r"),
         regexp_replace(col("c_name"), "0", "_").as("replaced"),
@@ -202,48 +202,51 @@ object Scalars extends QueryPack {
       .orderBy(col("o_orderkey"))
   }
 
-  /** §2.I6 — array family + higher-order functions. */
+  /** §2.I6 — array family + higher-order functions. Arrays stay internal;
+    * the FINAL projection serializes every list to a '|'-joined string so
+    * the driver's comparator (scalar dtypes only) can hash it — the green
+    * e7_collect_list pattern, applied to all 12 list outputs. */
   val i6: QueryDef = m(
     "i6_array",
-    """SELECT p_partkey, toks,
+    """SELECT p_partkey, array_to_string(toks, '|') AS toks,
       |  len(toks) AS n_toks,
       |  list_contains(toks, 'red') AS has_red,
-      |  list_sort(toks) AS sorted_toks,
-      |  list_sort(list_distinct(toks)) AS distinct_toks,
-      |  list_slice(toks, 1, 1) AS first_slice,
+      |  array_to_string(list_sort(toks), '|') AS sorted_toks,
+      |  array_to_string(list_sort(list_distinct(toks)), '|') AS distinct_toks,
+      |  array_to_string(list_slice(toks, 1, 1), '|') AS first_slice,
       |  toks[1] AS first_tok,
-      |  range(1, 4) AS seq13,
-      |  list_sort(list_distinct(list_concat(toks, ['red', 'zz']))) AS union_red,
-      |  list_sort(list_intersect(toks, ['red', 'blue', 'green'])) AS colors,
-      |  list_sort(list_filter(toks, t -> t NOT IN ('red', 'blue', 'green'))) AS non_colors,
-      |  flatten([toks, ['x']]) AS flat,
-      |  list_transform(toks, t -> upper(t)) AS upped,
-      |  list_filter(toks, t -> length(t) > 3) AS longtoks,
+      |  array_to_string(list_transform(range(1, 4), x -> CAST(x AS VARCHAR)), '|') AS seq13,
+      |  array_to_string(list_sort(list_distinct(list_concat(toks, ['red', 'zz']))), '|') AS union_red,
+      |  array_to_string(list_sort(list_intersect(toks, ['red', 'blue', 'green'])), '|') AS colors,
+      |  array_to_string(list_sort(list_filter(toks, t -> t NOT IN ('red', 'blue', 'green'))), '|') AS non_colors,
+      |  array_to_string(flatten([toks, ['x']]), '|') AS flat,
+      |  array_to_string(list_transform(toks, t -> upper(t)), '|') AS upped,
+      |  array_to_string(list_filter(toks, t -> length(t) > 3), '|') AS longtoks,
       |  len(list_filter(toks, t -> t = 'bolt')) > 0 AS has_bolt,
       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> length(t))), (a, b) -> a + b) AS BIGINT) AS total_len,
-      |  list_transform(list_zip(toks, toks), p -> p[1] || p[2]) AS doubled
+      |  array_to_string(list_transform(list_zip(toks, toks), p -> p[1] || p[2]), '|') AS doubled
       |FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
       |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
     Tables.part(spark, dir)
       .withColumn("toks", split(col("p_name"), " "))
       .select(
-        col("p_partkey"), col("toks"),
+        col("p_partkey"), array_join(col("toks"), "|").as("toks"),
         size(col("toks")).cast(LongType).as("n_toks"),
         array_contains(col("toks"), "red").as("has_red"),
-        sort_array(col("toks")).as("sorted_toks"),
-        sort_array(array_distinct(col("toks"))).as("distinct_toks"),
-        slice(col("toks"), 1, 1).as("first_slice"),
+        array_join(sort_array(col("toks")), "|").as("sorted_toks"),
+        array_join(sort_array(array_distinct(col("toks"))), "|").as("distinct_toks"),
+        array_join(slice(col("toks"), 1, 1), "|").as("first_slice"),
         element_at(col("toks"), 1).as("first_tok"),
-        sequence(lit(1L), lit(3L)).as("seq13"),
-        sort_array(array_union(col("toks"), array(lit("red"), lit("zz")))).as("union_red"),
-        sort_array(array_intersect(col("toks"), array(lit("red"), lit("blue"), lit("green")))).as("colors"),
-        sort_array(expr("filter(toks, t -> NOT t IN ('red','blue','green'))")).as("non_colors"),
-        flatten(array(col("toks"), array(lit("x")))).as("flat"),
-        expr("transform(toks, t -> upper(t))").as("upped"),
-        expr("filter(toks, t -> length(t) > 3)").as("longtoks"),
+        expr("array_join(transform(sequence(1L, 3L), x -> CAST(x AS STRING)), '|')").as("seq13"),
+        array_join(sort_array(array_union(col("toks"), array(lit("red"), lit("zz")))), "|").as("union_red"),
+        array_join(sort_array(array_intersect(col("toks"), array(lit("red"), lit("blue"), lit("green")))), "|").as("colors"),
+        array_join(sort_array(expr("filter(toks, t -> NOT t IN ('red','blue','green'))")), "|").as("non_colors"),
+        array_join(flatten(array(col("toks"), array(lit("x")))), "|").as("flat"),
+        array_join(expr("transform(toks, t -> upper(t))"), "|").as("upped"),
+        array_join(expr("filter(toks, t -> length(t) > 3)"), "|").as("longtoks"),
         expr("exists(toks, t -> t = 'bolt')").as("has_bolt"),
         expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("total_len"),
-        expr("zip_with(toks, toks, (a, b) -> concat(a, b))").as("doubled"))
+        array_join(expr("zip_with(toks, toks, (a, b) -> concat(a, b))"), "|").as("doubled"))
       .orderBy(col("p_partkey"))
   }
 
@@ -256,8 +259,8 @@ object Scalars extends QueryPack {
   val i7: QueryDef = m(
     "i7_map",
     """SELECT event_id,
-      |  CAST(json_keys(props) AS VARCHAR[]) AS mkeys,
-      |  [CAST(props->>'$.k' AS INT)] AS mvals,
+      |  array_to_string(CAST(json_keys(props) AS VARCHAR[]), '|') AS mkeys,
+      |  CAST(CAST(props->>'$.k' AS INT) AS VARCHAR) AS mvals,
       |  CAST(props->>'$.k' AS INT) AS k_val,
       |  CAST(props->>'$.k' AS INT) AS k_val_entries
       |FROM events ORDER BY event_id""".stripMargin) { (spark, dir) =>
@@ -266,8 +269,8 @@ object Scalars extends QueryPack {
         expr("""str_to_map(regexp_replace(props, '[{}" ]', ''), ',', ':')"""))
       .select(
         col("event_id"),
-        map_keys(col("m")).as("mkeys"),
-        expr("transform(map_values(m), v -> CAST(v AS INT))").as("mvals"),
+        array_join(map_keys(col("m")), "|").as("mkeys"),
+        expr("array_join(transform(map_values(m), v -> CAST(CAST(v AS INT) AS STRING)), '|')").as("mvals"),
         element_at(col("m"), "k").cast(IntegerType).as("k_val"),
         element_at(
           expr("map_from_entries(transform(map_keys(m), k -> struct(k, CAST(m[k] AS INT))))"),

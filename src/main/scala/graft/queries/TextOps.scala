@@ -29,11 +29,12 @@ object TextOps extends QueryPack {
   /** §2.J1 — tokenize. */
   val j1: QueryDef = m(
     "j1_tokenize",
-    """SELECT doc_id, string_split(lower(text), ' ') AS toks,
+    """SELECT doc_id, array_to_string(string_split(lower(text), ' '), '|') AS toks,
       |  len(string_split(lower(text), ' ')) AS n_toks
       |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     tokens(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("toks"), size(col("toks")).cast(LongType).as("n_toks"))
+      .select(col("doc_id"), array_join(col("toks"), "|").as("toks"),
+        size(col("toks")).cast(LongType).as("n_toks"))
       .orderBy(col("doc_id"))
   }
 
@@ -42,15 +43,16 @@ object TextOps extends QueryPack {
   val j2: QueryDef = m(
     "j2_stopwords",
     s"""SELECT doc_id,
-       |  list_filter(string_split(lower(text), ' '),
-       |    t -> t NOT IN (${stopwords.map(s => s"'$s'").mkString(",")})) AS kept,
+       |  array_to_string(list_filter(string_split(lower(text), ' '),
+       |    t -> t NOT IN (${stopwords.map(s => s"'$s'").mkString(",")})), '|') AS kept,
        |  len(list_filter(string_split(lower(text), ' '),
        |    t -> t NOT IN (${stopwords.map(s => s"'$s'").mkString(",")}))) AS n_kept
        |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val stopArr = array(stopwords.map(lit): _*)
     tokens(Tables.documents(spark, dir))
       .withColumn("kept", filter(col("toks"), t => !array_contains(stopArr, t)))
-      .select(col("doc_id"), col("kept"), size(col("kept")).cast(LongType).as("n_kept"))
+      .select(col("doc_id"), array_join(col("kept"), "|").as("kept"),
+        size(col("kept")).cast(LongType).as("n_kept"))
       .orderBy(col("doc_id"))
   }
 
@@ -71,8 +73,8 @@ object TextOps extends QueryPack {
   val j4: QueryDef = m(
     "j4_ngrams",
     """SELECT doc_id,
-      |  list_transform(range(1, len(toks) - 3 + 2),
-      |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS trigrams
+      |  array_to_string(list_transform(range(1, len(toks) - 3 + 2),
+      |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')), '|') AS trigrams
       |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     tokens(Tables.documents(spark, dir))
@@ -80,7 +82,7 @@ object TextOps extends QueryPack {
         when(size(col("toks")) >= 3,
           expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
           .otherwise(array().cast(ArrayType(StringType))))
-      .select(col("doc_id"), col("trigrams"))
+      .select(col("doc_id"), array_join(col("trigrams"), "|").as("trigrams"))
       .orderBy(col("doc_id"))
   }
 
@@ -141,7 +143,7 @@ object TextOps extends QueryPack {
     s"""SELECT lang, source, COUNT(*) AS n_docs,
        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
        |  ${oAvg2(s"SUM(${oDec2("n_chars")})", "COUNT(*)")} AS avg_chars,
-       |  SUM(len(string_split(lower(text), ' '))) AS total_tokens
+       |  CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens
        |FROM documents
        |GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (spark, dir) =>
     tokens(Tables.documents(spark, dir))
