@@ -1,0 +1,15 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.queries(args(0))(spark, args.lift(1).getOrElse("/root/testdata/sf0.001"))
+    println(df.queryExecution.optimizedPlan.treeString)
+    println("=== formatted ===")
+    df.explain("formatted")
+    spark.stop()
+  }
+}

@@ -205,7 +205,10 @@ object Scalars extends QueryPack {
   /** §2.I6 — array family + higher-order functions. Arrays stay internal;
     * the FINAL projection serializes every list to a '|'-joined string so
     * the driver's comparator (scalar dtypes only) can hash it — the green
-    * e7_collect_list pattern, applied to all 12 list outputs. */
+    * e7_collect_list pattern, applied to all 12 list outputs. DuckDB's
+    * array_to_string is string_agg underneath, so an EMPTY list yields
+    * NULL where Spark's array_join yields '' — every possibly-empty list
+    * gets coalesce(..., '') on the oracle side. */
   val i6: QueryDef = m(
     "i6_array",
     """SELECT p_partkey, array_to_string(toks, '|') AS toks,
@@ -217,11 +220,11 @@ object Scalars extends QueryPack {
       |  toks[1] AS first_tok,
       |  array_to_string(list_transform(range(1, 4), x -> CAST(x AS VARCHAR)), '|') AS seq13,
       |  array_to_string(list_sort(list_distinct(list_concat(toks, ['red', 'zz']))), '|') AS union_red,
-      |  array_to_string(list_sort(list_intersect(toks, ['red', 'blue', 'green'])), '|') AS colors,
-      |  array_to_string(list_sort(list_filter(toks, t -> t NOT IN ('red', 'blue', 'green'))), '|') AS non_colors,
+      |  coalesce(array_to_string(list_sort(list_intersect(toks, ['red', 'blue', 'green'])), '|'), '') AS colors,
+      |  coalesce(array_to_string(list_sort(list_filter(toks, t -> t NOT IN ('red', 'blue', 'green'))), '|'), '') AS non_colors,
       |  array_to_string(flatten([toks, ['x']]), '|') AS flat,
       |  array_to_string(list_transform(toks, t -> upper(t)), '|') AS upped,
-      |  array_to_string(list_filter(toks, t -> length(t) > 3), '|') AS longtoks,
+      |  coalesce(array_to_string(list_filter(toks, t -> length(t) > 3), '|'), '') AS longtoks,
       |  len(list_filter(toks, t -> t = 'bolt')) > 0 AS has_bolt,
       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> length(t))), (a, b) -> a + b) AS BIGINT) AS total_len,
       |  array_to_string(list_transform(list_zip(toks, toks), p -> p[1] || p[2]), '|') AS doubled
@@ -287,14 +290,19 @@ object Scalars extends QueryPack {
       |  CAST(props->>'$.k' AS BIGINT) AS k_num,
       |  CAST(to_json(struct_pack(k := CAST(props->>'$.k' AS BIGINT))) AS VARCHAR) AS rebuilt
       |FROM events ORDER BY event_id""".stripMargin) { (spark, dir) =>
-    val parsed = from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+    // Parse ONCE into a named column and reference it twice: two inline
+    // uses of the same from_json Column are two JsonToStructs evals
+    // (CodegenFallback, interpreted) — CollapseProject keeps the shared
+    // non-cheap producer in its own project, so this halves the JSON work.
     Tables.events(spark, dir)
       .selectExpr("event_id", "props", "json_tuple(props, 'k') AS k_str")
+      .withColumn("parsed",
+        from_json(col("props"), StructType(Seq(StructField("k", LongType)))))
       .select(
         col("event_id"),
         col("k_str"),
-        parsed.getField("k").as("k_num"),
-        to_json(struct(parsed.getField("k").as("k"))).as("rebuilt"))
+        col("parsed").getField("k").as("k_num"),
+        to_json(col("parsed")).as("rebuilt"))
       .orderBy(col("event_id"))
   }
 

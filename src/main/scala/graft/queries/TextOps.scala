@@ -43,8 +43,8 @@ object TextOps extends QueryPack {
   val j2: QueryDef = m(
     "j2_stopwords",
     s"""SELECT doc_id,
-       |  array_to_string(list_filter(string_split(lower(text), ' '),
-       |    t -> t NOT IN (${stopwords.map(s => s"'$s'").mkString(",")})), '|') AS kept,
+       |  coalesce(array_to_string(list_filter(string_split(lower(text), ' '),
+       |    t -> t NOT IN (${stopwords.map(s => s"'$s'").mkString(",")})), '|'), '') AS kept,
        |  len(list_filter(string_split(lower(text), ' '),
        |    t -> t NOT IN (${stopwords.map(s => s"'$s'").mkString(",")}))) AS n_kept
        |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
@@ -73,8 +73,8 @@ object TextOps extends QueryPack {
   val j4: QueryDef = m(
     "j4_ngrams",
     """SELECT doc_id,
-      |  array_to_string(list_transform(range(1, len(toks) - 3 + 2),
-      |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')), '|') AS trigrams
+      |  coalesce(array_to_string(list_transform(range(1, len(toks) - 3 + 2),
+      |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')), '|'), '') AS trigrams
       |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     tokens(Tables.documents(spark, dir))
@@ -104,10 +104,14 @@ object TextOps extends QueryPack {
     val tf = toksDf.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = toksDf.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    val n = Tables.documents(spark, dir).count()
+    // corpus size N stays in the plan (broadcast 1-row aggregate, exactly
+    // the oracle's CROSS JOIN n) — no job runs at build time.
+    val n = Tables.documents(spark, dir)
+      .agg(count(lit(1)).cast(DoubleType).as("n"))
     tf.join(df, "term")
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"),
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("score"))
+        round(col("tf") * log(col("n") / col("df")), 6).as("score"))
       .orderBy(col("doc_id"), col("term"))
   }
 

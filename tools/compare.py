@@ -1,50 +1,109 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's t2 correctness gate.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [query ...]
 
-For each query dir under <verifyOutDir>: load the Spark-written parquet
-and the DuckDB oracle result (oracle_sql.json run against the sf parquet
-tables), sort columns by name, canonicalize, and compare row sets +
-order. Prints one line per query: OK / SCHEMA / ROWS / HASH diff.
+Mimics the DRIVER's comparator, not DuckDB's canonicalization:
+  - Spark side is read with pyarrow -> pandas (physical parquet types
+    survive: decimal128 stays Decimal, lists stay ndarray/list).
+  - Oracle side is the DuckDB result fetched as a pandas frame.
+  - Columns sorted by name; dtype mismatch is a FAILURE (round-1 lesson:
+    DECIMAL/HUGEINT/int64-vs-float64 differences merge red at the driver).
+  - Any non-scalar cell (list/dict/ndarray/Decimal) is a FAILURE — the
+    driver's sort_values throws on them (lexsort_indexer).
+  - Values compared row-ordered (every query ORDER BYs a total key).
 """
+import decimal
 import json
 import math
 import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.dataset as pads
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+SCALAR_OK = (str, bytes, bool, int, float, np.bool_, np.integer,
+             np.floating, pd.Timestamp, type(None))
+
+
+def bad_cell(v):
+    if isinstance(v, SCALAR_OK):
+        return None
+    if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+        return f"non-scalar {type(v).__name__}"
+    if isinstance(v, decimal.Decimal):
+        return "decimal.Decimal (DECIMAL output column)"
+    if v is pd.NaT or pd.isna(v):
+        return None
+    return f"unhashable {type(v).__name__}"
+
 
 def canon(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # bit-exact float compare via repr
-        return repr(v)
-    if isinstance(v, (list, tuple)):
-        return tuple(canon(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, canon(x)) for k, x in v.items()))
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    try:
+        if pd.isna(v):
+            return "<null>"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, np.integer):
+        return str(int(v))
     return str(v)
 
 
-def fetch(con, sql):
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    types = [str(d[1]) for d in cur.description]
-    rows = cur.fetchall()
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return ([cols[i] for i in order],
-            [types[i] for i in order],
-            [tuple(canon(r[i]) for i in order) for r in rows])
+def norm_dates(df):
+    # parquet date32 -> pandas object-of-datetime.date; DuckDB DATE ->
+    # datetime64[us]. The driver compares these green (its DuckDB fetch
+    # also yields datetime.date), so normalize instead of flagging.
+    for c in df.columns:
+        if str(df[c].dtype) == "object" and len(df):
+            v = df[c].dropna()
+            if len(v) and type(v.iloc[0]).__name__ == "date":
+                df[c] = pd.to_datetime(df[c])
+    return df
 
 
-def main(sf_dir, out_dir):
+def check(name, sdf, odf):
+    sdf = norm_dates(sdf.reindex(sorted(sdf.columns), axis=1))
+    odf = norm_dates(odf.reindex(sorted(odf.columns), axis=1))
+    if list(sdf.columns) != list(odf.columns):
+        return f"columns spark={list(sdf.columns)} oracle={list(odf.columns)}"
+    # driver-style dtype check (int64 vs float64, object vs int64, ...)
+    for c in sdf.columns:
+        s, o = str(sdf[c].dtype), str(odf[c].dtype)
+        if s.startswith("datetime64") and o.startswith("datetime64"):
+            continue  # ns-vs-us resolution only; values compared below
+        if s != o:
+            return f"dtype {c}: spark={s} oracle={o}"
+    if len(sdf) != len(odf):
+        return f"rowcount spark={len(sdf)} oracle={len(odf)}"
+    # non-scalar cells break the driver's comparator outright
+    for df, side in ((sdf, "spark"), (odf, "oracle")):
+        for c in df.columns:
+            if str(df[c].dtype) == "object" and len(df):
+                b = bad_cell(df[c].iloc[0])
+                if b:
+                    return f"{side} col {c}: {b}"
+    for c in sdf.columns:
+        a = sdf[c].map(canon).values
+        b = odf[c].map(canon).values
+        neq = a != b
+        if neq.any():
+            i = int(np.argmax(neq))
+            return (f"first diff col={c} row={i} "
+                    f"spark={a[i]!r} oracle={b[i]!r} (n={int(neq.sum())})")
+    return None
+
+
+def main(sf_dir, out_dir, only):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -52,45 +111,30 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name in sorted(oracle):
-        sql = oracle[name]
+        if only and name not in only:
+            continue
         try:
-            ocols, otypes, orows = fetch(con, sql)
+            odf = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             n_bad += 1
             continue
         try:
-            scols, stypes, srows = fetch(
-                con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            sdf = pads.dataset(f"{out_dir}/{name}").to_table().to_pandas()
         except Exception as e:
             print(f"FAIL  {name}: spark output unreadable: {e}")
             n_bad += 1
             continue
-        if scols != ocols:
-            print(f"FAIL  {name}: columns spark={scols} oracle={ocols}")
+        err = check(name, sdf, odf)
+        if err:
+            print(f"FAIL  {name}: {err}")
             n_bad += 1
-            continue
-        if stypes != otypes:
-            diffs = [f"{c}: spark={s} oracle={o}"
-                     for c, s, o in zip(scols, stypes, otypes) if s != o]
-            print(f"TYPE  {name}: {'; '.join(diffs)}")
-            # type-only mismatch is reported but rows are still compared
-        if len(srows) != len(orows):
-            print(f"FAIL  {name}: rowcount spark={len(srows)} oracle={len(orows)}")
-            n_bad += 1
-            continue
-        if srows != orows:
-            bad = next(i for i in range(len(srows)) if srows[i] != orows[i])
-            print(f"FAIL  {name}: first diff at row {bad}:")
-            print(f"      spark : {srows[bad]}")
-            print(f"      oracle: {orows[bad]}")
-            n_bad += 1
-            continue
-        print(f"ok    {name} ({len(srows)} rows)")
-        n_ok += 1
+        else:
+            print(f"ok    {name} ({len(sdf)} rows)")
+            n_ok += 1
     print(f"== {n_ok} ok, {n_bad} fail ==")
     return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))
