@@ -29,10 +29,15 @@ object Tables {
     * rejects by default (FIXTURES.md "Spark gotcha"). Recipe: read nanos as
     * BIGINT and derive `event_ts` — µs-truncated, naive (NTZ) — which is
     * value-identical to DuckDB's `CAST(ts AS TIMESTAMP)` on the same file.
-    * The conf is a runtime SQLConf; Verify/Bench build sessions without it,
-    * so it is (re)set here on every call. */
+    *
+    * The conf is set at session BUILD time by every graft entry point
+    * (Verify/Bench/Show/PlanProbe/TestSpark) so plan behavior never depends
+    * on whether events() ran first. The guarded set below is only a
+    * fallback for foreign sessions — a no-op (no conf mutation) under any
+    * graft-built session. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
       .withColumn("event_ts",
         timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))

@@ -16,12 +16,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * and DuckDB's list_cosine_similarity, so all three agree bit-for-bit
   * (then rounded to 6 dp per D-rule 7 anyway).
   *
-  * Null semantics: null if either array is null; array *elements* are
+  * Null semantics: null if either array is null, and null if either
+  * vector has zero norm (cosine is undefined there — DuckDB's
+  * list_cosine_similarity errors on a zero vector, so null is the safe
+  * cross-engine answer rather than a silent NaN). Array *elements* are
   * assumed non-null (embedding vectors). Mismatched lengths: the shorter
   * length is used (same as zip_with).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // can return null on zero-norm input even when both children are non-null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -46,7 +52,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -66,7 +73,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $yi = $b.getDouble($i);
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

@@ -25,13 +25,12 @@ object Streaming extends QueryPack {
       |  COUNT(*) AS n, min(value) AS min_v, max(value) AS max_v
       |FROM events GROUP BY w_start, event_type
       |ORDER BY w_start, event_type""".stripMargin) { (spark, dir) =>
-    val s = StreamOps.eventsStream(spark, dir)
+    StreamOps.runToBatch(spark, "l1", ss => StreamOps.eventsStream(ss, dir)
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"), max(col("value")).as("max_v"))
       .select(col("window.start").cast(TimestampNTZType).as("w_start"),
-        col("event_type"), col("n"), col("min_v"), col("max_v"))
-    StreamOps.runToBatch(spark, "l1", s, "update")
+        col("event_type"), col("n"), col("min_v"), col("max_v")), "update")
       .orderBy(col("w_start"), col("event_type"))
   }
 
@@ -43,12 +42,11 @@ object Streaming extends QueryPack {
       |             event_id FROM events),
       |x AS (SELECT unnest(generate_series(b15 - INTERVAL 45 MINUTE, b15, INTERVAL 15 MINUTE)) AS w_start FROM b)
       |SELECT w_start, COUNT(*) AS n FROM x GROUP BY w_start ORDER BY w_start""".stripMargin) { (spark, dir) =>
-    val s = StreamOps.eventsStream(spark, dir)
+    StreamOps.runToBatch(spark, "l2", ss => StreamOps.eventsStream(ss, dir)
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour", "15 minutes"))
       .agg(count(lit(1)).as("n"))
-      .select(col("window.start").cast(TimestampNTZType).as("w_start"), col("n"))
-    StreamOps.runToBatch(spark, "l2", s, "update")
+      .select(col("window.start").cast(TimestampNTZType).as("w_start"), col("n")), "update")
       .orderBy(col("w_start"))
   }
 
@@ -72,15 +70,14 @@ object Streaming extends QueryPack {
       |FROM sess CROSS JOIN wm GROUP BY user_id, sid, wm.w
       |HAVING max(t) + INTERVAL 30 MINUTE < wm.w
       |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
-    val s = StreamOps.eventsStream(spark, dir)
+    StreamOps.runToBatch(spark, "l3", ss => StreamOps.eventsStream(ss, dir)
       .withWatermark("event_ts", "1 hour")
       .groupBy(session_window(col("event_ts"), "30 minutes"), col("user_id"))
       .agg(min(col("event_ts")).as("ss"), max(col("event_ts")).as("lt"),
         count(lit(1)).as("n"))
       .select(col("user_id"),
         col("ss").cast(TimestampNTZType).as("session_start"),
-        col("lt").cast(TimestampNTZType).as("last_ts"), col("n"))
-    StreamOps.runToBatch(spark, "l3", s, "append")
+        col("lt").cast(TimestampNTZType).as("last_ts"), col("n")), "append")
       .orderBy(col("user_id"), col("session_start"))
   }
 
@@ -90,10 +87,9 @@ object Streaming extends QueryPack {
     """SELECT event_id, user_id, event_type FROM events
       |QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts) = 1
       |ORDER BY event_id""".stripMargin) { (spark, dir) =>
-    val s = StreamOps.eventsStream(spark, dir)
+    StreamOps.runToBatch(spark, "l5", ss => StreamOps.eventsStream(ss, dir)
       .select(col("event_id"), col("user_id"), col("event_type"))
-      .dropDuplicates("event_id")
-    StreamOps.runToBatch(spark, "l5", s, "append")
+      .dropDuplicates("event_id"), "append")
       .orderBy(col("event_id"))
   }
 
@@ -103,12 +99,10 @@ object Streaming extends QueryPack {
     """SELECT n.n_name, COUNT(*) AS n_events
       |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
       |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (spark, dir) =>
-    val dim = Tables.nation(spark, dir)
-    val s = StreamOps.eventsStream(spark, dir)
-      .join(broadcast(dim), col("user_id") % 25 === col("n_nationkey"))
+    StreamOps.runToBatch(spark, "l6", ss => StreamOps.eventsStream(ss, dir)
+      .join(broadcast(Tables.nation(ss, dir)), col("user_id") % 25 === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(count(lit(1)).as("n_events"))
-    StreamOps.runToBatch(spark, "l6", s, "update")
+      .agg(count(lit(1)).as("n_events")), "update")
       .orderBy(col("n_name"))
   }
 
@@ -119,20 +113,21 @@ object Streaming extends QueryPack {
     "l7_stateful_counters",
     """SELECT user_id, COUNT(*) AS n, max(value) AS max_v
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
-    import spark.implicits._
-    val s = StreamOps.eventsStream(spark, dir)
-      .select(col("user_id"), col("value")).as[(Long, Double)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
-          var (n, mx) = state.getOption.getOrElse((0L, Double.NegativeInfinity))
-          rows.foreach { case (_, v) => n += 1; if (v > mx) mx = v }
-          state.update((n, mx))
-          Iterator((user, n, mx))
-      }
-      .toDF("user_id", "n", "max_v")
-    StreamOps.runToBatch(spark, "l7", s, "update")
+    StreamOps.runToBatch(spark, "l7", { ss =>
+      import ss.implicits._
+      StreamOps.eventsStream(ss, dir)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+            var (n, mx) = state.getOption.getOrElse((0L, Double.NegativeInfinity))
+            rows.foreach { case (_, v) => n += 1; if (v > mx) mx = v }
+            state.update((n, mx))
+            Iterator((user, n, mx))
+        }
+        .toDF("user_id", "n", "max_v")
+    }, "update")
       .orderBy(col("user_id"))
   }
 

@@ -33,8 +33,15 @@ object TextOps2 extends QueryPack {
     val d = Tables.documents(spark, dir)
       .where(col("doc_id") < 30)
       .withColumn("t", split(lower(col("text")), " "))
+      // short-doc guard (same as j4): Spark's sequence(1, n) DESCENDS when
+      // n < 1 and slice then throws; DuckDB's range(1, stop) returns an
+      // empty list instead — emit the empty shingle set explicitly so both
+      // engines agree on ≤2-token docs
       .withColumn("sh", sort_array(array_distinct(
-        expr("transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"))))
+        expr("""transform(
+                  CASE WHEN size(t) >= 3 THEN sequence(1, size(t) - 2)
+                       ELSE CAST(array() AS ARRAY<INT>) END,
+                  i -> concat_ws(' ', slice(t, i, 3)))"""))))
       .select(col("doc_id"), col("sh"))
     val a = d.toDF("id_a", "sh_a")
     val b = d.toDF("id_b", "sh_b")

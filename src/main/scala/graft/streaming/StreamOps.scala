@@ -44,7 +44,10 @@ object StreamOps {
     * reject TIMESTAMP_NTZ event-time columns — queries cast their window
     * bounds to NTZ at output instead. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // fallback for foreign sessions only — graft sessions set this at build
+    // time (see Tables.events); no-op there
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -60,9 +63,18 @@ object StreamOps {
     }
   }
 
-  /** Run a streaming DataFrame to completion (AvailableNow), capturing
-    * each micro-batch's emitted rows under out/batch_<id>, and return the
-    * union as a batch read-back (§2.A10 streaming sink).
+  /** Run a streaming query to completion (AvailableNow), capturing each
+    * micro-batch's emitted rows under out/batch_<id>, and return the union
+    * as a batch read-back (§2.A10 streaming sink).
+    *
+    * `mkStream` builds the stream against a CLONED session
+    * (spark.newSession(): same SparkContext, isolated SQLConf) so the
+    * stream-specific shuffle-partition override never leaks into the shared
+    * batch conf — a batch plan built concurrently keeps the session's 32
+    * partitions. State-store partition count is fixed at checkpoint
+    * creation; the per-partition fixed cost (provider init, snapshot, WAL)
+    * dominates at test scale, so streams default to 8 partitions here; at
+    * real scale set SPARK_GRAFT_STREAM_PARTITIONS to shard state wide.
     *
     * Per-batch dirs (not a single overwrite) because append-mode
     * stateful queries emit in a LATER batch than the data arrives in
@@ -70,30 +82,28 @@ object StreamOps {
     * windows) — batches are disjoint in append mode, so the union is the
     * full result. The whole file arrives in one data batch here, so
     * update-mode emissions are also one batch (no key repeats). */
-  def runToBatch(spark: SparkSession, name: String, stream: DataFrame,
-      mode: String): DataFrame = {
+  def runToBatch(spark: SparkSession, name: String,
+      mkStream: SparkSession => DataFrame, mode: String): DataFrame = {
     val base = s"/tmp/graft_stream/$name"
     rmrf(base)
     val out = s"$base/out"
-    // State-store partition count is fixed at checkpoint creation. The
-    // per-partition fixed cost (provider init, snapshot, WAL) dominates at
-    // test scale, so streams default to 8 partitions here; at real scale
-    // set SPARK_GRAFT_STREAM_PARTITIONS to shard state wide. Batch conf is
-    // restored after the run.
     val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
-    val batchParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", streamParts)
-    try {
-      val q = stream.writeStream
-        .outputMode(mode)
-        .option("checkpointLocation", s"$base/cp")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          batch.write.mode("overwrite").parquet(s"$out/batch_$id")
-        }
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", batchParts)
+    val ss = spark.newSession()
+    // runtime confs are not inherited by newSession — pin the ones the
+    // stream plan depends on explicitly
+    ss.conf.set("spark.sql.shuffle.partitions", streamParts)
+    ss.conf.set("spark.sql.session.timeZone",
+      spark.conf.get("spark.sql.session.timeZone"))
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val q = mkStream(ss).writeStream
+      .outputMode(mode)
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch_$id")
+      }
+      .start()
+    q.awaitTermination()
     // Explicit multi-path read (not a glob): Spark's single-path batch read
     // probes FileStreamSink metadata with the raw string, and a glob there
     // throws FileNotFoundException instead of expanding.
