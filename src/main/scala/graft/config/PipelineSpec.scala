@@ -49,9 +49,22 @@ final case class CheckSpec(
   def checkName: String = name.getOrElse(s"${typ}_${col.getOrElse(expr.getOrElse("x"))}")
 }
 
-/** §2.B transform taxonomy, interpreted in declared order. */
+/** §2.B/§2.D/§2.E/§2.H/§2.K transform taxonomy, interpreted in declared
+  * order. Field use by op:
+  *  - aggregate: `cols` = GROUP BY keys (empty ⇒ global agg), `aggs` =
+  *    SQL aggregate expressions with aliases ("sum(x) AS total")
+  *  - union: `table` = the other source, unioned BY NAME (schema safety —
+  *    positional union silently misaligns evolved schemas)
+  *  - dedup: no cols ⇒ full-row DISTINCT; `cols` = keys requires
+  *    `orderBy` so the survivor is deterministic (bare dropDuplicates
+  *    keeps a partition-order-dependent row — never acceptable in a
+  *    reproducible pipeline)
+  *  - derive: `expr` may be a window function ("rank() OVER (...)") —
+  *    Spark's expression parser accepts OVER clauses, so §2.F windows
+  *    need no dedicated op
+  */
 final case class TransformSpec(
-    op: String,                   // select | rename | drop | derive | filter | cast | join | limit | sort
+    op: String,                   // select | rename | drop | derive | filter | cast | join | limit | sort | aggregate | union | dedup
     cols: Seq[String],
     name: Option[String],
     expr: Option[String],
@@ -59,7 +72,9 @@ final case class TransformSpec(
     table: Option[SourceSpec],
     on: Seq[String],
     how: Option[String],
-    broadcast: Boolean)
+    broadcast: Boolean,
+    aggs: Seq[String],
+    orderBy: Seq[String])
 
 final case class SinkSpec(
     format: String,               // parquet | csv | json
@@ -108,14 +123,16 @@ object PipelineSpec {
 
   private def transform(n: JsonNode, at: String): TransformSpec = {
     val op = reqStr(n, "op", at)
-    require(Set("select", "rename", "drop", "derive", "filter", "cast", "join", "limit", "sort")(op),
+    require(Set("select", "rename", "drop", "derive", "filter", "cast", "join",
+      "limit", "sort", "aggregate", "union", "dedup")(op),
       s"$at.op: unknown '$op'")
     TransformSpec(op,
       cols = strArr(n, "cols"), name = optStr(n, "name"),
       expr = optStr(n, "expr"), to = optStr(n, "to"),
       table = opt(n, "table").map(source(_, s"$at.table")),
       on = strArr(n, "on"), how = optStr(n, "how"),
-      broadcast = opt(n, "broadcast").exists(_.asBoolean(false)))
+      broadcast = opt(n, "broadcast").exists(_.asBoolean(false)),
+      aggs = strArr(n, "aggs"), orderBy = strArr(n, "orderBy"))
   }
 
   private def sink(n: JsonNode, at: String): SinkSpec = {

@@ -150,6 +150,27 @@ object PipelineRunner {
           throw new IllegalArgumentException("join needs `on` cols or an `expr` condition"))), how)
       case "limit" => df.limit(t.expr.get.toInt)
       case "sort"  => df.orderBy(t.cols.map(expr): _*)
+      case "aggregate" => // §2.E through the config surface
+        require(t.aggs.nonEmpty, "aggregate needs `aggs` expressions")
+        val aggs = t.aggs.map(expr)
+        if (t.cols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+        else df.groupBy(t.cols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      case "union" => // §2.H1: by-name union — positional would silently
+        // misalign when the other source's column order drifts
+        df.unionByName(read(spark, t.table.getOrElse(
+          throw new IllegalArgumentException("union needs `table`"))))
+      case "dedup" => // §2.K1/K2 through the config surface
+        if (t.cols.isEmpty) df.distinct()
+        else {
+          // deterministic survivor (first row under orderBy per key) —
+          // bare dropDuplicates keeps a partition-order-dependent row
+          require(t.orderBy.nonEmpty,
+            "dedup with `cols` needs `orderBy` for a deterministic survivor")
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(t.cols.map(col): _*).orderBy(t.orderBy.map(expr): _*)
+          df.withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1).drop("__rn")
+        }
       case other   => throw new IllegalArgumentException(s"unknown transform $other")
     }
 

@@ -105,5 +105,70 @@ object Sources extends QueryPack {
     PipelineRunner.run(spark, yaml).passed
   }
 
-  override def defs: Seq[QueryDef] = Seq(a3, a4, a7, ep1)
+  /** §3.2 EP2 — a config-declared pipeline ending in a GROUP BY: the
+    * `aggregate` op (checks → filter → groupBy/agg → sort, all from YAML).
+    * Sums run over DECIMAL(12,2) casts so accumulation order cannot
+    * matter (same determinism rule as pricing_summary). */
+  val ep2: QueryDef = m(
+    "ep2_config_aggregate",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+       |  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base,
+       |  COUNT(*) AS n
+       |FROM lineitem
+       |WHERE l_orderkey IS NOT NULL AND l_discount BETWEEN 0.0 AND 0.1
+       |  AND l_quantity >= 5
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    val yaml =
+      s"""name: ep2_agg
+         |source: {format: parquet, path: "$dir/lineitem.parquet"}
+         |checks:
+         |  - {type: not_null, col: l_orderkey}
+         |  - {type: range, col: l_discount, lo: 0.0, hi: 0.1}
+         |transforms:
+         |  - {op: filter, expr: "l_quantity >= 5"}
+         |  - {op: aggregate, cols: [l_returnflag, l_linestatus],
+         |     aggs: ["CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty",
+         |            "CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base",
+         |            "COUNT(*) AS n"]}
+         |  - {op: sort, cols: [l_returnflag, l_linestatus]}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml).passed
+  }
+
+  /** §3.2 EP2b — union + deterministic dedup + a window function through
+    * `derive` (the OVER clause rides Spark's expression parser), all from
+    * YAML: self-union doubles every customer row, dedup restores one
+    * survivor per key under a total order, then top-10 per market segment
+    * by a ranking window. */
+  val ep2b: QueryDef = m(
+    "ep2b_config_union_dedup",
+    s"""WITH u AS (SELECT * FROM customer UNION ALL SELECT * FROM customer),
+       |d AS (SELECT * FROM u QUALIFY row_number()
+       |  OVER (PARTITION BY c_custkey ORDER BY c_acctbal, c_name, c_nationkey, c_mktsegment) = 1)
+       |SELECT c_mktsegment, seg_rank, c_custkey, c_acctbal FROM (
+       |  SELECT c_mktsegment,
+       |    CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS seg_rank,
+       |    c_custkey, c_acctbal
+       |  FROM d)
+       |WHERE seg_rank <= 10
+       |ORDER BY c_mktsegment, seg_rank""".stripMargin) { (spark, dir) =>
+    val yaml =
+      s"""name: ep2b_union_dedup
+         |source: {format: parquet, path: "$dir/customer.parquet"}
+         |transforms:
+         |  - {op: union, table: {format: parquet, path: "$dir/customer.parquet"}}
+         |  - {op: dedup, cols: [c_custkey],
+         |     orderBy: [c_acctbal, c_name, c_nationkey, c_mktsegment]}
+         |  - {op: derive, name: seg_rank,
+         |     expr: "CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT)"}
+         |  - {op: filter, expr: "seg_rank <= 10"}
+         |  - {op: select, cols: [c_mktsegment, seg_rank, c_custkey, c_acctbal]}
+         |  - {op: sort, cols: [c_mktsegment, seg_rank]}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml).passed
+  }
+
+  override def defs: Seq[QueryDef] = Seq(a3, a4, a7, ep1, ep2, ep2b)
 }

@@ -82,6 +82,41 @@ class ConfigPipelineSpec extends SparkSpecBase {
     passed.count() should be <= (total - quarantined.count())
   }
 
+  test("EP2: aggregate / union / dedup ops work from YAML") {
+    val yaml =
+      s"""name: agg_demo
+         |source: {format: parquet, path: "$sf/nation.parquet"}
+         |transforms:
+         |  - {op: union, table: {format: parquet, path: "$sf/nation.parquet"}}
+         |  - {op: dedup, cols: [n_nationkey], orderBy: [n_name]}
+         |  - {op: aggregate, cols: [n_regionkey],
+         |     aggs: ["count(*) AS n", "min(n_name) AS first_name"]}
+         |  - {op: sort, cols: [n_regionkey]}
+         |""".stripMargin
+    val out = PipelineRunner.run(spark, yaml).passed
+    out.columns.toSeq shouldBe Seq("n_regionkey", "n", "first_name")
+    // self-union doubled rows, dedup restored exactly one per key
+    out.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) shouldBe
+      spark.read.parquet(s"$sf/nation.parquet").count()
+  }
+
+  test("EP2: global aggregate (no groupBy keys) and dedup guard rails") {
+    val global = PipelineRunner.run(spark,
+      s"""name: g
+         |source: {format: parquet, path: "$sf/region.parquet"}
+         |transforms: [{op: aggregate, aggs: ["count(*) AS n"]}]
+         |""".stripMargin).passed
+    global.count() shouldBe 1
+    // dedup on keys without orderBy must be rejected — the survivor would
+    // be partition-order-dependent
+    val e = intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: bad
+         |source: {format: parquet, path: "$sf/region.parquet"}
+         |transforms: [{op: dedup, cols: [r_regionkey]}]
+         |""".stripMargin))
+    e.getMessage should include("orderBy")
+  }
+
   test("EP1: rename / cast / drop transforms compose in order") {
     val yaml =
       s"""name: t_demo
