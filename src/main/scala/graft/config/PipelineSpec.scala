@@ -16,8 +16,15 @@ import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
   * /opt/spark/jars) — no reflection/databind magic, so unknown fields and
   * type mismatches fail with a path-qualified error instead of a null.
   */
+/** `mode: streaming` (§3.2 EP3) runs the SAME declared pipeline as a
+  * Structured Streaming query (readStream source, checks as stream
+  * filters, streamable transforms on the stream, trailing sort/limit on
+  * the captured result). `output_mode` defaults to append; use update for
+  * streaming aggregates. */
 final case class PipelineSpec(
     name: String,
+    mode: String,                 // batch | streaming
+    outputMode: Option[String],   // streaming only: append | update | complete
     source: SourceSpec,
     checks: Seq[CheckSpec],
     transforms: Seq[TransformSpec],
@@ -88,8 +95,12 @@ object PipelineSpec {
 
   def parse(yaml: String): PipelineSpec = {
     val root = mapper.readTree(yaml)
+    val mode = optStr(root, "mode").getOrElse("batch")
+    require(Set("batch", "streaming")(mode), s"pipeline.mode: unknown '$mode'")
     PipelineSpec(
       name = reqStr(root, "name", "pipeline"),
+      mode = mode,
+      outputMode = optStr(root, "output_mode"),
       source = source(req(root, "source", "pipeline"), "source"),
       checks = arr(root, "checks").zipWithIndex.map { case (n, i) => check(n, s"checks[$i]") },
       transforms = arr(root, "transforms").zipWithIndex.map { case (n, i) => transform(n, s"transforms[$i]") },

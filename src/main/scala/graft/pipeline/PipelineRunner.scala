@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.StructType
 
 import graft.config._
 import graft.ext.GraftFunctions
+import graft.streaming.StreamOps
 
 /** SURVEY.md §3.2 EP1 — the config-driven pipeline interpreter: YAML →
   * source → checks (pass/quarantine split + metrics) → transforms → sink.
@@ -38,6 +39,7 @@ object PipelineRunner {
   def run(spark: SparkSession, yaml: String): RunResult = {
     val spec = PipelineSpec.parse(yaml)
     GraftFunctions.register(spark) // M1 UDFs usable in derive/filter exprs
+    if (spec.mode == "streaming") return runStreaming(spark, spec)
     val src = read(spark, spec.source)
 
     val (passed0, quarantined, metrics) = validate(spark, src, spec.checks)
@@ -46,6 +48,68 @@ object PipelineRunner {
     spec.sink.foreach(write(out, _))
     spec.quarantine.foreach(write(quarantined, _))
     RunResult(spec, out, quarantined, metrics)
+  }
+
+  /** §3.2 EP3 — the same YAML executed as a Structured Streaming query.
+    *
+    * Checks become stream-side filters (scalar predicates only — `unique`
+    * needs a window and `ref` a dim join, neither a single-pass stream
+    * op); the streamable transform prefix builds the streaming plan (a
+    * `join` op against a batch source is a stream-static join); trailing
+    * `sort`/`limit` — not streaming operators by nature — apply to the
+    * captured result after the run. Execution is AvailableNow via
+    * StreamOps.runToBatch: a REAL MicroBatchExecution with checkpoint +
+    * state store, the result read back as a batch DataFrame. At cluster
+    * scale the same plan runs unbounded with a real trigger; nothing here
+    * is test-only plumbing. Metrics are not collected in streaming mode
+    * (they would be per-batch observations, not one run-level row). */
+  private def runStreaming(spark: SparkSession, spec: PipelineSpec): RunResult = {
+    spec.checks.foreach(c => require(c.typ != "unique" && c.typ != "ref",
+      s"check ${c.checkName}: '${c.typ}' is not supported in streaming mode"))
+    val nTail = spec.transforms.reverse.takeWhile(t => Set("sort", "limit")(t.op)).size
+    val (streamable, tail) = spec.transforms.splitAt(spec.transforms.size - nTail)
+    streamable.foreach(t => require(!Set("sort", "limit")(t.op),
+      s"streaming mode: '${t.op}' only allowed at the pipeline tail"))
+
+    def mk(pass: Boolean)(ss: SparkSession): DataFrame = {
+      val src = readStream(ss, spec.source)
+      val base = if (spec.checks.isEmpty) {
+        if (pass) src else src.where(lit(false)) // empty quarantine stream
+      } else {
+        val pred = spec.checks.map(checkPredicate(ss, src, _)).reduce(_ && _)
+        if (pass) src.where(pred) else src.where(!pred)
+      }
+      streamable.foldLeft(base)((df, t) => applyTransform(ss, df, t))
+    }
+
+    val outMode = spec.outputMode.getOrElse("append")
+    val passed = tail.foldLeft(
+      StreamOps.runToBatch(spark, s"ep_${spec.name}", mk(pass = true), outMode))(
+      (df, t) => applyTransform(spark, df, t))
+    val quarantined = spec.quarantine match {
+      case Some(q) =>
+        val b = StreamOps.runToBatch(spark, s"ep_${spec.name}_q", mk(pass = false), "append")
+        write(b, q); b
+      case None => passed.limit(0)
+    }
+    spec.sink.foreach(write(passed, _))
+    RunResult(spec, passed, quarantined, Nil)
+  }
+
+  /** §2.A9 — streaming file source from the same SourceSpec vocabulary. */
+  def readStream(spark: SparkSession, s: SourceSpec): DataFrame = {
+    val path = s.path.orElse(s.table.map(t => s"${t}.parquet")).getOrElse(
+      throw new IllegalArgumentException("source needs path or table"))
+    val ddl = s.schema.getOrElse(throw new IllegalArgumentException(
+      "streaming sources must declare a schema (file-stream inference is disabled)"))
+    val r = spark.readStream.schema(StructType.fromDDL(ddl)).options(s.options)
+    s.format match {
+      case "parquet" => r.parquet(path)
+      case "csv"     => r.csv(path)
+      case "json"    => r.json(path)
+      case other => throw new IllegalArgumentException(
+        s"source format '$other' is not streamable")
+    }
   }
 
   // -- sources (§2.A) -------------------------------------------------------

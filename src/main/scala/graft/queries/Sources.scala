@@ -170,5 +170,40 @@ object Sources extends QueryPack {
     PipelineRunner.run(spark, yaml).passed
   }
 
-  override def defs: Seq[QueryDef] = Seq(a3, a4, a7, ep1, ep2, ep2b)
+  /** §3.2 EP3 — the SAME config vocabulary with `mode: streaming`: the
+    * pipeline (checks → filter → derives → select) runs as a real
+    * AvailableNow MicroBatchExecution over the events file stream, the
+    * trailing sort applies to the captured result, and the whole thing is
+    * oracle-checked like any batch query. */
+  val ep3: QueryDef = m(
+    "ep3_config_stream",
+    s"""SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS event_ts,
+       |  CAST(floor(value / 50) AS BIGINT) AS v_bucket, value
+       |FROM events
+       |WHERE event_id IS NOT NULL
+       |  AND event_type IN ('click','view','purchase','signup')
+       |  AND value BETWEEN 0.0 AND 400.0
+       |  AND user_id % 2 = 0
+       |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val yaml =
+      s"""name: ep3_stream
+         |mode: streaming
+         |source: {format: parquet, path: "$dir",
+         |  schema: "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+         |  options: {pathGlobFilter: "events.parquet"}}
+         |checks:
+         |  - {type: not_null, col: event_id}
+         |  - {type: in_set, col: event_type, values: [click, view, purchase, signup]}
+         |  - {type: range, col: value, lo: 0.0, hi: 400.0}
+         |transforms:
+         |  - {op: filter, expr: "user_id % 2 = 0"}
+         |  - {op: derive, name: event_ts, expr: "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"}
+         |  - {op: derive, name: v_bucket, expr: "CAST(floor(value / 50) AS BIGINT)"}
+         |  - {op: select, cols: [event_id, user_id, event_type, event_ts, v_bucket, value]}
+         |  - {op: sort, cols: [event_id]}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml).passed
+  }
+
+  override def defs: Seq[QueryDef] = Seq(a3, a4, a7, ep1, ep2, ep2b, ep3)
 }

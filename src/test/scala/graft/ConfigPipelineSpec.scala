@@ -117,6 +117,47 @@ class ConfigPipelineSpec extends SparkSpecBase {
     e.getMessage should include("orderBy")
   }
 
+  test("EP3: mode:streaming is batch-equivalent on the same YAML body") {
+    val body =
+      s"""source: {format: parquet, path: "$sf",
+         |  schema: "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+         |  options: {pathGlobFilter: "events.parquet"}}
+         |checks:
+         |  - {type: range, col: value, lo: 0.0, hi: 300.0}
+         |transforms:
+         |  - {op: filter, expr: "event_type = 'click'"}
+         |  - {op: derive, name: v2, expr: "value * 2"}
+         |  - {op: select, cols: [event_id, v2]}
+         |  - {op: sort, cols: [event_id]}
+         |""".stripMargin
+    val batch = PipelineRunner.run(spark, s"name: eq_b\n$body")
+    val stream = PipelineRunner.run(spark, s"name: eq_s\nmode: streaming\n$body")
+    val b = batch.passed.collect().map(_.toSeq)
+    val s = stream.passed.collect().map(_.toSeq)
+    s shouldBe b
+    // streaming metrics are per-batch, not run-level — documented as empty
+    stream.metrics shouldBe empty
+  }
+
+  test("EP3: streaming mode rejects non-streamable checks and mid-pipeline sorts") {
+    val e1 = intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: bad1
+         |mode: streaming
+         |source: {format: parquet, path: "$sf", schema: "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING", options: {pathGlobFilter: "events.parquet"}}
+         |checks: [{type: unique, col: event_id}]
+         |""".stripMargin))
+    e1.getMessage should include("not supported in streaming mode")
+    val e2 = intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: bad2
+         |mode: streaming
+         |source: {format: parquet, path: "$sf", schema: "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING", options: {pathGlobFilter: "events.parquet"}}
+         |transforms:
+         |  - {op: sort, cols: [event_id]}
+         |  - {op: filter, expr: "value > 0"}
+         |""".stripMargin))
+    e2.getMessage should include("only allowed at the pipeline tail")
+  }
+
   test("EP1: rename / cast / drop transforms compose in order") {
     val yaml =
       s"""name: t_demo
