@@ -2,7 +2,7 @@ package graft.pipeline
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -23,8 +23,10 @@ import graft.streaming.StreamOps
   */
 object PipelineRunner {
 
-  /** Everything a run produces. `metrics` forces one aggregate job;
-    * `passed`/`quarantined` are unexecuted plans unless sinks write them. */
+  /** Everything a run produces. `metrics` rides the sink write via
+    * observe() when a sink is declared (no extra job), else one dedicated
+    * aggregate job; `passed`/`quarantined` are unexecuted plans unless
+    * sinks write them. */
   final case class RunResult(
       spec: PipelineSpec,
       passed: DataFrame,
@@ -42,12 +44,18 @@ object PipelineRunner {
     if (spec.mode == "streaming") return runStreaming(spark, spec)
     val src = read(spark, spec.source)
 
-    val (passed0, quarantined, metrics) = validate(spark, src, spec.checks)
+    val (passed0, quarantined, metricsOf) = validate(spark, src, spec.checks)
     val out = spec.transforms.foldLeft(passed0)((df, t) => applyTransform(spark, df, t))
 
     spec.sink.foreach(write(out, _))
     spec.quarantine.foreach(write(quarantined, _))
-    RunResult(spec, out, quarantined, metrics)
+    // Metrics ride the sink write via observe() — no separate aggregate
+    // job when a sink ran. Fallbacks to a dedicated (cheap, aggregate-only)
+    // job: no sink wrote the observed plan, or a `limit` transform would
+    // have truncated the row flow through the observe node.
+    val observed = (spec.sink.isDefined || spec.quarantine.isDefined) &&
+      !spec.transforms.exists(_.op == "limit")
+    RunResult(spec, out, quarantined, metricsOf(observed))
   }
 
   /** §3.2 EP3 — the same YAML executed as a Structured Streaming query.
@@ -154,10 +162,18 @@ object PipelineRunner {
   }
 
   /** Split + metrics in one pass: add all check booleans, conjunction
-    * splits rows, the same booleans aggregate into per-check counts. */
+    * splits rows, the same booleans aggregate into per-check counts.
+    *
+    * Metrics are attached to the plan with `observe()` (a CollectMetrics
+    * node above the check projection): when a sink write executes the
+    * plan, the per-check counts come back on that SAME action — one scan
+    * for split + metrics instead of a dedicated aggregate job. The
+    * returned thunk takes "did a full-plan action already run?": true →
+    * read the observation; false → run the (aggregate-only, map-side
+    * combined) fallback job. */
   def validate(spark: SparkSession, df: DataFrame, checks: Seq[CheckSpec])
-      : (DataFrame, DataFrame, Seq[CheckMetric]) = {
-    if (checks.isEmpty) return (df, df.limit(0), Nil)
+      : (DataFrame, DataFrame, Boolean => Seq[CheckMetric]) = {
+    if (checks.isEmpty) return (df, df.limit(0), _ => Nil)
 
     // `ref` checks need a join, not a scalar predicate: fold them in first
     // as boolean columns via a broadcast left join on the dim key.
@@ -177,18 +193,30 @@ object PipelineRunner {
       }
       flag
     }
+    val aggExprs = count(lit(1)).as("__n") +:
+      flags.map(f => sum(col(f).cast("long")).as(s"${f}_pass"))
+    val obs = Observation()
+    val observed = work.observe(obs, aggExprs.head, aggExprs.tail: _*)
     val allPass = flags.map(col).reduce(_ && _)
-    val passed = work.where(allPass).drop(flags: _*)
-    val quarantined = work.where(!allPass).drop(flags: _*)
-    val row = work.agg(
-      count(lit(1)).as("__n"),
-      flags.flatMap(f => Seq(sum(col(f).cast("long")).as(s"${f}_pass"))): _*).head()
-    val n = row.getAs[Long]("__n")
-    val metrics = checks.zipWithIndex.map { case (c, i) =>
-      val p = Option(row.getAs[Long](s"__chk_${i}_pass")).getOrElse(0L)
-      CheckMetric(c.checkName, p, n - p)
+    val passed = observed.where(allPass).drop(flags: _*)
+    val quarantined = observed.where(!allPass).drop(flags: _*)
+
+    def toMetrics(n: Long, passOf: Int => Long): Seq[CheckMetric] =
+      checks.zipWithIndex.map { case (c, i) =>
+        val p = passOf(i)
+        CheckMetric(c.checkName, p, n - p)
+      }
+    val metricsOf: Boolean => Seq[CheckMetric] = {
+      case true =>
+        val m = obs.get // already complete: the sink action ran
+        toMetrics(m("__n").asInstanceOf[Long],
+          i => Option(m(s"__chk_${i}_pass")).map(_.asInstanceOf[Long]).getOrElse(0L))
+      case false =>
+        val row = work.agg(aggExprs.head, aggExprs.tail: _*).head()
+        toMetrics(row.getAs[Long]("__n"),
+          i => Option(row.getAs[Long](s"__chk_${i}_pass")).getOrElse(0L))
     }
-    (passed, quarantined, metrics)
+    (passed, quarantined, metricsOf)
   }
 
   // -- transforms (§2.B, §2.D) ---------------------------------------------

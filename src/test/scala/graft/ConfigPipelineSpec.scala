@@ -82,6 +82,58 @@ class ConfigPipelineSpec extends SparkSpecBase {
     passed.count() should be <= (total - quarantined.count())
   }
 
+  test("EP1: metrics ride the sink write — no separate aggregate job") {
+    import java.nio.file.Files
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val out = Files.createTempDirectory("graft_obs").toString
+    def yaml(sinks: Boolean) =
+      s"""name: obs_demo
+         |source: {format: parquet, path: "$sf/lineitem.parquet"}
+         |checks:
+         |  - {type: not_null, col: l_orderkey}
+         |  - {type: range, col: l_discount, lo: 0.0, hi: 0.05}
+         |""".stripMargin + (if (sinks)
+      s"""sink: {format: parquet, path: "$out/passed"}
+         |quarantine: {format: parquet, path: "$out/quarantined"}
+         |""".stripMargin else "")
+
+    def jobStages(run: () => PipelineRunner.RunResult)
+        : (Seq[String], PipelineRunner.RunResult) = {
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val listener = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit =
+          stages.add(js.stageInfos.map(_.name).mkString(";"))
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val r = run()
+        var last = -1 // listener delivery is async — wait until it settles
+        var spins = 0
+        while (stages.size != last && spins < 20) {
+          last = stages.size; Thread.sleep(200); spins += 1
+        }
+        import scala.jdk.CollectionConverters._
+        (stages.asScala.toSeq, r)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    // No-sink run: the metrics fallback runs a dedicated aggregate job
+    // (collect-style stages, not parquet ones). Sink run: footer-read +
+    // two writes ONLY — every job is a parquet job, the metrics came back
+    // on the write action via observe().
+    val (noSinkStages, _) = jobStages(() => PipelineRunner.run(spark, yaml(sinks = false)))
+    noSinkStages.exists(!_.contains("parquet at")) shouldBe true
+    val (sinkStages, r) = jobStages(() => PipelineRunner.run(spark, yaml(sinks = true)))
+    sinkStages should not be empty
+    all(sinkStages) should include("parquet at")
+    // and the observed metrics equal the eagerly-recomputed truth
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    val m = r.metrics.map(m => m.check -> m).toMap
+    m("not_null_l_orderkey").passCnt shouldBe total
+    m("range_l_discount").failCnt shouldBe
+      spark.read.parquet(s"$out/quarantined").count()
+  }
+
   test("EP2: aggregate / union / dedup ops work from YAML") {
     val yaml =
       s"""name: agg_demo
