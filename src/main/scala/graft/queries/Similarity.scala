@@ -151,14 +151,26 @@ object Similarity extends QueryPack {
   /** §2.K6 — MinHash-LSH near-dup candidates (the 100 TB dedup path).
     * X-tier: hash family is engine-specific (xxhash64), so no SQL oracle;
     * SimilaritySpec property-tests that LSH candidates ⊇ high-Jaccard
-    * ground-truth pairs on sf0.001.
+    * ground-truth pairs on sf0.001 — including under an aggressive bucket
+    * cap.
     *
     * Construction: per doc, 12 minhashes (xxhash64 seeded by slot) over
     * distinct tokens; 4 bands × 3 rows; docs sharing any band signature
-    * become candidates. Pure groupBy-band shuffle — no cross join; at
-    * scale the band key is (band_id, signature) and bucket occupancy
-    * bounds the pair blow-up. */
-  val k6: QueryDef = x("k6_minhash_lsh") { (spark, dir) =>
+    * become candidates. Pure groupBy-band shuffle — no cross join; the
+    * band key is (band_id, signature) and `bucketCap` bounds the pair
+    * blow-up: without it one hot signature (a giant duplicate cluster, or
+    * thousands of near-empty docs sharing a minhash) goes quadratic in a
+    * single bucket. Over-cap buckets are NOT dropped — that would lose
+    * whole duplicate clusters, since a cluster bigger than the cap is hot
+    * in ALL its bands. Instead they emit a linear STAR: every member
+    * paired with the bucket's min doc_id. For dedup the candidate graph
+    * only needs CONNECTIVITY (union-find collapses a cluster from any
+    * spanning set), and the star keeps every member connected at n−1
+    * pairs instead of C(n,2) — the worst bucket is O(cap²) for full
+    * buckets and O(n) for hot ones, a provable ceiling at any scale.
+    * Singleton buckets are pruned in the same pass (no pairs). */
+  def lshCandidates(spark: org.apache.spark.sql.SparkSession, dir: String,
+      bucketCap: Int): DataFrame = {
     val nHashes = 12
     val rowsPerBand = 3
     val docs = TextOps.tokens(Tables.documents(spark, dir))
@@ -172,16 +184,37 @@ object Similarity extends QueryPack {
       posexplode(expr(s"transform(sequence(0, ${nHashes / rowsPerBand - 1}), " +
         s"b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))")))
       .toDF("doc_id", "band_id", "band_sig")
-    // candidate pairs via a shuffle hash self-join on (band, signature):
-    // stays codegen'd and distributed — the collect_list-per-bucket form
-    // materializes C(n,2) structs in one task per bucket and collapses on
-    // dense corpora (measured 2x slower at sf0.1)
-    val a = bands.toDF("id_a", "band_a", "sig_a")
-    val b = bands.toDF("id_b", "band_b", "sig_b")
-    a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b")
+    // occupancy stats: one groupBy (map-side combined) on the same key the
+    // self-join shuffles on
+    val stats = bands.groupBy(col("band_id"), col("band_sig"))
+      .agg(count(lit(1)).as("__n"), min(col("doc_id")).as("__anchor"))
+      .where(col("__n") >= 2)
+    val sized = bands.join(stats, Seq("band_id", "band_sig"))
+    // full pairwise candidates for in-cap buckets, via a shuffle hash
+    // self-join on (band, signature): stays codegen'd and distributed —
+    // the collect_list-per-bucket form materializes C(n,2) structs in one
+    // task per bucket and collapses on dense corpora (measured 2x slower
+    // at sf0.1)
+    val pruned = sized.where(col("__n") <= bucketCap)
+      .select(col("band_id"), col("band_sig"), col("doc_id"))
+    val a = pruned.toDF("band_a", "sig_a", "id_a")
+    val b = pruned.toDF("band_b", "sig_b", "id_b")
+    val fullPairs = a.join(b,
+      col("band_a") === col("band_b") && col("sig_a") === col("sig_b")
         && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"))
+    // linear star for over-cap buckets: anchor = bucket min, so
+    // id_a < id_b holds by construction
+    val starPairs = sized.where(col("__n") > bucketCap)
+      .where(col("doc_id") =!= col("__anchor"))
+      .select(col("__anchor").as("id_a"), col("doc_id").as("id_b"))
+    fullPairs.union(starPairs).distinct()
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val k6: QueryDef = x("k6_minhash_lsh") { (spark, dir) =>
+    lshCandidates(spark, dir,
+      sys.env.getOrElse("SPARK_GRAFT_LSH_BUCKET_CAP", "1024").toInt)
   }
 
   override def defs: Seq[QueryDef] = Seq(k1, k2, k3, k4, k5, k6, k7)

@@ -72,6 +72,43 @@ class SimilarityOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("K6: bucket cap keeps dedup connectivity at linear pair cost") {
+    // cap=8 genuinely engages star-capping on this corpus (duplicate
+    // clusters at sf0.001 run to hundreds of docs, hot in ALL bands).
+    // Star pairs are a subset of the full bucket pairs, so capped ⊆
+    // uncapped; and for dedup what matters is CONNECTIVITY — every
+    // Jaccard ≥ 0.8 truth pair must land in one union-find component.
+    val uncapped = Similarity.lshCandidates(spark, sf, Int.MaxValue)
+      .as[(Long, Long)].collect().toSet
+    val capped = Similarity.lshCandidates(spark, sf, 8)
+      .as[(Long, Long)].collect().toSet
+    capped.subsetOf(uncapped) shouldBe true
+    // star-capping must actually shrink the pair list here (clusters > 8)
+    capped.size should be < uncapped.size
+
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    capped.foreach { case (a, b) => parent(find(a)) = find(b) }
+
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_distinct(split(lower(col("text")), " ")).as("ts"))
+      .as[(Long, Seq[String])].collect()
+    val truth = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      j = (ta.toSet & tb.toSet).size.toDouble / (ta.toSet ++ tb.toSet).size
+      if j >= 0.8
+    } yield (ia, ib)).toSet
+    val connected = truth.count { case (a, b) => find(a) == find(b) }
+    val recall = connected.toDouble / math.max(truth.size, 1)
+    withClue(s"truth=${truth.size} capped=${capped.size} recall=$recall: ") {
+      recall should be >= 0.85
+    }
+  }
+
   test("K8: identical documents get identical SimHash (hamming 0 candidates)") {
     import graft.queries.TextOps2
     // run the query on sf0.001; every pair listed must satisfy the
