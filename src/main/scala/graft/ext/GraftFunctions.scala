@@ -41,7 +41,13 @@ object GraftFunctions {
       ngramsBuilder),
     (FunctionIdentifier("graft_bottomk"),
       new ExpressionInfo(classOf[BottomKSketch].getName, "graft_bottomk"),
-      bottomKBuilder))
+      bottomKBuilder),
+    (FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
+      (args: Seq[Expression]) => RollingHash(args.head)),
+    (FunctionIdentifier("graft_bpeish_count"),
+      new ExpressionInfo(classOf[BpeishTokenCount].getName, "graft_bpeish_count"),
+      (args: Seq[Expression]) => BpeishTokenCount(args.head)))
 
   /** Register every §2.M function into a live session. */
   def register(spark: SparkSession): Unit = {

@@ -166,16 +166,16 @@ object TextOps2 extends QueryPack {
       |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
       |    (h, c) -> (h * 31 + c) % 1000000007) AS rolling_hash
       |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    // graft_rolling_hash (§2.M3 sibling): one fused codegen loop per row —
+    // the HOF form (per-char array + interpreted lambda per element) was
+    // this query's entire cost (ExtensionsSpec asserts bit-equality)
+    graft.ext.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_ws_tokens"),
-        size(expr("regexp_extract_all(text, '[aeiou]+|[^aeiou ]+', 0)"))
-          .cast(LongType).as("n_bpeish_tokens"),
-        expr("""aggregate(
-            |  transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
-            |  0L, (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin)
-          .as("rolling_hash"))
+        expr("graft_bpeish_count(text)").as("n_bpeish_tokens"),
+        expr("graft_rolling_hash(text)").as("rolling_hash"))
       .orderBy(col("doc_id"))
   }
 

@@ -56,6 +56,51 @@ class HardeningSpec extends SparkSpecBase {
     rows(2).getSeq[String](1) shouldBe Seq("a b c", "b c d")
   }
 
+  test("J10: graft_rolling_hash matches the HOF rolling hash bit-for-bit") {
+    GraftFunctions.register(spark)
+    val samples = Seq(
+      "", "a", "hello world", "The quick brown fox", "  spaced  out  ",
+      "punct!?;:#", "ünïcødé ßtring", "emoji 😀 mix",
+      ("x" * 500) + " tail")
+    val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+      .select(col("id"),
+        expr("graft_rolling_hash(text)").as("fused"),
+        expr("""aggregate(
+            |  transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+            |  0L, (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin).as("hof"))
+      .orderBy("id")
+    df.collect().foreach { r =>
+      withClue(s"sample ${r.getLong(0)}: ") {
+        r.getLong(1) shouldBe r.getLong(2)
+      }
+    }
+    // null propagates
+    Seq((1L, null: String)).toDF("id", "text")
+      .selectExpr("graft_rolling_hash(text) AS h")
+      .head().isNullAt(0) shouldBe true
+  }
+
+  test("J10: graft_bpeish_count matches the regexp match count exactly") {
+    GraftFunctions.register(spark)
+    val samples = Seq(
+      "", "a", "aa", "b", "ab", "ba", "hello world", "  double  spaces ",
+      "AEIOU upper are not vowels", "punct!?;: #tags", "ünïcødé ßtring",
+      "emoji 😀 mix", "trailing space ", " leading", "aeiou" * 40)
+    samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+      .select(col("id"),
+        expr("graft_bpeish_count(text)").as("fused"),
+        org.apache.spark.sql.functions
+          .size(expr("regexp_extract_all(text, '[aeiou]+|[^aeiou ]+', 0)"))
+          .cast("long").as("rx"))
+      .collect().foreach { r =>
+        withClue(s"sample ${r.getLong(0)}: ") {
+          r.getLong(1) shouldBe r.getLong(2)
+        }
+      }
+  }
+
   test("conf scoping: a streaming run leaves the shared batch SQLConf untouched") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     // l1 runs a real AvailableNow stream through runToBatch (which pins 8
