@@ -39,6 +39,52 @@ object Sources extends QueryPack {
       .orderBy(col("n_nationkey"))
   }
 
+  /** §2.A3 PERMISSIVE path — corrupt-record capture and quarantine split.
+    * A deliberately malformed CSV (type errors only: DuckDB's
+    * ignore_errors skips exactly the rows Spark marks corrupt; missing-
+    * column rows would diverge — Spark null-pads them clean) is read
+    * PERMISSIVE with columnNameOfCorruptRecord; the query returns the
+    * clean half, the oracle reads the same file with ignore_errors=true.
+    * SourcesSpec asserts the quarantined half (raw lines preserved for
+    * replay). */
+  val a3b: QueryDef = m(
+    "a3b_csv_permissive",
+    s"""SELECT id, name, val
+       |FROM read_csv('$ioDir/malformed_csv/data.csv', delim = ';', header = true,
+       |  columns = {'id': 'BIGINT', 'name': 'VARCHAR', 'val': 'DOUBLE'},
+       |  ignore_errors = true)
+       |ORDER BY id""".stripMargin) { (spark, dir) =>
+    writeMalformedCsv()
+    permissiveCsv(spark)
+      .where(col("_corrupt").isNull)
+      .select(col("id"), col("name"), col("val"))
+      .orderBy(col("id"))
+  }
+
+  /** The malformed fixture + PERMISSIVE reader, shared with SourcesSpec. */
+  def writeMalformedCsv(): Unit = {
+    val p = java.nio.file.Paths.get(s"$ioDir/malformed_csv")
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.writeString(p.resolve("data.csv"),
+      """id;name;val
+        |1;alpha;1.5
+        |x;bad_id;2.0
+        |2;beta;oops
+        |3;gamma;3.25
+        |y;both;zz
+        |4;delta;4.0
+        |""".stripMargin)
+  }
+
+  def permissiveCsv(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame =
+    spark.read
+      .schema("id BIGINT, name STRING, val DOUBLE, _corrupt STRING")
+      .option("header", "true").option("delimiter", ";")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(s"$ioDir/malformed_csv")
+
   /** §2.A4 + A8 — JSON-lines sink → source with declared schema. */
   val a4: QueryDef = m(
     "a4_json_roundtrip",
@@ -205,5 +251,5 @@ object Sources extends QueryPack {
     PipelineRunner.run(spark, yaml).passed
   }
 
-  override def defs: Seq[QueryDef] = Seq(a3, a4, a7, ep1, ep2, ep2b, ep3)
+  override def defs: Seq[QueryDef] = Seq(a3, a3b, a4, a7, ep1, ep2, ep2b, ep3)
 }

@@ -101,6 +101,25 @@ class HardeningSpec extends SparkSpecBase {
       }
   }
 
+  test("A3b: PERMISSIVE quarantine captures exactly the malformed raw lines") {
+    import graft.queries.Sources
+    Sources.writeMalformedCsv()
+    // Cache the parsed frame before touching _corrupt: corrupt-marking is
+    // projection-dependent (pruning re-parses only selected columns), and
+    // Spark disallows a plan whose scan output is only the corrupt column
+    // — cache() pins the full parse, the documented recipe.
+    val parsed = Sources.permissiveCsv(spark).cache()
+    try {
+      val bad = parsed.where(col("_corrupt").isNotNull)
+        .select(col("_corrupt")).as[String].collect().sorted
+      bad shouldBe Array("2;beta;oops", "x;bad_id;2.0", "y;both;zz")
+      // clean half: the three type-valid rows, fully parsed
+      val clean = parsed.where(col("_corrupt").isNull)
+        .select(col("id")).as[Long].collect().sorted
+      clean shouldBe Array(1L, 3L, 4L)
+    } finally parsed.unpersist()
+  }
+
   test("conf scoping: a streaming run leaves the shared batch SQLConf untouched") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     // l1 runs a real AvailableNow stream through runToBatch (which pins 8
