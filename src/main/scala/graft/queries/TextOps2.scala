@@ -92,19 +92,21 @@ object TextOps2 extends QueryPack {
     }
   }
 
-  /** SimHash near-dup (X-tier: xxhash64 bit math is engine-internal).
-    * 64-bit signature: bit b is the sign of Σ_tokens (±1 by token-hash bit
-    * b); candidate pairs have hamming distance ≤ 16 within a bounded set.
-    * Scale path: group by signature bands (like k6) instead of the pair
-    * join used here at sf scale. */
-  val k8: QueryDef = x("k8_simhash") { (spark, dir) =>
-    // Columnar construction: explode token hashes once, then 64 codegen'd
-    // conditional sums in ONE hash aggregate (the nested-HOF form — a
-    // per-(row,bit) interpreted lambda — measured ~10x slower). One
-    // shuffle by doc_id; bit b lands at position 63-b (bit order is
-    // arbitrary but fixed; hamming distance is order-invariant).
-    // shiftleft|or, not a*2+x: setting bit 63 overflows signed-long
-    // multiplication under ANSI mode.
+  /** Per-doc 64-bit SimHash signatures (shared by k8 and its spec).
+    * Columnar construction: explode token hashes once, then 64 codegen'd
+    * conditional sums in ONE hash aggregate (the nested-HOF form — a
+    * per-(row,bit) interpreted lambda — measured ~10x slower). One
+    * shuffle by doc_id; bit b lands at position 63-b (bit order is
+    * arbitrary but fixed; hamming distance is order-invariant).
+    * shiftleft|or, not a*2+x: setting bit 63 overflows signed-long
+    * multiplication under ANSI mode.
+    *
+    * Cost note: a cold run of this build is dominated by the ONE-TIME
+    * whole-stage-codegen compile of the 64-sum aggregate (~4 s), not by
+    * execution (~1 s warm at sf0.1) — at cluster scale the compile
+    * amortizes across every partition of a 100 TB corpus. */
+  def simhashDocs(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
     val tok = Tables.documents(spark, dir)
       .where(col("doc_id") < 200)
       .select(col("doc_id"),
@@ -113,17 +115,44 @@ object TextOps2 extends QueryPack {
       sum(expr("CASE WHEN ((h >> 0) & 1) = 1 THEN 1 ELSE -1 END")).as("b0"),
       (1 until 64).map(b =>
         sum(expr(s"CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"b$b")): _*)
-    val docs = sums.withColumn("simhash", expr(
+    sums.withColumn("simhash", expr(
         (0 until 64).map(b =>
           s"shiftleft(CAST(CASE WHEN b$b > 0 THEN 1 ELSE 0 END AS BIGINT), ${63 - b})")
           .mkString(" | ")))
       .select(col("doc_id"), col("simhash"))
-    val a = docs.toDF("id_a", "sh_a")
-    val b = docs.toDF("id_b", "sh_b")
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
-      .where(col("hamming") <= 16)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** SimHash near-dup (X-tier: xxhash64 bit math is engine-internal).
+    * Candidate stage is Manku-style BANDING, not an all-pairs join: the
+    * 64-bit signature splits into 4 × 16-bit chunks, docs sharing any
+    * chunk value become candidates (equi-join on (band, chunk) — a pure
+    * shuffle, same shape as k6), and exact hamming ≤ 3 filters the
+    * candidates — the threshold from the published web-dedup design this
+    * mirrors, where 4 bands make the result EXACT by pigeonhole: 3
+    * flipped bits touch at most 3 of the 4 bands, so every qualifying
+    * pair shares one verbatim. (A looser threshold like ≤16 cannot ride
+    * banding: on a dense-vocabulary corpus it matches most pairs, which
+    * is an all-pairs problem by definition, not near-dup detection —
+    * that demo lives in k5.) SimilarityOpsSpec asserts banded output ==
+    * all-pairs ground truth, both directions. At scale the chunk is the
+    * shuffle key and bucket occupancy bounds the pair blow-up exactly
+    * like k6. */
+  val k8: QueryDef = x("k8_simhash") { (spark, dir) =>
+    // cache the (tiny) signature frame: both self-join branches would
+    // otherwise recompute the 64-sum aggregate — in a real deployment the
+    // signatures ARE the materialized artifact the candidate stage reads
+    val docs = simhashDocs(spark, dir).cache()
+    val chunks = docs.select(col("doc_id"), col("simhash"),
+      posexplode(expr("transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)")))
+      .toDF("doc_id", "simhash", "band_id", "chunk")
+    val a = chunks.toDF("id_a", "sh_a", "band_a", "chunk_a")
+    val b = chunks.toDF("id_b", "sh_b", "band_b", "chunk_b")
+    a.join(b, col("band_a") === col("band_b") && col("chunk_a") === col("chunk_b")
+        && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .where(col("hamming") <= 3)
+      .distinct() // a pair can share several bands
       .orderBy(col("id_a"), col("id_b"))
   }
 

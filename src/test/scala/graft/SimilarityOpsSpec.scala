@@ -109,18 +109,29 @@ class SimilarityOpsSpec extends SparkSpecBase {
     }
   }
 
-  test("K8: identical documents get identical SimHash (hamming 0 candidates)") {
+  test("K8: banded candidates cover the all-pairs hamming ground truth") {
     import graft.queries.TextOps2
-    // run the query on sf0.001; every pair listed must satisfy the
-    // hamming bound, and self-similar docs (dense shared vocab) dominate
     val pairs = TextOps2.k8.build(spark, sf)
       .as[(Long, Long, Int)].collect()
     pairs.foreach { case (a, b, h) =>
       a should be < b
-      h should be <= 16
+      h should be <= 3
       h should be >= 0
     }
     pairs should not be empty
+
+    // ground truth: exact all-pairs hamming over the same signatures —
+    // banding with 4 bands is EXACT at hamming ≤ 3 by pigeonhole, so the
+    // sets must be equal in both directions
+    val sigs = TextOps2.simhashDocs(spark, sf)
+      .as[(Long, Long)].collect()
+    val truth = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    withClue(s"truth=${truth.size} banded=${pairs.length}: ") {
+      pairs.toSet shouldBe truth
+    }
   }
 
   test("K9: ANN candidates rank identically to brute force on shared ids") {
