@@ -42,6 +42,11 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1,q2 limits the run (local iteration aid).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o => // a typo would otherwise silently run everything
+      val unknown = o -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[bench] unknown SPARK_GRAFT_ONLY names: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> force(n))

@@ -302,6 +302,10 @@ object Scalars extends QueryPack {
         col("event_id"),
         col("k_str"),
         col("parsed").getField("k").as("k_num"),
+        // valid-JSON assumption: from_json yields null on malformed props
+        // and to_json(null) is NULL, where DuckDB-side rebuilding would
+        // give '{}' — fixtures are all valid JSON (FIXTURES.md), so the
+        // forms agree; revisit if malformed props ever enter the corpus
         to_json(col("parsed")).as("rebuilt"))
       .orderBy(col("event_id"))
   }

@@ -85,13 +85,17 @@ def check(name, sdf, odf):
             return f"dtype {c}: spark={s} oracle={o}"
     if len(sdf) != len(odf):
         return f"rowcount spark={len(sdf)} oracle={len(odf)}"
-    # non-scalar cells break the driver's comparator outright
+    # non-scalar cells break the driver's comparator outright; scan the
+    # first NON-NULL value (a leading null row would hide a list/Decimal
+    # further down and let canon() str()-compare ndarrays green)
     for df, side in ((sdf, "spark"), (odf, "oracle")):
         for c in df.columns:
             if str(df[c].dtype) == "object" and len(df):
-                b = bad_cell(df[c].iloc[0])
-                if b:
-                    return f"{side} col {c}: {b}"
+                nn = df[c].dropna()
+                if len(nn):
+                    b = bad_cell(nn.iloc[0])
+                    if b:
+                        return f"{side} col {c}: {b}"
     for c in sdf.columns:
         a = sdf[c].map(canon).values
         b = odf[c].map(canon).values
