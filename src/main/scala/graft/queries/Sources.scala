@@ -251,5 +251,42 @@ object Sources extends QueryPack {
     PipelineRunner.run(spark, yaml).passed
   }
 
-  override def defs: Seq[QueryDef] = Seq(a3, a3b, a4, a7, ep1, ep2, ep2b, ep3)
+  /** §3.2 EP3b — a STATEFUL streaming pipeline from the same YAML: the
+    * `aggregate` op under `mode: streaming` becomes a streaming
+    * aggregation backed by the state store, emitted in update mode.
+    * The whole events file arrives in one micro-batch (AvailableNow), so
+    * each group key is emitted exactly once and the captured result is
+    * the complete aggregate — oracle-checked against the batch GROUP BY.
+    * Sums accumulate over DECIMAL(12,2) casts so ordering cannot matter
+    * (same determinism rule as ep2/pricing_summary). */
+  val ep3b: QueryDef = m(
+    "ep3b_config_stream_agg",
+    s"""SELECT event_type, CAST(floor(value / 100) AS BIGINT) AS v_bucket,
+       |  COUNT(*) AS n,
+       |  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+       |FROM events
+       |WHERE event_id IS NOT NULL AND value BETWEEN 0.0 AND 400.0
+       |GROUP BY event_type, CAST(floor(value / 100) AS BIGINT)
+       |ORDER BY event_type, v_bucket""".stripMargin) { (spark, dir) =>
+    val yaml =
+      s"""name: ep3b_stream_agg
+         |mode: streaming
+         |output_mode: update
+         |source: {format: parquet, path: "$dir",
+         |  schema: "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+         |  options: {pathGlobFilter: "events.parquet"}}
+         |checks:
+         |  - {type: not_null, col: event_id}
+         |  - {type: range, col: value, lo: 0.0, hi: 400.0}
+         |transforms:
+         |  - {op: derive, name: v_bucket, expr: "CAST(floor(value / 100) AS BIGINT)"}
+         |  - {op: aggregate, cols: [event_type, v_bucket],
+         |     aggs: ["COUNT(*) AS n",
+         |            "CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value"]}
+         |  - {op: sort, cols: [event_type, v_bucket]}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml).passed
+  }
+
+  override def defs: Seq[QueryDef] = Seq(a3, a3b, a4, a7, ep1, ep2, ep2b, ep3, ep3b)
 }

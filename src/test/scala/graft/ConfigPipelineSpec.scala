@@ -210,6 +210,41 @@ class ConfigPipelineSpec extends SparkSpecBase {
     e2.getMessage should include("only allowed at the pipeline tail")
   }
 
+  test("EP3b: streaming aggregate (update mode) equals the batch GROUP BY") {
+    val body =
+      s"""output_mode: update
+         |source: {format: parquet, path: "$sf",
+         |  schema: "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+         |  options: {pathGlobFilter: "events.parquet"}}
+         |transforms:
+         |  - {op: aggregate, cols: [event_type],
+         |     aggs: ["count(*) AS n",
+         |            "CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value"]}
+         |  - {op: sort, cols: [event_type]}
+         |""".stripMargin
+    val batch = PipelineRunner.run(spark, s"name: agg_b\n$body")
+    val stream = PipelineRunner.run(spark, s"name: agg_s\nmode: streaming\n$body")
+    stream.passed.collect().map(_.toSeq) shouldBe batch.passed.collect().map(_.toSeq)
+  }
+
+  test("example YAMLs run end-to-end via runFile (batch agg + streaming agg)") {
+    import java.nio.file.{Files, Paths}
+    for ((ex, countCol) <- Seq("summarize" -> "n_orders", "stream_aggregate" -> "n")) {
+      val out = Files.createTempDirectory(s"graft_ex_$ex").toString
+      val tmp = Files.createTempFile(s"graft_ex_$ex", ".yaml")
+      Files.writeString(tmp, Files.readString(Paths.get(s"examples/$ex.yaml"))
+        .replace("SFDIR", sf).replace("OUTDIR", out))
+      val r = PipelineRunner.runFile(spark, tmp.toString)
+      val sunk = spark.read.parquet(r.spec.sink.get.path)
+      sunk.columns should contain(countCol)
+      // the sink holds the complete aggregate: group counts sum to the
+      // (check-passing) source row count
+      sunk.agg(org.apache.spark.sql.functions.sum(countCol)).head().getLong(0) shouldBe
+        r.passed.agg(org.apache.spark.sql.functions.sum(countCol)).head().getLong(0)
+      sunk.count() should be > 0L
+    }
+  }
+
   test("EP1: rename / cast / drop transforms compose in order") {
     val yaml =
       s"""name: t_demo
