@@ -217,5 +217,65 @@ object Similarity extends QueryPack {
       sys.env.getOrElse("SPARK_GRAFT_LSH_BUCKET_CAP", "1024").toInt)
   }
 
-  override def defs: Seq[QueryDef] = Seq(k1, k2, k3, k4, k5, k6, k7)
+  /** IVF coarse quantizer: every vector's nearest-centroid cell id.
+    *
+    * Centroids are the `nCentroids` lowest vec_ids — a fixed, reproducible
+    * coarse codebook (a real deployment trains k-means offline and
+    * broadcasts the result through the exact same plan shape). The whole
+    * centroid table collapses into ONE broadcast array row, so assignment
+    * is map-only: each vector evaluates C codegen cosines in a single
+    * projection and takes `array_max` over (score, c_id) structs — no
+    * shuffle anywhere, embarrassingly parallel at any scale. Scores are
+    * rounded to 6 dp BEFORE the argmax so the cell decision is identical
+    * on any engine/accumulation-order (D-rule 7). */
+  def ivfAssign(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nCentroids: Int): DataFrame = {
+    graft.ext.GraftFunctions.register(spark)
+    val v = emb(Tables.embeddings(spark, dir)).select(col("vec_id"), col("e"))
+    val cents = v.where(col("vec_id") < nCentroids)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("e").as("c"))).as("cs"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("cell", expr(
+        "(array_max(transform(cs, s -> struct(round(graft_cosine(e, s.c), 6) AS sc, s.cid AS cid)))).cid"))
+      .select(col("vec_id"), col("e"), col("cell"))
+  }
+
+  /** IVF-bucketed ANN search (X-tier — the partition-pruned scale path
+    * beyond k9's SRP-LSH): the query ranks the broadcast codebook, keeps
+    * its `nProbe` nearest cells, and scores ONLY vectors assigned to
+    * those cells by exact cosine — TakeOrderedAndProject top-k, no global
+    * sort. At 100 TB the inverted file is written partitioned BY cell, so
+    * a probe reads nProbe/C of the corpus via partition pruning; the
+    * probed fraction is the recall/cost dial. SimilarityOpsSpec asserts
+    * the result is EXACTLY the brute-force top-k restricted to probed
+    * cells, plus ordering and score agreement with k3/k4. */
+  def ivfTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    val assigned = ivfAssign(spark, dir, nCentroids)
+    val cents = emb(Tables.embeddings(spark, dir))
+      .where(col("vec_id") < nCentroids)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("e").as("c"))).as("cs"))
+    // the query's nProbe nearest cells, by (rounded score, cid) descending
+    // — array_sort on the struct is order-insensitive, so the collect_list
+    // arrival order can't matter
+    val q = emb(Tables.embeddings(spark, dir)).where(col("vec_id") === 0)
+      .crossJoin(broadcast(cents))
+      .select(col("e").as("qe"), expr(
+        s"""transform(slice(reverse(array_sort(
+           |  transform(cs, s -> struct(round(graft_cosine(e, s.c), 6) AS sc, s.cid AS cid)))),
+           |  1, $nProbe), x -> x.cid)""".stripMargin).as("probe"))
+    assigned.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .where(array_contains(col("probe"), col("cell")))
+      .select(col("vec_id"), col("cell"),
+        score6(expr("graft_cosine(e, qe)")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  val k10: QueryDef = x("k10_ivf_ann") { (spark, dir) =>
+    ivfTopK(spark, dir, nCentroids = 16, nProbe = 4, k = 10)
+  }
+
+  override def defs: Seq[QueryDef] = Seq(k1, k2, k3, k4, k5, k6, k7, k10)
 }

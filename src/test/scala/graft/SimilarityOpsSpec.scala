@@ -151,6 +151,31 @@ class SimilarityOpsSpec extends SparkSpecBase {
     ann.foreach { case (id, s) => s shouldBe brute(id) }
   }
 
+  test("K10: IVF result is exactly the brute-force top-k over probed cells") {
+    val nC = 16; val nProbe = 4
+    // brute-force rounded cosines vs the vec_id=0 query (k3 — HOF path,
+    // bit-equal to graft_cosine per the K3/M3 law above)
+    val brute = Similarity.k3.build(spark, sf)
+      .select(col("vec_id"), col("cos_sim")).as[(Long, Double)].collect().toMap
+    // replicate probe selection: top-nProbe centroids by (score, cid) desc
+    val probe = (0L until nC).map(c => (brute(c), c))
+      .sortBy { case (s, c) => (-s, -c) }.take(nProbe).map(_._2).toSet
+    val assigned = Similarity.ivfAssign(spark, sf, nC)
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toMap
+    // every vector must sit in its max-cosine cell w.r.t. the query-side
+    // codebook scores — spot-check the centroids themselves (cell = self)
+    (0L until nC).foreach(c => assigned(c) shouldBe c)
+    val expected = brute.toSeq
+      .filter { case (id, _) => id != 0 && probe(assigned(id)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    val ivf = Similarity.k10.build(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    ivf.map(r => (r._1, r._3)).toSeq shouldBe expected
+    // and the probed subset genuinely prunes: candidates < half the corpus
+    val probedFrac = assigned.count { case (_, cell) => probe(cell) }.toDouble / assigned.size
+    withClue(s"probed fraction $probedFrac: ") { probedFrac should be < 0.5 }
+  }
+
   test("E5: approx_count_distinct within 3·rsd of exact") {
     val li = Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)
