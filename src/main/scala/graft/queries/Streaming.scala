@@ -131,5 +131,43 @@ object Streaming extends QueryPack {
       .orderBy(col("user_id"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(l1, l2, l3, l5, l6, l7)
+  /** §2.L8 — stream-stream interval join (append mode): purchases joined
+    * to the same user's clicks in the preceding 2 hours. Both sides carry
+    * a watermark and the join condition bounds event-time distance, so
+    * Spark can size and evict join state — the canonical unbounded-join
+    * shape. With the whole file in one micro-batch nothing is evicted
+    * early and the result equals the batch interval join, which is the
+    * oracle. At scale, state per side is (watermark delay + interval)
+    * worth of rows, sharded by the equi-key. */
+  val l8: QueryDef = m(
+    "l8_stream_stream_join",
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+      |  CAST(p.ts AS TIMESTAMP) AS purchase_ts
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 2 HOUR
+      | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+      |ORDER BY purchase_id, click_id""".stripMargin) { (spark, dir) =>
+    StreamOps.runToBatch(spark, "l8", { ss =>
+      val p = StreamOps.eventsStream(ss, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("event_ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val c = StreamOps.eventsStream(ss, dir)
+        .where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("event_ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      p.join(c, col("p_user") === col("c_user")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS")
+          && col("c_ts") <= col("p_ts"))
+        .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+          col("p_ts").cast(TimestampNTZType).as("purchase_ts"))
+    }, "append")
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(l1, l2, l3, l5, l6, l7, l8)
 }
