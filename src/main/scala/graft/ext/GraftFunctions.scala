@@ -63,8 +63,12 @@ object GraftFunctions {
   }
 }
 
-/** `SparkSessionExtensions` injection point (§2.M3 contract route). */
+/** `SparkSessionExtensions` injection point (§2.M3 contract route):
+  * catalog functions plus the whole-operator as-of join strategy
+  * (§2.M tier (c) — graft.plans.AsOfJoinStrategy). */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.catalystFunctions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

@@ -150,6 +150,36 @@ object Joins extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** §2.D7 again, as the native whole-operator route (§2.M tier (c)):
+    * graft.plans.AsOfJoin — custom LogicalPlan + SparkStrategy +
+    * merge-pass SparkPlan, registered via SparkSessionExtensions /
+    * experimental.extraStrategies. Same oracle as d7 (DuckDB's native
+    * ASOF LEFT JOIN), so the two implementations cross-check each other.
+    * Scale contrast with d7's window form: each side shuffles only on
+    * user_id and the merge streams with O(1) state per partition —
+    * no union of both row shapes through one window sort. */
+  val d7b: QueryDef = m(
+    "d7b_asof_native",
+    """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+      |  CAST(v.ts AS TIMESTAMP) AS last_view_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND v.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin) { (spark, dir) =>
+    val e = Tables.events(spark, dir)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_ts").as("purchase_ts"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"),
+        col("event_ts").as("last_view_ts"))
+    graft.plans.AsOf.join(purchases, views,
+        Seq("user_id"), Seq("v_user_id"), "ts", "v_ts")
+      .select(col("event_id"), col("user_id"), col("purchase_ts"),
+        col("last_view_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** §2.D8 — interval self-join: same-user event pairs within 1 second.
     * Scale path: instead of a per-user nested loop, each left row is
     * exploded to 3 adjacent 1s-bucket probes and equi-joined on
@@ -177,5 +207,5 @@ object Joins extends QueryPack {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8)
+  override def defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8)
 }

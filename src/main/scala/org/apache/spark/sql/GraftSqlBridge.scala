@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Single-purpose bridge into the `private[sql]` classic Dataset
+  * constructor: turn a hand-built `LogicalPlan` (graft.plans.AsOfJoinPlan)
+  * back into a user-facing DataFrame. This is the standard extension-
+  * library pattern for custom logical operators (the public API offers no
+  * other plan→DataFrame route); nothing else from the private surface is
+  * touched.
+  */
+object GraftSqlBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
