@@ -69,9 +69,14 @@ final case class CheckSpec(
   *  - derive: `expr` may be a window function ("rank() OVER (...)") —
   *    Spark's expression parser accepts OVER clauses, so §2.F windows
   *    need no dedicated op
+  *  - asof_join (§2.D7, batch only): `table` = right side, `where` =
+  *    optional right-side filter, `cols` = right-side projection with
+  *    rename pairs ("old:new" — output names must not collide with the
+  *    left), `on` = equi-key pairs "leftKey:rightKey", `expr` =
+  *    "leftTs:rightTs". Runs the native graft.plans.AsOf merge operator.
   */
 final case class TransformSpec(
-    op: String,                   // select | rename | drop | derive | filter | cast | join | limit | sort | aggregate | union | dedup
+    op: String,                   // select | rename | drop | derive | filter | cast | join | limit | sort | aggregate | union | dedup | asof_join
     cols: Seq[String],
     name: Option[String],
     expr: Option[String],
@@ -81,7 +86,8 @@ final case class TransformSpec(
     how: Option[String],
     broadcast: Boolean,
     aggs: Seq[String],
-    orderBy: Seq[String])
+    orderBy: Seq[String],
+    where: Option[String])
 
 final case class SinkSpec(
     format: String,               // parquet | csv | json
@@ -135,7 +141,7 @@ object PipelineSpec {
   private def transform(n: JsonNode, at: String): TransformSpec = {
     val op = reqStr(n, "op", at)
     require(Set("select", "rename", "drop", "derive", "filter", "cast", "join",
-      "limit", "sort", "aggregate", "union", "dedup")(op),
+      "limit", "sort", "aggregate", "union", "dedup", "asof_join")(op),
       s"$at.op: unknown '$op'")
     TransformSpec(op,
       cols = strArr(n, "cols"), name = optStr(n, "name"),
@@ -143,7 +149,8 @@ object PipelineSpec {
       table = opt(n, "table").map(source(_, s"$at.table")),
       on = strArr(n, "on"), how = optStr(n, "how"),
       broadcast = opt(n, "broadcast").exists(_.asBoolean(false)),
-      aggs = strArr(n, "aggs"), orderBy = strArr(n, "orderBy"))
+      aggs = strArr(n, "aggs"), orderBy = strArr(n, "orderBy"),
+      where = optStr(n, "where"))
   }
 
   private def sink(n: JsonNode, at: String): SinkSpec = {

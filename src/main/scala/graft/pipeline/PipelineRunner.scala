@@ -78,6 +78,9 @@ object PipelineRunner {
     val (streamable, tail) = spec.transforms.splitAt(spec.transforms.size - nTail)
     streamable.foreach(t => require(!Set("sort", "limit")(t.op),
       s"streaming mode: '${t.op}' only allowed at the pipeline tail"))
+    streamable.foreach(t => require(t.op != "asof_join",
+      "streaming mode: 'asof_join' is batch-only (use a stream-stream " +
+        "interval join for streaming time alignment)"))
 
     def mk(pass: Boolean)(ss: SparkSession): DataFrame = {
       val src = readStream(ss, spec.source)
@@ -263,6 +266,30 @@ object PipelineRunner {
           df.withColumn("__rn", row_number().over(w))
             .where(col("__rn") === 1).drop("__rn")
         }
+      case "asof_join" => // §2.D7 through the config surface (batch only):
+        // native whole-operator as-of join (graft.plans.AsOfJoinExec) —
+        // each side shuffles once on its key, then one merge pass
+        val right0 = read(spark, t.table.getOrElse(
+          throw new IllegalArgumentException("asof_join needs `table`")))
+        val filtered = t.where.map(w => right0.where(expr(w))).getOrElse(right0)
+        val right = if (t.cols.nonEmpty) filtered.select(t.cols.map { spec =>
+            spec.split(":", 2) match {
+              case Array(from, to) => col(from).as(to)
+              case _               => col(spec)
+            }
+          }: _*) else filtered
+        def pair(spec: String, what: String): (String, String) =
+          spec.split(":", 2) match {
+            case Array(l, r) => (l, r)
+            case _ => throw new IllegalArgumentException(
+              s"asof_join $what: expected 'left:right', got '$spec'")
+          }
+        require(t.on.nonEmpty, "asof_join needs `on` key pairs 'leftKey:rightKey'")
+        val (lKeys, rKeys) = t.on.map(pair(_, "on")).unzip
+        val (lTs, rTs) = pair(t.expr.getOrElse(
+          throw new IllegalArgumentException(
+            "asof_join needs `expr: leftTs:rightTs`")), "expr")
+        graft.plans.AsOf.join(df, right, lKeys, rKeys, lTs, rTs)
       case other   => throw new IllegalArgumentException(s"unknown transform $other")
     }
 

@@ -288,5 +288,43 @@ object Sources extends QueryPack {
     PipelineRunner.run(spark, yaml).passed
   }
 
-  override def defs: Seq[QueryDef] = Seq(a3, a3b, a4, a7, ep1, ep2, ep2b, ep3, ep3b)
+  /** §3.2 EP4 — the native as-of join (§2.D7 / d7b) reached from the YAML
+    * config surface: enrichment declared as `op: asof_join`, with the
+    * right side read, filtered and renamed entirely from config. Same
+    * DuckDB ASOF LEFT JOIN oracle as d7/d7b, so all three routes
+    * (window form, native operator, config surface) cross-check. */
+  val ep4: QueryDef = m(
+    "ep4_config_asof",
+    """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+      |  CAST(v.ts AS TIMESTAMP) AS last_view_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND v.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin) { (spark, dir) =>
+    val yaml =
+      s"""name: ep4_asof
+         |source: {format: parquet, path: "$dir/events.parquet"}
+         |checks:
+         |  - {type: not_null, col: user_id}
+         |transforms:
+         |  - {op: filter, expr: "event_type = 'purchase'"}
+         |  - {op: derive, name: purchase_ts,
+         |     expr: "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"}
+         |  - {op: select, cols: [event_id, user_id, ts, purchase_ts]}
+         |  - op: asof_join
+         |    table: {format: parquet, path: "$dir/events.parquet"}
+         |    where: "event_type = 'view'"
+         |    cols: ["user_id:v_user_id", "ts:v_ts"]
+         |    on: ["user_id:v_user_id"]
+         |    expr: "ts:v_ts"
+         |  - {op: derive, name: last_view_ts,
+         |     expr: "CAST(timestamp_micros(v_ts div 1000) AS TIMESTAMP_NTZ)"}
+         |  - {op: select, cols: [event_id, user_id, purchase_ts, last_view_ts]}
+         |  - {op: sort, cols: [event_id]}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml).passed
+  }
+
+  override def defs: Seq[QueryDef] =
+    Seq(a3, a3b, a4, a7, ep1, ep2, ep2b, ep3, ep3b, ep4)
 }

@@ -245,6 +245,45 @@ class ConfigPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("EP4: asof_join example YAML enriches through the native operator") {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("graft_ex_asof").toString
+    val tmp = Files.createTempFile("graft_ex_asof", ".yaml")
+    Files.writeString(tmp, Files.readString(Paths.get("examples/asof_enrich.yaml"))
+      .replace("SFDIR", sf).replace("OUTDIR", out))
+    val r = PipelineRunner.runFile(spark, tmp.toString)
+    val p = r.passed.queryExecution.executedPlan.toString
+    p should include("AsOfJoin") // the custom operator, not a rewrite
+    val sunk = spark.read.parquet(r.spec.sink.get.path)
+    sunk.columns.toSeq shouldBe
+      Seq("event_id", "user_id", "purchase_ts", "last_view_ts")
+    // every purchase row survives (left as-of join), and the config route
+    // agrees with the directly-built d7b native query
+    val viaConfig = r.passed
+      .select("event_id", "last_view_ts").collect()
+      .map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    val direct = graft.queries.Joins.d7b.build(spark, sf)
+      .select("event_id", "last_view_ts").collect()
+      .map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    viaConfig shouldBe direct
+  }
+
+  test("EP4: asof_join is rejected in streaming mode with a clear error") {
+    val yaml =
+      s"""name: s_asof
+         |mode: streaming
+         |source: {format: parquet, path: "$sf/events.parquet"}
+         |transforms:
+         |  - op: asof_join
+         |    table: {format: parquet, path: "$sf/events.parquet"}
+         |    on: ["user_id:v_user_id"]
+         |    expr: "ts:v_ts"
+         |""".stripMargin
+    val e = intercept[IllegalArgumentException](PipelineRunner.run(spark, yaml))
+    e.getMessage should include("asof_join")
+    e.getMessage should include("batch-only")
+  }
+
   test("EP1: rename / cast / drop transforms compose in order") {
     val yaml =
       s"""name: t_demo
