@@ -70,5 +70,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.catalystFunctions.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // runs inside the operator-optimization fixed point: filters pushed
+    // through the as-of join keep sinking into the parquet scan
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinRules)
   }
 }

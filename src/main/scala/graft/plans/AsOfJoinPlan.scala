@@ -57,13 +57,17 @@ object AsOfJoinStrategy extends SparkStrategy {
 /** User-facing API for the native as-of join. */
 object AsOf {
 
-  /** Idempotently add the planner strategy to a live session (the blessed
-    * conf route is `spark.sql.extensions=graft.ext.GraftSparkExtensions`,
-    * which injects the same object). */
+  /** Idempotently add the planner strategy + optimizer rules to a live
+    * session (the blessed conf route is
+    * `spark.sql.extensions=graft.ext.GraftSparkExtensions`, which injects
+    * the same objects — and there the rules run inside the main operator-
+    * optimization fixed point, so pushed filters reach the scans). */
   def ensureStrategy(spark: SparkSession): Unit = {
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(AsOfJoinStrategy))
       exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+    if (!exp.extraOptimizations.contains(AsOfJoinRules))
+      exp.extraOptimizations = exp.extraOptimizations :+ AsOfJoinRules
   }
 
   /** Left as-of join `left ⟕asof right`. Column names must be disjoint

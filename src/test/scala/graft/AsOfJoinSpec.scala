@@ -88,6 +88,66 @@ class AsOfJoinSpec extends SparkSpecBase {
     got shouldBe Map(1 -> 3L, 2 -> 7L)
   }
 
+  test("optimizer rule: left-only filters push through the as-of join") {
+    import graft.plans.AsOfJoinPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val df = Joins.d7b.build(spark, sf).where(col("event_id") > 100)
+    val ajs = df.queryExecution.optimizedPlan.collect {
+      case aj: AsOfJoinPlan => aj }
+    ajs should have size 1
+    // the event_id predicate must sit INSIDE the left child, not above
+    // the join (above, it would filter AFTER the shuffles)
+    val leftFilters = ajs.head.left.collect { case f: LFilter => f.condition.sql }
+    leftFilters.mkString(";") should include("event_id")
+    // semantics unchanged: pushed plan equals post-hoc filtering
+    val want = Joins.d7b.build(spark, sf).collect().filter(_.getLong(0) > 100)
+    df.collect() should contain theSameElementsInOrderAs want
+  }
+
+  test("optimizer rule: projections prune unused columns below the join") {
+    import graft.plans.AsOfJoinPlan
+    import spark.implicits._
+    val l = Seq(("a", 1L, "x", "wideL")).toDF("lk", "lt", "lpay", "lwide")
+    val r = Seq(("a", 1L, "y", "wideR")).toDF("rk", "rt", "rpay", "rwide")
+    val joined = graft.plans.AsOf.join(l, r, Seq("lk"), Seq("rk"), "lt", "rt")
+      .select("lk", "rpay") // lwide / lpay / rwide / rt are dead
+    val aj = joined.queryExecution.optimizedPlan.collect {
+      case a: AsOfJoinPlan => a }.head
+    aj.left.output.map(_.name) should not contain "lwide"
+    aj.right.output.map(_.name) should not contain "rwide"
+    // keys/timestamps survive pruning — the operator needs them
+    aj.left.output.map(_.name) should contain allOf ("lk", "lt")
+    aj.right.output.map(_.name) should contain allOf ("rk", "rt")
+    joined.collect().map(_.toSeq) shouldBe Array(Seq("a", "y"))
+  }
+
+  test("extensions-conf session: pushed filter reaches the parquet scan") {
+    import org.apache.spark.sql.SparkSession
+    val old = spark // keep the shared suite session to restore afterwards
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // same SparkContext, fresh session state with the blessed conf
+      // route — here AsOfJoinRules runs INSIDE the operator-optimization
+      // fixed point, so the pushed conjunct keeps sinking into the scan
+      val s2 = SparkSession.builder()
+        .config("spark.sql.extensions", "graft.ext.GraftSparkExtensions")
+        .getOrCreate()
+      graft.ext.GraftFunctions.register(s2) // UDF/UDAF half (non-catalyst)
+      val p = Joins.d7b.build(s2, sf).where(col("event_id") > 100)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      p should include("AsOfJoin")
+      // (plain toString elides long filter lists; formatted mode is full)
+      p should include regex "PushedFilters: \\[[^\\]]*GreaterThan\\(event_id,100\\)"
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setActiveSession(old)
+      SparkSession.setDefaultSession(old)
+    }
+  }
+
   test("as-of join of two unsorted bigger sides matches a SQL subquery oracle") {
     import spark.implicits._
     // deterministic pseudo-random data, unsorted input order
