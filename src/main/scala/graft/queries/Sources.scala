@@ -118,6 +118,65 @@ object Sources extends QueryPack {
       .orderBy(col("n_nationkey"))
   }
 
+  /** §2.A7b — bucketed sink → ZERO-SHUFFLE join (the 100-TB amortization
+    * play): both fact tables are written `bucketBy(8, joinKey)` +
+    * `sortBy`, so every subsequent join on that key reads co-located
+    * buckets and skips BOTH exchange AND sort — the shuffle is paid once
+    * at write time instead of on every downstream join. PlanSpec asserts
+    * the executed join really has no Exchange above either scan.
+    * (`saveAsTable` with an explicit path = external table; the in-memory
+    * catalog carries the bucket spec for the session.) */
+  val a7b: QueryDef = m(
+    "a7b_bucketed_join",
+    s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+       |  ${graft.core.Det.oMoney(s"SUM(${graft.core.Det.oDec2("l_quantity")})")} AS sum_qty
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    bucketedTables(spark, dir)
+    val l = spark.table("graft_bkt_lineitem")
+    // MERGE hint: at 100 TB neither fact side is broadcast-able, and SMJ
+    // is what exploits the bucket layout; without it the tiny test-scale
+    // orders side would be broadcast and the plan wouldn't demonstrate
+    // the exchange-free join this query exists to pin down
+    val o = spark.table("graft_bkt_orders").hint("merge")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.core.Det.money(sum(graft.core.Det.dec2(col("l_quantity"))))
+          .as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Idempotent per-(session, sfDir) bucketed-table setup: re-registers
+    * and rewrites only when the source scale factor changes. */
+  def bucketedTables(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    synchronized {
+      val marker = java.nio.file.Paths.get(s"$ioDir/.bucketed_src")
+      val current = if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker)) else ""
+      val fresh = current != dir ||
+        !spark.catalog.tableExists("graft_bkt_lineitem")
+      if (fresh) {
+        spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_quantity"))
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$ioDir/bkt_lineitem")
+          .saveAsTable("graft_bkt_lineitem")
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$ioDir/bkt_orders")
+          .saveAsTable("graft_bkt_orders")
+        new java.io.File(ioDir).mkdirs()
+        java.nio.file.Files.write(marker, dir.getBytes)
+      }
+    }
+
   /** §3.2 EP1 — a full config-driven pipeline (YAML string → source →
     * checks → quarantine split → derive/join/select → result), verified
     * against the equivalent hand-written SQL. */
@@ -326,5 +385,5 @@ object Sources extends QueryPack {
   }
 
   override def defs: Seq[QueryDef] =
-    Seq(a3, a3b, a4, a7, ep1, ep2, ep2b, ep3, ep3b, ep4)
+    Seq(a3, a3b, a4, a7, a7b, ep1, ep2, ep2b, ep3, ep3b, ep4)
 }

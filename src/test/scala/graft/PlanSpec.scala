@@ -47,6 +47,24 @@ class PlanSpec extends SparkSpecBase {
     p.sliding("HashAggregate".length).count(_ == "HashAggregate") should be >= 2
   }
 
+  test("a7b: bucketed join runs with no Exchange on either side") {
+    // the 100-TB amortization play: bucketBy at write time removes the
+    // shuffle from EVERY later join on that key — the join subtree up to
+    // the aggregation must be exchange-free (SelectedBucketsCount in the
+    // scans), with the one legitimate Exchange left for the groupBy
+    val d = Sources.a7b.build(spark, sf)
+    val p = plan(d)
+    withClue(p) {
+      p should include("SelectedBucketsCount")
+      p should include("SortMergeJoin")
+      // a broken bucket join would re-shuffle on the join key; the only
+      // legitimate exchanges are the groupBy's and the final orderBy's
+      (p should not).include("Exchange hashpartitioning(l_orderkey")
+      (p should not).include("Exchange hashpartitioning(o_orderkey")
+    }
+    d.collect().length should be > 0
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE finalizes the physical plan only on execution of THIS dataset's
     // own QueryExecution — collect, then look for codegen stage markers
