@@ -80,23 +80,40 @@ case class AsOfJoinExec(
       // iterator reuses its UnsafeRow buffer across next() calls
       var rRow: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
       var lastMatch: InternalRow = null // already a copy — safe to retain
+      def advanceRight(): Unit =
+        rRow = if (rIter.hasNext) rIter.next().copy() else null
       lIter.map { l =>
         val lk = lKeyProj(l)
         // a retained match from an earlier key can never apply again
         if (lastMatch != null && keyOrd.compare(rKeyProj(lastMatch), lk) != 0)
           lastMatch = null
         val lts = lTsB.eval(l)
-        if (lts != null) {
+        // SQL equality semantics: a NULL key equals nothing (so a left row
+        // with any null key matches no right row, and null-key right rows
+        // are never retained — they sort first and are skipped via c < 0);
+        // a NULL left ts compares unknown-to-everything: no match.
+        if (lts == null || lk.anyNull) {
+          lastMatch = null
+        } else {
           var scanning = rRow != null
           while (scanning) {
             val c = keyOrd.compare(rKeyProj(rRow), lk)
-            if (c < 0 || (c == 0 && tsOrd.lteq(rTsB.eval(rRow), lts))) {
-              if (c == 0) lastMatch = rRow
-              rRow = if (rIter.hasNext) rIter.next().copy() else null
-              scanning = rRow != null
+            if (c < 0) {
+              advanceRight(); scanning = rRow != null
+            } else if (c == 0) {
+              val rts = rTsB.eval(rRow)
+              // Defensive: the AsOf.join wrapper filters null right ts,
+              // but a directly-built plan (or a future rewrite) may not —
+              // a null ts can never be "the latest at-or-before", so skip
+              // the row instead of NPE-ing in tsOrd.
+              if (rts == null) { advanceRight(); scanning = rRow != null }
+              else if (tsOrd.lteq(rts, lts)) {
+                lastMatch = rRow
+                advanceRight(); scanning = rRow != null
+              } else scanning = false
             } else scanning = false
           }
-        } else lastMatch = null // ts NULL compares unknown: no match
+        }
         resultProj(joined(l, if (lastMatch != null) lastMatch else nullRight))
       }
     }

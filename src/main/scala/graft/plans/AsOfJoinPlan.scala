@@ -36,6 +36,25 @@ case class AsOfJoinPlan(
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs at least one equi-key per side")
 
+  // Key/timestamp pairs MUST agree in type: AsOfJoinExec builds its key
+  // ordering + hash partitioning from the LEFT side's types and applies
+  // them to RIGHT-side rows, so e.g. INT vs BIGINT keys would silently
+  // mis-partition and mis-read bytes instead of erroring. Checked here
+  // (not only in the AsOf.join wrapper) so directly-constructed plans are
+  // covered too; guarded on `resolved` because `dataType` on an unresolved
+  // expression throws a different, less helpful error.
+  if ((leftKeys ++ rightKeys :+ leftTs :+ rightTs).forall(_.resolved)) {
+    leftKeys.zip(rightKeys).zipWithIndex.foreach { case ((l, r), i) =>
+      require(GraftSqlBridge.sameType(l.dataType, r.dataType),
+        s"as-of join key #$i type mismatch: left ${l.sql}: ${l.dataType.catalogString} " +
+          s"vs right ${r.sql}: ${r.dataType.catalogString}; cast both sides to one type")
+    }
+    require(GraftSqlBridge.sameType(leftTs.dataType, rightTs.dataType),
+      s"as-of join timestamp type mismatch: left ${leftTs.sql}: " +
+        s"${leftTs.dataType.catalogString} vs right ${rightTs.sql}: " +
+        s"${rightTs.dataType.catalogString}; cast both sides to one type")
+  }
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -73,7 +92,12 @@ object AsOf {
   /** Left as-of join `left ⟕asof right`. Column names must be disjoint
     * across the two sides (rename the right side first); right rows with a
     * null timestamp are dropped (they can never be "the latest at-or-
-    * before"), left rows with a null timestamp match nothing.
+    * before"), left rows with a null timestamp or a null key match nothing
+    * (SQL equality: `NULL = NULL` is not true). Key/timestamp pairs whose
+    * types differ are widened to their tightest common type when one
+    * exists (INT joins BIGINT as BIGINT — what the YAML `on` surface
+    * produces when schemas drift); incompatible pairs fail fast with a
+    * clear message instead of mis-partitioning.
     */
   def join(
       left: DataFrame,
@@ -87,13 +111,25 @@ object AsOf {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"as-of join output names must be disjoint; rename: ${overlap.mkString(",")}")
+    // Widen mismatched key/ts pairs to a common type up front (cast is a
+    // per-row projection — cheaper than a wrong-answer debug at 100 TB).
+    import org.apache.spark.sql.catalyst.analysis.TypeCoercion
+    def fieldType(df: DataFrame, n: String) = df.schema(n).dataType
+    var (lCur, rCur) = (left, right)
+    ((leftKeys :+ leftTs) zip (rightKeys :+ rightTs)).foreach { case (ln, rn) =>
+      val (lt, rt) = (fieldType(lCur, ln), fieldType(rCur, rn))
+      if (lt != rt) TypeCoercion.findTightestCommonType(lt, rt).foreach { w =>
+        if (lt != w) lCur = lCur.withColumn(ln, col(ln).cast(w))
+        if (rt != w) rCur = rCur.withColumn(rn, col(rn).cast(w))
+      } // no common type → fall through; AsOfJoinPlan's require reports it
+    }
     // Re-alias the right side so its output gets fresh ExprIds — both
     // sides often derive from the same scan (self-as-of), and duplicate
     // ids across left/right would make the combined output ambiguous.
-    val rFresh = right
+    val rFresh = rCur
       .where(col(rightTs).isNotNull)
-      .select(right.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
-    val lPlan = left.queryExecution.analyzed
+      .select(rCur.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
+    val lPlan = lCur.queryExecution.analyzed
     val rPlan = rFresh.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(

@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.DataType
 
 /** Single-purpose bridge into the `private[sql]` classic Dataset
   * constructor: turn a hand-built `LogicalPlan` (graft.plans.AsOfJoinPlan)
@@ -12,4 +13,9 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Nullability-insensitive type equality (`DataType.sameType` is
+    * `private[sql]`) — used by AsOfJoinPlan to reject key/timestamp pairs
+    * whose bytes would hash/order differently across the two sides. */
+  def sameType(a: DataType, b: DataType): Boolean = a.sameType(b)
 }

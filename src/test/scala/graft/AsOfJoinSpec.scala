@@ -148,6 +148,59 @@ class AsOfJoinSpec extends SparkSpecBase {
     }
   }
 
+  test("null equi-keys never match (SQL equality, not null==null)") {
+    val left = side(Seq(
+      (null.asInstanceOf[String], 10L, "lnull"), ("a", 10L, "a10")), "l_")
+    val right = side(Seq(
+      (null.asInstanceOf[String], 5L, "r_null"), ("a", 5L, "r_a5")), "r_")
+    val out = AsOf.join(left, right, Seq("l_k"), Seq("r_k"), "l_t", "r_t")
+      .select(col("l_tag"), col("r_tag")).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // the null-key left row keeps a null right side even though a
+    // null-key right row at an earlier ts exists
+    out shouldBe Map("lnull" -> None, "a10" -> Some("r_a5"))
+  }
+
+  test("directly-built plan survives null right timestamps (no wrapper filter)") {
+    import graft.plans.{AsOfJoinPlan => AJP}
+    import org.apache.spark.sql.GraftSqlBridge
+    val left = side(Seq(("a", 10L, "a10")), "l_")
+    val right = side(Seq(
+      ("a", null.asInstanceOf[java.lang.Long], "r_null"), // ts null: never latest
+      ("a", 4L, "r_a4")), "r_")
+    graft.plans.AsOf.ensureStrategy(spark)
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+          n: String) = p.output.find(_.name == n).get
+    val out = GraftSqlBridge.ofRows(spark, AJP(lp, rp,
+        Seq(a(lp, "l_k")), Seq(a(rp, "r_k")), a(lp, "l_t"), a(rp, "r_t")))
+      .select(col("l_tag"), col("r_tag")).collect()
+    out.map(r => r.getString(0) -> r.getString(1)).toMap shouldBe
+      Map("a10" -> "r_a4")
+  }
+
+  test("mismatched key types widen to the common type; incompatible ones fail") {
+    import spark.implicits._
+    val l = Seq((1, 10L, "L1"), (2, 10L, "L2")).toDF("lk", "lt", "lid")
+    val r = Seq((1L, 5L, "R1")).toDF("rk", "rt", "rid") // BIGINT key vs INT
+    val got = AsOf.join(l, r, Seq("lk"), Seq("rk"), "lt", "rt")
+      .select(col("lid"), col("rid")).collect()
+      .map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    got shouldBe Map("L1" -> Some("R1"), "L2" -> None)
+
+    // INT ts vs BIGINT ts widens too
+    val r2 = Seq((1L, 5, "R1")).toDF("rk", "rt", "rid")
+    AsOf.join(l, r2, Seq("lk"), Seq("rk"), "lt", "rt").count() shouldBe 2
+
+    // string key vs int key has no tightest common type → clear failure
+    val rs = Seq(("1", 5L, "R1")).toDF("rk", "rt", "rid")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(l, rs, Seq("lk"), Seq("rk"), "lt", "rt")
+    }
+    e.getMessage should include("type mismatch")
+  }
+
   test("as-of join of two unsorted bigger sides matches a SQL subquery oracle") {
     import spark.implicits._
     // deterministic pseudo-random data, unsorted input order
