@@ -74,9 +74,21 @@ final case class CheckSpec(
   *    rename pairs ("old:new" — output names must not collide with the
   *    left), `on` = equi-key pairs "leftKey:rightKey", `expr` =
   *    "leftTs:rightTs". Runs the native graft.plans.AsOf merge operator.
+  *  - flatten (§2.B7): `cols` = [the array column] (consumed), `name` =
+  *    element output column (defaults to the array name), `to` = optional
+  *    position column (posexplode), `how: outer` keeps empty/null arrays
+  *    as one null row
+  *  - pivot (§2.E8): `cols` = group keys, `name` = the pivot column,
+  *    `values` = the EXPLICIT pivot values (required — value discovery is
+  *    a hidden full scan at 100 TB), `aggs` = aggregate expressions
+  *  - unpivot (§2.E9): `cols` = id columns, `values` = measure columns,
+  *    `name`/`to` = variable/value output column names
+  *  - surrogate_key (§2.B9): `name` = key column, `orderBy` = the total
+  *    order the dense ids follow (single-partition window — dimension
+  *    tables only; derive + hash natural keys for facts)
   */
 final case class TransformSpec(
-    op: String,                   // select | rename | drop | derive | filter | cast | join | limit | sort | aggregate | union | dedup | asof_join
+    op: String,                   // select | rename | drop | derive | filter | cast | join | limit | sort | aggregate | union | dedup | asof_join | flatten | pivot | unpivot | surrogate_key
     cols: Seq[String],
     name: Option[String],
     expr: Option[String],
@@ -87,7 +99,8 @@ final case class TransformSpec(
     broadcast: Boolean,
     aggs: Seq[String],
     orderBy: Seq[String],
-    where: Option[String])
+    where: Option[String],
+    values: Seq[String])
 
 final case class SinkSpec(
     format: String,               // parquet | csv | json
@@ -141,7 +154,8 @@ object PipelineSpec {
   private def transform(n: JsonNode, at: String): TransformSpec = {
     val op = reqStr(n, "op", at)
     require(Set("select", "rename", "drop", "derive", "filter", "cast", "join",
-      "limit", "sort", "aggregate", "union", "dedup", "asof_join")(op),
+      "limit", "sort", "aggregate", "union", "dedup", "asof_join",
+      "flatten", "pivot", "unpivot", "surrogate_key")(op),
       s"$at.op: unknown '$op'")
     TransformSpec(op,
       cols = strArr(n, "cols"), name = optStr(n, "name"),
@@ -150,7 +164,7 @@ object PipelineSpec {
       on = strArr(n, "on"), how = optStr(n, "how"),
       broadcast = opt(n, "broadcast").exists(_.asBoolean(false)),
       aggs = strArr(n, "aggs"), orderBy = strArr(n, "orderBy"),
-      where = optStr(n, "where"))
+      where = optStr(n, "where"), values = strArr(n, "values"))
   }
 
   private def sink(n: JsonNode, at: String): SinkSpec = {

@@ -81,6 +81,9 @@ object PipelineRunner {
     streamable.foreach(t => require(t.op != "asof_join",
       "streaming mode: 'asof_join' is batch-only (use a stream-stream " +
         "interval join for streaming time alignment)"))
+    streamable.foreach(t => require(!Set("pivot", "surrogate_key")(t.op),
+      s"streaming mode: '${t.op}' is batch-only (pivot needs a finished " +
+        "group; a global row_number window has no streaming equivalent)"))
 
     def mk(pass: Boolean)(ss: SparkSession): DataFrame = {
       val src = readStream(ss, spec.source)
@@ -223,6 +226,18 @@ object PipelineRunner {
   }
 
   // -- transforms (§2.B, §2.D) ---------------------------------------------
+  /** Sort-order entry: "expr DESC"/"expr ASC" (any case) or a bare
+    * expression. NOT `expr(s)` alone — Spark's expression parser reads
+    * "n_name DESC" as `n_name AS DESC` (an alias!), silently sorting
+    * ascending. */
+  private[graft] def sortExpr(s: String): Column = {
+    val t = s.trim
+    val lower = t.toLowerCase
+    if (lower.endsWith(" desc")) expr(t.dropRight(5)).desc
+    else if (lower.endsWith(" asc")) expr(t.dropRight(4)).asc
+    else expr(t)
+  }
+
   def applyTransform(spark: SparkSession, df: DataFrame, t: TransformSpec): DataFrame =
     t.op match {
       case "select" => df.selectExpr(t.cols: _*)
@@ -244,7 +259,7 @@ object PipelineRunner {
         else df.join(right, expr(t.expr.getOrElse(
           throw new IllegalArgumentException("join needs `on` cols or an `expr` condition"))), how)
       case "limit" => df.limit(t.expr.get.toInt)
-      case "sort"  => df.orderBy(t.cols.map(expr): _*)
+      case "sort"  => df.orderBy(t.cols.map(sortExpr): _*)
       case "aggregate" => // §2.E through the config surface
         require(t.aggs.nonEmpty, "aggregate needs `aggs` expressions")
         val aggs = t.aggs.map(expr)
@@ -262,7 +277,7 @@ object PipelineRunner {
           require(t.orderBy.nonEmpty,
             "dedup with `cols` needs `orderBy` for a deterministic survivor")
           import org.apache.spark.sql.expressions.Window
-          val w = Window.partitionBy(t.cols.map(col): _*).orderBy(t.orderBy.map(expr): _*)
+          val w = Window.partitionBy(t.cols.map(col): _*).orderBy(t.orderBy.map(sortExpr): _*)
           df.withColumn("__rn", row_number().over(w))
             .where(col("__rn") === 1).drop("__rn")
         }
@@ -290,6 +305,42 @@ object PipelineRunner {
           throw new IllegalArgumentException(
             "asof_join needs `expr: leftTs:rightTs`")), "expr")
         graft.plans.AsOf.join(df, right, lKeys, rKeys, lTs, rTs)
+      case "flatten" => // §2.B7 through the config surface: one array → rows
+        val arr = t.cols.headOption.getOrElse(
+          throw new IllegalArgumentException("flatten needs `cols: [arrayCol]`"))
+        val out = t.name.getOrElse(arr)
+        val outer = t.how.contains("outer")
+        t.to match {
+          case Some(posName) => // positional flatten rides posexplode
+            val keep = df.columns.filterNot(_ == arr).map(col).toSeq
+            val gen = if (outer) posexplode_outer(col(arr)) else posexplode(col(arr))
+            df.select(keep :+ gen.as(Seq(posName, out)): _*)
+          case None =>
+            val gen = if (outer) explode_outer(col(arr)) else explode(col(arr))
+            val flat = df.withColumn(out, gen)
+            if (out == arr) flat else flat.drop(arr) // the array is consumed
+        }
+      case "pivot" => // §2.E8 through the config surface
+        require(t.name.isDefined, "pivot needs `name` (the pivot column)")
+        require(t.values.nonEmpty, "pivot needs explicit `values` — implicit " +
+          "value discovery is a hidden full scan of the source at scale")
+        require(t.aggs.nonEmpty, "pivot needs `aggs` expressions")
+        val aggs = t.aggs.map(expr)
+        df.groupBy(t.cols.map(col): _*)
+          .pivot(t.name.get, t.values).agg(aggs.head, aggs.tail: _*)
+      case "unpivot" => // §2.E9 through the config surface (columns → rows)
+        require(t.values.nonEmpty, "unpivot needs `values` (the measure columns)")
+        df.unpivot(t.cols.map(col).toArray, t.values.map(col).toArray,
+          t.name.getOrElse("name"), t.to.getOrElse("value"))
+      case "surrogate_key" => // §2.B9 through the config surface: dense ids
+        // from a declared total order. Single-partition window by design —
+        // the op is for bounded dimension tables; fact-side keys should
+        // hash natural keys via `derive` (xxhash64) instead.
+        require(t.orderBy.nonEmpty,
+          "surrogate_key needs `orderBy` for a deterministic sequence")
+        import org.apache.spark.sql.expressions.Window
+        df.withColumn(t.name.getOrElse("sk"),
+          row_number().over(Window.orderBy(t.orderBy.map(sortExpr): _*)).cast("bigint"))
       case other   => throw new IllegalArgumentException(s"unknown transform $other")
     }
 

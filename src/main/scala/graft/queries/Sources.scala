@@ -384,6 +384,66 @@ object Sources extends QueryPack {
     PipelineRunner.run(spark, yaml).passed
   }
 
+  /** §3.2 EP5 — reshaping through the config surface: `pivot` (explicit
+    * values — no discovery scan) then `unpivot` back to long form, with a
+    * `surrogate_key` over the declared total order. Pivot∘unpivot restores
+    * the long-form GROUP BY with absent (bucket, type) combinations made
+    * explicit as zeros — exactly what the oracle's cross join + left join
+    * computes, so the inverse-pair semantics are what's verified. */
+  val ep5: QueryDef = m(
+    "ep5_config_pivot",
+    """WITH b AS (SELECT DISTINCT user_id % 10 AS bucket FROM events),
+      |t AS (SELECT unnest(['view','click','purchase','signup','error']) AS event_type),
+      |c AS (SELECT user_id % 10 AS bucket, event_type, COUNT(*) AS n
+      |      FROM events GROUP BY 1, 2)
+      |SELECT ROW_NUMBER() OVER (ORDER BY b.bucket, t.event_type) AS sk,
+      |  b.bucket, t.event_type, COALESCE(c.n, 0) AS n
+      |FROM b CROSS JOIN t
+      |LEFT JOIN c ON c.bucket = b.bucket AND c.event_type = t.event_type
+      |ORDER BY sk""".stripMargin) { (spark, dir) =>
+    val yaml =
+      s"""name: ep5_pivot
+         |source: {format: parquet, path: "$dir/events.parquet"}
+         |transforms:
+         |  - {op: derive, name: bucket, expr: "user_id % 10"}
+         |  - {op: pivot, cols: [bucket], name: event_type,
+         |     values: [view, click, purchase, signup, error],
+         |     aggs: ["COUNT(*)"]}
+         |  - {op: unpivot, cols: [bucket],
+         |     values: [view, click, purchase, signup, error],
+         |     name: event_type, to: n}
+         |  - {op: derive, name: n, expr: "coalesce(n, CAST(0 AS BIGINT))"}
+         |  - {op: surrogate_key, name: sk, orderBy: [bucket, event_type]}
+         |  - {op: select, cols: [sk, bucket, event_type, n]}
+         |  - {op: sort, cols: [sk]}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml).passed
+  }
+
+  /** §3.2 EP5b — positional `flatten` through the config surface: derive a
+    * token array, explode it with position (§2.B7's posexplode), all from
+    * YAML. */
+  val ep5b: QueryDef = m(
+    "ep5b_config_flatten",
+    """SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
+      |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |      FROM documents WHERE doc_id < 50)
+      |ORDER BY doc_id, pos""".stripMargin) { (spark, dir) =>
+    val yaml =
+      s"""name: ep5b_flatten
+         |source: {format: parquet, path: "$dir/documents.parquet"}
+         |transforms:
+         |  - {op: filter, expr: "doc_id < 50"}
+         |  - {op: derive, name: toks, expr: "split(lower(text), ' ')"}
+         |  - {op: select, cols: [doc_id, toks]}
+         |  - {op: flatten, cols: [toks], name: tok, to: pos}
+         |  - {op: derive, name: pos, expr: "CAST(pos AS BIGINT)"}
+         |  - {op: select, cols: [doc_id, pos, tok]}
+         |  - {op: sort, cols: [doc_id, pos]}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml).passed
+  }
+
   override def defs: Seq[QueryDef] =
-    Seq(a3, a3b, a4, a7, a7b, ep1, ep2, ep2b, ep3, ep3b, ep4)
+    Seq(a3, a3b, a4, a7, a7b, ep1, ep2, ep2b, ep3, ep3b, ep4, ep5, ep5b)
 }

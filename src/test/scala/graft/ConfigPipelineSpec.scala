@@ -284,6 +284,67 @@ class ConfigPipelineSpec extends SparkSpecBase {
     e.getMessage should include("batch-only")
   }
 
+  test("EP5: flatten keeps null/empty arrays only under how:outer") {
+    def run(how: String) = PipelineRunner.run(spark,
+      s"""name: flat_demo
+         |source: {format: parquet, path: "$sf/region.parquet"}
+         |transforms:
+         |  - {op: derive, name: arr,
+         |     expr: "CASE WHEN r_regionkey = 0 THEN CAST(NULL AS ARRAY<INT>) WHEN r_regionkey = 1 THEN array() ELSE array(r_regionkey, r_regionkey * 10) END"}
+         |  - {op: flatten, cols: [arr], name: v$how}
+         |""".stripMargin).passed
+    // inner explode drops the null-array and empty-array rows entirely
+    val inner = run("")
+    inner.columns should (contain("v") and not contain "arr")
+    inner.count() shouldBe 6 // regions 2,3,4 × 2 elements
+    // outer keeps them as one null-element row each
+    val outer = run(", how: outer")
+    outer.count() shouldBe 8
+    outer.where(outer("v").isNull).count() shouldBe 2
+  }
+
+  test("EP5: pivot guard rails demand explicit values and aggs") {
+    def yaml(body: String) =
+      s"""name: piv_demo
+         |source: {format: parquet, path: "$sf/region.parquet"}
+         |transforms:
+         |  - {op: pivot, cols: [r_regionkey], $body}
+         |""".stripMargin
+    val e1 = intercept[IllegalArgumentException](
+      PipelineRunner.run(spark, yaml("""name: r_name, aggs: ["COUNT(*)"]""")))
+    e1.getMessage should include("explicit `values`")
+    val e2 = intercept[IllegalArgumentException](
+      PipelineRunner.run(spark, yaml("name: r_name, values: [AFRICA]")))
+    e2.getMessage should include("aggs")
+  }
+
+  test("EP5: surrogate_key is deterministic and batch-only") {
+    val yaml =
+      s"""name: sk_demo
+         |source: {format: parquet, path: "$sf/nation.parquet"}
+         |transforms:
+         |  - {op: surrogate_key, name: sk, orderBy: ["n_name DESC"]}
+         |  - {op: sort, cols: [sk]}
+         |""".stripMargin
+    val a = PipelineRunner.run(spark, yaml).passed.collect()
+    val b = PipelineRunner.run(spark, yaml).passed.collect()
+    a.map(_.toSeq) shouldBe b.map(_.toSeq) // same order ⇒ same ids, every run
+    // sk=1 goes to the first row of the declared order (max name under DESC)
+    val maxName = spark.read.parquet(s"$sf/nation.parquet")
+      .agg(org.apache.spark.sql.functions.max("n_name")).head.getString(0)
+    a.head.getAs[String]("n_name") shouldBe maxName
+    // a global row_number has no streaming equivalent — clear error
+    val e = intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: sk_stream
+         |mode: streaming
+         |source: {format: parquet, path: "$sf/nation.parquet",
+         |  schema: "n_nationkey BIGINT, n_name STRING"}
+         |transforms:
+         |  - {op: surrogate_key, name: sk, orderBy: [n_name]}
+         |""".stripMargin))
+    e.getMessage should include("batch-only")
+  }
+
   test("EP1: rename / cast / drop transforms compose in order") {
     val yaml =
       s"""name: t_demo
