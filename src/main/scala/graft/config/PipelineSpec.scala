@@ -102,12 +102,21 @@ final case class TransformSpec(
     where: Option[String],
     values: Seq[String])
 
+/** `buckets`+`bucketBy` (+optional `sortBy`) write a bucketed table —
+  * requires `table` (bucket metadata lives in the catalog; Spark cannot
+  * bucket a bare path write). The 100-TB play: pay the shuffle once at
+  * write time, then every later equi-join on the bucket key is
+  * exchange-free (see a7b). */
 final case class SinkSpec(
     format: String,               // parquet | csv | json
     path: String,
     mode: String,                 // overwrite | append | errorifexists
     partitionBy: Seq[String],
-    options: Map[String, String])
+    options: Map[String, String],
+    buckets: Option[Int],
+    bucketBy: Seq[String],
+    sortBy: Seq[String],
+    table: Option[String])
 
 object PipelineSpec {
   private val mapper = new ObjectMapper(new YAMLFactory())
@@ -170,9 +179,20 @@ object PipelineSpec {
   private def sink(n: JsonNode, at: String): SinkSpec = {
     val fmt = reqStr(n, "format", at)
     require(Set("parquet", "csv", "json")(fmt), s"$at.format: unknown '$fmt'")
-    SinkSpec(fmt, reqStr(n, "path", at),
+    val s = SinkSpec(fmt, reqStr(n, "path", at),
       mode = optStr(n, "mode").getOrElse("overwrite"),
-      partitionBy = strArr(n, "partitionBy"), options = strMap(n, "options"))
+      partitionBy = strArr(n, "partitionBy"), options = strMap(n, "options"),
+      buckets = opt(n, "buckets").map(_.asInt()),
+      bucketBy = strArr(n, "bucketBy"), sortBy = strArr(n, "sortBy"),
+      table = optStr(n, "table"))
+    if (s.buckets.isDefined || s.bucketBy.nonEmpty) {
+      require(s.buckets.exists(_ > 0) && s.bucketBy.nonEmpty,
+        s"$at: bucketed sink needs both `buckets` (> 0) and `bucketBy` cols")
+      require(s.table.isDefined,
+        s"$at: bucketed sink needs `table` (bucket metadata lives in the catalog)")
+      require(fmt == "parquet", s"$at: bucketed sink supports parquet only")
+    }
+    s
   }
 
   // -- tree helpers ---------------------------------------------------------

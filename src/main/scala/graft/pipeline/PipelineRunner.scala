@@ -348,10 +348,21 @@ object PipelineRunner {
   def write(df: DataFrame, s: SinkSpec): Unit = {
     var w = df.write.mode(s.mode).options(s.options)
     if (s.partitionBy.nonEmpty) w = w.partitionBy(s.partitionBy: _*)
-    s.format match {
-      case "parquet" => w.parquet(s.path)
-      case "csv"     => w.option("header", s.options.getOrElse("header", "true")).csv(s.path)
-      case "json"    => w.json(s.path)
+    s.buckets match {
+      case Some(n) => // §2.A7b from config: shuffle once at write time,
+        // join exchange-free ever after (parquet + catalog table)
+        w = w.bucketBy(n, s.bucketBy.head, s.bucketBy.tail: _*)
+        if (s.sortBy.nonEmpty) w = w.sortBy(s.sortBy.head, s.sortBy.tail: _*)
+        // a stale table with a DIFFERENT bucket spec must not survive an
+        // overwrite (appends keep the existing spec)
+        if (s.mode == "overwrite")
+          df.sparkSession.sql(s"DROP TABLE IF EXISTS ${s.table.get}")
+        w.option("path", s.path).saveAsTable(s.table.get)
+      case None => s.format match {
+        case "parquet" => w.parquet(s.path)
+        case "csv"     => w.option("header", s.options.getOrElse("header", "true")).csv(s.path)
+        case "json"    => w.json(s.path)
+      }
     }
   }
 }

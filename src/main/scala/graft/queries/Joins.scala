@@ -207,5 +207,44 @@ object Joins extends QueryPack {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8)
+  /** §2.D9 — SALTED shuffle join for skewed keys (the 100-TB mitigation
+    * SURVEY §7.4.7 promises for events.user_id's Zipf distribution, made
+    * executable and oracle-checked — salting must not change the result).
+    *
+    * Shape: the fact side gets a deterministic salt (`xxhash64(event_id)
+    * mod S` — never rand(): re-runs must agree), the per-user dim side is
+    * exploded into S copies, and the join key becomes (user_id, salt), so
+    * one hot user's rows spread over S shuffle partitions instead of one
+    * straggler. S multiplies only the DIM side (the small one); the merge
+    * hint forces the shuffle path because a broadcast would dodge the
+    * skew problem this query exists to demonstrate. AQE's skew-join split
+    * is the runtime alternative; explicit salting is the plan-level
+    * guarantee that also covers stragglers inside a single AQE block. */
+  val d9: QueryDef = m(
+    "d9_salted_join",
+    """WITH d AS (SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY user_id)
+      |SELECT e.event_type, COUNT(*) AS n,
+      |  CAST(SUM(d.user_events) AS BIGINT) AS sum_user_events
+      |FROM events e JOIN d ON e.user_id = d.user_id
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin) { (spark, dir) =>
+    val S = 8
+    val e = Tables.events(spark, dir)
+    val fact = e.select(col("event_type"), col("user_id"),
+      pmod(xxhash64(col("event_id")), lit(S.toLong)).as("salt"))
+    val dim = e.groupBy(col("user_id").as("d_user_id"))
+      .agg(count(lit(1)).as("user_events"))
+      .withColumn("d_salt",
+        explode(sequence(lit(0L), lit((S - 1).toLong))))
+      .hint("merge") // force the shuffle path; broadcast would dodge skew
+    fact.join(dim, fact("user_id") === dim("d_user_id")
+        && fact("salt") === dim("d_salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("user_events")).cast("long").as("sum_user_events"))
+      .orderBy(col("event_type"))
+  }
+
+  override def defs: Seq[QueryDef] =
+    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9)
 }

@@ -345,6 +345,41 @@ class ConfigPipelineSpec extends SparkSpecBase {
     e.getMessage should include("batch-only")
   }
 
+  test("EP5: bucketed sink from YAML enables an exchange-free join") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft_bkt_cfg").toString
+    val yaml =
+      s"""name: bkt_demo
+         |source: {format: parquet, path: "$sf/orders.parquet"}
+         |transforms:
+         |  - {op: select, cols: [o_orderkey, o_orderpriority]}
+         |sink: {format: parquet, path: "$out/orders_bkt", table: cfg_bkt_orders,
+         |  buckets: 8, bucketBy: [o_orderkey], sortBy: [o_orderkey]}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml)
+    // joining the config-bucketed table against the a7b bucketed lineitem
+    // must be exchange-free on the bucket key — the write paid the shuffle
+    graft.queries.Sources.bucketedTables(spark, sf)
+    val l = spark.table("graft_bkt_lineitem")
+    val o = spark.table("cfg_bkt_orders").hint("merge")
+    val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+    val p = j.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    withClue(p) {
+      p should include("SelectedBucketsCount")
+      (p should not).include("Exchange hashpartitioning(o_orderkey")
+      (p should not).include("Exchange hashpartitioning(l_orderkey")
+    }
+    j.count() shouldBe spark.read.parquet(s"$sf/lineitem.parquet").count()
+    // guard rails: bucketed sink without a table name is a config error
+    val e = intercept[IllegalArgumentException](PipelineSpec.parse(
+      s"""name: x
+         |source: {format: parquet, path: p}
+         |sink: {format: parquet, path: q, buckets: 4, bucketBy: [k]}
+         |""".stripMargin))
+    e.getMessage should include("table")
+  }
+
   test("EP1: rename / cast / drop transforms compose in order") {
     val yaml =
       s"""name: t_demo

@@ -65,6 +65,19 @@ class PlanSpec extends SparkSpecBase {
     d.collect().length should be > 0
   }
 
+  test("d9: the salt reaches the shuffle keys (hot users spread over S partitions)") {
+    val p = plan(Joins.d9.build(spark, sf))
+    withClue(p) {
+      // both sides exchange on (user key, salt) — the salted composite key
+      // is what breaks a Zipf-hot user_id across S reducers (formatted mode
+      // prints the Exchange node and its hashpartitioning args on separate
+      // lines, so match the partitioning expression itself)
+      p should include regex "hashpartitioning\\(user_id[^\\n]*salt"
+      p should include regex "hashpartitioning\\(d_user_id[^\\n]*d_salt"
+      (p should not).include("BroadcastHashJoin") // broadcast would dodge skew
+    }
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE finalizes the physical plan only on execution of THIS dataset's
     // own QueryExecution — collect, then look for codegen stage markers
