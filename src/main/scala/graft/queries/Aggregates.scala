@@ -178,5 +178,69 @@ object Aggregates extends QueryPack {
       .orderBy(col("l_returnflag"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10)
+  /** §2.E11 — exact percentiles (median + quartiles) per group. Spark's
+    * `percentile` and DuckDB's `quantile_cont` both linear-interpolate
+    * over the sorted values; results round to 4 dp so last-ulp
+    * interpolation drift cannot flip the hash. Scale note: EXACT
+    * percentiles buffer each group's values — right for bounded groups
+    * (here: 3 flags); for 100-TB ungrouped quantiles use
+    * `approx_percentile` (t-digest sketch, mergeable map-side). */
+  val e11: QueryDef = m(
+    "e11_percentiles",
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+      |  ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.50)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** §2.E12 — second-moment statistics (stddev/variance/correlation/
+    * covariance), the profiling battery a data-quality platform reports.
+    * All are one-pass co-moment aggregates (partition-mergeable — no
+    * second scan at any scale); 4-dp rounding absorbs the ~1e-10-relative
+    * accumulation-order drift doubles allow. */
+  val e12: QueryDef = m(
+    "e12_stats",
+    """SELECT event_type,
+      |  ROUND(stddev_samp(value), 4) AS sd_value,
+      |  ROUND(var_samp(value), 4) AS var_value,
+      |  ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
+      |  ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cov_vu
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(stddev_samp(col("value")), 4).as("sd_value"),
+        round(var_samp(col("value")), 4).as("var_value"),
+        round(corr(col("value"), col("user_id").cast("double")), 4).as("corr_vu"),
+        round(covar_samp(col("value"), col("user_id").cast("double")), 4).as("cov_vu"))
+      .orderBy(col("event_type"))
+  }
+
+  /** §2.E10b — STRATIFIED sampling (per-class fractions): the training-
+    * data balancing primitive (downsample the majority class, keep the
+    * rare ones). X-tier like e10 (engine RNGs differ); seed stability and
+    * per-stratum bounds are spec-tested. Map-side only — no shuffle. */
+  val e10b: QueryDef = x("e10b_stratified_sample") { (spark, dir) =>
+    Tables.events(spark, dir)
+      .stat.sampleBy("event_type",
+        Map("view" -> 0.05, "click" -> 0.2, "purchase" -> 1.0,
+            "signup" -> 1.0, "error" -> 1.0),
+        42L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  override def defs: Seq[QueryDef] =
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e10b, e11, e12)
 }

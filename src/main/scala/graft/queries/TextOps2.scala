@@ -208,5 +208,37 @@ object TextOps2 extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(j6b, j9, j10, k8, k9)
+  /** §2.J11 — greedy sequence packing: concatenate documents in order and
+    * chunk into fixed token-budget bins (the LLM-pretraining "pack to
+    * context length" step, as a pure window computation). Each doc's bin
+    * is its START offset div the budget. Scale shape: packing runs PER
+    * SHARD (window partitioned by a shard key — never a single global
+    * sort), and the pack id is (shard, local bin) flattened, so 1000
+    * executors pack 1000 shards independently. */
+  val j11: QueryDef = m(
+    "j11_sequence_pack",
+    """SELECT doc_id, shard, n_tokens,
+      |  CAST(shard * 1000000 + (cum_tokens - n_tokens) // 4096 AS BIGINT) AS pack_id
+      |FROM (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    SUM(len(string_split(text, ' '))) OVER (
+      |      PARTITION BY doc_id % 8 ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("shard") * 1000000 +
+          expr("(cum_tokens - n_tokens) div 4096")).cast("long").as("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(j6b, j9, j10, j11, k8, k9)
 }

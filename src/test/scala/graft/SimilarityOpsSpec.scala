@@ -189,4 +189,19 @@ class SimilarityOpsSpec extends SparkSpecBase {
     val b = li.sample(withReplacement = false, 0.1, 42L).count()
     a shouldBe b
   }
+
+  test("E10b: stratified sampling keeps full strata, downsamples the rest, seed-stably") {
+    import graft.queries.Aggregates
+    def counts() = Aggregates.e10b.build(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = counts()
+    a shouldBe counts() // fixed seed ⇒ identical selection, run to run
+    val full = Tables.events(spark, sf).groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fraction-1.0 strata survive complete; the 5% stratum really shrinks
+    a("purchase") shouldBe full("purchase")
+    a("signup") shouldBe full("signup")
+    a("view").toDouble / full("view") should be < 0.15
+    a("view") should be > 0L
+  }
 }
