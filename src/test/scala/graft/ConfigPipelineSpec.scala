@@ -245,6 +245,24 @@ class ConfigPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("EP5: reshape_bucketed example YAML pivots, packs ids, and buckets the sink") {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("graft_ex_reshape").toString
+    val tmp = Files.createTempFile("graft_ex_reshape", ".yaml")
+    Files.writeString(tmp, Files.readString(Paths.get("examples/reshape_bucketed.yaml"))
+      .replace("SFDIR", sf).replace("OUTDIR", out))
+    val r = PipelineRunner.runFile(spark, tmp.toString)
+    // long form restored: every (bucket, listed type) combo exactly once
+    val buckets = r.passed.select("bucket").distinct().count()
+    r.passed.count() shouldBe buckets * 5
+    // the sink is a CATALOG bucketed table, not a bare path write
+    val desc = spark.sql("DESCRIBE EXTENDED event_matrix_bkt").collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    desc("Num Buckets") shouldBe "8"
+    desc("Bucket Columns") should include("bucket")
+    spark.table("event_matrix_bkt").count() shouldBe r.passed.count()
+  }
+
   test("EP4: asof_join example YAML enriches through the native operator") {
     import java.nio.file.{Files, Paths}
     val out = Files.createTempDirectory("graft_ex_asof").toString
