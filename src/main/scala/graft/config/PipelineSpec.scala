@@ -86,6 +86,11 @@ final case class CheckSpec(
   *  - surrogate_key (§2.B9): `name` = key column, `orderBy` = the total
   *    order the dense ids follow (single-partition window — dimension
   *    tables only; derive + hash natural keys for facts)
+  *  - merge (ADF Alter-Row parity, batch only): `table` = the change set,
+  *    `on` = match keys, `how` = upsert (default: matching base rows are
+  *    replaced by their update row, unmatched update rows are inserted)
+  *    or delete (matching base rows are removed). Plain anti-join + union
+  *    algebra — no storage-layer transaction log is assumed.
   */
 final case class TransformSpec(
     op: String,                   // select | rename | drop | derive | filter | cast | join | limit | sort | aggregate | union | dedup | asof_join | flatten | pivot | unpivot | surrogate_key
@@ -164,7 +169,7 @@ object PipelineSpec {
     val op = reqStr(n, "op", at)
     require(Set("select", "rename", "drop", "derive", "filter", "cast", "join",
       "limit", "sort", "aggregate", "union", "dedup", "asof_join",
-      "flatten", "pivot", "unpivot", "surrogate_key")(op),
+      "flatten", "pivot", "unpivot", "surrogate_key", "merge")(op),
       s"$at.op: unknown '$op'")
     TransformSpec(op,
       cols = strArr(n, "cols"), name = optStr(n, "name"),

@@ -81,9 +81,10 @@ object PipelineRunner {
     streamable.foreach(t => require(t.op != "asof_join",
       "streaming mode: 'asof_join' is batch-only (use a stream-stream " +
         "interval join for streaming time alignment)"))
-    streamable.foreach(t => require(!Set("pivot", "surrogate_key")(t.op),
+    streamable.foreach(t => require(!Set("pivot", "surrogate_key", "merge")(t.op),
       s"streaming mode: '${t.op}' is batch-only (pivot needs a finished " +
-        "group; a global row_number window has no streaming equivalent)"))
+        "group; a global row_number window has no streaming equivalent; " +
+        "merge anti-joins the full base)"))
 
     def mk(pass: Boolean)(ss: SparkSession): DataFrame = {
       val src = readStream(ss, spec.source)
@@ -341,6 +342,21 @@ object PipelineRunner {
         import org.apache.spark.sql.expressions.Window
         df.withColumn(t.name.getOrElse("sk"),
           row_number().over(Window.orderBy(t.orderBy.map(sortExpr): _*)).cast("bigint"))
+      case "merge" => // SCD1 upsert/delete as plain join algebra (no
+        // storage transaction log): one anti-join shuffle on the keys +
+        // a shuffle-free by-name union. At 100 TB, bucket the base on the
+        // merge key and the anti join reads co-located buckets.
+        require(t.on.nonEmpty, "merge needs `on` key columns")
+        val updates = read(spark, t.table.getOrElse(
+          throw new IllegalArgumentException("merge needs `table` (the change set)")))
+        t.how.getOrElse("upsert") match {
+          case "upsert" => // updates win on key match; unmatched inserts
+            df.join(updates, t.on, "left_anti").unionByName(updates)
+          case "delete" => // remove base rows whose key appears in the set
+            df.join(updates.select(t.on.map(col): _*), t.on, "left_anti")
+          case other => throw new IllegalArgumentException(
+            s"merge how: unknown '$other' (upsert | delete)")
+        }
       case other   => throw new IllegalArgumentException(s"unknown transform $other")
     }
 

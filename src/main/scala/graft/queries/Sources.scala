@@ -444,6 +444,40 @@ object Sources extends QueryPack {
     PipelineRunner.run(spark, yaml).passed
   }
 
+  /** §3.2 EP6 — CDC-style `merge` (upsert) through the config surface:
+    * the engine first writes a deterministic change set (50 balance
+    * updates + 5 brand-new customers), then a YAML pipeline merges it
+    * into the customer base on the key — updates replace, inserts append,
+    * untouched rows survive. Oracle is the equivalent anti-join + union
+    * over the same two parquet inputs. */
+  val ep6: QueryDef = m(
+    "ep6_config_merge",
+    s"""WITH u AS (SELECT * FROM read_parquet('$ioDir/cust_updates/*.parquet'))
+       |SELECT c_custkey, c_name, c_acctbal FROM u
+       |UNION ALL
+       |SELECT b.c_custkey, b.c_name, b.c_acctbal FROM customer b
+       |WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.c_custkey = b.c_custkey)
+       |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    base.where(col("c_custkey") <= 50)
+      .withColumn("c_acctbal", round(col("c_acctbal") + 1000, 2))
+      .unionByName(base.where(col("c_custkey") <= 5)
+        .withColumn("c_custkey", col("c_custkey") + 1000000)
+        .withColumn("c_name", concat(lit("NEW_"), col("c_name"))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$ioDir/cust_updates")
+    val yaml =
+      s"""name: ep6_merge
+         |source: {format: parquet, path: "$dir/customer.parquet"}
+         |transforms:
+         |  - {op: select, cols: [c_custkey, c_name, c_acctbal]}
+         |  - {op: merge, on: [c_custkey],
+         |     table: {format: parquet, path: "$ioDir/cust_updates"}}
+         |  - {op: sort, cols: [c_custkey]}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml).passed
+  }
+
   override def defs: Seq[QueryDef] =
-    Seq(a3, a3b, a4, a7, a7b, ep1, ep2, ep2b, ep3, ep3b, ep4, ep5, ep5b)
+    Seq(a3, a3b, a4, a7, a7b, ep1, ep2, ep2b, ep3, ep3b, ep4, ep5, ep5b, ep6)
 }

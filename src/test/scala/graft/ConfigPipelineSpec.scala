@@ -398,6 +398,35 @@ class ConfigPipelineSpec extends SparkSpecBase {
     e.getMessage should include("table")
   }
 
+  test("EP6: merge how:delete removes matched keys; merge is batch-only") {
+    import java.nio.file.Files
+    val delDir = Files.createTempDirectory("graft_merge_del").toString
+    spark.read.parquet(s"$sf/nation.parquet")
+      .where(org.apache.spark.sql.functions.col("n_nationkey") < 5)
+      .select("n_nationkey")
+      .write.mode("overwrite").parquet(delDir)
+    val out = PipelineRunner.run(spark,
+      s"""name: del_demo
+         |source: {format: parquet, path: "$sf/nation.parquet"}
+         |transforms:
+         |  - {op: merge, how: delete, on: [n_nationkey],
+         |     table: {format: parquet, path: "$delDir"}}
+         |""".stripMargin).passed
+    out.count() shouldBe 20
+    out.agg(org.apache.spark.sql.functions.min("n_nationkey"))
+      .head.getAs[Number](0).longValue shouldBe 5L
+    val e = intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: s_merge
+         |mode: streaming
+         |source: {format: parquet, path: "$sf/nation.parquet",
+         |  schema: "n_nationkey BIGINT, n_name STRING"}
+         |transforms:
+         |  - {op: merge, on: [n_nationkey],
+         |     table: {format: parquet, path: "$delDir"}}
+         |""".stripMargin))
+    e.getMessage should include("batch-only")
+  }
+
   test("EP1: rename / cast / drop transforms compose in order") {
     val yaml =
       s"""name: t_demo
