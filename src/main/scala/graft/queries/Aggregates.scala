@@ -247,6 +247,24 @@ object Aggregates extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** §2.E11b — the 100-TB percentile path e11's Scaladoc names: a t-digest
+    * sketch (`approx_percentile`) — bounded memory per group, mergeable
+    * map-side, no value buffering. X-tier (sketch internals are
+    * engine-specific); SimilarityOpsSpec bounds the error against e11's
+    * exact quartiles. */
+  val e11b: QueryDef = x("e11b_approx_percentiles") { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr(
+        "approx_percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D), 1000)")
+        .as("ps"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p25"),
+        round(element_at(col("ps"), 2), 4).as("p50"),
+        round(element_at(col("ps"), 3), 4).as("p75"))
+      .orderBy(col("l_returnflag"))
+  }
+
   override def defs: Seq[QueryDef] =
-    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e10b, e11, e12)
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e10b, e11, e11b, e12)
 }

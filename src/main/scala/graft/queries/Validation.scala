@@ -150,5 +150,58 @@ object Validation extends QueryPack {
         max(col("row_md5")).as("max_md5"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(cMetrics, c6, c7, c9, c10, c11)
+  /** §2.C12 — per-column profiling summary (the `describe` a data-quality
+    * platform reports): non-null count, exact distinct count, canonical
+    * min/max — for N columns in ONE scan (one wide aggregate + stack to
+    * long form; the oracle's UNION-ALL form is per-column scans, which is
+    * exactly the naive shape this query exists to avoid). Min/max are
+    * canonicalized before stringification (integral doubles → BIGINT,
+    * money → DECIMAL(12,2)) so no engine-specific float formatting enters
+    * the comparison — same rule as c11. Scale note: exact DISTINCT per
+    * column expands rows ×N-columns through one shuffle; the 100-TB
+    * profile swaps in approx_count_distinct (HLL, pure map-side merge). */
+  val c12: QueryDef = m(
+    "c12_profile_summary",
+    """SELECT col_name, n_nonnull, n_distinct, min_v, max_v FROM (
+      |  SELECT 'l_quantity' AS col_name, COUNT(l_quantity) AS n_nonnull,
+      |    COUNT(DISTINCT l_quantity) AS n_distinct,
+      |    CAST(MIN(CAST(l_quantity AS BIGINT)) AS VARCHAR) AS min_v,
+      |    CAST(MAX(CAST(l_quantity AS BIGINT)) AS VARCHAR) AS max_v
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', COUNT(l_extendedprice),
+      |    COUNT(DISTINCT l_extendedprice),
+      |    CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR),
+      |    CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_returnflag', COUNT(l_returnflag),
+      |    COUNT(DISTINCT l_returnflag), MIN(l_returnflag), MAX(l_returnflag)
+      |  FROM lineitem
+      |) ORDER BY col_name""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    Tables.lineitem(spark, dir)
+      .agg(
+        count(col("l_quantity")).as("q_n"),
+        countDistinct(col("l_quantity")).as("q_d"),
+        min(col("l_quantity").cast(LongType)).cast(StringType).as("q_min"),
+        max(col("l_quantity").cast(LongType)).cast(StringType).as("q_max"),
+        count(col("l_extendedprice")).as("p_n"),
+        countDistinct(col("l_extendedprice")).as("p_d"),
+        min(graft.core.Det.dec2(col("l_extendedprice"))).cast(StringType).as("p_min"),
+        max(graft.core.Det.dec2(col("l_extendedprice"))).cast(StringType).as("p_max"),
+        count(col("l_returnflag")).as("r_n"),
+        countDistinct(col("l_returnflag")).as("r_d"),
+        min(col("l_returnflag")).as("r_min"),
+        max(col("l_returnflag")).as("r_max"))
+      .select(expr(
+        """stack(3,
+          |  'l_extendedprice', p_n, p_d, p_min, p_max,
+          |  'l_quantity', q_n, q_d, q_min, q_max,
+          |  'l_returnflag', r_n, r_d, r_min, r_max)
+          |AS (col_name, n_nonnull, n_distinct, min_v, max_v)""".stripMargin))
+      .orderBy(col("col_name"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(cMetrics, c6, c7, c9, c10, c11, c12)
 }

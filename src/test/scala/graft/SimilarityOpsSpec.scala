@@ -190,6 +190,20 @@ class SimilarityOpsSpec extends SparkSpecBase {
     a shouldBe b
   }
 
+  test("E11b: approx quartiles land within 1% of the exact ones") {
+    import graft.queries.Aggregates
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val exact = toMap(Aggregates.e11.build(spark, sf).drop("n"))
+    val approx = toMap(Aggregates.e11b.build(spark, sf))
+    approx.keySet shouldBe exact.keySet
+    for ((k, (a1, a2, a3)) <- approx; (e1, e2, e3) = exact(k);
+         (a, e) <- Seq(a1 -> e1, a2 -> e2, a3 -> e3))
+      withClue(s"flag $k: approx $a vs exact $e: ")(
+        math.abs(a - e) / e should be <= 0.01)
+  }
+
   test("E10b: stratified sampling keeps full strata, downsamples the rest, seed-stably") {
     import graft.queries.Aggregates
     def counts() = Aggregates.e10b.build(spark, sf).collect()
