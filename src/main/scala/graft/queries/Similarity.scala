@@ -277,5 +277,87 @@ object Similarity extends QueryPack {
     ivfTopK(spark, dir, nCentroids = 16, nProbe = 4, k = 10)
   }
 
-  override def defs: Seq[QueryDef] = Seq(k1, k2, k3, k4, k5, k6, k7, k10)
+  /** Distributed connected components by min-label propagation: each
+    * round every node takes the minimum label among itself and its
+    * neighbors (one shuffle: edge-join + groupBy-min), repeating until the
+    * label sum stops falling — iterations = graph diameter, the standard
+    * large-graph CC loop (cf. the published Hash-to-Min / large-star
+    * designs). The driver loop iterates O(diameter) JOBS, never rows.
+    * `nodes` must carry every vertex (singletons included); `edges` is
+    * directed-as-given and symmetrized here. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // localCheckpoint (eager) after every round truncates the LOGICAL plan,
+    // not just the computation: without it each round's plan embeds every
+    // previous round's, and Catalyst re-optimization time grows
+    // exponentially with iterations (measured: a 20-round loop that should
+    // take seconds ran for minutes in pure planning). This is the standard
+    // iterative-DataFrame rule; on a real cluster reliable checkpointing to
+    // the cluster FS is the durable variant.
+    val sym = edges.toDF("src", "dst")
+      .union(edges.toDF("dst", "src").select(col("src"), col("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.toDF("vec_id").select(col("vec_id"),
+      col("vec_id").as("lbl")).localCheckpoint(true)
+    var sum = labels.agg(org.apache.spark.sql.functions.sum("lbl")).head.getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) { // 50 ≈ diameter bound safety net
+      val nb = sym.join(labels.withColumnRenamed("vec_id", "dst2"),
+          col("dst") === col("dst2"))
+        .select(col("src").as("vec_id"), col("lbl"))
+      val next = labels.union(nb)
+        .groupBy("vec_id").agg(min("lbl").as("lbl")).localCheckpoint(true)
+      val nextSum = next.agg(org.apache.spark.sql.functions.sum("lbl")).head.getLong(0)
+      labels = next
+      converged = nextSum == sum // labels only decrease: equal sum = fixpoint
+      sum = nextSum
+      rounds += 1
+    }
+    labels
+  }
+
+  /** §2.K12 — near-dup CLUSTERING: the dedup endgame. k5's threshold
+    * pairs become an undirected graph, connected components give each doc
+    * a cluster id (= min member), and the minimum member is the canonical
+    * survivor — "keep one of every near-duplicate set", not just "list
+    * the pairs". Oracle: DuckDB recursive-CTE transitive closure over the
+    * same pair predicate. At 100 TB the edges come from k6's LSH banding
+    * (capped buckets) and the propagation loop runs O(diameter) shuffles. */
+  val k12: QueryDef = m(
+    "k12_neardup_clusters",
+    """WITH RECURSIVE v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings WHERE vec_id < 300),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |  WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.30),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |comp AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+      |         FROM reach GROUP BY src)
+      |SELECT v.vec_id,
+      |  COALESCE(c.cluster_id, v.vec_id) AS cluster_id,
+      |  v.vec_id = COALESCE(c.cluster_id, v.vec_id) AS is_survivor
+      |FROM v LEFT JOIN comp c ON v.vec_id = c.vec_id
+      |ORDER BY v.vec_id""".stripMargin) { (spark, dir) =>
+    graft.ext.GraftFunctions.register(spark)
+    val v = emb(Tables.embeddings(spark, dir))
+      .where(col("vec_id") < 300).select(col("vec_id"), col("e")).cache()
+    val a = v.toDF("id_a", "e_a")
+    val b = v.toDF("id_b", "e_b")
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .where(score6(expr("graft_cosine(e_a, e_b)")) >= 0.30)
+      .select(col("id_a"), col("id_b"))
+    connectedComponents(v.select("vec_id"), pairs)
+      .select(col("vec_id"), col("lbl").as("cluster_id"),
+        (col("vec_id") === col("lbl")).as("is_survivor"))
+      .orderBy(col("vec_id"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(k1, k2, k3, k4, k5, k6, k7, k10, k12)
 }

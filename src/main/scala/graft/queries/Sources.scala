@@ -445,35 +445,41 @@ object Sources extends QueryPack {
   }
 
   /** §3.2 EP6 — CDC-style `merge` (upsert) through the config surface:
-    * the engine first writes a deterministic change set (50 balance
-    * updates + 5 brand-new customers), then a YAML pipeline merges it
-    * into the customer base on the key — updates replace, inserts append,
+    * the engine first writes a deterministic change set (10 region
+    * reassignments + 3 brand-new nations), then a YAML pipeline merges it
+    * into the nation base on the key — updates replace, inserts append,
     * untouched rows survive. Oracle is the equivalent anti-join + union
-    * over the same two parquet inputs. */
+    * over the same two parquet inputs.
+    *
+    * The base is NATION on purpose: it is sf-INVARIANT, so the shared
+    * `$ioDir/nation_updates` artifact is identical no matter which scale
+    * factor last wrote it (Bench at sf0.1 runs between Verify at sf0.01
+    * and the oracle read — a customer-based change set flipped values
+    * with the run order; same rule as a3/a4/a7's round-trip fixtures). */
   val ep6: QueryDef = m(
     "ep6_config_merge",
-    s"""WITH u AS (SELECT * FROM read_parquet('$ioDir/cust_updates/*.parquet'))
-       |SELECT c_custkey, c_name, c_acctbal FROM u
+    s"""WITH u AS (SELECT * FROM read_parquet('$ioDir/nation_updates/*.parquet'))
+       |SELECT n_nationkey, n_name, n_regionkey FROM u
        |UNION ALL
-       |SELECT b.c_custkey, b.c_name, b.c_acctbal FROM customer b
-       |WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.c_custkey = b.c_custkey)
-       |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
-    val base = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-    base.where(col("c_custkey") <= 50)
-      .withColumn("c_acctbal", round(col("c_acctbal") + 1000, 2))
-      .unionByName(base.where(col("c_custkey") <= 5)
-        .withColumn("c_custkey", col("c_custkey") + 1000000)
-        .withColumn("c_name", concat(lit("NEW_"), col("c_name"))))
-      .coalesce(1).write.mode("overwrite").parquet(s"$ioDir/cust_updates")
+       |SELECT b.n_nationkey, b.n_name, b.n_regionkey FROM nation b
+       |WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.n_nationkey = b.n_nationkey)
+       |ORDER BY n_nationkey""".stripMargin) { (spark, dir) =>
+    val base = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    base.where(col("n_nationkey") <= 10)
+      .withColumn("n_regionkey", col("n_regionkey") + 100)
+      .unionByName(base.where(col("n_nationkey") <= 2)
+        .withColumn("n_nationkey", col("n_nationkey") + 1000)
+        .withColumn("n_name", concat(lit("NEW_"), col("n_name"))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$ioDir/nation_updates")
     val yaml =
       s"""name: ep6_merge
-         |source: {format: parquet, path: "$dir/customer.parquet"}
+         |source: {format: parquet, path: "$dir/nation.parquet"}
          |transforms:
-         |  - {op: select, cols: [c_custkey, c_name, c_acctbal]}
-         |  - {op: merge, on: [c_custkey],
-         |     table: {format: parquet, path: "$ioDir/cust_updates"}}
-         |  - {op: sort, cols: [c_custkey]}
+         |  - {op: select, cols: [n_nationkey, n_name, n_regionkey]}
+         |  - {op: merge, on: [n_nationkey],
+         |     table: {format: parquet, path: "$ioDir/nation_updates"}}
+         |  - {op: sort, cols: [n_nationkey]}
          |""".stripMargin
     PipelineRunner.run(spark, yaml).passed
   }

@@ -190,6 +190,17 @@ class SimilarityOpsSpec extends SparkSpecBase {
     a shouldBe b
   }
 
+  test("K12: connected components label chains, islands, and singletons") {
+    import spark.implicits._
+    import graft.queries.Similarity
+    // chain 1-2-3, island 5-6, singleton 7 — the chain needs >1 round
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 7L).toDF("vec_id")
+    val edges = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("a", "b")
+    val got = Similarity.connectedComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L)
+  }
+
   test("E11b: approx quartiles land within 1% of the exact ones") {
     import graft.queries.Aggregates
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
