@@ -84,8 +84,12 @@ final case class CheckSpec(
   *  - unpivot (§2.E9): `cols` = id columns, `values` = measure columns,
   *    `name`/`to` = variable/value output column names
   *  - surrogate_key (§2.B9): `name` = key column, `orderBy` = the total
-  *    order the dense ids follow (single-partition window — dimension
-  *    tables only; derive + hash natural keys for facts)
+  *    order the dense ids follow, `max_rows` = REQUIRED declared row
+  *    bound. The dense sequence is a single-partition window by
+  *    construction, safe only on bounded dimension tables — the declared
+  *    bound is enforced at runtime (an early-exit limit probe, not a full
+  *    count) so pointing it at a fact table fails fast instead of
+  *    producing a one-task stage; derive + hash natural keys for facts
   *  - merge (ADF Alter-Row parity, batch only): `table` = the change set,
   *    `on` = match keys, `how` = upsert (default: matching base rows are
   *    replaced by their update row, unmatched update rows are inserted)
@@ -105,7 +109,8 @@ final case class TransformSpec(
     aggs: Seq[String],
     orderBy: Seq[String],
     where: Option[String],
-    values: Seq[String])
+    values: Seq[String],
+    maxRows: Option[Long])
 
 /** `buckets`+`bucketBy` (+optional `sortBy`) write a bucketed table —
   * requires `table` (bucket metadata lives in the catalog; Spark cannot
@@ -178,7 +183,8 @@ object PipelineSpec {
       on = strArr(n, "on"), how = optStr(n, "how"),
       broadcast = opt(n, "broadcast").exists(_.asBoolean(false)),
       aggs = strArr(n, "aggs"), orderBy = strArr(n, "orderBy"),
-      where = optStr(n, "where"), values = strArr(n, "values"))
+      where = optStr(n, "where"), values = strArr(n, "values"),
+      maxRows = opt(n, "max_rows").map(_.asLong()))
   }
 
   private def sink(n: JsonNode, at: String): SinkSpec = {

@@ -311,8 +311,18 @@ object PipelineRunner {
           throw new IllegalArgumentException("flatten needs `cols: [arrayCol]`"))
         val out = t.name.getOrElse(arr)
         val outer = t.how.contains("outer")
+        // fail fast on output-name collisions — withColumn/select would
+        // silently overwrite an unrelated column or emit duplicate names
+        require(out == arr || !df.columns.contains(out),
+          s"flatten: output column '$out' already exists (and is not the " +
+            "flattened array) — pick another `name` or drop it first")
         t.to match {
           case Some(posName) => // positional flatten rides posexplode
+            require(!df.columns.contains(posName) || posName == arr,
+              s"flatten: position column '$posName' already exists — " +
+                "pick another `to` or drop it first")
+            require(posName != out,
+              s"flatten: `to` and `name` must differ (both '$posName')")
             val keep = df.columns.filterNot(_ == arr).map(col).toSeq
             val gen = if (outer) posexplode_outer(col(arr)) else posexplode(col(arr))
             df.select(keep :+ gen.as(Seq(posName, out)): _*)
@@ -339,6 +349,20 @@ object PipelineRunner {
         // hash natural keys via `derive` (xxhash64) instead.
         require(t.orderBy.nonEmpty,
           "surrogate_key needs `orderBy` for a deterministic sequence")
+        // The declared bound turns "oops, pointed it at a fact table" into
+        // a fast failure instead of a silent one-task sort. The probe is
+        // limit(max+1).count() — early-exit after max+1 rows, NOT a full
+        // scan — and runs once per pipeline build (driver side).
+        val maxRows = t.maxRows.getOrElse(throw new IllegalArgumentException(
+          "surrogate_key needs `max_rows`: the global row_number window is " +
+            "single-partition, safe only on a declared-bounded input"))
+        require(maxRows > 0 && maxRows < Int.MaxValue,
+          s"surrogate_key max_rows must be in (0, 2^31), got $maxRows — a " +
+            "bound that large is not a dimension table")
+        val probed = df.limit((maxRows + 1).toInt).count()
+        require(probed <= maxRows,
+          s"surrogate_key: input exceeds declared max_rows=$maxRows — this " +
+            "op is for bounded dimension tables; hash natural keys for facts")
         import org.apache.spark.sql.expressions.Window
         df.withColumn(t.name.getOrElse("sk"),
           row_number().over(Window.orderBy(t.orderBy.map(sortExpr): _*)).cast("bigint"))
@@ -350,7 +374,16 @@ object PipelineRunner {
         val updates = read(spark, t.table.getOrElse(
           throw new IllegalArgumentException("merge needs `table` (the change set)")))
         t.how.getOrElse("upsert") match {
-          case "upsert" => // updates win on key match; unmatched inserts
+          case "upsert" => // updates win on key match; unmatched inserts.
+            // SQL MERGE errors when one target row matches several source
+            // rows — enforce the same here (a duplicate-keyed change set
+            // would silently emit every duplicate). One aggregate-only job
+            // over the (small) change side; delete is dup-insensitive.
+            val dup = updates.groupBy(t.on.map(col): _*)
+              .count().where(col("count") > 1).limit(1).collect()
+            require(dup.isEmpty, s"merge: change set has duplicate keys on " +
+              s"(${t.on.mkString(",")}), e.g. ${dup.headOption.fold("")(_.toString)} — " +
+              "dedup the change set first (op: dedup with orderBy)")
             df.join(updates, t.on, "left_anti").unionByName(updates)
           case "delete" => // remove base rows whose key appears in the set
             df.join(updates.select(t.on.map(col): _*), t.on, "left_anti")
@@ -367,10 +400,15 @@ object PipelineRunner {
     s.buckets match {
       case Some(n) => // §2.A7b from config: shuffle once at write time,
         // join exchange-free ever after (parquet + catalog table)
+        w = w.format(s.format) // never inherit spark.sql.sources.default —
+        // PipelineSpec guarantees parquet for bucketed sinks and the table
+        // must honor that even in a session with a different default
         w = w.bucketBy(n, s.bucketBy.head, s.bucketBy.tail: _*)
         if (s.sortBy.nonEmpty) w = w.sortBy(s.sortBy.head, s.sortBy.tail: _*)
         // a stale table with a DIFFERENT bucket spec must not survive an
-        // overwrite (appends keep the existing spec)
+        // overwrite (appends keep the existing spec). NOTE: the drop+write
+        // pair is not atomic — a failed write leaves no table; rerun the
+        // pipeline (sinks are idempotent by construction, mode=overwrite)
         if (s.mode == "overwrite")
           df.sparkSession.sql(s"DROP TABLE IF EXISTS ${s.table.get}")
         w.option("path", s.path).saveAsTable(s.table.get)

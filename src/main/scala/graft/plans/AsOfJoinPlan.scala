@@ -94,10 +94,12 @@ object AsOf {
     * null timestamp are dropped (they can never be "the latest at-or-
     * before"), left rows with a null timestamp or a null key match nothing
     * (SQL equality: `NULL = NULL` is not true). Key/timestamp pairs whose
-    * types differ are widened to their tightest common type when one
+    * types differ are COMPARED at their tightest common type when one
     * exists (INT joins BIGINT as BIGINT — what the YAML `on` surface
-    * produces when schemas drift); incompatible pairs fail fast with a
-    * clear message instead of mis-partitioning.
+    * produces when schemas drift) via shadow comparison columns dropped
+    * after the join, so every output column keeps its declared type;
+    * incompatible pairs fail fast with a clear message instead of
+    * mis-partitioning.
     */
   def join(
       left: DataFrame,
@@ -113,16 +115,31 @@ object AsOf {
       s"as-of join output names must be disjoint; rename: ${overlap.mkString(",")}")
     // Widen mismatched key/ts pairs to a common type up front (cast is a
     // per-row projection — cheaper than a wrong-answer debug at 100 TB).
+    // The cast lands on a SHADOW column (dropped post-join), never on the
+    // output column itself — an INT key must stay INT in the result.
     import org.apache.spark.sql.catalyst.analysis.TypeCoercion
     def fieldType(df: DataFrame, n: String) = df.schema(n).dataType
     var (lCur, rCur) = (left, right)
-    ((leftKeys :+ leftTs) zip (rightKeys :+ rightTs)).foreach { case (ln, rn) =>
-      val (lt, rt) = (fieldType(lCur, ln), fieldType(rCur, rn))
-      if (lt != rt) TypeCoercion.findTightestCommonType(lt, rt).foreach { w =>
-        if (lt != w) lCur = lCur.withColumn(ln, col(ln).cast(w))
-        if (rt != w) rCur = rCur.withColumn(rn, col(rn).cast(w))
-      } // no common type → fall through; AsOfJoinPlan's require reports it
-    }
+    val shadows = scala.collection.mutable.Buffer[String]()
+    val cmpPairs = ((leftKeys :+ leftTs) zip (rightKeys :+ rightTs))
+      .zipWithIndex.map { case ((ln, rn), i) =>
+        val (lt, rt) = (fieldType(lCur, ln), fieldType(rCur, rn))
+        if (lt == rt) (ln, rn)
+        else TypeCoercion.findTightestCommonType(lt, rt) match {
+          case Some(w) =>
+            val ln2 = if (lt == w) ln else {
+              val n = s"__asof_l_$i"; lCur = lCur.withColumn(n, col(ln).cast(w))
+              shadows += n; n
+            }
+            val rn2 = if (rt == w) rn else {
+              val n = s"__asof_r_$i"; rCur = rCur.withColumn(n, col(rn).cast(w))
+              shadows += n; n
+            }
+            (ln2, rn2)
+          case None => (ln, rn) // AsOfJoinPlan's require reports it
+        }
+      }
+    val (lNames, rNames) = cmpPairs.unzip
     // Re-alias the right side so its output gets fresh ExprIds — both
     // sides often derive from the same scan (self-as-of), and duplicate
     // ids across left/right would make the combined output ambiguous.
@@ -135,9 +152,10 @@ object AsOf {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"as-of join: no column '$n' in [${p.output.map(_.name).mkString(",")}]"))
-    GraftSqlBridge.ofRows(spark, AsOfJoinPlan(
+    val joined = GraftSqlBridge.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
-      leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
-      attr(lPlan, leftTs), attr(rPlan, rightTs)))
+      lNames.init.map(attr(lPlan, _)), rNames.init.map(attr(rPlan, _)),
+      attr(lPlan, lNames.last), attr(rPlan, rNames.last)))
+    if (shadows.isEmpty) joined else joined.drop(shadows.toSeq: _*)
   }
 }

@@ -285,7 +285,8 @@ object Similarity extends QueryPack {
     * designs). The driver loop iterates O(diameter) JOBS, never rows.
     * `nodes` must carry every vertex (singletons included); `edges` is
     * directed-as-given and symmetrized here. */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
     // localCheckpoint (eager) after every round truncates the LOGICAL plan,
     // not just the computation: without it each round's plan embeds every
     // previous round's, and Catalyst re-optimization time grows
@@ -298,21 +299,33 @@ object Similarity extends QueryPack {
       .localCheckpoint(true)
     var labels = nodes.toDF("vec_id").select(col("vec_id"),
       col("vec_id").as("lbl")).localCheckpoint(true)
-    var sum = labels.agg(org.apache.spark.sql.functions.sum("lbl")).head.getLong(0)
+    // SUM(lbl) over zero rows is NULL — an empty node set is already the
+    // (empty) fixpoint, not an NPE.
+    def lblSum(df: DataFrame): Option[Long] =
+      Option(df.agg(org.apache.spark.sql.functions.sum("lbl")).head.get(0))
+        .map(_.asInstanceOf[Number].longValue)
+    var sum = lblSum(labels)
+    if (sum.isEmpty) return labels
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) { // 50 ≈ diameter bound safety net
+    while (!converged && rounds < maxRounds) {
       val nb = sym.join(labels.withColumnRenamed("vec_id", "dst2"),
           col("dst") === col("dst2"))
         .select(col("src").as("vec_id"), col("lbl"))
       val next = labels.union(nb)
         .groupBy("vec_id").agg(min("lbl").as("lbl")).localCheckpoint(true)
-      val nextSum = next.agg(org.apache.spark.sql.functions.sum("lbl")).head.getLong(0)
+      val nextSum = lblSum(next)
       labels = next
       converged = nextSum == sum // labels only decrease: equal sum = fixpoint
       sum = nextSum
       rounds += 1
     }
+    // Non-converged labels are WRONG labels (two nodes of one component
+    // still disagree) — refuse to return them silently. maxRounds bounds
+    // the graph diameter, so raise it for genuinely deep graphs.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds rounds — " +
+        s"graph diameter exceeds the bound; raise maxRounds")
     labels
   }
 

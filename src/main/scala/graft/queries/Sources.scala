@@ -413,7 +413,7 @@ object Sources extends QueryPack {
          |     values: [view, click, purchase, signup, error],
          |     name: event_type, to: n}
          |  - {op: derive, name: n, expr: "coalesce(n, CAST(0 AS BIGINT))"}
-         |  - {op: surrogate_key, name: sk, orderBy: [bucket, event_type]}
+         |  - {op: surrogate_key, name: sk, orderBy: [bucket, event_type], max_rows: 1000}
          |  - {op: select, cols: [sk, bucket, event_type, n]}
          |  - {op: sort, cols: [sk]}
          |""".stripMargin

@@ -341,7 +341,7 @@ class ConfigPipelineSpec extends SparkSpecBase {
       s"""name: sk_demo
          |source: {format: parquet, path: "$sf/nation.parquet"}
          |transforms:
-         |  - {op: surrogate_key, name: sk, orderBy: ["n_name DESC"]}
+         |  - {op: surrogate_key, name: sk, orderBy: ["n_name DESC"], max_rows: 100}
          |  - {op: sort, cols: [sk]}
          |""".stripMargin
     val a = PipelineRunner.run(spark, yaml).passed.collect()
@@ -361,6 +361,22 @@ class ConfigPipelineSpec extends SparkSpecBase {
          |  - {op: surrogate_key, name: sk, orderBy: [n_name]}
          |""".stripMargin))
     e.getMessage should include("batch-only")
+    // the single-partition window demands a declared bound...
+    val eNoBound = intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: sk_unbounded
+         |source: {format: parquet, path: "$sf/nation.parquet"}
+         |transforms:
+         |  - {op: surrogate_key, name: sk, orderBy: [n_name]}
+         |""".stripMargin))
+    eNoBound.getMessage should include("max_rows")
+    // ...and the bound is enforced at runtime, not just declared
+    val eOver = intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: sk_overflow
+         |source: {format: parquet, path: "$sf/nation.parquet"}
+         |transforms:
+         |  - {op: surrogate_key, name: sk, orderBy: [n_name], max_rows: 3}
+         |""".stripMargin))
+    eOver.getMessage should include("exceeds declared max_rows")
   }
 
   test("EP5: bucketed sink from YAML enables an exchange-free join") {

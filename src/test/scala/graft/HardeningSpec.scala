@@ -120,6 +120,80 @@ class HardeningSpec extends SparkSpecBase {
     } finally parsed.unpersist()
   }
 
+  test("K12: connectedComponents handles empty node sets and refuses non-convergence") {
+    import graft.queries.Similarity
+    // empty graph: the (empty) fixpoint, not an NPE on SUM(NULL)
+    val noNodes = Seq.empty[Long].toDF("vec_id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    Similarity.connectedComponents(noNodes, noEdges).count() shouldBe 0L
+    // a 9-hop chain cannot converge in 2 rounds: wrong labels must THROW,
+    // never return silently
+    val nodes = (0L to 9L).toDF("vec_id")
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Similarity.connectedComponents(nodes, chain, maxRounds = 2)
+    }
+    e.getMessage should include("did not converge")
+    // and with enough rounds the same graph collapses to one component
+    val ok = Similarity.connectedComponents(nodes, chain)
+    ok.select("lbl").distinct().count() shouldBe 1L
+  }
+
+  test("EP: flatten refuses to overwrite unrelated columns; merge refuses dup-keyed change sets") {
+    import graft.pipeline.PipelineRunner
+    val sfDir = sf
+    // flatten output name colliding with a non-array column
+    val eFlat = intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: flat_collide
+         |source: {format: parquet, path: "$sfDir/region.parquet"}
+         |transforms:
+         |  - {op: derive, name: arr, expr: "array(r_regionkey)"}
+         |  - {op: flatten, cols: [arr], name: r_name}
+         |""".stripMargin))
+    eFlat.getMessage should include("already exists")
+    // posexplode position column colliding
+    val ePos = intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: flat_pos_collide
+         |source: {format: parquet, path: "$sfDir/region.parquet"}
+         |transforms:
+         |  - {op: derive, name: arr, expr: "array(r_regionkey)"}
+         |  - {op: flatten, cols: [arr], name: v, to: r_name}
+         |""".stripMargin))
+    ePos.getMessage should include("already exists")
+    // merge upsert with a duplicate-keyed change set: SQL MERGE parity
+    val dupDir = java.nio.file.Files.createTempDirectory("graft_dup_merge").toString
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .where(col("n_nationkey") === 1)
+      .unionByName(spark.read.parquet(s"$sfDir/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .where(col("n_nationkey") === 1))
+      .write.mode("overwrite").parquet(s"$dupDir/updates")
+    val eDup = intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: merge_dup
+         |source: {format: parquet, path: "$sfDir/nation.parquet"}
+         |transforms:
+         |  - {op: select, cols: [n_nationkey, n_name, n_regionkey]}
+         |  - {op: merge, on: [n_nationkey],
+         |     table: {format: parquet, path: "$dupDir/updates"}}
+         |""".stripMargin).passed.count())
+    eDup.getMessage should include("duplicate keys")
+  }
+
+  test("D7: as-of type widening keeps the declared output column types") {
+    import graft.plans.AsOf
+    val l = Seq((1, 10L, "L1"), (2, 10L, "L2")).toDF("lk", "lt", "lid") // INT key
+    val r = Seq((1L, 5, "R1")).toDF("rk", "rt", "rid") // BIGINT key, INT ts
+    val out = AsOf.join(l, r, Seq("lk"), Seq("rk"), "lt", "rt")
+    // the comparison ran widened, but the OUTPUT schema is untouched
+    out.schema("lk").dataType shouldBe IntegerType
+    out.schema("rk").dataType shouldBe LongType
+    out.schema("lt").dataType shouldBe LongType
+    out.schema("rt").dataType shouldBe IntegerType
+    out.columns.count(_.startsWith("__asof")) shouldBe 0
+    out.where(col("lid") === "L1").head.getAs[String]("rid") shouldBe "R1"
+  }
+
   test("conf scoping: a streaming run leaves the shared batch SQLConf untouched") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     // l1 runs a real AvailableNow stream through runToBatch (which pins 8
