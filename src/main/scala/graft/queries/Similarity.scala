@@ -170,11 +170,21 @@ object Similarity extends QueryPack {
     * buckets and O(n) for hot ones, a provable ceiling at any scale.
     * Singleton buckets are pruned in the same pass (no pairs). */
   def lshCandidates(spark: org.apache.spark.sql.SparkSession, dir: String,
-      bucketCap: Int): DataFrame = {
+      bucketCap: Int): DataFrame =
+    lshCandidatesOf(
+      TextOps.tokens(Tables.documents(spark, dir))
+        .select(col("doc_id"), array_distinct(col("toks")).as("ts")),
+      bucketCap)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** The generic candidate generator behind k6: takes ANY (doc_id,
+    * ts ARRAY<STRING>) frame — reused by k12b's end-to-end clustering and
+    * the YAML `minhash_dedup` op, where the id/token columns come from
+    * config. Output (id_a, id_b) is unsorted (callers feeding a join
+    * shouldn't pay a sort; k6 adds its own orderBy). */
+  def lshCandidatesOf(docs: DataFrame, bucketCap: Int): DataFrame = {
     val nHashes = 12
     val rowsPerBand = 3
-    val docs = TextOps.tokens(Tables.documents(spark, dir))
-      .select(col("doc_id"), array_distinct(col("toks")).as("ts"))
     val sigs = docs.select(
       col("doc_id"),
       array((0 until nHashes).map { h =>
@@ -209,7 +219,6 @@ object Similarity extends QueryPack {
       .where(col("doc_id") =!= col("__anchor"))
       .select(col("__anchor").as("id_a"), col("doc_id").as("id_b"))
     fullPairs.union(starPairs).distinct()
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   val k6: QueryDef = x("k6_minhash_lsh") { (spark, dir) =>
@@ -372,5 +381,76 @@ object Similarity extends QueryPack {
       .orderBy(col("vec_id"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(k1, k2, k3, k4, k5, k6, k7, k10, k12)
+  /** The full near-dup clustering pipeline over any (doc_id, ts) frame —
+    * k6's candidate generation, exact Jaccard verification at `threshold`
+    * (6-dp rounded, D-rule 7), then connected components. This is the
+    * k6→k12 stitch: candidates come from banded LSH (groupBy-shuffle, no
+    * cross join anywhere), the verify step touches ONLY candidate pairs
+    * (two co-partitioned joins back to the token sets), and the label
+    * propagation runs O(diameter) shuffles. Returns (vec_id, lbl)
+    * covering every input id — singletons label themselves.
+    *
+    * Capping note: over-cap buckets emit star pairs (anchor, member)
+    * whose DIRECT Jaccard can sit below the threshold even when both
+    * docs belong to one near-dup cluster, so verification over a capped
+    * candidate set trades recall for the O(n) bucket ceiling — the
+    * standard LSH-dedup budget. Callers asserting exactness (k12b's
+    * oracle) use a cap comfortably above the corpus' largest duplicate
+    * cluster. */
+  def lshClusters(docs: DataFrame, threshold: Double, bucketCap: Int): DataFrame = {
+    val verified = lshCandidatesOf(docs, bucketCap)
+      .join(docs.toDF("id_a", "ts_a"), "id_a")
+      .join(docs.toDF("id_b", "ts_b"), "id_b")
+      .where(round(size(array_intersect(col("ts_a"), col("ts_b"))).cast(DoubleType)
+        / size(array_union(col("ts_a"), col("ts_b"))), 6) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    connectedComponents(docs.select(col("doc_id")), verified)
+  }
+
+  /** §2.K6→K12 end-to-end — the 100-TB dedup endgame with NO all-pairs
+    * stage anywhere: LSH banding proposes candidates, exact Jaccard ≥ 0.8
+    * verifies them, connected components assign cluster ids, min member
+    * survives. Unlike k12 (whose edges come from the sf-bounded exact k5
+    * join), every stage here scales: banded candidate shuffle, verify
+    * join over candidates only, O(diameter) label propagation.
+    *
+    * Oracle-checkable because the banding parameters (4 bands × 3 rows)
+    * give 100% recall on this corpus' ≥ 0.8-Jaccard pairs (measured at
+    * sf0.001/0.01/0.1 — duplicate clusters are token-set-identical or
+    * near-identical, and identical sets share ALL minhashes), so the
+    * verified edge set equals DuckDB's all-pairs threshold edges and the
+    * recursive-CTE closure agrees exactly. SimilarityOpsSpec asserts the
+    * same equality against an in-memory union-find at sf0.001. */
+  val k12b: QueryDef = m(
+    "k12b_lsh_neardup_clusters",
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, list_sort(list_distinct(string_split(lower(text), ' '))) AS ts
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |  WHERE ROUND(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.8),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      |         FROM reach GROUP BY src)
+      |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+      |  d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_survivor
+      |FROM d LEFT JOIN comp c ON d.doc_id = c.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    val docs = TextOps.tokens(Tables.documents(spark, dir))
+      .select(col("doc_id"), array_distinct(col("toks")).as("ts"))
+    lshClusters(docs, threshold = 0.8, bucketCap = 4096)
+      .select(col("vec_id").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("vec_id") === col("lbl")).as("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
+  override def defs: Seq[QueryDef] =
+    Seq(k1, k2, k3, k4, k5, k6, k7, k10, k12, k12b)
 }

@@ -201,6 +201,39 @@ class SimilarityOpsSpec extends SparkSpecBase {
     got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L)
   }
 
+  test("K12b: LSH-driven clusters equal exact all-pairs Jaccard clusters") {
+    // end-to-end stitch (k6 candidates → verify → CC) must reproduce the
+    // ground-truth clustering exactly: compute truth with an in-memory
+    // union-find over ALL pairs at Jaccard ≥ 0.8, then compare labels.
+    val got = Similarity.k12b.build(spark, sf)
+      .as[(Long, Long, Boolean)].collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_distinct(split(lower(col("text")), " ")).as("ts"))
+      .as[(Long, Seq[String])].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      j = (ta.toSet & tb.toSet).size.toDouble / (ta.toSet ++ tb.toSet).size
+      if BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.8
+    } parent(find(math.min(ia, ib))) = find(math.max(ia, ib))
+    // canonical truth label = min member of each component
+    val members = docs.map(_._1).groupBy(find).map { case (_, ms) =>
+      val root = ms.min; ms.map(_ -> root)
+    }.flatten.toMap
+    got.length shouldBe docs.length
+    got.foreach { case (id, cluster, survivor) =>
+      withClue(s"doc $id: ") {
+        cluster shouldBe members(id)
+        survivor shouldBe (id == cluster)
+      }
+    }
+  }
+
   test("E11b: approx quartiles land within 1% of the exact ones") {
     import graft.queries.Aggregates
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
