@@ -95,6 +95,26 @@ final case class CheckSpec(
   *    replaced by their update row, unmatched update rows are inserted)
   *    or delete (matching base rows are removed). Plain anti-join + union
   *    algebra — no storage-layer transaction log is assumed.
+  *  - tokenize (§2.J1/J2): `cols` = [the text column], `name` = output
+  *    token-array column (default "toks"), `values` = optional stopwords
+  *    removed after splitting (duplicate non-stopwords survive)
+  *  - tfidf (§2.J5, batch only): `cols` = [idCol, tokensCol]; RESHAPES
+  *    the frame to (id, term, tf, score) — idf needs the whole corpus,
+  *    so this op cannot run on a stream
+  *  - minhash_dedup (§2.K6+K12, batch only): `cols` = [idCol, tokensCol]
+  *    (id must be unique + orderable), `threshold` = exact-Jaccard verify
+  *    bar in (0, 1] (default 1.0 = identical token sets), `bucket_cap` =
+  *    LSH bucket occupancy ceiling (default 4096). Keeps ONLY near-dup
+  *    cluster survivors (min id per connected component), full row
+  *    schema preserved. The scale path end-to-end: banded candidates →
+  *    verify over candidates only → O(diameter) label propagation —
+  *    no all-pairs stage at any size
+  *  - ann_topk (§2.K4, batch only): `cols` = [idCol, vectorCol], `where`
+  *    = predicate selecting EXACTLY ONE query row (enforced; the query
+  *    row is excluded from results), `k` = result size (default 10).
+  *    RESHAPES to (id, cos_sim), top-k by (score DESC, id) — plans as
+  *    TakeOrderedAndProject over a broadcast query vector, no global
+  *    sort, no shuffle of the scored side
   */
 final case class TransformSpec(
     op: String,                   // select | rename | drop | derive | filter | cast | join | limit | sort | aggregate | union | dedup | asof_join | flatten | pivot | unpivot | surrogate_key
@@ -110,7 +130,10 @@ final case class TransformSpec(
     orderBy: Seq[String],
     where: Option[String],
     values: Seq[String],
-    maxRows: Option[Long])
+    maxRows: Option[Long],
+    threshold: Option[Double],
+    bucketCap: Option[Int],
+    k: Option[Int])
 
 /** `buckets`+`bucketBy` (+optional `sortBy`) write a bucketed table —
   * requires `table` (bucket metadata lives in the catalog; Spark cannot
@@ -174,7 +197,8 @@ object PipelineSpec {
     val op = reqStr(n, "op", at)
     require(Set("select", "rename", "drop", "derive", "filter", "cast", "join",
       "limit", "sort", "aggregate", "union", "dedup", "asof_join",
-      "flatten", "pivot", "unpivot", "surrogate_key", "merge")(op),
+      "flatten", "pivot", "unpivot", "surrogate_key", "merge",
+      "tokenize", "tfidf", "minhash_dedup", "ann_topk")(op),
       s"$at.op: unknown '$op'")
     TransformSpec(op,
       cols = strArr(n, "cols"), name = optStr(n, "name"),
@@ -184,7 +208,10 @@ object PipelineSpec {
       broadcast = opt(n, "broadcast").exists(_.asBoolean(false)),
       aggs = strArr(n, "aggs"), orderBy = strArr(n, "orderBy"),
       where = optStr(n, "where"), values = strArr(n, "values"),
-      maxRows = opt(n, "max_rows").map(_.asLong()))
+      maxRows = opt(n, "max_rows").map(_.asLong()),
+      threshold = optNum(n, "threshold"),
+      bucketCap = opt(n, "bucket_cap").map(_.asInt()),
+      k = opt(n, "k").map(_.asInt()))
   }
 
   private def sink(n: JsonNode, at: String): SinkSpec = {

@@ -85,6 +85,9 @@ object PipelineRunner {
       s"streaming mode: '${t.op}' is batch-only (pivot needs a finished " +
         "group; a global row_number window has no streaming equivalent; " +
         "merge anti-joins the full base)"))
+    streamable.foreach(t => require(!Set("tfidf", "minhash_dedup", "ann_topk")(t.op),
+      s"streaming mode: '${t.op}' is batch-only (idf / LSH clustering / " +
+        "top-k all need the whole corpus; `tokenize` streams fine)"))
 
     def mk(pass: Boolean)(ss: SparkSession): DataFrame = {
       val src = readStream(ss, spec.source)
@@ -390,6 +393,60 @@ object PipelineRunner {
           case other => throw new IllegalArgumentException(
             s"merge how: unknown '$other' (upsert | delete)")
         }
+      case "tokenize" => // §2.J1/J2 through the config surface
+        val src = t.cols.headOption.getOrElse(throw new IllegalArgumentException(
+          "tokenize needs `cols: [textCol]`"))
+        val out = t.name.getOrElse("toks")
+        require(!df.columns.contains(out),
+          s"tokenize: output column '$out' already exists — pick another `name`")
+        val toks = split(lower(col(src)), " ")
+        // filter() (not array_except) so duplicate non-stopwords survive
+        val kept = if (t.values.isEmpty) toks else {
+          val stopArr = array(t.values.map(lit): _*)
+          filter(toks, tok => !array_contains(stopArr, tok))
+        }
+        df.withColumn(out, kept)
+      case "tfidf" => // §2.J5 through the config surface (batch only —
+        // idf is a whole-corpus aggregate). RESHAPES to (id, term, tf, score).
+        require(t.cols.length == 2, "tfidf needs `cols: [idCol, tokensCol]`")
+        graft.queries.TextOps.tfidfOf(df, t.cols(0), t.cols(1))
+      case "minhash_dedup" => // §2.K6+K12 through the config surface
+        // (batch only): banded LSH candidates → exact Jaccard verify →
+        // connected components → keep only cluster survivors (min id).
+        require(t.cols.length == 2, "minhash_dedup needs `cols: [idCol, tokensCol]`")
+        val (id, toks) = (t.cols(0), t.cols(1))
+        val thr = t.threshold.getOrElse(1.0)
+        require(thr > 0.0 && thr <= 1.0,
+          s"minhash_dedup threshold must be in (0, 1], got $thr")
+        val docs = df.select(col(id).as("doc_id"), array_distinct(col(toks)).as("ts"))
+        val survivors = graft.queries.Similarity
+          .lshClusters(docs, thr, t.bucketCap.getOrElse(4096))
+          .where(col("vec_id") === col("lbl"))
+          .select(col("vec_id").as("__surv_id"))
+        // left semi: original schema preserved, only survivor rows kept
+        df.join(survivors, col(id) === col("__surv_id"), "left_semi")
+      case "ann_topk" => // §2.K4 through the config surface (batch only):
+        // broadcast the single query vector, exact cosine over every other
+        // row, top-k via TakeOrderedAndProject — no global sort.
+        require(t.cols.length == 2, "ann_topk needs `cols: [idCol, vectorCol]`")
+        val (id, vec) = (t.cols(0), t.cols(1))
+        val pred = t.where.getOrElse(throw new IllegalArgumentException(
+          "ann_topk needs `where` (a predicate selecting the ONE query row)"))
+        graft.ext.GraftFunctions.register(spark)
+        val q = df.where(expr(pred))
+          .select(expr(s"CAST($vec AS ARRAY<DOUBLE>)").as("__q"))
+        // a multi-row query side would silently cross-score every result —
+        // enforce exactly one (early-exit 2-row probe, driver side, like merge)
+        val nq = q.limit(2).count()
+        require(nq == 1, s"ann_topk: `where` must select exactly 1 query row, got " +
+          s"${if (nq > 1) ">1" else "0"}")
+        df.where(!coalesce(expr(pred), lit(false)))
+          .crossJoin(broadcast(q))
+          .select(col(id),
+            round(expr(s"graft_cosine(CAST($vec AS ARRAY<DOUBLE>), __q)"), 6)
+              .as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col(id))
+          .limit(t.k.getOrElse(10))
       case other   => throw new IllegalArgumentException(s"unknown transform $other")
     }
 

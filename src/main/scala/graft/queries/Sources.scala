@@ -484,6 +484,83 @@ object Sources extends QueryPack {
     PipelineRunner.run(spark, yaml).passed
   }
 
+  /** §3.2 EP7 — the LLM-data-pipeline dedup endgame declared ENTIRELY in
+    * YAML: tokenize → minhash_dedup → project → sort. threshold 1.0 keeps
+    * one survivor per identical-token-SET group, which is oracle-exact at
+    * any scale: identical sets share ALL minhash signatures, so every
+    * such pair is an LSH candidate by construction (SimilarityOpsSpec's
+    * exact-dup law), the Jaccard-1.0 verify keeps exactly those edges,
+    * and the components are the set-equality classes — DuckDB computes
+    * the same survivors with one window over the normalized token set.
+    * (Sub-1.0 thresholds ride the identical machinery; their LSH recall
+    * story is k12b's, spec-checked rather than oracle-checked.) */
+  val ep7: QueryDef = m(
+    "ep7_config_textdedup",
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY
+      |  array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), CHR(9)))
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val yaml =
+      s"""name: ep7_textdedup
+         |source: {format: parquet, path: "$dir/documents.parquet"}
+         |transforms:
+         |  - {op: tokenize, cols: [text], name: toks}
+         |  - {op: minhash_dedup, cols: [doc_id, toks], threshold: 1.0}
+         |  - {op: select, cols: [doc_id, lang, source, n_chars]}
+         |  - {op: sort, cols: [doc_id]}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml).passed
+  }
+
+  /** §3.2 EP7b — TF-IDF scoring from the YAML surface: tokenize → tfidf
+    * (a RESHAPING op: the frame becomes (doc_id, term, tf, score)) —
+    * same oracle as j5, so the config route cross-checks the direct one. */
+  val ep7b: QueryDef = m(
+    "ep7b_config_tfidf",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT tf.doc_id, tf.term, tf.tf,
+      |  ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+      |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+      |ORDER BY tf.doc_id, tf.term""".stripMargin) { (spark, dir) =>
+    val yaml =
+      s"""name: ep7b_tfidf
+         |source: {format: parquet, path: "$dir/documents.parquet"}
+         |transforms:
+         |  - {op: tokenize, cols: [text], name: toks}
+         |  - {op: tfidf, cols: [doc_id, toks]}
+         |  - {op: sort, cols: [doc_id, term]}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml).passed
+  }
+
+  /** §3.2 EP8 — similarity search from the YAML surface: `ann_topk`
+    * broadcasts the declared query row's vector and plans the top-k as
+    * TakeOrderedAndProject (same oracle shape as k4 — rank with id
+    * tiebreak, never bare LIMIT over ties). */
+  val ep8: QueryDef = m(
+    "ep8_config_ann",
+    """SELECT vec_id, cos_sim FROM (
+      |  SELECT v.vec_id,
+      |    ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+      |                                 CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+      |  FROM embeddings v
+      |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      |  WHERE v.vec_id <> 0)
+      |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin) { (spark, dir) =>
+    val yaml =
+      s"""name: ep8_ann
+         |source: {format: parquet, path: "$dir/embeddings.parquet"}
+         |transforms:
+         |  - {op: ann_topk, cols: [vec_id, embedding], where: "vec_id = 0", k: 20}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml).passed
+  }
+
   override def defs: Seq[QueryDef] =
-    Seq(a3, a3b, a4, a7, a7b, ep1, ep2, ep2b, ep3, ep3b, ep4, ep5, ep5b, ep6)
+    Seq(a3, a3b, a4, a7, a7b, ep1, ep2, ep2b, ep3, ep3b, ep4, ep5, ep5b, ep6,
+      ep7, ep7b, ep8)
 }

@@ -86,6 +86,24 @@ object TextOps extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Generic TF-IDF over any (id, token-array) frame — the engine behind
+    * j5 and the YAML `tfidf` op, where the id/token columns come from
+    * config. tf = term count in doc; idf = ln(N/df); score at 6 dp
+    * (D-rule 7; ln is libm-rounded on both engines — absorbed). Shape:
+    * two map-side-combined aggregates shuffling on (id, term) / term,
+    * one join on the term key, and the corpus size N as a broadcast
+    * 1-row aggregate — no driver action at build time. */
+  def tfidfOf(df: DataFrame, id: String, toks: String): DataFrame = {
+    val terms = df.select(col(id), explode(col(toks)).as("term"))
+    val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val idf = terms.groupBy(col("term")).agg(countDistinct(col(id)).as("df"))
+    val n = df.agg(count(lit(1)).cast(DoubleType).as("n"))
+    tf.join(idf, "term")
+      .crossJoin(broadcast(n))
+      .select(col(id), col("term"), col("tf"),
+        round(col("tf") * log(col("n") / col("df")), 6).as("score"))
+  }
+
   /** §2.J5 — TF-IDF: tf = term count in doc; idf = ln(N/df); score at
     * 6 dp (D-rule 7; ln is libm-rounded on both engines — absorbed). */
   val j5: QueryDef = m(
@@ -99,19 +117,7 @@ object TextOps extends QueryPack {
       |  ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
       |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
       |ORDER BY tf.doc_id, tf.term""".stripMargin) { (spark, dir) =>
-    val toksDf = tokens(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(col("toks")).as("term"))
-    val tf = toksDf.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = toksDf.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-    // corpus size N stays in the plan (broadcast 1-row aggregate, exactly
-    // the oracle's CROSS JOIN n) — no job runs at build time.
-    val n = Tables.documents(spark, dir)
-      .agg(count(lit(1)).cast(DoubleType).as("n"))
-    tf.join(df, "term")
-      .crossJoin(broadcast(n))
-      .select(col("doc_id"), col("term"), col("tf"),
-        round(col("tf") * log(col("n") / col("df")), 6).as("score"))
+    tfidfOf(tokens(Tables.documents(spark, dir)), "doc_id", "toks")
       .orderBy(col("doc_id"), col("term"))
   }
 

@@ -443,6 +443,92 @@ class ConfigPipelineSpec extends SparkSpecBase {
     e.getMessage should include("batch-only")
   }
 
+  test("EP7: tokenize splits, lowercases, and drops declared stopwords") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tok").toString
+    Seq((1L, "The Quick the BROWN fox the")).toDF("id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val out = PipelineRunner.run(spark,
+      s"""name: tok_demo
+         |source: {format: parquet, path: "$dir"}
+         |transforms:
+         |  - {op: tokenize, cols: [text], name: toks, values: [the]}
+         |""".stripMargin).passed
+    out.select("toks").as[Seq[String]].head() shouldBe
+      Seq("quick", "brown", "fox") // dups of non-stopwords would survive
+    // output-name collision fails fast like flatten
+    val e = intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: tok_bad
+         |source: {format: parquet, path: "$dir"}
+         |transforms: [{op: tokenize, cols: [text], name: text}]
+         |""".stripMargin))
+    e.getMessage should include("already exists")
+  }
+
+  test("EP7: minhash_dedup keeps one survivor per near-dup cluster, thresholded") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_mhd").toString
+    // 1≡2 exact dups; 3 differs from 1 by one token out of 11 distinct
+    // (Jaccard 10/12 ≈ 0.833 ≥ 0.8); 4 is unrelated
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    Seq(
+      (1L, base), (2L, base),
+      (3L, base.replace("lambda", "omega")),
+      (4L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    def survivors(threshold: Double) = PipelineRunner.run(spark,
+      s"""name: mhd_demo
+         |source: {format: parquet, path: "$dir"}
+         |transforms:
+         |  - {op: tokenize, cols: [text], name: toks}
+         |  - {op: minhash_dedup, cols: [doc_id, toks], threshold: $threshold}
+         |  - {op: sort, cols: [doc_id]}
+         |""".stripMargin).passed.select("doc_id").as[Long].collect().toSeq
+    // θ=0.8: 1,2,3 collapse into one cluster (transitively) → survivors 1, 4
+    survivors(0.8) shouldBe Seq(1L, 4L)
+    // θ=1.0: only the exact-dup pair collapses → 3 survives on its own
+    survivors(1.0) shouldBe Seq(1L, 3L, 4L)
+  }
+
+  test("EP7b: tfidf from config reshapes to (id, term, tf, score) = direct j5") {
+    val viaConfig = graft.queries.Sources.ep7b.build(spark, sf)
+    viaConfig.columns.toSeq shouldBe Seq("doc_id", "term", "tf", "score")
+    viaConfig.collect().map(_.toSeq) shouldBe
+      graft.queries.TextOps.j5.build(spark, sf).collect().map(_.toSeq)
+  }
+
+  test("EP8: ann_topk equals the direct k4 top-k and enforces one query row") {
+    val viaConfig = graft.queries.Sources.ep8.build(spark, sf)
+    viaConfig.collect().map(_.toSeq) shouldBe
+      graft.queries.Similarity.k4.build(spark, sf).collect().map(_.toSeq)
+    val e = intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: ann_bad
+         |source: {format: parquet, path: "$sf/embeddings.parquet"}
+         |transforms:
+         |  - {op: ann_topk, cols: [vec_id, embedding], where: "vec_id < 5", k: 3}
+         |""".stripMargin))
+    e.getMessage should include("exactly 1 query row")
+  }
+
+  test("EP7/EP8: corpus-wide LLM ops are batch-only in streaming mode") {
+    for (op <- Seq("{op: tfidf, cols: [event_id, props]}",
+                   "{op: minhash_dedup, cols: [event_id, props]}",
+                   "{op: ann_topk, cols: [event_id, value], where: \"event_id = 0\"}")) {
+      val e = intercept[IllegalArgumentException](PipelineRunner.run(spark,
+        s"""name: s_llm
+           |mode: streaming
+           |source: {format: parquet, path: "$sf",
+           |  schema: "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+           |  options: {pathGlobFilter: "events.parquet"}}
+           |transforms:
+           |  - $op
+           |""".stripMargin))
+      e.getMessage should include("batch-only")
+    }
+  }
+
   test("EP1: rename / cast / drop transforms compose in order") {
     val yaml =
       s"""name: t_demo
