@@ -94,8 +94,14 @@ object PipelineRunner {
       val base = if (spec.checks.isEmpty) {
         if (pass) src else src.where(lit(false)) // empty quarantine stream
       } else {
-        val pred = spec.checks.map(checkPredicate(ss, src, _)).reduce(_ && _)
-        if (pass) src.where(pred) else src.where(!pred)
+        val preds = spec.checks.map(checkPredicate(ss, src, _))
+        val allPass = preds.reduce(_ && _)
+        if (pass) src.where(allPass)
+        else src.where(!allPass) // quarantine says WHY, same as batch
+          .withColumn("failed_checks",
+            array_compact(array(preds.zip(spec.checks).map { case (p, c) =>
+              when(!p, lit(c.checkName))
+            }: _*)))
       }
       streamable.foldLeft(base)((df, t) => applyTransform(ss, df, t))
     }
@@ -171,6 +177,13 @@ object PipelineRunner {
     coalesce(p, lit(false))
   }
 
+  /** The quarantine reason column: names of failed checks in declaration
+    * order, read off the `__chk_i` boolean flags already in the plan. */
+  private def failedChecksCol(checks: Seq[CheckSpec]): Column =
+    array_compact(array(checks.zipWithIndex.map { case (c, i) =>
+      when(!col(s"__chk_$i"), lit(c.checkName))
+    }: _*))
+
   /** Split + metrics in one pass: add all check booleans, conjunction
     * splits rows, the same booleans aggregate into per-check counts.
     *
@@ -209,7 +222,12 @@ object PipelineRunner {
     val observed = work.observe(obs, aggExprs.head, aggExprs.tail: _*)
     val allPass = flags.map(col).reduce(_ && _)
     val passed = observed.where(allPass).drop(flags: _*)
-    val quarantined = observed.where(!allPass).drop(flags: _*)
+    // quarantine rows say WHY (ADF Assert parity): `failed_checks` lists
+    // the names of every check the row failed, in declaration order —
+    // computed from the same fused flag projection, zero extra passes.
+    val quarantined = observed.where(!allPass)
+      .withColumn("failed_checks", failedChecksCol(checks))
+      .drop(flags: _*)
 
     def toMetrics(n: Long, passOf: Int => Long): Seq[CheckMetric] =
       checks.zipWithIndex.map { case (c, i) =>

@@ -210,6 +210,39 @@ object Sources extends QueryPack {
     PipelineRunner.run(spark, yaml).passed
   }
 
+  /** §3.2 EP1b — the quarantine side AS a first-class result, with
+    * failure REASONS: `failed_checks` names every check the row failed,
+    * in declaration order (ADF Assert parity), read off the same fused
+    * flag projection the split uses — zero extra passes. Serialized with
+    * '|' for the compare (D-rule 6); DuckDB's concat_ws skips NULL CASE
+    * branches exactly like array_join reads the compacted array. */
+  val ep1b: QueryDef = m(
+    "ep1b_config_quarantine",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_discount,
+      |  concat_ws('|',
+      |    CASE WHEN NOT coalesce(l_quantity <= 45, false) THEN 'qty_cap' END,
+      |    CASE WHEN NOT coalesce(l_returnflag IN ('A','R'), false) THEN 'flag_ar' END,
+      |    CASE WHEN NOT coalesce(l_discount <= 0.05, false) THEN 'low_disc' END) AS failed_checks
+      |FROM lineitem
+      |WHERE NOT (coalesce(l_quantity <= 45, false)
+      |  AND coalesce(l_returnflag IN ('A','R'), false)
+      |  AND coalesce(l_discount <= 0.05, false))
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+    val yaml =
+      s"""name: ep1b_quarantine
+         |source: {format: parquet, path: "$dir/lineitem.parquet"}
+         |checks:
+         |  - {type: cross, name: qty_cap, expr: "l_quantity <= 45"}
+         |  - {type: in_set, name: flag_ar, col: l_returnflag, values: [A, R]}
+         |  - {type: cross, name: low_disc, expr: "l_discount <= 0.05"}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml).quarantined
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"), col("l_discount"),
+        array_join(col("failed_checks"), "|").as("failed_checks"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** §3.2 EP2 — a config-declared pipeline ending in a GROUP BY: the
     * `aggregate` op (checks → filter → groupBy/agg → sort, all from YAML).
     * Sums run over DECIMAL(12,2) casts so accumulation order cannot
@@ -561,6 +594,6 @@ object Sources extends QueryPack {
   }
 
   override def defs: Seq[QueryDef] =
-    Seq(a3, a3b, a4, a7, a7b, ep1, ep2, ep2b, ep3, ep3b, ep4, ep5, ep5b, ep6,
-      ep7, ep7b, ep8)
+    Seq(a3, a3b, a4, a7, a7b, ep1, ep1b, ep2, ep2b, ep3, ep3b, ep4, ep5, ep5b,
+      ep6, ep7, ep7b, ep8)
 }

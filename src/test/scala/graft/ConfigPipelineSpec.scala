@@ -443,6 +443,40 @@ class ConfigPipelineSpec extends SparkSpecBase {
     e.getMessage should include("batch-only")
   }
 
+  test("EP1b: quarantine rows carry failed_checks reasons, batch and streaming") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_fc").toString
+    Seq((1L, 10.0, "A"), (2L, -1.0, "A"), (3L, 10.0, "X"), (4L, -1.0, "X"))
+      .toDF("id", "v", "f").coalesce(1).write.mode("overwrite").parquet(dir)
+    val checks =
+      """checks:
+        |  - {type: range, name: v_pos, col: v, lo: 0.0, hi: 100.0}
+        |  - {type: in_set, name: f_ok, col: f, values: [A]}
+        |""".stripMargin
+    val batch = PipelineRunner.run(spark,
+      s"""name: fc_b
+         |source: {format: parquet, path: "$dir"}
+         |$checks""".stripMargin)
+    def reasons(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id", $"failed_checks").as[(Long, Seq[String])]
+      .collect().sortBy(_._1).toSeq
+    val expected = Seq(2L -> Seq("v_pos"), 3L -> Seq("f_ok"),
+      4L -> Seq("v_pos", "f_ok")) // declaration order, multi-failure listed
+    reasons(batch.quarantined) shouldBe expected
+    batch.passed.columns should not contain "failed_checks"
+    // the streaming route attaches the same reasons
+    val qOut = Files.createTempDirectory("graft_fc_q").toString
+    val stream = PipelineRunner.run(spark,
+      s"""name: fc_s
+         |mode: streaming
+         |source: {format: parquet, path: "$dir", schema: "id BIGINT, v DOUBLE, f STRING"}
+         |$checks
+         |quarantine: {format: parquet, path: "$qOut/q"}
+         |""".stripMargin)
+    reasons(stream.quarantined) shouldBe expected
+  }
+
   test("EP7: tokenize splits, lowercases, and drops declared stopwords") {
     import java.nio.file.Files
     import spark.implicits._
