@@ -33,13 +33,27 @@ final case class PipelineSpec(
 
 /** format ∈ parquet | csv | json | jdbc (§2.A3-A5). `schema` is a Spark
   * DDL string ("a INT, b STRING"); required for csv/json, ignored for
-  * parquet, unused for jdbc (driver-resolved). */
+  * parquet, unused for jdbc (driver-resolved).
+  *
+  * `incremental` (ADF incremental-copy parity, the single most common
+  * pipeline pattern): reads only rows whose `watermark_col` exceeds the
+  * high-water mark persisted at `state_path`; after a successful batch
+  * run the runner advances the mark to the max watermark read. First run
+  * (no state file) is the full load. The filter is a plain pushed-down
+  * predicate — at 100 TB with the source partitioned by the watermark
+  * column it prunes to the new partitions only. */
 final case class SourceSpec(
     format: String,
     path: Option[String],
     table: Option[String],
     schema: Option[String],
-    options: Map[String, String])
+    options: Map[String, String],
+    incremental: Option[IncrementalSpec])
+
+/** High-water-mark state: `statePath` holds one JSON object
+  * {"hwm": "<value as string>", "type": "<Spark DDL type>"} so the typed
+  * comparison literal survives restarts for any orderable column type. */
+final case class IncrementalSpec(watermarkCol: String, statePath: String)
 
 /** §2.C check taxonomy. Exactly one payload shape per `typ`. */
 final case class CheckSpec(
@@ -151,6 +165,38 @@ final case class SinkSpec(
     sortBy: Seq[String],
     table: Option[String])
 
+/** Persisted high-water-mark IO (one tiny JSON object per incremental
+  * source). On a cluster `statePath` lives on the shared FS; the write is
+  * atomic-enough via temp-file + move (a torn state file would silently
+  * re-ingest or skip data). */
+object IncrementalState {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+  private val json = new ObjectMapper()
+
+  /** (hwm value as string, Spark DDL type), or None before the first run. */
+  def read(statePath: String): Option[(String, String)] = {
+    val p = Paths.get(statePath)
+    if (!Files.exists(p)) None
+    else {
+      val n = json.readTree(Files.readString(p))
+      Some((n.get("hwm").asText(), n.get("type").asText()))
+    }
+  }
+
+  def write(statePath: String, hwm: String, ddlType: String): Unit = {
+    val p = Paths.get(statePath)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val node = json.createObjectNode()
+    node.put("hwm", hwm)
+    node.put("type", ddlType)
+    val tmp = Files.createTempFile(
+      Option(p.getParent).getOrElse(Paths.get(".")), ".hwm", ".tmp")
+    Files.writeString(tmp, json.writeValueAsString(node))
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
 object PipelineSpec {
   private val mapper = new ObjectMapper(new YAMLFactory())
 
@@ -174,7 +220,12 @@ object PipelineSpec {
     require(Set("parquet", "csv", "json", "jdbc")(fmt), s"$at.format: unknown '$fmt'")
     val s = SourceSpec(fmt,
       path = optStr(n, "path"), table = optStr(n, "table"),
-      schema = optStr(n, "schema"), options = strMap(n, "options"))
+      schema = optStr(n, "schema"), options = strMap(n, "options"),
+      incremental = opt(n, "incremental").map { inc =>
+        IncrementalSpec(
+          reqStr(inc, "watermark_col", s"$at.incremental"),
+          reqStr(inc, "state_path", s"$at.incremental"))
+      })
     if (fmt != "jdbc") require(s.path.isDefined || s.table.isDefined,
       s"$at: needs path or table")
     s

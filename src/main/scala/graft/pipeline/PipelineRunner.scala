@@ -49,6 +49,18 @@ object PipelineRunner {
 
     spec.sink.foreach(write(out, _))
     spec.quarantine.foreach(write(quarantined, _))
+    // Advance the high-water mark AFTER the sinks committed (a failed
+    // write must not skip data on retry — sinks are idempotent
+    // overwrites, the mark only moves on success). The max runs as a
+    // dedicated aggregate-only job over the rows read THIS run: column-
+    // pruned scan + map-side max, the cheapest correct probe. No new
+    // rows (empty filtered read → NULL max) leaves the mark in place.
+    spec.source.incremental.foreach { inc =>
+      val top = src.agg(max(col(inc.watermarkCol))).head()
+      if (!top.isNullAt(0))
+        IncrementalState.write(inc.statePath, top.get(0).toString,
+          src.schema(inc.watermarkCol).dataType.sql)
+    }
     // Metrics ride the sink write via observe() — no separate aggregate
     // job when a sink ran. Fallbacks to a dedicated (cheap, aggregate-only)
     // job: no sink wrote the observed plan, or a `limit` transform would
@@ -122,6 +134,9 @@ object PipelineRunner {
 
   /** §2.A9 — streaming file source from the same SourceSpec vocabulary. */
   def readStream(spark: SparkSession, s: SourceSpec): DataFrame = {
+    require(s.incremental.isEmpty,
+      "incremental watermark state is batch-only — a streaming source " +
+        "already tracks its progress in the query checkpoint")
     val path = s.path.orElse(s.table.map(t => s"${t}.parquet")).getOrElse(
       throw new IllegalArgumentException("source needs path or table"))
     val ddl = s.schema.getOrElse(throw new IllegalArgumentException(
@@ -140,7 +155,7 @@ object PipelineRunner {
   def read(spark: SparkSession, s: SourceSpec): DataFrame = {
     val path = s.path.orElse(s.table.map(t => s"${t}.parquet")).getOrElse(
       throw new IllegalArgumentException("source needs path or table"))
-    s.format match {
+    val base = s.format match {
       case "parquet" => spark.read.options(s.options).parquet(path)
       case "csv" =>
         val r = spark.read.options(s.options)
@@ -150,6 +165,14 @@ object PipelineRunner {
         s.schema.map(ddl => r.schema(StructType.fromDDL(ddl))).getOrElse(r).json(path)
       case "jdbc" => // §2.A5: config-model passthrough (no driver offline)
         spark.read.format("jdbc").options(s.options).load()
+    }
+    // incremental high-water mark: a plain typed comparison that pushes
+    // down into the scan (parquet stats pruning / jdbc WHERE); no state
+    // file yet = the initial full load.
+    s.incremental.fold(base) { inc =>
+      IncrementalState.read(inc.statePath).fold(base) { case (v, t) =>
+        base.where(col(inc.watermarkCol) > expr(s"CAST('${v.replace("'", "''")}' AS $t)"))
+      }
     }
   }
 

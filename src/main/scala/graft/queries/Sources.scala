@@ -593,7 +593,33 @@ object Sources extends QueryPack {
     PipelineRunner.run(spark, yaml).passed
   }
 
+  /** §3.2 EP9 — incremental (high-water-mark) ingestion, ADF's
+    * incremental-copy pattern: the source declares `incremental`
+    * {watermark_col, state_path}; rows at or below the persisted mark are
+    * skipped by a pushed-down comparison, and the runner advances the
+    * mark past the rows it read. The query pins a deterministic mark
+    * first (idempotent re-runs — the post-run advance is overwritten next
+    * build), so the oracle is the equivalent static filter. The two-run
+    * catch-up semantics (second run sees only NEW rows) are
+    * ConfigPipelineSpec territory. */
+  val ep9: QueryDef = m(
+    "ep9_config_incremental",
+    """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+      |WHERE o_orderdate > DATE '1997-06-30'
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    graft.config.IncrementalState.write(s"$ioDir/ep9_state.json", "1997-06-30", "DATE")
+    val yaml =
+      s"""name: ep9_incremental
+         |source: {format: parquet, path: "$dir/orders.parquet",
+         |  incremental: {watermark_col: o_orderdate, state_path: "$ioDir/ep9_state.json"}}
+         |transforms:
+         |  - {op: select, cols: [o_orderkey, o_orderdate, o_totalprice]}
+         |  - {op: sort, cols: [o_orderkey]}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml).passed
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a4, a7, a7b, ep1, ep1b, ep2, ep2b, ep3, ep3b, ep4, ep5, ep5b,
-      ep6, ep7, ep7b, ep8)
+      ep6, ep7, ep7b, ep8, ep9)
 }

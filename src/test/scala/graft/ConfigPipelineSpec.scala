@@ -563,6 +563,39 @@ class ConfigPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("EP9: incremental source catches up across runs via persisted watermark") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_inc").toString
+    val state = s"$dir/state/hwm.json"
+    def yaml =
+      s"""name: inc_demo
+         |source: {format: parquet, path: "$dir/data",
+         |  incremental: {watermark_col: seq, state_path: "$state"}}
+         |transforms:
+         |  - {op: sort, cols: [seq]}
+         |""".stripMargin
+    def ids() = PipelineRunner.run(spark, yaml).passed
+      .select($"seq").as[Long].collect().toSeq
+
+    Seq(1L, 2L, 3L).toDF("seq").write.mode("append").parquet(s"$dir/data")
+    ids() shouldBe Seq(1L, 2L, 3L) // first run: full load
+    Files.exists(Paths.get(state)) shouldBe true
+    Seq(4L, 5L).toDF("seq").write.mode("append").parquet(s"$dir/data")
+    ids() shouldBe Seq(4L, 5L) // second run: only rows past the mark
+    ids() shouldBe Seq() // no new data: empty, and the mark must survive
+    Seq(6L).toDF("seq").write.mode("append").parquet(s"$dir/data")
+    ids() shouldBe Seq(6L)
+    // incremental is a batch pattern — streams checkpoint their own progress
+    val e = intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: inc_s
+         |mode: streaming
+         |source: {format: parquet, path: "$dir/data", schema: "seq BIGINT",
+         |  incremental: {watermark_col: seq, state_path: "$state"}}
+         |""".stripMargin))
+    e.getMessage should include("batch-only")
+  }
+
   test("EP1: rename / cast / drop transforms compose in order") {
     val yaml =
       s"""name: t_demo
