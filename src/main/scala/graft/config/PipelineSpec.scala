@@ -41,14 +41,27 @@ final case class PipelineSpec(
   * run the runner advances the mark to the max watermark read. First run
   * (no state file) is the full load. The filter is a plain pushed-down
   * predicate — at 100 TB with the source partitioned by the watermark
-  * column it prunes to the new partitions only. */
+  * column it prunes to the new partitions only.
+  *
+  * `drift` (ADF "allow schema drift" parity; parquet + declared schema):
+  *  - allow: evolved files merge (mergeSchema), then the read conforms to
+  *    the DECLARED schema by name — missing columns become typed nulls,
+  *    upstream additions are dropped, types cast. Downstream ops never
+  *    see a surprise column.
+  *  - strict: fail FAST with the exact column-level drift (missing /
+  *    unexpected / retyped) instead of a confusing resolve error deep in
+  *    some later transform.
+  * csv/json don't take a drift policy: their readers already force the
+  * declared schema at parse time (csv maps by POSITION — by-name drift
+  * handling is not meaningful there). */
 final case class SourceSpec(
     format: String,
     path: Option[String],
     table: Option[String],
     schema: Option[String],
     options: Map[String, String],
-    incremental: Option[IncrementalSpec])
+    incremental: Option[IncrementalSpec],
+    drift: Option[String])
 
 /** High-water-mark state: `statePath` holds one JSON object
   * {"hwm": "<value as string>", "type": "<Spark DDL type>"} so the typed
@@ -225,9 +238,17 @@ object PipelineSpec {
         IncrementalSpec(
           reqStr(inc, "watermark_col", s"$at.incremental"),
           reqStr(inc, "state_path", s"$at.incremental"))
-      })
+      },
+      drift = optStr(n, "drift"))
     if (fmt != "jdbc") require(s.path.isDefined || s.table.isDefined,
       s"$at: needs path or table")
+    s.drift.foreach { d =>
+      require(Set("allow", "strict")(d), s"$at.drift: unknown '$d' (allow | strict)")
+      require(s.schema.isDefined, s"$at: a drift policy needs a declared `schema`")
+      require(fmt == "parquet",
+        s"$at: drift applies to parquet sources — csv/json readers already " +
+          "enforce the declared schema at parse time")
+    }
     s
   }
 

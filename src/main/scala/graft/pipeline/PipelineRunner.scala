@@ -156,7 +156,14 @@ object PipelineRunner {
     val path = s.path.orElse(s.table.map(t => s"${t}.parquet")).getOrElse(
       throw new IllegalArgumentException("source needs path or table"))
     val base = s.format match {
-      case "parquet" => spark.read.options(s.options).parquet(path)
+      case "parquet" =>
+        // any drift policy needs evolved files MERGED: allow conforms the
+        // union, strict COMPARES the union (otherwise the detected shape
+        // depends on which file Spark samples the schema from). User
+        // options still win (set after).
+        val r = if (s.drift.isDefined)
+          spark.read.option("mergeSchema", "true") else spark.read
+        r.options(s.options).parquet(path)
       case "csv" =>
         val r = spark.read.options(s.options)
         s.schema.map(ddl => r.schema(StructType.fromDDL(ddl))).getOrElse(r).csv(path)
@@ -166,15 +173,51 @@ object PipelineRunner {
       case "jdbc" => // §2.A5: config-model passthrough (no driver offline)
         spark.read.format("jdbc").options(s.options).load()
     }
+    val conformed = applyDrift(base, s)
     // incremental high-water mark: a plain typed comparison that pushes
     // down into the scan (parquet stats pruning / jdbc WHERE); no state
     // file yet = the initial full load.
-    s.incremental.fold(base) { inc =>
-      IncrementalState.read(inc.statePath).fold(base) { case (v, t) =>
-        base.where(col(inc.watermarkCol) > expr(s"CAST('${v.replace("'", "''")}' AS $t)"))
+    s.incremental.fold(conformed) { inc =>
+      IncrementalState.read(inc.statePath).fold(conformed) { case (v, t) =>
+        conformed.where(
+          col(inc.watermarkCol) > expr(s"CAST('${v.replace("'", "''")}' AS $t)"))
       }
     }
   }
+
+  /** Schema drift policy (parquet + declared schema; see SourceSpec):
+    * allow = conform BY NAME to the declared schema (missing → typed
+    * null, extras dropped, types cast — one projection, no extra scan);
+    * strict = fail fast with the exact column-level drift. */
+  private def applyDrift(base: DataFrame, s: SourceSpec): DataFrame =
+    s.drift match {
+      case None => base
+      case Some("allow") =>
+        val declared = StructType.fromDDL(s.schema.get)
+        val present = base.columns.toSet
+        base.select(declared.fields.map { f =>
+          if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+      case Some("strict") =>
+        val declared = StructType.fromDDL(s.schema.get)
+        val actual = base.schema
+        val declM = declared.fields.map(f => f.name -> f.dataType).toMap
+        val actM = actual.fields.map(f => f.name -> f.dataType).toMap
+        val missing = declM.keySet.diff(actM.keySet)
+        val extra = actM.keySet.diff(declM.keySet)
+        val retyped = declM.keySet.intersect(actM.keySet)
+          .filter(k => declM(k) != actM(k))
+          .map(k => s"$k: declared ${declM(k).sql}, found ${actM(k).sql}")
+        require(missing.isEmpty && extra.isEmpty && retyped.isEmpty,
+          s"source schema drift under strict policy — " +
+            s"missing: [${missing.toSeq.sorted.mkString(",")}] " +
+            s"unexpected: [${extra.toSeq.sorted.mkString(",")}] " +
+            s"retyped: [${retyped.toSeq.sorted.mkString("; ")}]")
+        base.select(declared.fieldNames.map(col).toSeq: _*)
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown drift policy '$other'")
+    }
 
   // -- validation (§2.C) ----------------------------------------------------
   /** One boolean Column per check (null-safe: null comparisons fail the

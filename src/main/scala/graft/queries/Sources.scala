@@ -619,7 +619,52 @@ object Sources extends QueryPack {
     PipelineRunner.run(spark, yaml).passed
   }
 
+  /** Writes a DataFrame as ONE parquet file at an exact path (schema-
+    * evolution fixtures need multiple distinct-schema files in one dir). */
+  def writeSingleParquet(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val tmp = dest + "_tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.createDirectories(Paths.get(dest).getParent)
+    Files.move(part, Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
+    graft.streaming.StreamOps.rmrf(tmp)
+  }
+
+  /** §3.2 EP10 — schema drift policy `allow`: the source dir holds a v1
+    * file (id, name) and an upstream-evolved v2 file (+score, +extra);
+    * the declared schema says (id, name, score), so the read merges the
+    * files, fills v1's missing score with typed nulls, and DROPS the
+    * undeclared extra — downstream ops never see a surprise column.
+    * Oracle: DuckDB union_by_name over the same two files. The fixture is
+    * constant content (sf-invariant, same rule as a3/a4's round-trips).
+    * `strict` (the fail-fast half) is ConfigPipelineSpec territory —
+    * an error path has no result to oracle-check. */
+  val ep10: QueryDef = m(
+    "ep10_config_drift",
+    s"""SELECT id, name, score
+       |FROM read_parquet('$ioDir/drift_src/*.parquet', union_by_name = true)
+       |ORDER BY id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    writeSingleParquet(Seq((1L, "a"), (2L, "b")).toDF("id", "name"),
+      s"$ioDir/drift_src/v1.parquet")
+    writeSingleParquet(
+      Seq((3L, "c", 1.5, "x"), (4L, "d", 2.5, "y"))
+        .toDF("id", "name", "score", "extra"),
+      s"$ioDir/drift_src/v2.parquet")
+    val yaml =
+      s"""name: ep10_drift
+         |source: {format: parquet, path: "$ioDir/drift_src",
+         |  schema: "id BIGINT, name STRING, score DOUBLE", drift: allow}
+         |transforms:
+         |  - {op: sort, cols: [id]}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml).passed
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a4, a7, a7b, ep1, ep1b, ep2, ep2b, ep3, ep3b, ep4, ep5, ep5b,
-      ep6, ep7, ep7b, ep8, ep9)
+      ep6, ep7, ep7b, ep8, ep9, ep10)
 }

@@ -596,6 +596,42 @@ class ConfigPipelineSpec extends SparkSpecBase {
     e.getMessage should include("batch-only")
   }
 
+  test("EP10: drift policy — allow conforms by name, strict fails fast") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_drift").toString
+    graft.queries.Sources.writeSingleParquet(
+      Seq((1L, "a")).toDF("id", "name"), s"$dir/v1.parquet")
+    graft.queries.Sources.writeSingleParquet(
+      Seq((2L, "b", 9.5, "junk")).toDF("id", "name", "score", "extra"),
+      s"$dir/v2.parquet")
+    def yaml(policy: String) =
+      s"""name: drift_demo
+         |source: {format: parquet, path: "$dir",
+         |  schema: "id BIGINT, name STRING, score DOUBLE", drift: $policy}
+         |transforms:
+         |  - {op: sort, cols: [id]}
+         |""".stripMargin
+    val allowed = PipelineRunner.run(spark, yaml("allow")).passed
+    allowed.columns.toSeq shouldBe Seq("id", "name", "score") // extra dropped
+    allowed.as[(Long, String, Option[Double])].collect().toSeq shouldBe
+      Seq((1L, "a", None), (2L, "b", Some(9.5))) // missing → typed null
+    val e = intercept[IllegalArgumentException](
+      PipelineRunner.run(spark, yaml("strict")))
+    e.getMessage should (include("drift") and include("extra"))
+    // guard rails: drift needs a declared schema, and is parquet-scoped
+    val e2 = intercept[IllegalArgumentException](PipelineSpec.parse(
+      s"""name: x
+         |source: {format: parquet, path: p, drift: allow}
+         |""".stripMargin))
+    e2.getMessage should include("schema")
+    val e3 = intercept[IllegalArgumentException](PipelineSpec.parse(
+      s"""name: x
+         |source: {format: csv, path: p, schema: "a INT", drift: allow}
+         |""".stripMargin))
+    e3.getMessage should include("parquet")
+  }
+
   test("EP1: rename / cast / drop transforms compose in order") {
     val yaml =
       s"""name: t_demo
