@@ -81,6 +81,73 @@ object Streaming extends QueryPack {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** §2.L4 — watermark / late-data semantics as a DRIVER-VISIBLE query
+    * (StreamingOpsSpec owns the assertion-style variant): two sequential
+    * AvailableNow runs over ONE checkpoint, so the watermark persists
+    * across the restart and run 2 genuinely DROPS its late row — the
+    * single-batch path used by the other L queries can never drop
+    * anything. Fixture (constant epochs, rebuilt every call):
+    * run 1 = in-time rows at hours 0..3 → checkpointed watermark 2 h;
+    * run 2 = a late row back at hour 0 (< wm, dropped) + an in-time row
+    * at 4.5 h → final watermark 3.5 h. Append mode emits exactly the
+    * hour windows closed by the final watermark (0, 1, 2), holding only
+    * never-late rows. The oracle states those semantics as a static
+    * filter over the same files: batch-2 rows must beat the run-1
+    * watermark (epoch ≥ 7200), and only windows ending by 3.5 h
+    * (start < 10800) were closed. */
+  val l4: QueryDef = m(
+    "l4_watermark_late",
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start_s,
+      |  COUNT(*) AS n,
+      |  array_to_string(list_sort(list(k)), ',') AS ks
+      |FROM read_parquet('/tmp/graft_io/l4_replay/in/*/*.parquet')
+      |WHERE (batch = 1 OR epoch(ts) >= 7200) AND epoch(ts) < 10800
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val base = "/tmp/graft_io/l4_replay"
+    StreamOps.rmrf(base)
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    val h = 3600L
+    def writeBatch(name: String, batchId: Long, rows: Seq[(Long, String)]): Unit = {
+      import spark.implicits._
+      rows.toDF("epoch_s", "k")
+        .select(timestamp_seconds(col("epoch_s")).as("ts"), col("k"),
+          lit(batchId).as("batch"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/$name")
+    }
+    def runOnce(runId: Int): Unit = {
+      val q = spark.readStream
+        .schema("ts TIMESTAMP, k STRING, batch BIGINT")
+        .parquet(s"$in/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), sort_array(collect_list(col("k"))).as("ks"))
+        .select(col("window.start").as("w_start"), col("n"), col("ks"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$base/out/run${runId}_batch_$id")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    writeBatch("f1.parquet", 1, Seq((0, "a"), (h, "a"), (2 * h, "a"), (3 * h, "a")))
+    runOnce(1)
+    writeBatch("f2.parquet", 2, Seq((60, "late"), (4 * h + 1800, "b")))
+    runOnce(2)
+    import scala.jdk.CollectionConverters._
+    val dirs = Files.list(Paths.get(s"$base/out")).iterator().asScala
+      .map(_.toString).toSeq.sorted
+    spark.read.parquet(dirs: _*)
+      .select(col("w_start").cast("long").as("w_start_s"), col("n"),
+        array_join(col("ks"), ",").as("ks"))
+      .orderBy(col("w_start_s"))
+  }
+
   /** §2.L5 — streaming exact-once dedup by key within the stream. */
   val l5: QueryDef = m(
     "l5_streaming_dedup",
@@ -169,5 +236,5 @@ object Streaming extends QueryPack {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(l1, l2, l3, l5, l6, l7, l8)
+  override def defs: Seq[QueryDef] = Seq(l1, l2, l3, l4, l5, l6, l7, l8)
 }

@@ -78,6 +78,76 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("merge: anti join shuffles each side once on the key, union adds none") {
+    import java.nio.file.Files
+    import graft.pipeline.PipelineRunner
+    val delDir = Files.createTempDirectory("graft_plan_merge").toString
+    spark.read.parquet(s"$sf/nation.parquet")
+      .where(org.apache.spark.sql.functions.col("n_nationkey") < 3)
+      .write.mode("overwrite").parquet(delDir)
+    // force the at-scale shape: neither fact side broadcastable → SMJ anti
+    // with exactly one hashpartitioning exchange per side on the merge key
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val d = PipelineRunner.run(spark,
+        s"""name: plan_merge
+           |source: {format: parquet, path: "$sf/nation.parquet"}
+           |transforms:
+           |  - {op: merge, how: delete, on: [n_nationkey],
+           |     table: {format: parquet, path: "$delDir"}}
+           |""".stripMargin).passed
+      val p = plan(d)
+      withClue(p) {
+        p should include("LeftAnti")
+        // formatted mode prints the Exchange node and its partitioning
+        // arguments on separate lines (same as d9) — count the args
+        "hashpartitioning\\(n_nationkey".r.findAllIn(p).size shouldBe 2
+        // and nothing else shuffles: no range/single-partition exchanges
+        (p should not).include("Exchange rangepartitioning")
+        (p should not).include("Exchange SinglePartition")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("pivot: explicit values mean NO value-discovery job at plan-build time") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import graft.pipeline.PipelineRunner
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        stages.add(js.stageInfos.map(_.name).mkString(";"))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // build (no action): an IMPLICIT pivot would run an eager distinct
+      // job right here to discover values — explicit values must not
+      PipelineRunner.run(spark,
+        s"""name: plan_pivot
+           |source: {format: parquet, path: "$sf/nation.parquet"}
+           |transforms:
+           |  - {op: pivot, cols: [n_regionkey], name: n_name,
+           |     values: [ALGERIA, ARGENTINA], aggs: ["COUNT(*)"]}
+           |""".stripMargin).passed
+      var last = -1 // listener delivery is async — wait until it settles
+      var spins = 0
+      while (stages.size != last && spins < 20) {
+        last = stages.size; Thread.sleep(200); spins += 1
+      }
+      import scala.jdk.CollectionConverters._
+      // the only permissible job is the parquet footer read — any
+      // collect/distinct-shaped job is the discovery scan this test bans
+      withClue(stages.asScala.mkString("\n")) {
+        stages.asScala.filterNot(_.contains("parquet at")) shouldBe empty
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("ep9: the incremental watermark comparison pushes into the scan") {
+    val p = plan(Sources.ep9.build(spark, sf))
+    p should include regex "PushedFilters: \\[.*o_orderdate.*\\]"
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE finalizes the physical plan only on execution of THIS dataset's
     // own QueryExecution — collect, then look for codegen stage markers
