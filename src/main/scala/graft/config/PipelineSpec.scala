@@ -21,6 +21,11 @@ import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
   * filters, streamable transforms on the stream, trailing sort/limit on
   * the captured result). `output_mode` defaults to append; use update for
   * streaming aggregates. */
+/** `metrics_sink` (batch only): after the run, one row per check —
+  * (pipeline, run_ts, check, pass_cnt, fail_cnt) — lands in the declared
+  * sink. Declare `mode: append` to accumulate run history for drift
+  * dashboards; the rows reuse the observe()-collected counts, so no
+  * extra pass over the data happens. */
 final case class PipelineSpec(
     name: String,
     mode: String,                 // batch | streaming
@@ -29,7 +34,8 @@ final case class PipelineSpec(
     checks: Seq[CheckSpec],
     transforms: Seq[TransformSpec],
     sink: Option[SinkSpec],
-    quarantine: Option[SinkSpec])
+    quarantine: Option[SinkSpec],
+    metricsSink: Option[SinkSpec])
 
 /** format ∈ parquet | csv | json | jdbc (§2.A3-A5). `schema` is a Spark
   * DDL string ("a INT, b STRING"); required for csv/json, ignored for
@@ -225,7 +231,8 @@ object PipelineSpec {
       checks = arr(root, "checks").zipWithIndex.map { case (n, i) => check(n, s"checks[$i]") },
       transforms = arr(root, "transforms").zipWithIndex.map { case (n, i) => transform(n, s"transforms[$i]") },
       sink = opt(root, "sink").map(sink(_, "sink")),
-      quarantine = opt(root, "quarantine").map(sink(_, "quarantine")))
+      quarantine = opt(root, "quarantine").map(sink(_, "quarantine")),
+      metricsSink = opt(root, "metrics_sink").map(sink(_, "metrics_sink")))
   }
 
   private def source(n: JsonNode, at: String): SourceSpec = {

@@ -67,7 +67,19 @@ object PipelineRunner {
     // have truncated the row flow through the observe node.
     val observed = (spec.sink.isDefined || spec.quarantine.isDefined) &&
       !spec.transforms.exists(_.op == "limit")
-    RunResult(spec, out, quarantined, metricsOf(observed))
+    val metrics = metricsOf(observed)
+    // run-metadata sink: one row per check, stamped with the run time.
+    // The counts were already collected (observe or fallback) — this is a
+    // driver-local write of |checks| rows, not another pass over data.
+    spec.metricsSink.foreach { ms =>
+      import spark.implicits._
+      write(metrics.toDF()
+        .select(lit(spec.name).as("pipeline"),
+          current_timestamp().as("run_ts"),
+          col("check"), col("passCnt").as("pass_cnt"),
+          col("failCnt").as("fail_cnt")), ms)
+    }
+    RunResult(spec, out, quarantined, metrics)
   }
 
   /** §3.2 EP3 — the same YAML executed as a Structured Streaming query.
@@ -84,6 +96,9 @@ object PipelineRunner {
     * is test-only plumbing. Metrics are not collected in streaming mode
     * (they would be per-batch observations, not one run-level row). */
   private def runStreaming(spark: SparkSession, spec: PipelineSpec): RunResult = {
+    require(spec.metricsSink.isEmpty,
+      "metrics_sink is batch-only — streaming metrics would be per-batch " +
+        "observations, not one run-level row set")
     spec.checks.foreach(c => require(c.typ != "unique" && c.typ != "ref",
       s"check ${c.checkName}: '${c.typ}' is not supported in streaming mode"))
     val nTail = spec.transforms.reverse.takeWhile(t => Set("sort", "limit")(t.op)).size

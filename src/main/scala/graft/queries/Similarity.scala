@@ -306,14 +306,34 @@ object Similarity extends QueryPack {
     val sym = edges.toDF("src", "dst")
       .union(edges.toDF("dst", "src").select(col("src"), col("dst")))
       .localCheckpoint(true)
-    var labels = nodes.toDF("vec_id").select(col("vec_id"),
-      col("vec_id").as("lbl")).localCheckpoint(true)
     // SUM(lbl) over zero rows is NULL — an empty node set is already the
     // (empty) fixpoint, not an NPE.
     def lblSum(df: DataFrame): Option[Long] =
       Option(df.agg(org.apache.spark.sql.functions.sum("lbl")).head.get(0))
         .map(_.asInstanceOf[Number].longValue)
-    var sum = lblSum(labels)
+    // The convergence sum rides the checkpoint materialization via
+    // observe() — ONE job per round (the checkpoint), not two. The
+    // listener delivering observed metrics is async-but-bounded, so fall
+    // back to a dedicated 1-row aggregate if it hasn't landed (never seen
+    // locally; the fallback keeps the loop correct on any scheduler).
+    def checkpointWithSum(df: DataFrame): (DataFrame, Option[Long]) = {
+      val obs = org.apache.spark.sql.Observation()
+      val cp = df.observe(obs, org.apache.spark.sql.functions.sum(col("lbl")).as("s"))
+        .localCheckpoint(true) // eager: runs via withAction → fills the observation
+      // obs.get blocks until a listener delivers — bound the wait (never
+      // hit locally; keeps the loop correct if some scheduler/action path
+      // ever bypasses the execution listener) and fall back to one 1-row job.
+      val s = try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        Await.result(
+          Future(obs.get)(scala.concurrent.ExecutionContext.global), 5.seconds)
+          .get("s").collect { case n: Number => n.longValue }
+      } catch { case _: java.util.concurrent.TimeoutException => None }
+      (cp, s.orElse(lblSum(cp)))
+    }
+    var (labels, sum) = checkpointWithSum(
+      nodes.toDF("vec_id").select(col("vec_id"), col("vec_id").as("lbl")))
     if (sum.isEmpty) return labels
     var converged = false
     var rounds = 0
@@ -321,9 +341,8 @@ object Similarity extends QueryPack {
       val nb = sym.join(labels.withColumnRenamed("vec_id", "dst2"),
           col("dst") === col("dst2"))
         .select(col("src").as("vec_id"), col("lbl"))
-      val next = labels.union(nb)
-        .groupBy("vec_id").agg(min("lbl").as("lbl")).localCheckpoint(true)
-      val nextSum = lblSum(next)
+      val (next, nextSum) = checkpointWithSum(
+        labels.union(nb).groupBy("vec_id").agg(min("lbl").as("lbl")))
       labels = next
       converged = nextSum == sum // labels only decrease: equal sum = fixpoint
       sum = nextSum

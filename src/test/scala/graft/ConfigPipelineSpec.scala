@@ -632,6 +632,46 @@ class ConfigPipelineSpec extends SparkSpecBase {
     e3.getMessage should include("parquet")
   }
 
+  test("metrics_sink: per-check counts land in the declared sink, append accumulates") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col => c}
+    val out = Files.createTempDirectory("graft_msink").toString
+    val yaml =
+      s"""name: msink_demo
+         |source: {format: parquet, path: "$sf/lineitem.parquet"}
+         |checks:
+         |  - {type: not_null, name: ok_key, col: l_orderkey}
+         |  - {type: range, name: disc_band, col: l_discount, lo: 0.0, hi: 0.05}
+         |sink: {format: parquet, path: "$out/passed"}
+         |metrics_sink: {format: parquet, path: "$out/metrics", mode: append}
+         |""".stripMargin
+    val r1 = PipelineRunner.run(spark, yaml)
+    val m1 = spark.read.parquet(s"$out/metrics")
+    m1.columns.toSeq shouldBe Seq("pipeline", "run_ts", "check", "pass_cnt", "fail_cnt")
+    m1.count() shouldBe 2
+    val byCheck = m1.collect().map(x => x.getString(2) -> (x.getLong(3), x.getLong(4))).toMap
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    byCheck("ok_key") shouldBe (total, 0L)
+    byCheck("disc_band")._1 + byCheck("disc_band")._2 shouldBe total
+    byCheck("disc_band") shouldBe
+      (r1.metrics.find(_.check == "disc_band").get.passCnt,
+        r1.metrics.find(_.check == "disc_band").get.failCnt)
+    // append mode accumulates run history (the drift-dashboard contract)
+    PipelineRunner.run(spark, yaml)
+    spark.read.parquet(s"$out/metrics").count() shouldBe 4
+    spark.read.parquet(s"$out/metrics").where(c("pipeline") =!= "msink_demo")
+      .count() shouldBe 0
+    // batch-only: streaming metrics are per-batch, reject loudly
+    val e = intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: msink_s
+         |mode: streaming
+         |source: {format: parquet, path: "$sf/nation.parquet",
+         |  schema: "n_nationkey BIGINT, n_name STRING"}
+         |metrics_sink: {format: parquet, path: "$out/m2"}
+         |""".stripMargin))
+    e.getMessage should include("batch-only")
+  }
+
   test("EP1: rename / cast / drop transforms compose in order") {
     val yaml =
       s"""name: t_demo
