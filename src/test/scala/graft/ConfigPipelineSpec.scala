@@ -672,6 +672,27 @@ class ConfigPipelineSpec extends SparkSpecBase {
     e.getMessage should include("batch-only")
   }
 
+  test("training_data_dedup example YAML curates the corpus end-to-end") {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("graft_ex_tdd").toString
+    val tmp = Files.createTempFile("graft_ex_tdd", ".yaml")
+    Files.writeString(tmp,
+      Files.readString(Paths.get("examples/training_data_dedup.yaml"))
+        .replace("SFDIR", sf).replace("OUTDIR", out))
+    val r = PipelineRunner.runFile(spark, tmp.toString)
+    val corpus = spark.read.parquet(s"$out/corpus_deduped")
+    corpus.columns.toSeq shouldBe Seq("doc_id", "lang", "source", "n_chars", "n_tokens")
+    val n = corpus.count()
+    n should be > 0L
+    // dedup genuinely removed near-duplicates (the sf0.001 corpus has
+    // big duplicate clusters — see SimilarityOpsSpec's K6 cap test)
+    n should be < spark.read.parquet(s"$sf/documents.parquet").count()
+    // metrics landed: one row per declared check
+    spark.read.parquet(s"$out/check_metrics")
+      .select("check").collect().map(_.getString(0)).sorted shouldBe
+      Array("has_text", "len_band")
+  }
+
   test("EP1: rename / cast / drop transforms compose in order") {
     val yaml =
       s"""name: t_demo
