@@ -148,6 +148,12 @@ final case class CheckSpec(
   *    RESHAPES to (id, cos_sim), top-k by (score DESC, id) — plans as
   *    TakeOrderedAndProject over a broadcast query vector, no global
   *    sort, no shuffle of the scored side
+  *  - sample (§2.E10/E10b): seeded Bernoulli sampling, map-side only.
+  *    Global: `fraction` + `seed` (REQUIRED — an unseeded sample is not
+  *    reproducible, never acceptable in a declared pipeline). Stratified
+  *    (class rebalancing): `cols` = [stratumCol] + `values` =
+  *    ["stratum:fraction", ...] with `fraction` as the default for
+  *    unlisted strata (sampleBy semantics)
   */
 final case class TransformSpec(
     op: String,                   // select | rename | drop | derive | filter | cast | join | limit | sort | aggregate | union | dedup | asof_join | flatten | pivot | unpivot | surrogate_key
@@ -166,7 +172,9 @@ final case class TransformSpec(
     maxRows: Option[Long],
     threshold: Option[Double],
     bucketCap: Option[Int],
-    k: Option[Int])
+    k: Option[Int],
+    fraction: Option[Double],
+    seed: Option[Long])
 
 /** `buckets`+`bucketBy` (+optional `sortBy`) write a bucketed table —
   * requires `table` (bucket metadata lives in the catalog; Spark cannot
@@ -277,7 +285,7 @@ object PipelineSpec {
     require(Set("select", "rename", "drop", "derive", "filter", "cast", "join",
       "limit", "sort", "aggregate", "union", "dedup", "asof_join",
       "flatten", "pivot", "unpivot", "surrogate_key", "merge",
-      "tokenize", "tfidf", "minhash_dedup", "ann_topk")(op),
+      "tokenize", "tfidf", "minhash_dedup", "ann_topk", "sample")(op),
       s"$at.op: unknown '$op'")
     TransformSpec(op,
       cols = strArr(n, "cols"), name = optStr(n, "name"),
@@ -290,7 +298,9 @@ object PipelineSpec {
       maxRows = opt(n, "max_rows").map(_.asLong()),
       threshold = optNum(n, "threshold"),
       bucketCap = opt(n, "bucket_cap").map(_.asInt()),
-      k = opt(n, "k").map(_.asInt()))
+      k = opt(n, "k").map(_.asInt()),
+      fraction = optNum(n, "fraction"),
+      seed = opt(n, "seed").map(_.asLong()))
   }
 
   private def sink(n: JsonNode, at: String): SinkSpec = {

@@ -546,6 +546,44 @@ object PipelineRunner {
               .as("cos_sim"))
           .orderBy(col("cos_sim").desc, col(id))
           .limit(t.k.getOrElse(10))
+      case "sample" => // §2.E10/E10b through the config surface: map-side
+        // only, no shuffle. Seed REQUIRED — an unseeded sample changes
+        // row-by-row between runs, unacceptable in a declared pipeline.
+        val seed = t.seed.getOrElse(throw new IllegalArgumentException(
+          "sample needs `seed` (unseeded sampling is not reproducible)"))
+        (t.cols, t.values) match {
+          case (Nil, Nil) =>
+            val f = t.fraction.getOrElse(throw new IllegalArgumentException(
+              "sample needs `fraction` (or cols+values for stratified)"))
+            require(f > 0.0 && f <= 1.0, s"sample fraction must be in (0, 1], got $f")
+            df.sample(withReplacement = false, f, seed)
+          case (Seq(stratum), specs) if specs.nonEmpty =>
+            // stratified class rebalancing (sampleBy): listed strata get
+            // their fraction, unlisted fall back to `fraction` (default 0
+            // = dropped — the explicit-keep contract)
+            val fractions = specs.map { sp =>
+              sp.split(":", 2) match {
+                case Array(cls, f) => cls -> f.toDouble
+                case _ => throw new IllegalArgumentException(
+                  s"sample values: expected 'stratum:fraction', got '$sp'")
+              }
+            }.toMap
+            fractions.values.foreach(f => require(f >= 0.0 && f <= 1.0,
+              s"sample stratum fractions must be in [0, 1], got $f"))
+            val dflt = t.fraction.getOrElse(0.0)
+            // sampleBy needs every key enumerated; keys beyond `values`
+            // take the default via a union of the explicit map with a
+            // filtered default-rate sample of the rest
+            val listed = df.where(col(stratum).isin(fractions.keys.toSeq: _*))
+              .stat.sampleBy(stratum, fractions, seed)
+            if (dflt == 0.0) listed
+            else listed.unionByName(
+              df.where(!coalesce(col(stratum).isin(fractions.keys.toSeq: _*), lit(false)))
+                .sample(withReplacement = false, dflt, seed))
+          case _ => throw new IllegalArgumentException(
+            "sample: use `fraction`+`seed`, or `cols: [stratumCol]` + " +
+              "`values: [\"stratum:fraction\", ...]` (+ optional default `fraction`)")
+        }
       case other   => throw new IllegalArgumentException(s"unknown transform $other")
     }
 

@@ -194,6 +194,11 @@ object Similarity extends QueryPack {
       posexplode(expr(s"transform(sequence(0, ${nHashes / rowsPerBand - 1}), " +
         s"b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))")))
       .toDF("doc_id", "band_id", "band_sig")
+      // four consumers below (stats, both self-join sides, star pairs) —
+      // without this the 12-minhash signature computation re-runs per
+      // branch (measured ~4x the banding cost at sf0.1). On a cluster
+      // the materialized bands frame is the natural persist() point.
+      .localCheckpoint(true)
     // occupancy stats: one groupBy (map-side combined) on the same key the
     // self-join shuffles on
     val stats = bands.groupBy(col("band_id"), col("band_sig"))
@@ -401,29 +406,84 @@ object Similarity extends QueryPack {
   }
 
   /** The full near-dup clustering pipeline over any (doc_id, ts) frame —
-    * k6's candidate generation, exact Jaccard verification at `threshold`
-    * (6-dp rounded, D-rule 7), then connected components. This is the
-    * k6→k12 stitch: candidates come from banded LSH (groupBy-shuffle, no
-    * cross join anywhere), the verify step touches ONLY candidate pairs
-    * (two co-partitioned joins back to the token sets), and the label
-    * propagation runs O(diameter) shuffles. Returns (vec_id, lbl)
-    * covering every input id — singletons label themselves.
+    * exact-duplicate collapse, k6's candidate generation over the
+    * survivors, exact Jaccard verification at `threshold` (6-dp rounded,
+    * D-rule 7), connected components, then label re-expansion. Returns
+    * (vec_id, lbl) covering every input id — singletons label themselves.
     *
-    * Capping note: over-cap buckets emit star pairs (anchor, member)
-    * whose DIRECT Jaccard can sit below the threshold even when both
-    * docs belong to one near-dup cluster, so verification over a capped
-    * candidate set trades recall for the O(n) bucket ceiling — the
-    * standard LSH-dedup budget. Callers asserting exactness (k12b's
-    * oracle) use a cap comfortably above the corpus' largest duplicate
-    * cluster. */
+    * Stage 0 is the load-bearing scale move (and what production dedup
+    * pipelines do): web-scale corpora are dominated by EXACT duplicate
+    * clusters, which are precisely the rows that make LSH buckets go
+    * quadratic — every member shares every band. Collapsing identical
+    * token SETS first (one groupBy on a 128-bit set fingerprint,
+    * representative = min id) shrinks each such cluster to one row
+    * BEFORE banding, so bucket occupancy reflects genuine near-dup
+    * variety only (measured at sf0.1: 90 s → ~8 s for k12b). The
+    * collapse is result-EXACT, not an approximation: Jaccard depends
+    * only on the token set, so replacing a set-equal group by one member
+    * preserves every cross-group similarity, and since each
+    * representative is its group's min id, the propagated component min
+    * equals the min over all original members. At threshold 1.0 the
+    * whole LSH+CC stage short-circuits: set-equality IS the cluster
+    * relation, so the representative id is the final label.
+    *
+    * After the collapse, candidates come from banded LSH
+    * (groupBy-shuffle, no cross join anywhere), the verify step touches
+    * ONLY candidate pairs (two joins back to the token sets), and label
+    * propagation runs O(diameter) shuffles. Capping note: over-cap
+    * buckets emit star pairs whose DIRECT Jaccard can sit below the
+    * threshold even when both docs belong to one cluster — the standard
+    * LSH-dedup recall budget; exactness-asserting callers (k12b) keep
+    * the cap above the post-collapse bucket sizes, which the collapse
+    * makes easy. */
   def lshClusters(docs: DataFrame, threshold: Double, bucketCap: Int): DataFrame = {
-    val verified = lshCandidatesOf(docs, bucketCap)
-      .join(docs.toDF("id_a", "ts_a"), "id_a")
-      .join(docs.toDF("id_b", "ts_b"), "id_b")
-      .where(round(size(array_intersect(col("ts_a"), col("ts_b"))).cast(DoubleType)
-        / size(array_union(col("ts_a"), col("ts_b"))), 6) >= threshold)
+    // 0: exact-set collapse. The fingerprint hashes the SORTED distinct
+    // token array (tokens are whitespace-split, so U+0001 cannot occur inside one);
+    // md5's 128 bits make collisions negligible at any corpus size. Every
+    // member of a group has the same sorted array, so min_by is only
+    // breaking ties among identical payloads deterministically.
+    val keyed = docs
+      .select(col("doc_id"),
+        array_sort(array_distinct(col("ts"))).as("ts"),
+        md5(concat_ws("\u0001", array_sort(array_distinct(col("ts"))))).as("__k"))
+      .localCheckpoint(true) // reused by reps AND the expansion join
+    val reps = keyed.groupBy(col("__k"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("ts")).as("ts"))
+    val members = keyed.select(col("doc_id"), col("__k"))
+    val repOf = reps.select(col("__k"), col("doc_id").as("__rep"))
+    if (threshold >= 1.0) {
+      // identical-set clustering needs no LSH: the fingerprint IS the
+      // cluster key and the representative IS the min label
+      return members.join(repOf, "__k")
+        .select(col("doc_id").as("vec_id"), col("__rep").as("lbl"))
+    }
+    val repDocs = reps.select(col("doc_id"), col("ts"))
+    // Jaccard with the union size computed arithmetically — the arrays
+    // are distinct sets, so |A∪B| = |A|+|B|−|A∩B|: one array op per
+    // candidate pair instead of two (the union would be materialized
+    // just to take its length)
+    // exact size prefilter before the per-pair intersect: J(A,B) ≤
+    // min(|A|,|B|)/max(|A|,|B|), so J ≥ τ requires the set sizes within
+    // a factor τ of each other — an O(1) integer test that prunes
+    // size-incompatible candidates before the O(|A|+|B|) intersect.
+    // Scaled-integer comparison (×1e6), slack by 1 ulp-of-rounding: the
+    // verify accepts round(J, 6) ≥ τ, i.e. true J ≥ τ − 5e-7, so the
+    // bound must not cut that margin.
+    val tau = math.round(threshold * 1e6) - 1
+    val verified = lshCandidatesOf(repDocs, bucketCap)
+      .join(repDocs.toDF("id_a", "ts_a"), "id_a")
+      .join(repDocs.toDF("id_b", "ts_b"), "id_b")
+      .where(size(col("ts_a")).cast("long") * 1000000L >= size(col("ts_b")) * tau &&
+        size(col("ts_b")).cast("long") * 1000000L >= size(col("ts_a")) * tau)
+      .withColumn("__i", size(array_intersect(col("ts_a"), col("ts_b"))))
+      .where(round(col("__i").cast(DoubleType)
+        / (size(col("ts_a")) + size(col("ts_b")) - col("__i")), 6) >= threshold)
       .select(col("id_a"), col("id_b"))
-    connectedComponents(docs.select(col("doc_id")), verified)
+    val repClusters = connectedComponents(repDocs.select("doc_id"), verified)
+      .select(col("vec_id").as("__rep"), col("lbl"))
+    // 3: expand — every doc takes its representative's component label
+    members.join(repOf, "__k").join(repClusters, "__rep")
+      .select(col("doc_id").as("vec_id"), col("lbl"))
   }
 
   /** §2.K6→K12 end-to-end — the 100-TB dedup endgame with NO all-pairs

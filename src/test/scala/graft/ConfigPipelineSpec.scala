@@ -693,6 +693,31 @@ class ConfigPipelineSpec extends SparkSpecBase {
       Array("has_text", "len_band")
   }
 
+  test("sample: seeded global + stratified sampling from YAML, seed-stable") {
+    def run(body: String) = PipelineRunner.run(spark,
+      s"""name: smp_demo
+         |source: {format: parquet, path: "$sf/customer.parquet"}
+         |transforms:
+         |  - $body
+         |  - {op: sort, cols: [c_custkey]}
+         |""".stripMargin).passed
+    // fixed seed ⇒ identical selection, run to run
+    val a = run("{op: sample, fraction: 0.2, seed: 42}").collect().map(_.toSeq)
+    val b = run("{op: sample, fraction: 0.2, seed: 42}").collect().map(_.toSeq)
+    a shouldBe b
+    a.length should be > 0
+    // stratified: keep one segment whole, drop the rest (default 0)
+    val seg = run(
+      """{op: sample, cols: [c_mktsegment], values: ["BUILDING:1.0"], seed: 7}""")
+    val full = spark.read.parquet(s"$sf/customer.parquet")
+    seg.count() shouldBe full.where(
+      org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING").count()
+    // unseeded sampling is rejected — not reproducible
+    val e = intercept[IllegalArgumentException](
+      run("{op: sample, fraction: 0.5}"))
+    e.getMessage should include("seed")
+  }
+
   test("EP1: rename / cast / drop transforms compose in order") {
     val yaml =
       s"""name: t_demo
