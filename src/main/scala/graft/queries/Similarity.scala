@@ -437,25 +437,38 @@ object Similarity extends QueryPack {
     * the cap above the post-collapse bucket sizes, which the collapse
     * makes easy. */
   def lshClusters(docs: DataFrame, threshold: Double, bucketCap: Int): DataFrame = {
-    // 0: exact-set collapse. The fingerprint hashes the SORTED distinct
-    // token array (tokens are whitespace-split, so U+0001 cannot occur inside one);
-    // md5's 128 bits make collisions negligible at any corpus size. Every
-    // member of a group has the same sorted array, so min_by is only
-    // breaking ties among identical payloads deterministically.
+    // 0: exact-set collapse. The fingerprint md5-hashes the JSON of the
+    // SORTED distinct token array — to_json (unlike a joined string)
+    // keeps null / [] / [""] distinct and escapes any separator-like
+    // bytes inside tokens, so the key's equivalence classes are exactly
+    // set-equality; a null token set hashes to the null key, which
+    // groupBy keeps as one group (the same NULL-grouping semantics SQL
+    // PARTITION BY applies). md5's 128 bits make collisions negligible
+    // at any corpus size. All members of a group share the same sorted
+    // array, so first() picks among identical payloads — deterministic
+    // in value.
     val keyed = docs
       .select(col("doc_id"),
         array_sort(array_distinct(col("ts"))).as("ts"),
-        md5(concat_ws("\u0001", array_sort(array_distinct(col("ts"))))).as("__k"))
+        md5(to_json(array_sort(array_distinct(col("ts"))))).as("__k"))
       .localCheckpoint(true) // reused by reps AND the expansion join
     val reps = keyed.groupBy(col("__k"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("ts")).as("ts"))
-    val members = keyed.select(col("doc_id"), col("__k"))
-    val repOf = reps.select(col("__k"), col("doc_id").as("__rep"))
+    val members = keyed.select(col("doc_id"), col("__k").as("__mk"))
+    val repOf = reps.select(col("__k").as("__rk"), col("doc_id").as("__rep"))
+    // null-SAFE key equality: a null token set hashes to the null key,
+    // and a plain equi-join would silently drop those docs from the
+    // output (caught by HardeningSpec's null-text case)
+    def expand(labels: DataFrame): DataFrame =
+      members.join(repOf, col("__mk") <=> col("__rk"))
+        .join(labels, "__rep")
+        .select(col("doc_id").as("vec_id"), col("lbl"))
     if (threshold >= 1.0) {
       // identical-set clustering needs no LSH: the fingerprint IS the
       // cluster key and the representative IS the min label
-      return members.join(repOf, "__k")
-        .select(col("doc_id").as("vec_id"), col("__rep").as("lbl"))
+      // reps are one row per key and doc ids are unique, so __rep needs
+      // no dedup before the label join
+      return expand(repOf.select(col("__rep"), col("__rep").as("lbl")))
     }
     val repDocs = reps.select(col("doc_id"), col("ts"))
     // Jaccard with the union size computed arithmetically — the arrays
@@ -482,8 +495,7 @@ object Similarity extends QueryPack {
     val repClusters = connectedComponents(repDocs.select("doc_id"), verified)
       .select(col("vec_id").as("__rep"), col("lbl"))
     // 3: expand — every doc takes its representative's component label
-    members.join(repOf, "__k").join(repClusters, "__rep")
-      .select(col("doc_id").as("vec_id"), col("lbl"))
+    expand(repClusters)
   }
 
   /** §2.K6→K12 end-to-end — the 100-TB dedup endgame with NO all-pairs

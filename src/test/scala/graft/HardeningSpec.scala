@@ -180,6 +180,30 @@ class HardeningSpec extends SparkSpecBase {
     eDup.getMessage should include("duplicate keys")
   }
 
+  test("EP7: minhash_dedup keeps null, empty and whitespace texts distinct") {
+    import graft.pipeline.PipelineRunner
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhd_null").toString
+    // null texts tokenize to a NULL array; empty texts to [""] — the
+    // set fingerprint must keep null / [""] / real sets apart (a joined-
+    // string key would collapse all three to the same "" bucket)
+    Seq((1L, null: String), (2L, null: String), (3L, ""), (4L, ""),
+      (5L, "alpha beta"), (6L, "alpha beta"), (7L, "unique words here"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(dir)
+    def survivors(threshold: Double) = PipelineRunner.run(spark,
+      s"""name: mhd_null
+         |source: {format: parquet, path: "$dir"}
+         |transforms:
+         |  - {op: tokenize, cols: [text], name: toks}
+         |  - {op: minhash_dedup, cols: [doc_id, toks], threshold: $threshold}
+         |  - {op: sort, cols: [doc_id]}
+         |""".stripMargin).passed.select("doc_id").as[Long].collect().toSeq
+    // identical-set groups: {1,2} null, {3,4} [""], {5,6}, {7}
+    survivors(1.0) shouldBe Seq(1L, 3L, 5L, 7L)
+    // the LSH path (sub-1.0) must also survive null signatures: null-set
+    // docs emit no bands and stay singleton representatives
+    survivors(0.9) shouldBe Seq(1L, 3L, 5L, 7L)
+  }
+
   test("D7: as-of type widening keeps the declared output column types") {
     import graft.plans.AsOf
     val l = Seq((1, 10L, "L1"), (2, 10L, "L2")).toDF("lk", "lt", "lid") // INT key
