@@ -154,6 +154,14 @@ final case class CheckSpec(
   *    (class rebalancing): `cols` = [stratumCol] + `values` =
   *    ["stratum:fraction", ...] with `fraction` as the default for
   *    unlisted strata (sampleBy semantics)
+  *  - pack (§2.J11, batch only): greedy sequence packing — the
+  *    LLM-pretraining "pack documents to context length" step. `cols` =
+  *    [shardCol, orderCol] (packing runs PER SHARD: a window partitioned
+  *    by the shard key, never a global sort — 1000 executors pack 1000
+  *    shards independently), `expr` = the per-row token count, `k` = the
+  *    token budget per pack (default 4096), `name` = output pack-id
+  *    column (default "pack_id"; = shard × 1e6 + local bin, a globally
+  *    unique id as long as shards stay under 1e6 bins)
   */
 final case class TransformSpec(
     op: String,                   // select | rename | drop | derive | filter | cast | join | limit | sort | aggregate | union | dedup | asof_join | flatten | pivot | unpivot | surrogate_key
@@ -285,7 +293,7 @@ object PipelineSpec {
     require(Set("select", "rename", "drop", "derive", "filter", "cast", "join",
       "limit", "sort", "aggregate", "union", "dedup", "asof_join",
       "flatten", "pivot", "unpivot", "surrogate_key", "merge",
-      "tokenize", "tfidf", "minhash_dedup", "ann_topk", "sample")(op),
+      "tokenize", "tfidf", "minhash_dedup", "ann_topk", "sample", "pack")(op),
       s"$at.op: unknown '$op'")
     TransformSpec(op,
       cols = strArr(n, "cols"), name = optStr(n, "name"),

@@ -584,6 +584,26 @@ object PipelineRunner {
             "sample: use `fraction`+`seed`, or `cols: [stratumCol]` + " +
               "`values: [\"stratum:fraction\", ...]` (+ optional default `fraction`)")
         }
+      case "pack" => // §2.J11 through the config surface: greedy sequence
+        // packing per shard — cumulative token count windows inside each
+        // shard, pack id = shard × 1e6 + (cumsum − count) div budget.
+        // No global sort at any scale: shards pack independently.
+        require(t.cols.length == 2, "pack needs `cols: [shardCol, orderCol]`")
+        val (shard, order) = (t.cols(0), t.cols(1))
+        val cnt = t.expr.getOrElse(throw new IllegalArgumentException(
+          "pack needs `expr` (the per-row token count, e.g. \"size(toks)\")"))
+        val budget = t.k.getOrElse(4096)
+        require(budget > 0, s"pack budget `k` must be positive, got $budget")
+        val out = t.name.getOrElse("pack_id")
+        require(!df.columns.contains(out),
+          s"pack: output column '$out' already exists — pick another `name`")
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(shard)).orderBy(col(order))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val n = expr(cnt).cast("long")
+        df.withColumn(out,
+          (col(shard).cast("long") * 1000000L +
+            ((sum(n).over(w) - n) / budget).cast("long")).cast("long"))
       case other   => throw new IllegalArgumentException(s"unknown transform $other")
     }
 

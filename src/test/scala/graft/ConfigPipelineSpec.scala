@@ -718,6 +718,29 @@ class ConfigPipelineSpec extends SparkSpecBase {
     e.getMessage should include("seed")
   }
 
+  test("pack: per-shard greedy sequence packing from YAML equals direct j11") {
+    val viaConfig = PipelineRunner.run(spark,
+      s"""name: pack_demo
+         |source: {format: parquet, path: "$sf/documents.parquet"}
+         |transforms:
+         |  - {op: derive, name: shard, expr: "doc_id % 8"}
+         |  - {op: derive, name: n_tokens, expr: "CAST(size(split(text, ' ')) AS BIGINT)"}
+         |  - {op: pack, cols: [shard, doc_id], expr: "n_tokens", k: 4096}
+         |  - {op: select, cols: [doc_id, shard, n_tokens, pack_id]}
+         |  - {op: sort, cols: [doc_id]}
+         |""".stripMargin).passed
+    viaConfig.collect().map(_.toSeq) shouldBe
+      graft.queries.TextOps2.j11.build(spark, sf).collect().map(_.toSeq)
+    // guard rails: unknown output collision + positive budget
+    val e = intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: pack_bad
+         |source: {format: parquet, path: "$sf/documents.parquet"}
+         |transforms:
+         |  - {op: pack, cols: [lang, doc_id], expr: "n_chars", k: 0}
+         |""".stripMargin))
+    e.getMessage should include("positive")
+  }
+
   test("EP1: rename / cast / drop transforms compose in order") {
     val yaml =
       s"""name: t_demo
