@@ -664,7 +664,51 @@ object Sources extends QueryPack {
     PipelineRunner.run(spark, yaml).passed
   }
 
+  /** §3.2 EP11 — sequence packing from the YAML surface (same oracle as
+    * j11, so the config route cross-checks the direct one). */
+  val ep11: QueryDef = m(
+    "ep11_config_pack",
+    """SELECT doc_id, shard, n_tokens,
+      |  CAST(shard * 1000000 + (cum_tokens - n_tokens) // 4096 AS BIGINT) AS pack_id
+      |FROM (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    SUM(len(string_split(text, ' '))) OVER (
+      |      PARTITION BY doc_id % 8 ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val yaml =
+      s"""name: ep11_pack
+         |source: {format: parquet, path: "$dir/documents.parquet"}
+         |transforms:
+         |  - {op: derive, name: shard, expr: "doc_id % 8"}
+         |  - {op: derive, name: n_tokens, expr: "CAST(size(split(text, ' ')) AS BIGINT)"}
+         |  - {op: pack, cols: [shard, doc_id], expr: "n_tokens", k: 4096}
+         |  - {op: select, cols: [doc_id, shard, n_tokens, pack_id]}
+         |  - {op: sort, cols: [doc_id]}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml).passed
+  }
+
+  /** §3.2 EP12 — seeded stratified sampling from the YAML surface
+    * (X-tier: Spark's Bernoulli sampler is engine-specific, same as
+    * e10/e10b; ConfigPipelineSpec owns the seed-stability and
+    * keep-stratum laws). */
+  val ep12: QueryDef = x("ep12_config_sample") { (spark, dir) =>
+    val yaml =
+      s"""name: ep12_sample
+         |source: {format: parquet, path: "$dir/events.parquet"}
+         |transforms:
+         |  - {op: sample, cols: [event_type], seed: 42,
+         |     values: ["purchase:1.0", "signup:1.0", "view:0.05"], fraction: 0.2}
+         |  - {op: aggregate, cols: [event_type], aggs: ["COUNT(*) AS n"]}
+         |  - {op: sort, cols: [event_type]}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml).passed
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a4, a7, a7b, ep1, ep1b, ep2, ep2b, ep3, ep3b, ep4, ep5, ep5b,
-      ep6, ep7, ep7b, ep8, ep9, ep10)
+      ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12)
 }

@@ -148,6 +148,10 @@ class PlanSpec extends SparkSpecBase {
     p should include regex "PushedFilters: \\[.*o_orderdate.*\\]"
   }
 
+  test("ep8: config ann_topk plans as TakeOrderedAndProject, not a global sort") {
+    plan(Sources.ep8.build(spark, sf)) should include("TakeOrderedAndProject")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE finalizes the physical plan only on execution of THIS dataset's
     // own QueryExecution — collect, then look for codegen stage markers
