@@ -26,6 +26,11 @@ import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
   * sink. Declare `mode: append` to accumulate run history for drift
   * dashboards; the rows reuse the observe()-collected counts, so no
   * extra pass over the data happens. */
+/** `assertions` (batch only): dataset-level post-conditions — SQL
+  * AGGREGATE expressions over the transformed result ("count(*) >= 100",
+  * "avg(score) BETWEEN 0 AND 1") evaluated in ONE aggregate-only job
+  * BEFORE any sink writes: a failed assertion aborts the run and nothing
+  * publishes (the data-quality SLA gate). */
 final case class PipelineSpec(
     name: String,
     mode: String,                 // batch | streaming
@@ -35,7 +40,8 @@ final case class PipelineSpec(
     transforms: Seq[TransformSpec],
     sink: Option[SinkSpec],
     quarantine: Option[SinkSpec],
-    metricsSink: Option[SinkSpec])
+    metricsSink: Option[SinkSpec],
+    assertions: Seq[String])
 
 /** format ∈ parquet | csv | json | jdbc (§2.A3-A5). `schema` is a Spark
   * DDL string ("a INT, b STRING"); required for csv/json, ignored for
@@ -237,6 +243,8 @@ object PipelineSpec {
 
   def parse(yaml: String): PipelineSpec = {
     val root = mapper.readTree(yaml)
+    fields(root, "pipeline", Set("name", "mode", "output_mode", "source",
+      "checks", "transforms", "sink", "quarantine", "metrics_sink", "assertions"))
     val mode = optStr(root, "mode").getOrElse("batch")
     require(Set("batch", "streaming")(mode), s"pipeline.mode: unknown '$mode'")
     PipelineSpec(
@@ -248,16 +256,29 @@ object PipelineSpec {
       transforms = arr(root, "transforms").zipWithIndex.map { case (n, i) => transform(n, s"transforms[$i]") },
       sink = opt(root, "sink").map(sink(_, "sink")),
       quarantine = opt(root, "quarantine").map(sink(_, "quarantine")),
-      metricsSink = opt(root, "metrics_sink").map(sink(_, "metrics_sink")))
+      metricsSink = opt(root, "metrics_sink").map(sink(_, "metrics_sink")),
+      assertions = strArr(root, "assertions"))
+  }
+
+  /** A typo'd config key must FAIL, not silently no-op (the classic
+    * config-platform footgun: `fractoin: 0.1` sampling nothing). Every
+    * node type enumerates its vocabulary. */
+  private def fields(n: JsonNode, at: String, allowed: Set[String]): Unit = {
+    val bad = n.fieldNames().asScala.toSeq.filterNot(allowed)
+    require(bad.isEmpty, s"$at: unknown field(s) [${bad.mkString(", ")}] — " +
+      s"allowed: ${allowed.toSeq.sorted.mkString(", ")}")
   }
 
   private def source(n: JsonNode, at: String): SourceSpec = {
+    fields(n, at, Set("format", "path", "table", "schema", "options",
+      "incremental", "drift"))
     val fmt = reqStr(n, "format", at)
     require(Set("parquet", "csv", "json", "jdbc")(fmt), s"$at.format: unknown '$fmt'")
     val s = SourceSpec(fmt,
       path = optStr(n, "path"), table = optStr(n, "table"),
       schema = optStr(n, "schema"), options = strMap(n, "options"),
       incremental = opt(n, "incremental").map { inc =>
+        fields(inc, s"$at.incremental", Set("watermark_col", "state_path"))
         IncrementalSpec(
           reqStr(inc, "watermark_col", s"$at.incremental"),
           reqStr(inc, "state_path", s"$at.incremental"))
@@ -276,6 +297,8 @@ object PipelineSpec {
   }
 
   private def check(n: JsonNode, at: String): CheckSpec = {
+    fields(n, at, Set("type", "name", "col", "lo", "hi", "values",
+      "pattern", "expr", "ref_table", "ref_col"))
     val t = reqStr(n, "type", at)
     require(Set("not_null", "range", "in_set", "regex", "str_len", "cross", "unique", "ref")(t),
       s"$at.type: unknown '$t'")
@@ -289,6 +312,9 @@ object PipelineSpec {
   }
 
   private def transform(n: JsonNode, at: String): TransformSpec = {
+    fields(n, at, Set("op", "cols", "name", "expr", "to", "table", "on",
+      "how", "broadcast", "aggs", "orderBy", "where", "values", "max_rows",
+      "threshold", "bucket_cap", "k", "fraction", "seed"))
     val op = reqStr(n, "op", at)
     require(Set("select", "rename", "drop", "derive", "filter", "cast", "join",
       "limit", "sort", "aggregate", "union", "dedup", "asof_join",
@@ -312,6 +338,8 @@ object PipelineSpec {
   }
 
   private def sink(n: JsonNode, at: String): SinkSpec = {
+    fields(n, at, Set("format", "path", "mode", "partitionBy", "options",
+      "buckets", "bucketBy", "sortBy", "table"))
     val fmt = reqStr(n, "format", at)
     require(Set("parquet", "csv", "json")(fmt), s"$at.format: unknown '$fmt'")
     val s = SinkSpec(fmt, reqStr(n, "path", at),

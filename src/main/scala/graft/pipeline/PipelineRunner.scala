@@ -47,6 +47,24 @@ object PipelineRunner {
     val (passed0, quarantined, metricsOf) = validate(spark, src, spec.checks)
     val out = spec.transforms.foldLeft(passed0)((df, t) => applyTransform(spark, df, t))
 
+    // dataset-level assertions gate the PUBLISH: one aggregate-only job
+    // over the transformed result BEFORE any sink writes — a failed SLA
+    // aborts the run with the exact failing expressions, and nothing
+    // lands. (Aggregate expressions only; a scalar expression here is a
+    // row-level check and belongs in `checks`.)
+    if (spec.assertions.nonEmpty) {
+      val aggs = spec.assertions.zipWithIndex.map { case (a, i) =>
+        expr(a).cast("boolean").as(s"__a_$i")
+      }
+      val row = out.agg(aggs.head, aggs.tail: _*).head()
+      val failed = spec.assertions.zipWithIndex.collect {
+        case (a, i) if row.isNullAt(i) || !row.getBoolean(i) => a
+      }
+      if (failed.nonEmpty) throw new IllegalStateException(
+        s"pipeline '${spec.name}': assertions failed, nothing published — " +
+          failed.mkString("[", "; ", "]"))
+    }
+
     spec.sink.foreach(write(out, _))
     spec.quarantine.foreach(write(quarantined, _))
     // Advance the high-water mark AFTER the sinks committed (a failed
@@ -99,6 +117,9 @@ object PipelineRunner {
     require(spec.metricsSink.isEmpty,
       "metrics_sink is batch-only — streaming metrics would be per-batch " +
         "observations, not one run-level row set")
+    require(spec.assertions.isEmpty,
+      "assertions are batch-only — a run-level SLA gate has no single " +
+        "evaluation point on an unbounded stream")
     spec.checks.foreach(c => require(c.typ != "unique" && c.typ != "ref",
       s"check ${c.checkName}: '${c.typ}' is not supported in streaming mode"))
     val nTail = spec.transforms.reverse.takeWhile(t => Set("sort", "limit")(t.op)).size

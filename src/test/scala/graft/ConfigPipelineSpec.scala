@@ -741,6 +741,56 @@ class ConfigPipelineSpec extends SparkSpecBase {
     e.getMessage should include("positive")
   }
 
+  test("typo'd config keys fail fast with the allowed vocabulary") {
+    // `fractoin` would silently sample nothing — the classic footgun
+    val e = intercept[IllegalArgumentException](PipelineSpec.parse(
+      s"""name: x
+         |source: {format: parquet, path: p}
+         |transforms:
+         |  - {op: sample, fractoin: 0.1, seed: 42}
+         |""".stripMargin))
+    e.getMessage should (include("fractoin") and include("transforms[0]"))
+    val e2 = intercept[IllegalArgumentException](PipelineSpec.parse(
+      s"""name: x
+         |source: {format: parquet, path: p, watermark: ts}
+         |""".stripMargin))
+    e2.getMessage should (include("watermark") and include("source"))
+    val e3 = intercept[IllegalArgumentException](PipelineSpec.parse(
+      s"""name: x
+         |source: {format: parquet, path: p}
+         |sinks: [{format: parquet, path: q}]
+         |""".stripMargin))
+    e3.getMessage should include("sinks")
+  }
+
+  test("assertions gate the publish: failed SLA writes nothing") {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("graft_assert").toString
+    def yaml(minRows: Int) =
+      s"""name: sla_demo
+         |source: {format: parquet, path: "$sf/nation.parquet"}
+         |assertions:
+         |  - "count(*) >= $minRows"
+         |  - "min(n_regionkey) >= 0"
+         |sink: {format: parquet, path: "$out/passed"}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml(10)) // 25 nations: both hold
+    spark.read.parquet(s"$out/passed").count() shouldBe 25
+    graft.streaming.StreamOps.rmrf(s"$out/passed")
+    val e = intercept[IllegalStateException](PipelineRunner.run(spark, yaml(1000)))
+    e.getMessage should (include("assertions failed") and include("count(*) >= 1000"))
+    Files.exists(Paths.get(s"$out/passed")) shouldBe false // nothing landed
+    // batch-only: no single evaluation point on a stream
+    val e2 = intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: sla_s
+         |mode: streaming
+         |source: {format: parquet, path: "$sf/nation.parquet",
+         |  schema: "n_nationkey BIGINT"}
+         |assertions: ["count(*) >= 1"]
+         |""".stripMargin))
+    e2.getMessage should include("batch-only")
+  }
+
   test("EP1: rename / cast / drop transforms compose in order") {
     val yaml =
       s"""name: t_demo
