@@ -77,7 +77,16 @@ final case class SourceSpec(
 
 /** High-water-mark state: `statePath` holds one JSON object
   * {"hwm": "<value as string>", "type": "<Spark DDL type>"} so the typed
-  * comparison literal survives restarts for any orderable column type. */
+  * comparison literal survives restarts for any orderable column type.
+  *
+  * CONTRACT — the watermark column must be monotonic at commit time:
+  * when a run reads, every row with `watermark_col` ≤ the current source
+  * maximum must already be present (the ADF incremental-copy assumption).
+  * The filter is strictly `>` and the mark advances to the max READ, so
+  * rows that arrive LATER carrying an already-passed watermark value
+  * (e.g. a coarse DATE column on a still-open day) are permanently
+  * skipped. For coarse-grained columns, watermark on the fine-grained
+  * modification timestamp instead. */
 final case class IncrementalSpec(watermarkCol: String, statePath: String)
 
 /** §2.C check taxonomy. Exactly one payload shape per `typ`. */

@@ -73,18 +73,27 @@ object PipelineRunner {
     // dedicated aggregate-only job over the rows read THIS run: column-
     // pruned scan + map-side max, the cheapest correct probe. No new
     // rows (empty filtered read → NULL max) leaves the mark in place.
+    // The mark is rendered to a string BY SPARK (cast in the session
+    // timezone) — java.sql.Timestamp.toString would render in the JVM
+    // default TZ while the re-read CAST parses in the session TZ,
+    // shifting the mark by the offset between them (re-ingest or skip).
     spec.source.incremental.foreach { inc =>
-      val top = src.agg(max(col(inc.watermarkCol))).head()
+      val top = src.agg(max(col(inc.watermarkCol)).cast("string")).head()
       if (!top.isNullAt(0))
-        IncrementalState.write(inc.statePath, top.get(0).toString,
+        IncrementalState.write(inc.statePath, top.getString(0),
           src.schema(inc.watermarkCol).dataType.sql)
     }
     // Metrics ride the sink write via observe() — no separate aggregate
     // job when a sink ran. Fallbacks to a dedicated (cheap, aggregate-only)
-    // job: no sink wrote the observed plan, or a `limit` transform would
-    // have truncated the row flow through the observe node.
+    // job: no sink wrote the observed plan, or a TRUNCATING operator sat
+    // above the observe node. The latter matters beyond the `limit` op:
+    // surrogate_key's bound probe and ann_topk's one-query-row probe run
+    // limit(...).count() actions at BUILD time on the observed plan, and
+    // Spark's Observation latches on the FIRST completed action containing
+    // the node — a truncated probe would latch partial (wrong) counts.
+    val truncating = Set("limit", "surrogate_key", "ann_topk")
     val observed = (spec.sink.isDefined || spec.quarantine.isDefined) &&
-      !spec.transforms.exists(_.op == "limit")
+      !spec.transforms.exists(t => truncating(t.op))
     val metrics = metricsOf(observed)
     // run-metadata sink: one row per check, stamped with the run time.
     // The counts were already collected (observe or fallback) — this is a
@@ -137,21 +146,23 @@ object PipelineRunner {
       s"streaming mode: '${t.op}' is batch-only (idf / LSH clustering / " +
         "top-k all need the whole corpus; `tokenize` streams fine)"))
 
+    // Transforms apply to the PASS side only — batch parity: the batch
+    // quarantine keeps pre-transform rows (+ failed_checks), and a select
+    // here would silently strip the reasons column.
     def mk(pass: Boolean)(ss: SparkSession): DataFrame = {
       val src = readStream(ss, spec.source)
-      val base = if (spec.checks.isEmpty) {
-        if (pass) src else src.where(lit(false)) // empty quarantine stream
+      if (spec.checks.isEmpty) {
+        if (pass) streamable.foldLeft(src)((df, t) => applyTransform(ss, df, t))
+        else src.where(lit(false)) // empty quarantine stream
       } else {
         val preds = spec.checks.map(checkPredicate(ss, src, _))
         val allPass = preds.reduce(_ && _)
-        if (pass) src.where(allPass)
+        if (pass) streamable.foldLeft(src.where(allPass))(
+          (df, t) => applyTransform(ss, df, t))
         else src.where(!allPass) // quarantine says WHY, same as batch
           .withColumn("failed_checks",
-            array_compact(array(preds.zip(spec.checks).map { case (p, c) =>
-              when(!p, lit(c.checkName))
-            }: _*)))
+            failedChecksOf(preds.zip(spec.checks.map(_.checkName))))
       }
-      streamable.foldLeft(base)((df, t) => applyTransform(ss, df, t))
     }
 
     val outMode = spec.outputMode.getOrElse("append")
@@ -230,30 +241,52 @@ object PipelineRunner {
       case None => base
       case Some("allow") =>
         val declared = StructType.fromDDL(s.schema.get)
-        val present = base.columns.toSet
+        // name matching follows the session's resolution rules: under the
+        // default spark.sql.caseSensitive=false a case-drifted column
+        // (score → Score) must CONFORM, not silently become null
+        val resolve = driftResolver(base)
         base.select(declared.fields.map { f =>
-          if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+          resolve(f.name) match {
+            case Some(actual) => col(actual).cast(f.dataType).as(f.name)
+            case None         => lit(null).cast(f.dataType).as(f.name)
+          }
         }.toSeq: _*)
       case Some("strict") =>
         val declared = StructType.fromDDL(s.schema.get)
-        val actual = base.schema
+        val resolve = driftResolver(base)
+        val actM = base.schema.fields.map(f => f.name -> f.dataType).toMap
         val declM = declared.fields.map(f => f.name -> f.dataType).toMap
-        val actM = actual.fields.map(f => f.name -> f.dataType).toMap
-        val missing = declM.keySet.diff(actM.keySet)
-        val extra = actM.keySet.diff(declM.keySet)
-        val retyped = declM.keySet.intersect(actM.keySet)
-          .filter(k => declM(k) != actM(k))
-          .map(k => s"$k: declared ${declM(k).sql}, found ${actM(k).sql}")
+        val matchedActuals = declared.fields.flatMap(f => resolve(f.name)).toSet
+        val missing = declM.keySet.filter(resolve(_).isEmpty)
+        val extra = actM.keySet.diff(matchedActuals)
+        val retyped = declared.fields.flatMap { f =>
+          resolve(f.name).collect {
+            case a if actM(a) != f.dataType =>
+              s"${f.name}: declared ${f.dataType.sql}, found ${actM(a).sql}"
+          }
+        }
         require(missing.isEmpty && extra.isEmpty && retyped.isEmpty,
           s"source schema drift under strict policy — " +
             s"missing: [${missing.toSeq.sorted.mkString(",")}] " +
             s"unexpected: [${extra.toSeq.sorted.mkString(",")}] " +
             s"retyped: [${retyped.toSeq.sorted.mkString("; ")}]")
-        base.select(declared.fieldNames.map(col).toSeq: _*)
+        // project under the DECLARED names (a case-only drift would
+        // otherwise leak the file's casing into downstream resolution)
+        base.select(declared.fields.map(f =>
+          col(resolve(f.name).get).as(f.name)).toSeq: _*)
       case Some(other) => throw new IllegalArgumentException(
         s"unknown drift policy '$other'")
     }
+
+  /** Declared-name → actual-column resolver honoring the session's
+    * spark.sql.caseSensitive (default false, like Spark's own analysis). */
+  private def driftResolver(base: DataFrame): String => Option[String] = {
+    val caseSensitive = base.sparkSession.conf
+      .getOption("spark.sql.caseSensitive").exists(_.toBoolean)
+    val norm: String => String = if (caseSensitive) identity else _.toLowerCase
+    val byName = base.columns.map(c => norm(c) -> c).toMap
+    name => byName.get(norm(name))
+  }
 
   // -- validation (§2.C) ----------------------------------------------------
   /** One boolean Column per check (null-safe: null comparisons fail the
@@ -279,12 +312,16 @@ object PipelineRunner {
     coalesce(p, lit(false))
   }
 
-  /** The quarantine reason column: names of failed checks in declaration
-    * order, read off the `__chk_i` boolean flags already in the plan. */
+  /** The quarantine reason column from (flag, name) pairs: names of
+    * failed checks in declaration order (shared by the batch flag-column
+    * path and the streaming predicate path). */
+  private def failedChecksOf(flags: Seq[(Column, String)]): Column =
+    array_compact(array(flags.map { case (p, n) => when(!p, lit(n)) }: _*))
+
   private def failedChecksCol(checks: Seq[CheckSpec]): Column =
-    array_compact(array(checks.zipWithIndex.map { case (c, i) =>
-      when(!col(s"__chk_$i"), lit(c.checkName))
-    }: _*))
+    failedChecksOf(checks.zipWithIndex.map { case (c, i) =>
+      col(s"__chk_$i") -> c.checkName
+    })
 
   /** Split + metrics in one pass: add all check booleans, conjunction
     * splits rows, the same booleans aggregate into per-check counts.
@@ -592,15 +629,24 @@ object PipelineRunner {
             fractions.values.foreach(f => require(f >= 0.0 && f <= 1.0,
               s"sample stratum fractions must be in [0, 1], got $f"))
             val dflt = t.fraction.getOrElse(0.0)
+            // sampleBy's per-row Map lookup compares NATIVE values against
+            // the YAML's String keys — an integer stratum column would
+            // miss every key and silently drop whole strata. Sample on a
+            // string shadow of the column instead, so the declared keys
+            // always compare as strings.
+            val sCol = "__stratum_s"
+            val keys = fractions.keys.toSeq
+            val shadowed = df.withColumn(sCol, col(stratum).cast("string"))
             // sampleBy needs every key enumerated; keys beyond `values`
             // take the default via a union of the explicit map with a
             // filtered default-rate sample of the rest
-            val listed = df.where(col(stratum).isin(fractions.keys.toSeq: _*))
-              .stat.sampleBy(stratum, fractions, seed)
-            if (dflt == 0.0) listed
-            else listed.unionByName(
-              df.where(!coalesce(col(stratum).isin(fractions.keys.toSeq: _*), lit(false)))
-                .sample(withReplacement = false, dflt, seed))
+            val listed = shadowed.where(col(sCol).isin(keys: _*))
+              .stat.sampleBy(sCol, fractions, seed)
+            (if (dflt == 0.0) listed
+             else listed.unionByName(
+               shadowed.where(!coalesce(col(sCol).isin(keys: _*), lit(false)))
+                 .sample(withReplacement = false, dflt, seed))
+            ).drop(sCol)
           case _ => throw new IllegalArgumentException(
             "sample: use `fraction`+`seed`, or `cols: [stratumCol]` + " +
               "`values: [\"stratum:fraction\", ...]` (+ optional default `fraction`)")

@@ -327,14 +327,21 @@ object Similarity extends QueryPack {
         .localCheckpoint(true) // eager: runs via withAction → fills the observation
       // obs.get blocks until a listener delivers — bound the wait (never
       // hit locally; keeps the loop correct if some scheduler/action path
-      // ever bypasses the execution listener) and fall back to one 1-row job.
+      // ever bypasses the execution listener) and fall back to one 1-row
+      // job. A dedicated interruptible executor, shut down on exit: a
+      // timed-out obs.get must not leave a thread parked forever.
+      import java.util.concurrent.{Callable, Executors, TimeoutException, TimeUnit}
+      val ex = Executors.newSingleThreadExecutor { r =>
+        val t = new Thread(r, "graft-cc-observe"); t.setDaemon(true); t
+      }
       val s = try {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration._
-        Await.result(
-          Future(obs.get)(scala.concurrent.ExecutionContext.global), 5.seconds)
-          .get("s").collect { case n: Number => n.longValue }
-      } catch { case _: java.util.concurrent.TimeoutException => None }
+        val fut = ex.submit(new Callable[Option[Long]] {
+          def call(): Option[Long] =
+            obs.get.get("s").collect { case n: Number => n.longValue }
+        })
+        try fut.get(5, TimeUnit.SECONDS)
+        catch { case _: TimeoutException => None }
+      } finally ex.shutdownNow() // interrupts a still-blocked get
       (cp, s.orElse(lblSum(cp)))
     }
     var (labels, sum) = checkpointWithSum(

@@ -531,7 +531,7 @@ object Sources extends QueryPack {
     "ep7_config_textdedup",
     """SELECT doc_id, lang, source, n_chars FROM documents
       |QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY
-      |  array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), CHR(9)))
+      |  to_json(list_sort(list_distinct(string_split(lower(text), ' ')))))
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val yaml =
       s"""name: ep7_textdedup
@@ -626,8 +626,9 @@ object Sources extends QueryPack {
     import scala.jdk.CollectionConverters._
     val tmp = dest + "_tmp"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val part = scala.util.Using.resource(Files.list(Paths.get(tmp)))(
+      _.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get)
     Files.createDirectories(Paths.get(dest).getParent)
     Files.move(part, Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
     graft.streaming.StreamOps.rmrf(tmp)

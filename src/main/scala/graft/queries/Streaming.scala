@@ -140,8 +140,8 @@ object Streaming extends QueryPack {
     writeBatch("f2.parquet", 2, Seq((60, "late"), (4 * h + 1800, "b")))
     runOnce(2)
     import scala.jdk.CollectionConverters._
-    val dirs = Files.list(Paths.get(s"$base/out")).iterator().asScala
-      .map(_.toString).toSeq.sorted
+    val dirs = scala.util.Using.resource(Files.list(Paths.get(s"$base/out")))(
+      _.iterator().asScala.map(_.toString).toSeq.sorted)
     spark.read.parquet(dirs: _*)
       .select(col("w_start").cast("long").as("w_start_s"), col("n"),
         array_join(col("ks"), ",").as("ks"))

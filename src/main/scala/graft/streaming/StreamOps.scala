@@ -107,8 +107,8 @@ object StreamOps {
     // Explicit multi-path read (not a glob): Spark's single-path batch read
     // probes FileStreamSink metadata with the raw string, and a glob there
     // throws FileNotFoundException instead of expanding.
-    val batchDirs = Files.list(Paths.get(out)).iterator().asScala
-      .map(_.toString).toSeq.sorted
+    val batchDirs = scala.util.Using.resource(Files.list(Paths.get(out)))(
+      _.iterator().asScala.map(_.toString).toSeq.sorted)
     spark.read.parquet(batchDirs: _*)
   }
 }

@@ -791,6 +791,114 @@ class ConfigPipelineSpec extends SparkSpecBase {
     e2.getMessage should include("batch-only")
   }
 
+  test("check metrics stay correct when a truncating probe runs at build time") {
+    import java.nio.file.Files
+    // ann_topk's one-query-row probe executes a limit(2) action over the
+    // observed plan at BUILD time; the Observation latches on the first
+    // completed action, so without the truncating-op fallback the check
+    // metrics would come from the truncated probe scan (review finding)
+    val out = Files.createTempDirectory("graft_probe").toString
+    val r = PipelineRunner.run(spark,
+      s"""name: probe_demo
+         |source: {format: parquet, path: "$sf/embeddings.parquet"}
+         |checks:
+         |  - {type: not_null, name: has_id, col: vec_id}
+         |transforms:
+         |  - {op: ann_topk, cols: [vec_id, embedding], where: "vec_id = 0", k: 5}
+         |sink: {format: parquet, path: "$out/top"}
+         |""".stripMargin)
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    r.metrics.head.passCnt shouldBe total // NOT the probe's truncated count
+    r.metrics.head.failCnt shouldBe 0
+  }
+
+  test("sample: stratified fractions match non-string stratum columns") {
+    // integer stratum: the YAML keys are strings; sampleBy's native-value
+    // lookup would miss every key and silently drop the stratum (review
+    // finding) — the string-shadow column makes the comparison total
+    val kept = PipelineRunner.run(spark,
+      s"""name: smp_int
+         |source: {format: parquet, path: "$sf/customer.parquet"}
+         |transforms:
+         |  - {op: sample, cols: [c_nationkey], values: ["5:1.0"], seed: 7}
+         |""".stripMargin).passed
+    val full = spark.read.parquet(s"$sf/customer.parquet")
+    kept.count() shouldBe full.where(
+      org.apache.spark.sql.functions.col("c_nationkey") === 5).count()
+    kept.columns should not contain "__stratum_s"
+  }
+
+  test("streaming quarantine keeps failed_checks even when transforms project") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sq").toString
+    Seq((1L, 10.0, "x"), (2L, -1.0, "y")).toDF("id", "v", "extra")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val qOut = Files.createTempDirectory("graft_sq_q").toString
+    // the select applies to the PASS side only (batch parity): the
+    // quarantine keeps pre-transform rows + reasons
+    val r = PipelineRunner.run(spark,
+      s"""name: sq_demo
+         |mode: streaming
+         |source: {format: parquet, path: "$dir", schema: "id BIGINT, v DOUBLE, extra STRING"}
+         |checks:
+         |  - {type: range, name: v_pos, col: v, lo: 0.0, hi: 100.0}
+         |transforms:
+         |  - {op: select, cols: [id, v]}
+         |quarantine: {format: parquet, path: "$qOut/q"}
+         |""".stripMargin)
+    r.passed.columns.toSeq shouldBe Seq("id", "v")
+    val q = r.quarantined.select($"id", $"failed_checks")
+      .as[(Long, Seq[String])].collect()
+    q shouldBe Array((2L, Seq("v_pos")))
+  }
+
+  test("EP10: drift allow/strict resolve case-drifted columns like Spark does") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_drift_case").toString
+    // upstream renamed score -> Score (case churn): under default
+    // case-insensitive resolution the column must CONFORM, not null out
+    graft.queries.Sources.writeSingleParquet(
+      Seq((1L, "a", 9.5)).toDF("id", "name", "Score"), s"$dir/v1.parquet")
+    def yaml(policy: String) =
+      s"""name: drift_case
+         |source: {format: parquet, path: "$dir",
+         |  schema: "id BIGINT, name STRING, score DOUBLE", drift: $policy}
+         |""".stripMargin
+    val allowed = PipelineRunner.run(spark, yaml("allow")).passed
+    allowed.columns.toSeq shouldBe Seq("id", "name", "score") // declared casing
+    allowed.select("score").as[Double].head() shouldBe 9.5 // populated, not null
+    val strict = PipelineRunner.run(spark, yaml("strict")).passed
+    strict.columns.toSeq shouldBe Seq("id", "name", "score")
+  }
+
+  test("EP9: timestamp watermarks round-trip through the state file") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_inc_ts").toString
+    val state = s"$dir/state.json"
+    def yaml =
+      s"""name: inc_ts
+         |source: {format: parquet, path: "$dir/data",
+         |  incremental: {watermark_col: ts, state_path: "$state"}}
+         |transforms:
+         |  - {op: sort, cols: [id]}
+         |""".stripMargin
+    def ids() = PipelineRunner.run(spark, yaml).passed
+      .select($"id").as[Long].collect().toSeq
+    def write(rows: Seq[(Long, Long)]) = rows.toDF("id", "s")
+      .select($"id", org.apache.spark.sql.functions.timestamp_seconds($"s").as("ts"))
+      .write.mode("append").parquet(s"$dir/data")
+    write(Seq((1L, 1000L), (2L, 2000L)))
+    ids() shouldBe Seq(1L, 2L)
+    write(Seq((3L, 3000L)))
+    // the mark was rendered via Spark's session-TZ cast — the re-read
+    // filter must see exactly the rows past 2000s, not a TZ-shifted set
+    ids() shouldBe Seq(3L)
+    ids() shouldBe Seq()
+  }
+
   test("EP1: rename / cast / drop transforms compose in order") {
     val yaml =
       s"""name: t_demo
