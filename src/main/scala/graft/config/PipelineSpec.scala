@@ -152,11 +152,13 @@ final case class CheckSpec(
   *  - minhash_dedup (§2.K6+K12, batch only): `cols` = [idCol, tokensCol]
   *    (id must be unique + orderable), `threshold` = exact-Jaccard verify
   *    bar in (0, 1] (default 1.0 = identical token sets), `bucket_cap` =
-  *    LSH bucket occupancy ceiling (default 4096). Keeps ONLY near-dup
-  *    cluster survivors (min id per connected component), full row
-  *    schema preserved. The scale path end-to-end: banded candidates →
-  *    verify over candidates only → O(diameter) label propagation —
-  *    no all-pairs stage at any size
+  *    LSH bucket occupancy ceiling (default 4096). Default keeps ONLY
+  *    near-dup cluster survivors (min id per connected component), full
+  *    row schema preserved; with `name` it instead TAGS every row with
+  *    its cluster id under that column (inspect/re-weight near-dup
+  *    groups rather than dropping them). The scale path end-to-end:
+  *    banded candidates → verify over candidates only → O(diameter)
+  *    label propagation — no all-pairs stage at any size
   *  - ann_topk (§2.K4, batch only): `cols` = [idCol, vectorCol], `where`
   *    = predicate selecting EXACTLY ONE query row (enforced; the query
   *    row is excluded from results), `k` = result size (default 10).

@@ -569,19 +569,30 @@ object PipelineRunner {
         graft.queries.TextOps.tfidfOf(df, t.cols(0), t.cols(1))
       case "minhash_dedup" => // §2.K6+K12 through the config surface
         // (batch only): banded LSH candidates → exact Jaccard verify →
-        // connected components → keep only cluster survivors (min id).
+        // connected components. Default: keep only cluster survivors
+        // (min id). With `name`: TAG every row with its cluster id
+        // instead of dropping — the audit-friendly variant (inspect or
+        // re-weight near-dup groups rather than discarding them).
         require(t.cols.length == 2, "minhash_dedup needs `cols: [idCol, tokensCol]`")
         val (id, toks) = (t.cols(0), t.cols(1))
         val thr = t.threshold.getOrElse(1.0)
         require(thr > 0.0 && thr <= 1.0,
           s"minhash_dedup threshold must be in (0, 1], got $thr")
         val docs = df.select(col(id).as("doc_id"), array_distinct(col(toks)).as("ts"))
-        val survivors = graft.queries.Similarity
+        val labels = graft.queries.Similarity
           .lshClusters(docs, thr, t.bucketCap.getOrElse(4096))
-          .where(col("vec_id") === col("lbl"))
-          .select(col("vec_id").as("__surv_id"))
-        // left semi: original schema preserved, only survivor rows kept
-        df.join(survivors, col(id) === col("__surv_id"), "left_semi")
+        t.name match {
+          case Some(out) =>
+            require(!df.columns.contains(out),
+              s"minhash_dedup: output column '$out' already exists — " +
+                "pick another `name`")
+            df.join(labels.toDF("__mid", out), col(id) <=> col("__mid"))
+              .drop("__mid")
+          case None => // left semi on survivors: original schema, fewer rows
+            val survivors = labels.where(col("vec_id") === col("lbl"))
+              .select(col("vec_id").as("__surv_id"))
+            df.join(survivors, col(id) === col("__surv_id"), "left_semi")
+        }
       case "ann_topk" => // §2.K4 through the config surface (batch only):
         // broadcast the single query vector, exact cosine over every other
         // row, top-k via TakeOrderedAndProject — no global sort.

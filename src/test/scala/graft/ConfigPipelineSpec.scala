@@ -524,6 +524,17 @@ class ConfigPipelineSpec extends SparkSpecBase {
     survivors(0.8) shouldBe Seq(1L, 4L)
     // θ=1.0: only the exact-dup pair collapses → 3 survives on its own
     survivors(1.0) shouldBe Seq(1L, 3L, 4L)
+    // tag-don't-drop: `name` keeps every row, labeled with its cluster id
+    val tagged = PipelineRunner.run(spark,
+      s"""name: mhd_tag
+         |source: {format: parquet, path: "$dir"}
+         |transforms:
+         |  - {op: tokenize, cols: [text], name: toks}
+         |  - {op: minhash_dedup, cols: [doc_id, toks], threshold: 0.8, name: cluster_id}
+         |  - {op: sort, cols: [doc_id]}
+         |""".stripMargin).passed
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSeq
+    tagged shouldBe Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L)
   }
 
   test("EP7b: tfidf from config reshapes to (id, term, tf, score) = direct j5") {
