@@ -236,5 +236,37 @@ object Streaming extends QueryPack {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(l1, l2, l3, l4, l5, l6, l7, l8)
+  /** §2.L7 modern variant (NS) — the same per-user running counters on
+    * Spark 4's transformWithState / StatefulProcessor API
+    * (flatMapGroupsWithState's successor: named typed state cells with
+    * per-state TTL, timers, and schema'd state store). One ValueState
+    * cell per user holds (n, min); update-mode emission after the single
+    * AvailableNow batch is the final total, oracle-checked like l7. At
+    * scale the state shards by the grouping key exactly like the legacy
+    * API — this query pins the forward-looking surface. */
+  val l9: QueryDef = m(
+    "l9_transform_with_state",
+    """SELECT user_id, COUNT(*) AS n, min(value) AS min_v
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    StreamOps.runToBatch(spark, "l9", { ss =>
+      import ss.implicits._
+      // transformWithState keeps several column families per state cell —
+      // the RocksDB provider (bundled rocksdbjni) is its required store;
+      // scoped to this stream's CLONED session only, the default
+      // HDFS-backed provider stays in place for every other query
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      StreamOps.eventsStream(ss, dir)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.UserStatsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update)
+        .toDF("user_id", "n", "min_v")
+    }, "update")
+      .orderBy(col("user_id"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9)
 }
