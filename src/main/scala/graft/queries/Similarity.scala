@@ -181,10 +181,15 @@ object Similarity extends QueryPack {
     * ts ARRAY<STRING>) frame — reused by k12b's end-to-end clustering and
     * the YAML `minhash_dedup` op, where the id/token columns come from
     * config. Output (id_a, id_b) is unsorted (callers feeding a join
-    * shouldn't pay a sort; k6 adds its own orderBy). */
-  def lshCandidatesOf(docs: DataFrame, bucketCap: Int): DataFrame = {
-    val nHashes = 12
-    val rowsPerBand = 3
+    * shouldn't pay a sort; k6 adds its own orderBy).
+    *
+    * Banding dial: P(candidate | Jaccard j) = 1 − (1 − j^rowsPerBand)^bands.
+    * k6 keeps the published-default 4×3 (its specs quantify that point);
+    * the CLUSTERING path passes 8×3, where a j = 0.8 pair is missed with
+    * probability (1 − 0.512)^8 ≈ 0.3% instead of 4.2% — the recall/cost
+    * dial every LSH deployment tunes. */
+  def lshCandidatesOf(docs: DataFrame, bucketCap: Int,
+      nHashes: Int = 12, rowsPerBand: Int = 3): DataFrame = {
     val sigs = docs.select(
       col("doc_id"),
       array((0 until nHashes).map { h =>
@@ -490,7 +495,7 @@ object Similarity extends QueryPack {
     // verify accepts round(J, 6) ≥ τ, i.e. true J ≥ τ − 5e-7, so the
     // bound must not cut that margin.
     val tau = math.round(threshold * 1e6) - 1
-    val verified = lshCandidatesOf(repDocs, bucketCap)
+    val verified = lshCandidatesOf(repDocs, bucketCap, nHashes = 24)
       .join(repDocs.toDF("id_a", "ts_a"), "id_a")
       .join(repDocs.toDF("id_b", "ts_b"), "id_b")
       .where(size(col("ts_a")).cast("long") * 1000000L >= size(col("ts_b")) * tau &&
@@ -512,13 +517,19 @@ object Similarity extends QueryPack {
     * join), every stage here scales: banded candidate shuffle, verify
     * join over candidates only, O(diameter) label propagation.
     *
-    * Oracle-checkable because the banding parameters (4 bands × 3 rows)
-    * give 100% recall on this corpus' ≥ 0.8-Jaccard pairs (measured at
-    * sf0.001/0.01/0.1 — duplicate clusters are token-set-identical or
-    * near-identical, and identical sets share ALL minhashes), so the
-    * verified edge set equals DuckDB's all-pairs threshold edges and the
-    * recursive-CTE closure agrees exactly. SimilarityOpsSpec asserts the
-    * same equality against an in-memory union-find at sf0.001. */
+    * Oracle-checkable because the clustering path's banding (8 bands ×
+    * 3 rows — lshClusters' recall point, vs k6's published-default 4×3)
+    * gives measured-100% recall on this corpus' ≥ 0.8-Jaccard pairs at
+    * sf0.001/0.01/0.1: identical token sets share ALL minhashes, and the
+    * marginal j≈0.8 pairs that 4×3 missed at sf0.1 (6 docs of 5000, the
+    * 4.2%-per-pair banding budget) are caught at 0.3%-per-pair by the
+    * doubled bands — verified against a brute-force all-pairs union-find
+    * at all three scale factors this round. So the verified edge set
+    * equals DuckDB's all-pairs threshold edges and the recursive-CTE
+    * closure agrees exactly. SimilarityOpsSpec asserts the same equality
+    * at sf0.001. Recall is still probabilistic by nature — at corpus
+    * scales beyond the measured ones the banding dial (nHashes) is the
+    * recall/cost tradeoff every LSH deployment tunes. */
   val k12b: QueryDef = m(
     "k12b_lsh_neardup_clusters",
     """WITH RECURSIVE d AS (
