@@ -91,9 +91,8 @@ object PipelineRunner {
     // limit(...).count() actions at BUILD time on the observed plan, and
     // Spark's Observation latches on the FIRST completed action containing
     // the node — a truncated probe would latch partial (wrong) counts.
-    val truncating = Set("limit", "surrogate_key", "ann_topk")
     val observed = (spec.sink.isDefined || spec.quarantine.isDefined) &&
-      !spec.transforms.exists(t => truncating(t.op))
+      !spec.transforms.exists(t => truncatingOps(t.op))
     val metrics = metricsOf(observed)
     // run-metadata sink: one row per check, stamped with the run time.
     // The counts were already collected (observe or fallback) — this is a
@@ -283,7 +282,9 @@ object PipelineRunner {
   private def driftResolver(base: DataFrame): String => Option[String] = {
     val caseSensitive = base.sparkSession.conf
       .getOption("spark.sql.caseSensitive").exists(_.toBoolean)
-    val norm: String => String = if (caseSensitive) identity else _.toLowerCase
+    val norm: String => String =
+      if (caseSensitive) identity
+      else _.toLowerCase(java.util.Locale.ROOT) // locale-independent, like Spark
     val byName = base.columns.map(c => norm(c) -> c).toMap
     name => byName.get(norm(name))
   }
@@ -398,6 +399,21 @@ object PipelineRunner {
     else if (lower.endsWith(" asc")) expr(t.dropRight(4)).asc
     else expr(t)
   }
+
+  /** Ops whose applyTransform case runs a TRUNCATED build-time action
+    * (limit(...).count() probes) over the incoming plan. Keep in sync
+    * with the cases below: a probe over the observed plan latches the
+    * check-metrics Observation with partial counts, so run() must fall
+    * back to the dedicated metrics job whenever one of these is present.
+    * (merge's duplicate-key probe is exempt ONLY because it probes the
+    * freshly-read change set, never the observed plan.) */
+  private[pipeline] val truncatingOps = Set("limit", "surrogate_key", "ann_topk")
+
+  /** Shared output-name collision guard: fails fast instead of letting
+    * withColumn/select silently overwrite an unrelated column. */
+  private def requireFreshColumn(df: DataFrame, out: String, op: String): Unit =
+    require(!df.columns.contains(out),
+      s"$op: output column '$out' already exists — pick another `name`")
 
   def applyTransform(spark: SparkSession, df: DataFrame, t: TransformSpec): DataFrame =
     t.op match {
@@ -554,8 +570,7 @@ object PipelineRunner {
         val src = t.cols.headOption.getOrElse(throw new IllegalArgumentException(
           "tokenize needs `cols: [textCol]`"))
         val out = t.name.getOrElse("toks")
-        require(!df.columns.contains(out),
-          s"tokenize: output column '$out' already exists — pick another `name`")
+        requireFreshColumn(df, out, "tokenize")
         val toks = split(lower(col(src)), " ")
         // filter() (not array_except) so duplicate non-stopwords survive
         val kept = if (t.values.isEmpty) toks else {
@@ -578,20 +593,27 @@ object PipelineRunner {
         val thr = t.threshold.getOrElse(1.0)
         require(thr > 0.0 && thr <= 1.0,
           s"minhash_dedup threshold must be in (0, 1], got $thr")
-        val docs = df.select(col(id).as("doc_id"), array_distinct(col(toks)).as("ts"))
+        // id contract: unique, non-null. Rows with a NULL id have no
+        // identity to dedup against — they PASS THROUGH untouched (tag
+        // mode labels them null) rather than silently vanishing in the
+        // label joins.
+        val idNull = df.where(col(id).isNull)
+        val idOk = df.where(col(id).isNotNull)
+        val docs = idOk.select(col(id).as("doc_id"), array_distinct(col(toks)).as("ts"))
         val labels = graft.queries.Similarity
           .lshClusters(docs, thr, t.bucketCap.getOrElse(4096))
         t.name match {
           case Some(out) =>
-            require(!df.columns.contains(out),
-              s"minhash_dedup: output column '$out' already exists — " +
-                "pick another `name`")
-            df.join(labels.toDF("__mid", out), col(id) <=> col("__mid"))
+            requireFreshColumn(df, out, "minhash_dedup")
+            idOk.join(labels.toDF("__mid", out), col(id) === col("__mid"))
               .drop("__mid")
+              .unionByName(idNull.withColumn(out,
+                lit(null).cast(df.schema(id).dataType)))
           case None => // left semi on survivors: original schema, fewer rows
             val survivors = labels.where(col("vec_id") === col("lbl"))
               .select(col("vec_id").as("__surv_id"))
-            df.join(survivors, col(id) === col("__surv_id"), "left_semi")
+            idOk.join(survivors, col(id) === col("__surv_id"), "left_semi")
+              .unionByName(idNull)
         }
       case "ann_topk" => // §2.K4 through the config surface (batch only):
         // broadcast the single query vector, exact cosine over every other
@@ -643,16 +665,27 @@ object PipelineRunner {
             // sampleBy's per-row Map lookup compares NATIVE values against
             // the YAML's String keys — an integer stratum column would
             // miss every key and silently drop whole strata. Sample on a
-            // string shadow of the column instead, so the declared keys
-            // always compare as strings.
+            // string shadow of the column, with the declared keys
+            // NORMALIZED through the column's own type first: "5" on a
+            // DECIMAL(10,2) stratum must become "5.00" to match the
+            // shadow rendering (one driver-local literal fold, no scan).
+            val dt = df.schema(stratum).dataType
+            val normRow = spark.range(1).select(
+              fractions.keys.toSeq.map(k => lit(k).cast(dt).cast("string")): _*).head()
+            val norm = fractions.keys.toSeq.zipWithIndex.map { case (k, i) =>
+              require(!normRow.isNullAt(i),
+                s"sample: stratum key '$k' does not parse as ${dt.sql}")
+              k -> normRow.getString(i)
+            }.toMap
+            val fractionsN = fractions.map { case (k, f) => norm(k) -> f }
             val sCol = "__stratum_s"
-            val keys = fractions.keys.toSeq
+            val keys = fractionsN.keys.toSeq
             val shadowed = df.withColumn(sCol, col(stratum).cast("string"))
             // sampleBy needs every key enumerated; keys beyond `values`
             // take the default via a union of the explicit map with a
             // filtered default-rate sample of the rest
             val listed = shadowed.where(col(sCol).isin(keys: _*))
-              .stat.sampleBy(sCol, fractions, seed)
+              .stat.sampleBy(sCol, fractionsN, seed)
             (if (dflt == 0.0) listed
              else listed.unionByName(
                shadowed.where(!coalesce(col(sCol).isin(keys: _*), lit(false)))
@@ -673,8 +706,7 @@ object PipelineRunner {
         val budget = t.k.getOrElse(4096)
         require(budget > 0, s"pack budget `k` must be positive, got $budget")
         val out = t.name.getOrElse("pack_id")
-        require(!df.columns.contains(out),
-          s"pack: output column '$out' already exists — pick another `name`")
+        requireFreshColumn(df, out, "pack")
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col(shard)).orderBy(col(order))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)

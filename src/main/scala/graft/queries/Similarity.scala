@@ -296,6 +296,13 @@ object Similarity extends QueryPack {
     ivfTopK(spark, dir, nCentroids = 16, nProbe = 4, k = 10)
   }
 
+  /** Shared daemon worker for the bounded observation waits in
+    * connectedComponents — one thread for the JVM, not one per round. */
+  private lazy val observeWaiter: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "graft-cc-observe"); t.setDaemon(true); t
+    }
+
   /** Distributed connected components by min-label propagation: each
     * round every node takes the minimum label among itself and its
     * neighbors (one shuffle: edge-join + groupBy-min), repeating until the
@@ -333,20 +340,16 @@ object Similarity extends QueryPack {
       // obs.get blocks until a listener delivers — bound the wait (never
       // hit locally; keeps the loop correct if some scheduler/action path
       // ever bypasses the execution listener) and fall back to one 1-row
-      // job. A dedicated interruptible executor, shut down on exit: a
-      // timed-out obs.get must not leave a thread parked forever.
-      import java.util.concurrent.{Callable, Executors, TimeoutException, TimeUnit}
-      val ex = Executors.newSingleThreadExecutor { r =>
-        val t = new Thread(r, "graft-cc-observe"); t.setDaemon(true); t
-      }
-      val s = try {
-        val fut = ex.submit(new Callable[Option[Long]] {
-          def call(): Option[Long] =
-            obs.get.get("s").collect { case n: Number => n.longValue }
-        })
-        try fut.get(5, TimeUnit.SECONDS)
-        catch { case _: TimeoutException => None }
-      } finally ex.shutdownNow() // interrupts a still-blocked get
+      // job. The wait runs on the shared daemon worker; cancel(true)
+      // interrupts a still-blocked get so no thread stays parked and the
+      // worker survives for the next round (no per-round executor churn).
+      import java.util.concurrent.{Callable, TimeoutException, TimeUnit}
+      val fut = observeWaiter.submit(new Callable[Option[Long]] {
+        def call(): Option[Long] =
+          obs.get.get("s").collect { case n: Number => n.longValue }
+      })
+      val s = try fut.get(5, TimeUnit.SECONDS)
+        catch { case _: TimeoutException => fut.cancel(true); None }
       (cp, s.orElse(lblSum(cp)))
     }
     var (labels, sum) = checkpointWithSum(

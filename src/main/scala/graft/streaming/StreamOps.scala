@@ -58,8 +58,8 @@ object StreamOps {
   def rmrf(p: String): Unit = {
     val path = Paths.get(p)
     if (Files.exists(path)) {
-      Files.walk(path).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+      scala.util.Using.resource(Files.walk(path))(
+        _.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f)))
     }
   }
 

@@ -823,6 +823,47 @@ class ConfigPipelineSpec extends SparkSpecBase {
     r.metrics.head.failCnt shouldBe 0
   }
 
+  test("EP7: minhash_dedup passes null-id rows through instead of dropping them") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_mhd_nid").toString
+    Seq((Some(1L), "alpha beta"), (Some(2L), "alpha beta"), (None, "orphan row"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(dir)
+    def run(tail: String) = PipelineRunner.run(spark,
+      s"""name: mhd_nid
+         |source: {format: parquet, path: "$dir"}
+         |transforms:
+         |  - {op: tokenize, cols: [text], name: toks}
+         |  - {op: minhash_dedup, cols: [doc_id, toks]$tail}
+         |""".stripMargin).passed
+    // survivor mode: the null-id row has no identity to dedup — kept
+    val surv = run("").select($"doc_id").as[Option[Long]].collect()
+    surv.toSet shouldBe Set(Some(1L), None)
+    // tag mode: labeled null, never dropped
+    val tagged = run(", name: cluster_id")
+      .select($"doc_id", $"cluster_id").as[(Option[Long], Option[Long])]
+      .collect().toSet
+    tagged shouldBe Set((Some(1L), Some(1L)), (Some(2L), Some(1L)), (None, None))
+  }
+
+  test("sample: stratified keys normalize through the column type (decimal)") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_smp_dec").toString
+    Seq((1L, "5"), (2L, "5"), (3L, "7")).toDF("id", "s")
+      .selectExpr("id", "CAST(s AS DECIMAL(10,2)) AS grade")
+      .write.mode("overwrite").parquet(dir)
+    // key "5" must match DECIMAL 5.00 (renders "5.00") — unnormalized
+    // string comparison would silently drop the whole stratum
+    val kept = PipelineRunner.run(spark,
+      s"""name: smp_dec
+         |source: {format: parquet, path: "$dir"}
+         |transforms:
+         |  - {op: sample, cols: [grade], values: ["5:1.0"], seed: 3}
+         |""".stripMargin).passed.select($"id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 2L)
+  }
+
   test("sample: stratified fractions match non-string stratum columns") {
     // integer stratum: the YAML keys are strings; sampleBy's native-value
     // lookup would miss every key and silently drop the stratum (review

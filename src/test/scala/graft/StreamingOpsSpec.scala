@@ -61,7 +61,8 @@ class StreamingOpsSpec extends SparkSpecBase {
     runOnce(2)
 
     import scala.jdk.CollectionConverters._
-    val dirs = Files.list(Paths.get(s"$base/out")).iterator().asScala.map(_.toString).toSeq
+    val dirs = scala.util.Using.resource(Files.list(Paths.get(s"$base/out")))(
+      _.iterator().asScala.map(_.toString).toSeq)
     val rows = spark.read.parquet(dirs: _*)
       .as[(String, Long, Seq[String])].collect().sortBy(_._1)
 
@@ -99,7 +100,8 @@ class StreamingOpsSpec extends SparkSpecBase {
     q.awaitTermination()
 
     import scala.jdk.CollectionConverters._
-    val dirs = Files.list(Paths.get(out)).iterator().asScala.map(_.toString).toSeq
+    val dirs = scala.util.Using.resource(Files.list(Paths.get(out)))(
+      _.iterator().asScala.map(_.toString).toSeq)
     spark.read.parquet(dirs: _*).as[(Long, String)].collect()
       .sortBy(_._1) shouldBe Array((1L, "x"), (2L, "y"), (3L, "z"))
   }
