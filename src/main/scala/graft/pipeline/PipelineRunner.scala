@@ -206,7 +206,10 @@ object PipelineRunner {
         // any drift policy needs evolved files MERGED: allow conforms the
         // union, strict COMPARES the union (otherwise the detected shape
         // depends on which file Spark samples the schema from). User
-        // options still win (set after).
+        // options still win (set after). Scale note: mergeSchema reads
+        // every file's footer — at 100 TB the catalog (or a declared
+        // union schema via the `schema` + user mergeSchema=false) is the
+        // cheap path; the policy semantics stay identical.
         val r = if (s.drift.isDefined)
           spark.read.option("mergeSchema", "true") else spark.read
         r.options(s.options).parquet(path)
