@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.core.Tables
+import graft.core.{Checkpoints, Tables}
 import graft.core.Det._
 
 /** SURVEY.md §2.K — dedup + similarity search over `embeddings`
@@ -203,6 +203,10 @@ object Similarity extends QueryPack {
       // without this the 12-minhash signature computation re-runs per
       // branch (measured ~4x the banding cost at sf0.1). On a cluster
       // the materialized bands frame is the natural persist() point.
+      // Released below once the (small) pair set is materialized — the
+      // band explosion is nHashes/rowsPerBand rows per doc and must not
+      // outlive this builder (round-6 lesson: unreleased checkpoints
+      // taxed every later query in the session).
       .localCheckpoint(true)
     // occupancy stats: one groupBy (map-side combined) on the same key the
     // self-join shuffles on
@@ -228,7 +232,11 @@ object Similarity extends QueryPack {
     val starPairs = sized.where(col("__n") > bucketCap)
       .where(col("doc_id") =!= col("__anchor"))
       .select(col("__anchor").as("id_a"), col("doc_id").as("id_b"))
-    fullPairs.union(starPairs).distinct()
+    // materialize the pair set (two longs per row — the small output) and
+    // release the band explosion; the returned checkpoint is owned by the
+    // caller (released in lshClusters; per-query harness cleanup for k6)
+    Checkpoints.materializeThenRelease(
+      fullPairs.union(starPairs).distinct(), bands)
   }
 
   val k6: QueryDef = x("k6_minhash_lsh") { (spark, dir) =>
@@ -310,7 +318,15 @@ object Similarity extends QueryPack {
     * large-graph CC loop (cf. the published Hash-to-Min / large-star
     * designs). The driver loop iterates O(diameter) JOBS, never rows.
     * `nodes` must carry every vertex (singletons included); `edges` is
-    * directed-as-given and symmetrized here. */
+    * directed-as-given and symmetrized here.
+    *
+    * Retained-memory contract (asserted in SimilarityOpsSpec): during the
+    * loop, block-manager storage holds the symmetrized edge set plus at
+    * most TWO label sets (previous + next, during the handover); each
+    * round releases the prior round's checkpoint the moment the next one
+    * materializes, and the edge set is released before return. The ONLY
+    * storage that survives this call is the returned labels checkpoint,
+    * which the caller owns (lshClusters releases it after expansion). */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 50): DataFrame = {
     // localCheckpoint (eager) after every round truncates the LOGICAL plan,
@@ -354,7 +370,7 @@ object Similarity extends QueryPack {
     }
     var (labels, sum) = checkpointWithSum(
       nodes.toDF("vec_id").select(col("vec_id"), col("vec_id").as("lbl")))
-    if (sum.isEmpty) return labels
+    if (sum.isEmpty) { Checkpoints.release(sym); return labels }
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -363,17 +379,28 @@ object Similarity extends QueryPack {
         .select(col("src").as("vec_id"), col("lbl"))
       val (next, nextSum) = checkpointWithSum(
         labels.union(nb).groupBy("vec_id").agg(min("lbl").as("lbl")))
+      // `next` is materialized (eager checkpoint), so the previous
+      // round's label blocks are dead — release them NOW. This is the
+      // retained-memory contract of the loop: peak storage is the edge
+      // set plus TWO label sets (previous + next during the handover),
+      // never O(diameter) copies. Without this, every round leaks one
+      // full label set (the round-6 OOM-at-scale finding).
+      Checkpoints.release(labels)
       labels = next
       converged = nextSum == sum // labels only decrease: equal sum = fixpoint
       sum = nextSum
       rounds += 1
     }
+    Checkpoints.release(sym) // labels are self-contained; edges are dead
     // Non-converged labels are WRONG labels (two nodes of one component
     // still disagree) — refuse to return them silently. maxRounds bounds
     // the graph diameter, so raise it for genuinely deep graphs.
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge within $maxRounds rounds — " +
-        s"graph diameter exceeds the bound; raise maxRounds")
+    if (!converged) {
+      Checkpoints.release(labels)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds — " +
+          s"graph diameter exceeds the bound; raise maxRounds")
+    }
     labels
   }
 
