@@ -26,13 +26,21 @@ object Bench {
 
     def force(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
+      val dt =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      // drop every cache/checkpoint the query pinned: between independent
+      // queries nothing is live by construction, and unreleased storage
+      // taxes every later query (the round-6/7 finding — post-clustering
+      // queries regressed 2-15x from dead blocks squeezing exec memory)
+      graft.core.Checkpoints.releaseAll(spark)
+      dt
     }
 
     // one small warmup pass to JIT codegen paths before timing
@@ -54,6 +62,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the per-query line above can exceed the driver's tail-capture window
+    // (BENCH_r07 preserved 65/132 queries and lost the head-positioned
+    // total) — repeat the headline number in a short LAST line so the
+    // total always survives truncation
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.count(_._2 < 0)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

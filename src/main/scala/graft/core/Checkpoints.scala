@@ -30,13 +30,22 @@ object Checkpoints {
   /** Release the block-manager storage behind an eagerly-checkpointed
     * frame. Safe only after every consumer of `df` has materialized
     * (the checkpoint's lineage is truncated — the data cannot be
-    * recomputed). No-op on non-checkpointed frames. Blocking=false: the
-    * block drop proceeds async, the driver doesn't wait. */
+    * recomputed). Blocking=false: the block drop proceeds async, the
+    * driver doesn't wait.
+    *
+    * Accepts ONLY frames whose plan root is itself the checkpoint
+    * (i.e. the exact frame `eager`/`localCheckpoint` returned) and
+    * no-ops otherwise. A plan-walking variant that unpersisted every
+    * LogicalRDD found anywhere in a derived plan would invite disaster:
+    * called on a frame that merely EMBEDS a shared checkpoint, it would
+    * drop storage other live consumers still need — and with no lineage
+    * to recompute from, that is a job failure, not a slowdown. Callers
+    * therefore keep a handle to the checkpoint itself and pass that. */
   def release(dfs: DataFrame*): Unit =
     dfs.foreach { df =>
-      df.queryExecution.analyzed.foreach {
+      df.queryExecution.analyzed match {
         case lr: LogicalRDD => lr.rdd.unpersist(false)
-        case _ => ()
+        case _ => () // derived or non-checkpoint frame — refuse to guess
       }
     }
 

@@ -234,7 +234,9 @@ object Similarity extends QueryPack {
       .select(col("__anchor").as("id_a"), col("doc_id").as("id_b"))
     // materialize the pair set (two longs per row — the small output) and
     // release the band explosion; the returned checkpoint is owned by the
-    // caller (released in lshClusters; per-query harness cleanup for k6)
+    // caller (lshClusters releases it once connectedComponents has
+    // materialized the edge set; for k6 the Bench/Verify harness releases
+    // all per-query storage between queries)
     Checkpoints.materializeThenRelease(
       fullPairs.union(starPairs).distinct(), bands)
   }
@@ -441,7 +443,13 @@ object Similarity extends QueryPack {
     val pairs = a.join(b, col("id_a") < col("id_b"))
       .where(score6(expr("graft_cosine(e_a, e_b)")) >= 0.30)
       .select(col("id_a"), col("id_b"))
-    connectedComponents(v.select("vec_id"), pairs)
+    val labels = connectedComponents(v.select("vec_id"), pairs)
+    // CC has materialized its edges and labels, so the 300-row vector
+    // cache is dead — drop it now (round-7 leak finding); the labels
+    // checkpoint backs the returned frame and is collected by the
+    // harness' per-query releaseAll
+    v.unpersist(false)
+    labels
       .select(col("vec_id"), col("lbl").as("cluster_id"),
         (col("vec_id") === col("lbl")).as("is_survivor"))
       .orderBy(col("vec_id"))
@@ -509,8 +517,10 @@ object Similarity extends QueryPack {
       // identical-set clustering needs no LSH: the fingerprint IS the
       // cluster key and the representative IS the min label
       // reps are one row per key and doc ids are unique, so __rep needs
-      // no dedup before the label join
-      return expand(repOf.select(col("__rep"), col("__rep").as("lbl")))
+      // no dedup before the label join. Materialize the (small) expanded
+      // result and drop the keyed checkpoint — nothing else was pinned.
+      return Checkpoints.materializeThenRelease(
+        expand(repOf.select(col("__rep"), col("__rep").as("lbl"))), keyed)
     }
     val repDocs = reps.select(col("doc_id"), col("ts"))
     // Jaccard with the union size computed arithmetically — the arrays
@@ -525,7 +535,8 @@ object Similarity extends QueryPack {
     // verify accepts round(J, 6) ≥ τ, i.e. true J ≥ τ − 5e-7, so the
     // bound must not cut that margin.
     val tau = math.round(threshold * 1e6) - 1
-    val verified = lshCandidatesOf(repDocs, bucketCap, nHashes = 24)
+    val candidates = lshCandidatesOf(repDocs, bucketCap, nHashes = 24)
+    val verified = candidates
       .join(repDocs.toDF("id_a", "ts_a"), "id_a")
       .join(repDocs.toDF("id_b", "ts_b"), "id_b")
       .where(size(col("ts_a")).cast("long") * 1000000L >= size(col("ts_b")) * tau &&
@@ -534,10 +545,18 @@ object Similarity extends QueryPack {
       .where(round(col("__i").cast(DoubleType)
         / (size(col("ts_a")) + size(col("ts_b")) - col("__i")), 6) >= threshold)
       .select(col("id_a"), col("id_b"))
-    val repClusters = connectedComponents(repDocs.select("doc_id"), verified)
-      .select(col("vec_id").as("__rep"), col("lbl"))
-    // 3: expand — every doc takes its representative's component label
-    expand(repClusters)
+    val labels = connectedComponents(repDocs.select("doc_id"), verified)
+    // connectedComponents eagerly materialized its symmetrized edge set, so
+    // the candidate-pair checkpoint (lshCandidatesOf's return) is now dead
+    Checkpoints.release(candidates)
+    val repClusters = labels.select(col("vec_id").as("__rep"), col("lbl"))
+    // 3: expand — every doc takes its representative's component label.
+    // The expansion is two longs per row (the small result): materialize
+    // it and drop `keyed` + the CC labels checkpoint, so the ONLY storage
+    // surviving this call is the returned checkpoint (asserted in
+    // SimilarityOpsSpec), which the caller owns — Bench/Verify release
+    // all per-query storage between queries.
+    Checkpoints.materializeThenRelease(expand(repClusters), keyed, labels)
   }
 
   /** §2.K6→K12 end-to-end — the 100-TB dedup endgame with NO all-pairs

@@ -140,7 +140,10 @@ object TextOps2 extends QueryPack {
   val k8: QueryDef = x("k8_simhash") { (spark, dir) =>
     // cache the (tiny) signature frame: both self-join branches would
     // otherwise recompute the 64-sum aggregate — in a real deployment the
-    // signatures ARE the materialized artifact the candidate stage reads
+    // signatures ARE the materialized artifact the candidate stage reads.
+    // The returned frame consumes this cache LAZILY (unpersisting here
+    // would defeat it before execution); the Bench/Verify harness drops
+    // it via releaseAll once the query has run.
     val docs = simhashDocs(spark, dir).cache()
     val chunks = docs.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)")))

@@ -234,6 +234,29 @@ class SimilarityOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("K12b: lshClusters retains ONLY its result checkpoint; release empties storage") {
+    import graft.core.Checkpoints
+    // shared session — earlier suites/tests may have pinned storage
+    Checkpoints.releaseAll(spark)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_distinct(split(lower(col("text")), " ")).as("ts"))
+    val out = Similarity.lshClusters(docs, threshold = 0.8, bucketCap = 4096)
+    // the retained-memory contract (Similarity.scala scaladoc): the band
+    // explosion, candidate pairs, `keyed`, the symmetrized edge set and
+    // every CC round's labels are all released before return — the ONLY
+    // surviving storage is the materialized result checkpoint itself
+    spark.sparkContext.getPersistentRDDs.size shouldBe 1
+    out.count() should be > 0L
+    Checkpoints.release(out)
+    spark.sparkContext.getPersistentRDDs shouldBe empty
+    // threshold=1.0 short-circuit keeps the same contract
+    val exact = Similarity.lshClusters(docs, threshold = 1.0, bucketCap = 4096)
+    spark.sparkContext.getPersistentRDDs.size shouldBe 1
+    Checkpoints.release(exact)
+    spark.sparkContext.getPersistentRDDs shouldBe empty
+  }
+
   test("E11b: approx quartiles land within 1% of the exact ones") {
     import graft.queries.Aggregates
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
