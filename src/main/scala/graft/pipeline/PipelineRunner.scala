@@ -199,7 +199,9 @@ object PipelineRunner {
 
   // -- sources (§2.A) -------------------------------------------------------
   def read(spark: SparkSession, s: SourceSpec): DataFrame = {
-    val path = s.path.orElse(s.table.map(t => s"${t}.parquet")).getOrElse(
+    // lazy: jdbc sources address their data via options (url/dbtable),
+    // not a filesystem path
+    lazy val path = s.path.orElse(s.table.map(t => s"${t}.parquet")).getOrElse(
       throw new IllegalArgumentException("source needs path or table"))
     val base = s.format match {
       case "parquet" =>
@@ -219,7 +221,11 @@ object PipelineRunner {
       case "json" =>
         val r = spark.read.options(s.options)
         s.schema.map(ddl => r.schema(StructType.fromDDL(ddl))).getOrElse(r).json(path)
-      case "jdbc" => // §2.A5: config-model passthrough (no driver offline)
+      case "jdbc" => // §2.A5: options pass through verbatim — url/dbtable/
+        // driver, plus partitionColumn/lowerBound/upperBound/numPartitions
+        // for the parallel scan a cluster-scale read requires (one
+        // connection per partition). Executed against in-process Derby by
+        // a5_jdbc_roundtrip and ConfigPipelineSpec.
         spark.read.format("jdbc").options(s.options).load()
     }
     val conformed = applyDrift(base, s)

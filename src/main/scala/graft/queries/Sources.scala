@@ -101,6 +101,43 @@ object Sources extends QueryPack {
       .orderBy(col("r_regionkey"))
   }
 
+  /** §2.A5 — JDBC round-trip through an IN-PROCESS Derby database (the
+    * embedded driver ships with Spark's jars — zero new dependencies,
+    * works offline). The engine WRITES nation to a Derby table, then
+    * reads it back through the config-driven `{format: jdbc}` source —
+    * so `spark.read.format("jdbc")` genuinely executes, not just the
+    * config model. The oracle is the nation parquet itself: the
+    * round-trip must be value-preserving (same contract as a3/a4).
+    *
+    * Scale note: this demo reads over ONE connection. At real scale a
+    * JDBC source must declare partitionColumn/lowerBound/upperBound/
+    * numPartitions (the runner passes options through verbatim) so the
+    * scan fans out across executors — ConfigPipelineSpec exercises that
+    * 4-partition parallel-read path, plus pushed-down predicates. */
+  val a5: QueryDef = m(
+    "a5_jdbc_roundtrip",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""".stripMargin) { (spark, dir) =>
+    // keep derby.log out of the repo working dir
+    System.setProperty("derby.system.home", s"$ioDir/derby")
+    val url = "jdbc:derby:memory:graft;create=true"
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.format("jdbc")
+      .option("url", url).option("dbtable", "A5_NATION")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .mode("overwrite").save()
+    val spec = graft.config.PipelineSpec.parse(
+      s"""name: a5_jdbc
+         |source:
+         |  format: jdbc
+         |  options: {url: "$url", dbtable: A5_NATION,
+         |            driver: org.apache.derby.jdbc.EmbeddedDriver}
+         |""".stripMargin)
+    PipelineRunner.read(spark, spec.source)
+      .orderBy(col("n_nationkey"))
+  }
+
   /** §2.A7 — partitioned parquet sink, read back hive-style (DuckDB
     * hive_partitioning recovers the partition column as VARCHAR → the
     * engine output casts to match). */
@@ -710,6 +747,6 @@ object Sources extends QueryPack {
   }
 
   override def defs: Seq[QueryDef] =
-    Seq(a3, a3b, a4, a7, a7b, ep1, ep1b, ep2, ep2b, ep3, ep3b, ep4, ep5, ep5b,
+    Seq(a3, a3b, a4, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3, ep3b, ep4, ep5, ep5b,
       ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12)
 }

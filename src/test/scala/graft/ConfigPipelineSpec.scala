@@ -15,6 +15,46 @@ class ConfigPipelineSpec extends SparkSpecBase {
     spec.source.options("dbtable") shouldBe "t"
   }
 
+  test("A5: jdbc executes end-to-end against in-process Derby, 4-partition parallel read") {
+    import org.apache.spark.sql.functions.col
+    import graft.core.Tables
+    System.setProperty("derby.system.home", "/tmp/graft_io/derby")
+    val url = "jdbc:derby:memory:graft_spec;create=true"
+    val nation = Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    nation.write.format("jdbc")
+      .option("url", url).option("dbtable", "SPEC_NATION")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .mode("overwrite").save()
+    // read back through the config surface with the cluster-scale option
+    // set: partitionColumn splits the scan into numPartitions range-bound
+    // SELECTs (one connection each) — the shape a 100 TB extract needs
+    val yaml =
+      s"""name: jdbc_exec
+         |source:
+         |  format: jdbc
+         |  options: {url: "$url", dbtable: SPEC_NATION,
+         |            driver: org.apache.derby.jdbc.EmbeddedDriver,
+         |            partitionColumn: n_nationkey, lowerBound: "0",
+         |            upperBound: "25", numPartitions: "4"}
+         |transforms:
+         |  - {op: filter, expr: "n_regionkey >= 2"}
+         |  - {op: sort, cols: [n_nationkey]}
+         |""".stripMargin
+    // the SCAN itself fans out 4 ways (the sort downstream reshuffles, so
+    // assert at the source, before transforms)
+    PipelineRunner.read(spark, PipelineSpec.parse(yaml).source)
+      .rdd.getNumPartitions shouldBe 4
+    val r = PipelineRunner.run(spark, yaml)
+    def norm(x: org.apache.spark.sql.Row) =
+      (x.getAs[Number](0).longValue, x.getString(1), x.getAs[Number](2).longValue)
+    val got = r.passed.collect().map(norm)
+    val want = nation.where(col("n_regionkey") >= 2).orderBy(col("n_nationkey"))
+      .collect().map(norm)
+    got shouldBe want
+    want.length should be > 0
+  }
+
   test("parse errors are path-qualified") {
     val e1 = intercept[IllegalArgumentException](PipelineSpec.parse("name: x\n"))
     e1.getMessage should include("pipeline.source")
