@@ -205,7 +205,21 @@ final case class TransformSpec(
   * requires `table` (bucket metadata lives in the catalog; Spark cannot
   * bucket a bare path write). The 100-TB play: pay the shuffle once at
   * write time, then every later equi-join on the bucket key is
-  * exchange-free (see a7b). */
+  * exchange-free (see a7b).
+  *
+  * `evolve` (write-side schema evolution, parquet only — the sink-side
+  * mirror of the source `drift` policy, for when the PIPELINE's output
+  * schema changes against an existing target):
+  *  - fail: any column-level difference vs the existing target's schema
+  *    aborts before writing, with the exact drift (the conservative
+  *    default posture for a shared published dataset);
+  *  - add_nulls: the output conforms to the UNION by name — columns the
+  *    target has but the new output lacks are appended as typed nulls
+  *    (old readers keep every column they know), genuinely new columns
+  *    are kept. Type conflicts always fail. With mode=overwrite the
+  *    rewritten target carries the union schema outright; with append
+  *    the new files do, and readers merge (source drift:allow handles
+  *    exactly that shape). */
 final case class SinkSpec(
     format: String,               // parquet | csv | json
     path: String,
@@ -215,7 +229,8 @@ final case class SinkSpec(
     buckets: Option[Int],
     bucketBy: Seq[String],
     sortBy: Seq[String],
-    table: Option[String])
+    table: Option[String],
+    evolve: Option[String])       // add_nulls | fail (parquet only)
 
 /** Persisted high-water-mark IO (one tiny JSON object per incremental
   * source). On a cluster `statePath` lives on the shared FS; the write is
@@ -350,7 +365,7 @@ object PipelineSpec {
 
   private def sink(n: JsonNode, at: String): SinkSpec = {
     fields(n, at, Set("format", "path", "mode", "partitionBy", "options",
-      "buckets", "bucketBy", "sortBy", "table"))
+      "buckets", "bucketBy", "sortBy", "table", "evolve"))
     val fmt = reqStr(n, "format", at)
     require(Set("parquet", "csv", "json")(fmt), s"$at.format: unknown '$fmt'")
     val s = SinkSpec(fmt, reqStr(n, "path", at),
@@ -358,7 +373,14 @@ object PipelineSpec {
       partitionBy = strArr(n, "partitionBy"), options = strMap(n, "options"),
       buckets = opt(n, "buckets").map(_.asInt()),
       bucketBy = strArr(n, "bucketBy"), sortBy = strArr(n, "sortBy"),
-      table = optStr(n, "table"))
+      table = optStr(n, "table"),
+      evolve = optStr(n, "evolve"))
+    s.evolve.foreach { e =>
+      require(Set("add_nulls", "fail")(e), s"$at.evolve: unknown '$e' " +
+        "(add_nulls | fail)")
+      require(fmt == "parquet",
+        s"$at.evolve: schema evolution needs a self-describing format (parquet)")
+    }
     if (s.buckets.isDefined || s.bucketBy.nonEmpty) {
       require(s.buckets.exists(_ > 0) && s.bucketBy.nonEmpty,
         s"$at: bucketed sink needs both `buckets` (> 0) and `bucketBy` cols")

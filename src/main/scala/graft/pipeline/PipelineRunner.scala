@@ -728,11 +728,11 @@ object PipelineRunner {
 
   // -- sinks (§2.A6-A8) -----------------------------------------------------
   def write(df: DataFrame, s: SinkSpec): Unit = {
-    var w = df.write.mode(s.mode).options(s.options)
-    if (s.partitionBy.nonEmpty) w = w.partitionBy(s.partitionBy: _*)
     s.buckets match {
       case Some(n) => // §2.A7b from config: shuffle once at write time,
         // join exchange-free ever after (parquet + catalog table)
+        var w = df.write.mode(s.mode).options(s.options)
+        if (s.partitionBy.nonEmpty) w = w.partitionBy(s.partitionBy: _*)
         w = w.format(s.format) // never inherit spark.sql.sources.default —
         // PipelineSpec guarantees parquet for bucketed sinks and the table
         // must honor that even in a session with a different default
@@ -745,11 +745,95 @@ object PipelineRunner {
         if (s.mode == "overwrite")
           df.sparkSession.sql(s"DROP TABLE IF EXISTS ${s.table.get}")
         w.option("path", s.path).saveAsTable(s.table.get)
-      case None => s.format match {
-        case "parquet" => w.parquet(s.path)
-        case "csv"     => w.option("header", s.options.getOrElse("header", "true")).csv(s.path)
-        case "json"    => w.json(s.path)
-      }
+      case None =>
+        val out = evolved(df, s)
+        def save(d: DataFrame, mode: String, path: String): Unit = {
+          var w = d.write.mode(mode).options(s.options)
+          if (s.partitionBy.nonEmpty) w = w.partitionBy(s.partitionBy: _*)
+          s.format match {
+            case "parquet" => w.parquet(path)
+            case "csv"     => w.option("header", s.options.getOrElse("header", "true")).csv(path)
+            case "json"    => w.json(path)
+          }
+        }
+        if (s.mode == "overwrite") {
+          // ATOMIC COMMIT for the overwrite path sink. A direct
+          // mode(overwrite) write DELETES the target before producing a
+          // byte — a run that dies mid-write (task failure, OOM, kill)
+          // leaves the published dataset destroyed. Instead: write the
+          // full output to a staging dir next to the target, then swap
+          // via two directory renames (the ep9 high-water-mark pattern
+          // generalized). A crash during the write leaves the target
+          // untouched; the exposure window shrinks from the whole job to
+          // two metadata ops. Same-parent staging keeps the rename a
+          // same-filesystem metadata move on HDFS/local; on object
+          // stores rename is a copy — there a real deployment publishes
+          // through a table format's commit protocol instead, and this
+          // stays the honest file-sink fallback.
+          val target = new org.apache.hadoop.fs.Path(s.path)
+          val fs = target.getFileSystem(
+            df.sparkSession.sessionState.newHadoopConf())
+          val staging = new org.apache.hadoop.fs.Path(s.path + "__staging")
+          val retired = new org.apache.hadoop.fs.Path(s.path + "__retired")
+          fs.delete(staging, true) // debris from a previously crashed run
+          fs.delete(retired, true)
+          save(out, "overwrite", staging.toString)
+          if (fs.exists(target)) require(fs.rename(target, retired),
+            s"sink commit: could not retire existing target ${s.path}")
+          require(fs.rename(staging, target),
+            s"sink commit: could not publish staging to ${s.path}")
+          fs.delete(retired, true)
+        } else save(out, s.mode, s.path)
     }
+  }
+
+  /** Write-side schema evolution (SinkSpec.evolve; parquet path sinks).
+    * Compares the output schema to the EXISTING target's by name
+    * (case-insensitive, like Spark's resolver) and either fails with the
+    * exact drift or conforms the output to the union — see SinkSpec. */
+  private def evolved(df: DataFrame, s: SinkSpec): DataFrame = s.evolve match {
+    case None => df
+    case Some(policy) =>
+      val target = new org.apache.hadoop.fs.Path(s.path)
+      val fs = target.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      val existing =
+        if (!fs.exists(target)) None
+        else scala.util.Try(df.sparkSession.read.parquet(s.path).schema).toOption
+      existing match {
+        case None => df // first write (or unreadable/empty target): as-is
+        case Some(old) =>
+          def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+          val cur = df.schema
+          val curOf = cur.map(f => key(f.name) -> f).toMap
+          val oldOf = old.map(f => key(f.name) -> f).toMap
+          val retyped = old.flatMap { f =>
+            curOf.get(key(f.name)).collect {
+              case c if c.dataType != f.dataType =>
+                s"${f.name}: ${f.dataType.sql} -> ${c.dataType.sql}"
+            }
+          }
+          require(retyped.isEmpty, s"sink ${s.path}: column type drift " +
+            retyped.mkString("[", "; ", "]") +
+            " — evolution never retypes; cast upstream or version the dataset")
+          val missing = old.filterNot(f => curOf.contains(key(f.name)))
+          val added = cur.filterNot(f => oldOf.contains(key(f.name)))
+          policy match {
+            case "fail" =>
+              require(missing.isEmpty && added.isEmpty,
+                s"sink ${s.path}: schema drift under evolve:fail — missing " +
+                  missing.map(_.name).mkString("[", ",", "]") + ", new " +
+                  added.map(_.name).mkString("[", ",", "]"))
+              df
+            case "add_nulls" =>
+              // union by name: the target's column layout first (old
+              // readers keep every column they know, in the order they
+              // know), typed nulls where the new output dropped one,
+              // genuinely new columns appended after
+              df.select(old.map(f =>
+                curOf.get(key(f.name)).map(c => col(c.name))
+                  .getOrElse(lit(null).cast(f.dataType).as(f.name))) ++
+                added.map(f => col(f.name)): _*)
+          }
+      }
   }
 }

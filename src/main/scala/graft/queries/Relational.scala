@@ -192,13 +192,24 @@ object Relational extends QueryPack {
     * Scale note: a global row_number() over one ordering is a single-
     * partition window — fine for surrogate keys on dimension tables
     * (bounded), wrong for facts; fact-side keys should derive from
-    * natural keys (hash) instead, see i9_hash_misc. */
+    * natural keys (hash) instead, see i9_hash_misc. The builder enforces
+    * that contract with the same bounded-input guard the YAML
+    * `surrogate_key` op requires (`max_rows` in PipelineRunner): refuse
+    * fact-sized inputs up front, so nobody copies this window shape into
+    * an unbounded pipeline. The probe is limit(n+1).count() — bounded
+    * work even when the input is huge, never a full count. */
   val b9: QueryDef = m(
     "b9_surrogate_key",
     """SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS sk, c_custkey, c_name
       |FROM customer ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    Tables.customer(spark, dir)
+    val dim = Tables.customer(spark, dir)
+    val maxRows = 10000000L // declared dimension bound, as in the YAML op
+    require(dim.limit((maxRows + 1).toInt).count() <= maxRows,
+      s"b9_surrogate_key: input exceeds the declared dimension bound " +
+        s"($maxRows rows) — a global row_number window is single-partition; " +
+        "derive fact keys from natural keys (hash) instead")
+    dim
       .withColumn("sk", row_number().over(Window.orderBy(col("c_custkey"))).cast(LongType))
       .select(col("sk"), col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))

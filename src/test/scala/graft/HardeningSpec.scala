@@ -218,6 +218,77 @@ class HardeningSpec extends SparkSpecBase {
     out.where(col("lid") === "L1").head.getAs[String]("rid") shouldBe "R1"
   }
 
+  test("A6: atomic sink commit — a write that dies mid-flight leaves the old target intact") {
+    import graft.pipeline.PipelineRunner
+    val dir = "/tmp/graft_io/atomic_sink"
+    def pipeline(derive: String) =
+      s"""name: atomic_demo
+         |source: {format: parquet, path: "$sf/region.parquet"}
+         |transforms:
+         |  - {op: derive, name: tag, expr: "$derive"}
+         |sink: {format: parquet, path: "$dir", mode: overwrite}
+         |""".stripMargin
+    // run 1 publishes a good target
+    PipelineRunner.run(spark, pipeline("'v1'"))
+    spark.read.parquet(dir).count() shouldBe 5
+    // run 2 fails DURING the sink write: the ANSI cast throws inside the
+    // write tasks (execution time, not planning), after the old target
+    // would already be deleted under a naive mode(overwrite) write
+    intercept[Exception] {
+      PipelineRunner.run(spark, pipeline("CAST(r_name AS INT)"))
+    }
+    // the previously published target survives, byte-for-byte readable
+    val after = spark.read.parquet(dir)
+    after.count() shouldBe 5
+    after.select("tag").distinct().collect().map(_.getString(0)) shouldBe Array("v1")
+    // and a later good run still publishes over the crash debris
+    PipelineRunner.run(spark, pipeline("'v2'"))
+    spark.read.parquet(dir).select("tag").distinct()
+      .collect().map(_.getString(0)) shouldBe Array("v2")
+  }
+
+  test("A6: sink evolve policy — add_nulls unions by name, fail reports the drift") {
+    import graft.pipeline.PipelineRunner
+    val dir = "/tmp/graft_io/evolve_sink"
+    org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    def pipeline(cols: String, evolve: String) =
+      s"""name: evolve_demo
+         |source: {format: parquet, path: "$sf/region.parquet"}
+         |transforms:
+         |  - {op: derive, name: r_pop, expr: "CAST(r_regionkey * 10 AS INT)"}
+         |  - {op: select, cols: [$cols]}
+         |sink: {format: parquet, path: "$dir", mode: overwrite, evolve: $evolve}
+         |""".stripMargin
+    // first write: (r_regionkey, r_name)
+    PipelineRunner.run(spark, pipeline("r_regionkey, r_name", "add_nulls"))
+    // evolved write drops r_name, adds r_pop → union keeps all three:
+    // target layout first, dropped column as typed null, new one appended
+    PipelineRunner.run(spark, pipeline("r_regionkey, r_pop", "add_nulls"))
+    val out = spark.read.parquet(dir)
+    out.columns.toSeq shouldBe Seq("r_regionkey", "r_name", "r_pop")
+    out.where(col("r_name").isNotNull).count() shouldBe 0
+    out.where(col("r_pop").isNull).count() shouldBe 0
+    // fail policy: the same drift aborts BEFORE writing, target untouched
+    val e = intercept[IllegalArgumentException] {
+      PipelineRunner.run(spark, pipeline("r_regionkey", "fail"))
+    }
+    e.getMessage should include("schema drift")
+    spark.read.parquet(dir).columns.length shouldBe 3
+    // type drift is never evolvable, under either policy
+    val e2 = intercept[IllegalArgumentException] {
+      PipelineRunner.run(spark,
+        s"""name: evolve_retype
+           |source: {format: parquet, path: "$sf/region.parquet"}
+           |transforms:
+           |  - {op: derive, name: r_name, expr: "CAST(r_regionkey AS DOUBLE)"}
+           |  - {op: select, cols: [r_regionkey, r_name]}
+           |sink: {format: parquet, path: "$dir", mode: overwrite, evolve: add_nulls}
+           |""".stripMargin)
+    }
+    e2.getMessage should include("type drift")
+  }
+
   test("conf scoping: a streaming run leaves the shared batch SQLConf untouched") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     // l1 runs a real AvailableNow stream through runToBatch (which pins 8
