@@ -243,5 +243,70 @@ object TextOps2 extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(j6b, j9, j10, j11, k8, k9)
+  /** §2.J12 — benchmark CONTAMINATION check (the eval-decontamination
+    * step every LLM pretraining pipeline runs): which corpus docs share
+    * any verbatim 5-gram with the benchmark set, and how many distinct
+    * ones. The benchmark here is the lowest 20 doc_ids standing in for a
+    * held-out eval set; in production it's the actual benchmark corpus.
+    *
+    * Scale shape: the benchmark's shingle set is SMALL (eval suites are
+    * MBs, not TBs) → build it once, BROADCAST it, and the corpus side is
+    * a map-only shingle explode + broadcast hash join + partial-agg
+    * count per doc. No shuffle touches the 100 TB side except the final
+    * per-doc count (combined map-side). Joining on the shingle STRING
+    * keeps it engine-portable; at scale hash the shingle to 8 bytes
+    * first (same plan shape, smaller broadcast). */
+  val j12: QueryDef = m(
+    "j12_contamination",
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 5 + 2),
+      |  i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS g FROM d),
+      |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 20)
+      |SELECT s.doc_id, count(DISTINCT s.g) AS n_hits
+      |FROM sh s JOIN bench b ON s.g = b.g
+      |WHERE s.doc_id >= 20
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin) { (spark, dir) =>
+    val d = TextOps.tokens(Tables.documents(spark, dir))
+    val sh = d.where(size(col("toks")) >= 5).select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
+        .as("g"))
+    val bench = sh.where(col("doc_id") < 20).select(col("g")).distinct()
+    sh.where(col("doc_id") >= 20)
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2.J13 — repetition-based quality scoring (the Gopher-rules family):
+    * duplicate-word fraction and duplicate-bigram fraction per document,
+    * plus the filter verdict at the published 0.3 word-dup threshold.
+    * Pure per-row array math — map-only, embarrassingly parallel, the
+    * cheapest possible quality gate at any corpus size (the final sort
+    * exists only for the oracle hash). */
+  val j13: QueryDef = m(
+    "j13_repetition_quality",
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, toks, list_transform(range(1, len(toks)),
+      |  i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS g2 FROM d)
+      |SELECT doc_id,
+      |  ROUND(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dup_word_frac,
+      |  ROUND(1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) AS dup_bigram_frac,
+      |  (1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) <= 0.3 AS keep
+      |FROM g ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val d = TextOps.tokens(Tables.documents(spark, dir))
+      .where(size(col("toks")) >= 2) // bigram needs 2+; corpus docs all qualify
+      .withColumn("g2", expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))"))
+    val dupWord = lit(1) - size(array_distinct(col("toks"))).cast(DoubleType) / size(col("toks"))
+    d.select(col("doc_id"),
+        round(dupWord, 6).as("dup_word_frac"),
+        round(lit(1) - size(array_distinct(col("g2"))).cast(DoubleType) / size(col("g2")), 6)
+          .as("dup_bigram_frac"),
+        (dupWord <= 0.3).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(j6b, j9, j10, j11, j12, j13, k8, k9)
 }
