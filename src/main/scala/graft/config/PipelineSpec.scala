@@ -171,6 +171,23 @@ final case class CheckSpec(
   *    (class rebalancing): `cols` = [stratumCol] + `values` =
   *    ["stratum:fraction", ...] with `fraction` as the default for
   *    unlisted strata (sampleBy semantics)
+  *  - quality_filter (§2.J13): repetition-based quality gate over an
+  *    existing token-array column. `cols` = [tokensCol], `threshold` =
+  *    max duplicate-word fraction in [0, 1] (default 0.3, the published
+  *    repetition-rules bar). Default KEEPS only rows at or under the
+  *    bar (empty/zero-token rows drop — no signal, no keep); with
+  *    `name` it instead TAGS every row with its 6-dp duplicate-word
+  *    fraction. Pure per-row array math — map-only, streams fine.
+  *  - decontaminate (§2.J12, batch only): drop (or with `name`: flag)
+  *    corpus rows sharing any verbatim n-gram with a benchmark set.
+  *    `cols` = [idCol, tokensCol] (id unique, non-null), `table` = the
+  *    benchmark source, `where` = optional benchmark-side filter, `to` =
+  *    the benchmark's TEXT column (default "text" — tokenized the same
+  *    way `tokenize` does), `k` = shingle size (default 5). The benchmark shingle set is broadcast (eval
+  *    suites are MBs); the corpus side is a map-only shingle explode +
+  *    broadcast semi-join + distinct ids + left anti — no shuffle of
+  *    the corpus beyond the contaminated-id set. Batch-only: the
+  *    contaminated-id set aggregates over the corpus side.
   *  - pack (§2.J11, batch only): greedy sequence packing — the
   *    LLM-pretraining "pack documents to context length" step. `cols` =
   *    [shardCol, orderCol] (packing runs PER SHARD: a window partitioned
@@ -345,7 +362,8 @@ object PipelineSpec {
     require(Set("select", "rename", "drop", "derive", "filter", "cast", "join",
       "limit", "sort", "aggregate", "union", "dedup", "asof_join",
       "flatten", "pivot", "unpivot", "surrogate_key", "merge",
-      "tokenize", "tfidf", "minhash_dedup", "ann_topk", "sample", "pack")(op),
+      "tokenize", "tfidf", "minhash_dedup", "ann_topk", "sample", "pack",
+      "quality_filter", "decontaminate")(op),
       s"$at.op: unknown '$op'")
     TransformSpec(op,
       cols = strArr(n, "cols"), name = optStr(n, "name"),

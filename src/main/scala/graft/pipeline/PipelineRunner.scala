@@ -141,9 +141,11 @@ object PipelineRunner {
       s"streaming mode: '${t.op}' is batch-only (pivot needs a finished " +
         "group; a global row_number window has no streaming equivalent; " +
         "merge anti-joins the full base)"))
-    streamable.foreach(t => require(!Set("tfidf", "minhash_dedup", "ann_topk")(t.op),
+    streamable.foreach(t => require(
+      !Set("tfidf", "minhash_dedup", "ann_topk", "decontaminate")(t.op),
       s"streaming mode: '${t.op}' is batch-only (idf / LSH clustering / " +
-        "top-k all need the whole corpus; `tokenize` streams fine)"))
+        "top-k / the contaminated-id set all need the whole corpus; " +
+        "`tokenize` and `quality_filter` stream fine)"))
 
     // Transforms apply to the PASS side only — batch parity: the batch
     // quarantine keeps pre-transform rows (+ failed_checks), and a select
@@ -703,6 +705,53 @@ object PipelineRunner {
           case _ => throw new IllegalArgumentException(
             "sample: use `fraction`+`seed`, or `cols: [stratumCol]` + " +
               "`values: [\"stratum:fraction\", ...]` (+ optional default `fraction`)")
+        }
+      case "quality_filter" => // §2.J13 through the config surface:
+        // repetition-based quality gate, pure per-row array math
+        require(t.cols.length == 1, "quality_filter needs `cols: [tokensCol]`")
+        val toks = col(t.cols.head)
+        val thr = t.threshold.getOrElse(0.3)
+        require(thr >= 0.0 && thr <= 1.0,
+          s"quality_filter threshold must be in [0, 1], got $thr")
+        val frac = lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)
+        t.name match {
+          case Some(out) =>
+            requireFreshColumn(df, out, "quality_filter")
+            df.withColumn(out, round(frac, 6))
+          case None => // null/empty token rows have no signal → drop
+            df.where(size(toks) > 0 && frac <= thr)
+        }
+      case "decontaminate" => // §2.J12 through the config surface (batch
+        // only): benchmark shingles broadcast, corpus side map-only
+        require(t.cols.length == 2, "decontaminate needs `cols: [idCol, tokensCol]`")
+        val (id, toks) = (t.cols(0), t.cols(1))
+        val benchSrc = t.table.getOrElse(throw new IllegalArgumentException(
+          "decontaminate needs `table` (the benchmark source)"))
+        val textCol = t.to.getOrElse("text")
+        val ng = t.k.getOrElse(5)
+        require(ng > 0, s"decontaminate shingle size `k` must be positive, got $ng")
+        def shingles(frame: DataFrame, tokCol: String, keep: Seq[Column]): DataFrame =
+          frame.where(size(col(tokCol)) >= ng)
+            .select(keep :+ explode(expr(
+              s"transform(sequence(1, size(`$tokCol`) - ${ng - 1}), " +
+                s"i -> concat_ws(' ', slice(`$tokCol`, i, $ng)))")).as("__g"): _*)
+        val benchRaw = read(spark, benchSrc)
+        val bench = t.where.fold(benchRaw)(w => benchRaw.where(expr(w)))
+          .select(split(lower(col(textCol)), " ").as("__bt"))
+        val benchShingles = shingles(bench, "__bt", Nil)
+          .select(col("__g")).distinct()
+        val contaminated = shingles(df, toks, Seq(col(id).as("__cid")))
+          .join(broadcast(benchShingles), "__g")
+          .select(col("__cid")).distinct()
+        t.name match {
+          case Some(out) => // audit variant: flag, don't drop
+            requireFreshColumn(df, out, "decontaminate")
+            df.join(contaminated.withColumn(out, lit(true)),
+                col(id) === col("__cid"), "left")
+              .withColumn(out, coalesce(col(out), lit(false)))
+              .drop("__cid")
+          case None =>
+            df.join(contaminated, col(id) === col("__cid"), "left_anti")
         }
       case "pack" => // §2.J11 through the config surface: greedy sequence
         // packing per shard — cumulative token count windows inside each

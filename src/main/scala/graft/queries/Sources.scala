@@ -746,7 +746,43 @@ object Sources extends QueryPack {
     PipelineRunner.run(spark, yaml).passed
   }
 
+  /** §3.2 EP13 — corpus curation gates from YAML: repetition-based
+    * quality filter (§2.J13) then benchmark decontamination (§2.J12),
+    * declared in config alone. The benchmark is the lowest 20 doc_ids
+    * (filtered via the op's `where`); corpus rows at or under the
+    * 0.55 duplicate-word bar AND sharing no verbatim 5-gram with the
+    * benchmark survive. Oracle: the same two gates as DuckDB CTEs. */
+  val ep13: QueryDef = m(
+    "ep13_config_curate",
+    """WITH d AS (SELECT doc_id, lang, source, n_chars,
+      |    string_split(lower(text), ' ') AS toks FROM documents),
+      |q AS (SELECT * FROM d WHERE doc_id >= 20 AND len(toks) > 0
+      |  AND 1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) <= 0.55),
+      |bench AS (SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 5 + 2),
+      |    i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS g
+      |  FROM d WHERE doc_id < 20),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 5 + 2),
+      |    i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS g FROM q),
+      |contaminated AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.g = b.g)
+      |SELECT doc_id, lang, source, n_chars FROM q
+      |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val yaml =
+      s"""name: ep13_curate
+         |source: {format: parquet, path: "$dir/documents.parquet"}
+         |transforms:
+         |  - {op: tokenize, cols: [text], name: toks}
+         |  - {op: filter, expr: "doc_id >= 20"}
+         |  - {op: quality_filter, cols: [toks], threshold: 0.55}
+         |  - {op: decontaminate, cols: [doc_id, toks], k: 5, where: "doc_id < 20",
+         |     table: {format: parquet, path: "$dir/documents.parquet"}}
+         |  - {op: select, cols: [doc_id, lang, source, n_chars]}
+         |  - {op: sort, cols: [doc_id]}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml).passed
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a4, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3, ep3b, ep4, ep5, ep5b,
-      ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12)
+      ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13)
 }

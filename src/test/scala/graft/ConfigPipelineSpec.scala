@@ -55,6 +55,80 @@ class ConfigPipelineSpec extends SparkSpecBase {
     want.length should be > 0
   }
 
+  test("EP13: quality_filter and decontaminate variants (tag/flag), streaming posture") {
+    import org.apache.spark.sql.functions.col
+    // tag variant: every row kept, scored
+    val tagged = PipelineRunner.run(spark,
+      s"""name: qf_tag
+         |source: {format: parquet, path: "$sf/documents.parquet"}
+         |transforms:
+         |  - {op: tokenize, cols: [text], name: toks}
+         |  - {op: quality_filter, cols: [toks], name: dup_frac}
+         |""".stripMargin).passed
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    tagged.count() shouldBe total
+    tagged.where(col("dup_frac") < 0.0 || col("dup_frac") > 1.0).count() shouldBe 0
+    // filter variant drops exactly the rows over the bar
+    val kept = PipelineRunner.run(spark,
+      s"""name: qf_filter
+         |source: {format: parquet, path: "$sf/documents.parquet"}
+         |transforms:
+         |  - {op: tokenize, cols: [text], name: toks}
+         |  - {op: quality_filter, cols: [toks], threshold: 0.5}
+         |""".stripMargin).passed
+    kept.count() shouldBe tagged.where(col("dup_frac") <= 0.5).count()
+    // decontaminate flag variant marks, never drops; flagged ⊆ corpus
+    val flagged = PipelineRunner.run(spark,
+      s"""name: decon_flag
+         |source: {format: parquet, path: "$sf/documents.parquet"}
+         |transforms:
+         |  - {op: tokenize, cols: [text], name: toks}
+         |  - {op: filter, expr: "doc_id >= 20"}
+         |  - {op: decontaminate, cols: [doc_id, toks], k: 5, name: hit,
+         |     where: "doc_id < 20",
+         |     table: {format: parquet, path: "$sf/documents.parquet"}}
+         |""".stripMargin).passed
+    flagged.count() shouldBe (total - 20)
+    // drop variant removes exactly the flagged rows
+    val cleaned = PipelineRunner.run(spark,
+      s"""name: decon_drop
+         |source: {format: parquet, path: "$sf/documents.parquet"}
+         |transforms:
+         |  - {op: tokenize, cols: [text], name: toks}
+         |  - {op: filter, expr: "doc_id >= 20"}
+         |  - {op: decontaminate, cols: [doc_id, toks], k: 5,
+         |     where: "doc_id < 20",
+         |     table: {format: parquet, path: "$sf/documents.parquet"}}
+         |""".stripMargin).passed
+    cleaned.count() shouldBe flagged.where(!col("hit")).count()
+    // decontaminate is batch-only; quality_filter streams fine (map-only)
+    val e = intercept[IllegalArgumentException] {
+      PipelineRunner.run(spark,
+        s"""name: decon_stream
+           |mode: streaming
+           |source: {format: parquet, path: "$sf",
+           |         options: {pathGlobFilter: "documents.parquet"},
+           |         schema: "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"}
+           |transforms:
+           |  - {op: tokenize, cols: [text], name: toks}
+           |  - {op: decontaminate, cols: [doc_id, toks],
+           |     table: {format: parquet, path: "$sf/documents.parquet"}}
+           |""".stripMargin)
+    }
+    e.getMessage should include("batch-only")
+    val streamed = PipelineRunner.run(spark,
+      s"""name: qf_stream
+         |mode: streaming
+         |source: {format: parquet, path: "$sf",
+         |         options: {pathGlobFilter: "documents.parquet"},
+         |         schema: "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"}
+         |transforms:
+         |  - {op: tokenize, cols: [text], name: toks}
+         |  - {op: quality_filter, cols: [toks], threshold: 0.5}
+         |""".stripMargin).passed
+    streamed.count() shouldBe kept.count()
+  }
+
   test("parse errors are path-qualified") {
     val e1 = intercept[IllegalArgumentException](PipelineSpec.parse("name: x\n"))
     e1.getMessage should include("pipeline.source")
