@@ -148,6 +148,13 @@ class PlanSpec extends SparkSpecBase {
     p should include regex "PushedFilters: \\[.*o_orderdate.*\\]"
   }
 
+  test("j12: contamination joins the corpus against a BROADCAST benchmark shingle set") {
+    val p = plan(graft.queries.TextOps2.j12.build(spark, sf))
+    p should include("BroadcastHashJoin")
+    // the 100-TB side must never sort-merge against the benchmark
+    (p should not).include("SortMergeJoin")
+  }
+
   test("ep8: config ann_topk plans as TakeOrderedAndProject, not a global sort") {
     plan(Sources.ep8.build(spark, sf)) should include("TakeOrderedAndProject")
   }
