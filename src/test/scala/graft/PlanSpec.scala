@@ -148,6 +148,41 @@ class PlanSpec extends SparkSpecBase {
     p should include regex "PushedFilters: \\[.*o_orderdate.*\\]"
   }
 
+  test("partition pruning: static filters and runtime DPP both prune the partitioned scan") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the 100-TB layout move: facts land partitioned by a coarse key, so
+    // key-filtered reads touch only matching directories instead of the
+    // whole dataset
+    val dir = "/tmp/graft_io/orders_part"
+    graft.core.Tables.orders(spark, sf)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    val part = spark.read.parquet(dir)
+    // static pruning: the literal filter lands in PartitionFilters (never
+    // PushedFilters — it eliminates directories before any file is read)
+    val p1 = plan(part.where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey")))
+    p1 should include regex "PartitionFilters: \\[[^\\]]*o_orderpriority[^\\]]*\\]"
+    // dynamic partition pruning: when the filter arrives via a JOIN whose
+    // dim side is only known at runtime, the fact scan still prunes — the
+    // broadcast result is reused as a partition-filter subquery. The DPP
+    // rule fires when the dim side carries a selective predicate (that is
+    // what makes pruning worth inserting).
+    // the dim must be a real source with a surviving Filter node — a local
+    // Seq folds its filter into the LocalRelation and the DPP rule then
+    // sees no selective predicate to reuse
+    Seq(("1-URGENT", 1), ("5-LOW", 0)).toDF("prio", "flag")
+      .write.mode("overwrite").parquet("/tmp/graft_io/prio_dim")
+    val dim = spark.read.parquet("/tmp/graft_io/prio_dim").where(col("flag") === 1)
+    // at sf0.001 the cost model (rightly) judges this tiny scan not worth
+    // pruning — switch to the fallback-ratio heuristic so the MECHANISM
+    // is what's asserted, not the cost model's verdict on 1500 rows
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    val p2 = try plan(part.join(dim, col("o_orderpriority") === col("prio")))
+    finally spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    p2.toLowerCase should include("dynamicpruning")
+  }
+
   test("j12: contamination joins the corpus against a BROADCAST benchmark shingle set") {
     val p = plan(graft.queries.TextOps2.j12.build(spark, sf))
     p should include("BroadcastHashJoin")
