@@ -46,6 +46,7 @@ object Bench {
     // one small warmup pass to JIT codegen paths before timing
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    graft.core.Checkpoints.releaseAll(spark) // warmup leaves no storage behind
 
     // SPARK_GRAFT_ONLY=q1,q2 limits the run (local iteration aid).
     val only = sys.env.get("SPARK_GRAFT_ONLY")

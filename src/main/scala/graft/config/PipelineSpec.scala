@@ -171,6 +171,11 @@ final case class CheckSpec(
   *    (class rebalancing): `cols` = [stratumCol] + `values` =
   *    ["stratum:fraction", ...] with `fraction` as the default for
   *    unlisted strata (sampleBy semantics)
+  *  - redact (§2.J14): PII scrubbing — each `values` entry is
+  *    "LABEL:regex" and every regex match in the text column is replaced
+  *    by "[LABEL]", in declared order. `cols` = [textCol], `name` =
+  *    optional output column (default: redact in place). Map-only
+  *    regexp_replace chain — streams fine, zero shuffle.
   *  - quality_filter (§2.J13): repetition-based quality gate over an
   *    existing token-array column. `cols` = [tokensCol], `threshold` =
   *    max duplicate-word fraction in [0, 1] (default 0.3, the published
@@ -363,7 +368,7 @@ object PipelineSpec {
       "limit", "sort", "aggregate", "union", "dedup", "asof_join",
       "flatten", "pivot", "unpivot", "surrogate_key", "merge",
       "tokenize", "tfidf", "minhash_dedup", "ann_topk", "sample", "pack",
-      "quality_filter", "decontaminate")(op),
+      "quality_filter", "decontaminate", "redact")(op),
       s"$at.op: unknown '$op'")
     TransformSpec(op,
       cols = strArr(n, "cols"), name = optStr(n, "name"),

@@ -706,6 +706,24 @@ object PipelineRunner {
             "sample: use `fraction`+`seed`, or `cols: [stratumCol]` + " +
               "`values: [\"stratum:fraction\", ...]` (+ optional default `fraction`)")
         }
+      case "redact" => // §2.J14 through the config surface: PII scrub as
+        // a regexp_replace chain — map-only, streams fine
+        require(t.cols.length == 1, "redact needs `cols: [textCol]`")
+        require(t.values.nonEmpty,
+          "redact needs `values: [\"LABEL:regex\", ...]`")
+        val rules = t.values.map { v =>
+          val i = v.indexOf(':')
+          require(i > 0 && i < v.length - 1,
+            s"redact rule '$v' must be \"LABEL:regex\"")
+          (v.substring(0, i), v.substring(i + 1))
+        }
+        val src = col(t.cols.head)
+        val cleaned = rules.foldLeft(src) { case (c, (label, re)) =>
+          regexp_replace(c, re, s"[$label]")
+        }
+        val out = t.name.getOrElse(t.cols.head)
+        if (t.name.isDefined) requireFreshColumn(df, out, "redact")
+        df.withColumn(out, cleaned)
       case "quality_filter" => // §2.J13 through the config surface:
         // repetition-based quality gate, pure per-row array math
         require(t.cols.length == 1, "quality_filter needs `cols: [tokensCol]`")

@@ -308,5 +308,33 @@ object TextOps2 extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(j6b, j9, j10, j11, j12, j13, k8, k9)
+  /** §2.J14 — PII redaction (the scrub step before any text lands in a
+    * training corpus): email and phone patterns replaced by typed
+    * placeholders. Pure regexp_replace projection — map-only, streams
+    * fine, zero shuffle. The corpus itself carries no PII, so the query
+    * SYNTHESIZES deterministic PII-shaped text from existing columns
+    * first and both engines redact the same strings — the redaction
+    * semantics are what's verified. Patterns stay in the common
+    * Java-regex/RE2 subset so both engines compile them identically. */
+  val j14: QueryDef = m(
+    "j14_redact",
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(
+      |      source || '@mail.example.com said: ' || substring(text, 1, 60)
+      |        || ' call +1 555-0100 ext ' || CAST(doc_id AS VARCHAR),
+      |      '[a-z0-9.+-]+@[a-z0-9.-]+', '[EMAIL]', 'g'),
+      |    '\+?[0-9][0-9 -]{7,}[0-9]', '[PHONE]', 'g') AS clean
+      |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val raw = concat(col("source"), lit("@mail.example.com said: "),
+      substring(col("text"), 1, 60),
+      lit(" call +1 555-0100 ext "), col("doc_id").cast("string"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(raw, "[a-z0-9.+-]+@[a-z0-9.-]+", "[EMAIL]"),
+          "\\+?[0-9][0-9 -]{7,}[0-9]", "[PHONE]").as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(j6b, j9, j10, j11, j12, j13, j14, k8, k9)
 }

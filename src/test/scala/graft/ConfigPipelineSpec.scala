@@ -129,6 +129,45 @@ class ConfigPipelineSpec extends SparkSpecBase {
     streamed.count() shouldBe kept.count()
   }
 
+  test("EP13: redact scrubs PII patterns in declared order, in place or to a new column") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_redact").toString
+    Seq((1L, "mail a.user+x@corp.example.com or dial +1 555-0100 88 today"),
+        (2L, "no pii here"))
+      .toDF("id", "txt").write.mode("overwrite").parquet(tmp)
+    val r = PipelineRunner.run(spark,
+      s"""name: redact_demo
+         |source: {format: parquet, path: "$tmp"}
+         |transforms:
+         |  - {op: redact, cols: [txt], name: clean, values:
+         |     ["EMAIL:[a-z0-9.+-]+@[a-z0-9.-]+", "PHONE:\\\\+?[0-9][0-9 -]{7,}[0-9]"]}
+         |  - {op: sort, cols: [id]}
+         |""".stripMargin).passed
+    val rows = r.orderBy(col("id")).collect()
+    rows(0).getAs[String]("clean") shouldBe "mail [EMAIL] or dial [PHONE] today"
+    rows(1).getAs[String]("clean") shouldBe "no pii here"
+    rows(0).getAs[String]("txt") should include("@corp.example.com") // original kept
+    // in-place variant overwrites the column
+    val inPlace = PipelineRunner.run(spark,
+      s"""name: redact_inplace
+         |source: {format: parquet, path: "$tmp"}
+         |transforms:
+         |  - {op: redact, cols: [txt], values: ["EMAIL:[a-z0-9.+-]+@[a-z0-9.-]+"]}
+         |  - {op: sort, cols: [id]}
+         |""".stripMargin).passed
+    inPlace.orderBy(col("id")).head.getAs[String]("txt") should include("[EMAIL]")
+    // a malformed rule fails fast
+    intercept[IllegalArgumentException] {
+      PipelineRunner.run(spark,
+        s"""name: redact_bad
+           |source: {format: parquet, path: "$tmp"}
+           |transforms:
+           |  - {op: redact, cols: [txt], values: ["no-colon-rule"]}
+           |""".stripMargin)
+    }.getMessage should include("LABEL:regex")
+  }
+
   test("parse errors are path-qualified") {
     val e1 = intercept[IllegalArgumentException](PipelineSpec.parse("name: x\n"))
     e1.getMessage should include("pipeline.source")
