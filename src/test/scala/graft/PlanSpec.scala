@@ -78,6 +78,47 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("AQE skew join: a hot key is split at runtime without manual salting") {
+    // the runtime complement to d9's explicit salting: AQE detects the
+    // oversized shuffle partition AFTER the map stage and splits it into
+    // several reader tasks (the executed SortMergeJoin prints skew=true).
+    // At 100 TB this is the default first line of defense; salting remains
+    // for joins AQE can't rewrite (e.g. aggregations over the hot key).
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      // thresholds scaled down so a test-sized hot key trips the detector
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // one key owns ~99% of the left side — the Zipf-head shape. The pad
+      // must be DATA-DEPENDENT: a literal would be projected after the
+      // exchange and the shuffled hot partition would stay tiny
+      val left = spark.range(0, 60000)
+        .select((col("id") % 100).as("k"), col("id").as("v"))
+        .withColumn("k", expr("CASE WHEN v % 100 < 99 THEN 0 ELSE k END"))
+        .withColumn("pad", expr("repeat(CAST(v AS STRING), 16)"))
+      val right = spark.range(0, 100).select(col("id").as("k"), lit(1).as("w"))
+      val joined = left.join(right, "k").select(col("k"), col("pad"), col("w"))
+      // collect() drives THIS Dataset's own QueryExecution, so the
+      // adaptive plan below is the finalized one
+      joined.collect().length shouldBe 60000
+      val p = joined.queryExecution.executedPlan.toString()
+      withClue(p.linesIterator.take(30).mkString("\n")) {
+        p should include("skew=true")
+      }
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("merge: anti join shuffles each side once on the key, union adds none") {
     import java.nio.file.Files
     import graft.pipeline.PipelineRunner
