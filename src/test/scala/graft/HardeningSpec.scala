@@ -289,6 +289,41 @@ class HardeningSpec extends SparkSpecBase {
     e2.getMessage should include("type drift")
   }
 
+  test("EP13: quality_filter/decontaminate/redact handle null and empty inputs") {
+    import graft.pipeline.PipelineRunner
+    val tmp = java.nio.file.Files.createTempDirectory("graft_null_edge").toString
+    Seq((Some(1L), Some("a a a a b")), // dup_frac 0.6 — over a 0.5 bar
+        (Some(2L), Some("x y z")),     // dup_frac 0 — keeps
+        (Some(3L), Some("")),          // empty text → one empty token
+        (Some(4L), None: Option[String]), // null text → null tokens
+        (None: Option[Long], Some("x y z")))  // null id
+      .toDF("id", "txt").write.mode("overwrite").parquet(tmp)
+    def run(ops: String) = PipelineRunner.run(spark,
+      s"""name: null_edges
+         |source: {format: parquet, path: "$tmp"}
+         |transforms:
+         |  - {op: tokenize, cols: [txt], name: toks}
+         |$ops
+         |""".stripMargin).passed
+    // quality_filter: null-token rows have no signal and drop; the empty
+    // string tokenizes to one "" token (dup_frac 0) and keeps
+    val kept = run("""  - {op: quality_filter, cols: [toks], threshold: 0.5}""")
+      .select("id").collect().map(r => Option(r.get(0)))
+    kept.flatten.toSet shouldBe Set(2L, 3L)
+    kept.count(_.isEmpty) shouldBe 1 // the null-id row carries through
+    // decontaminate: null ids can never match the contaminated-id set —
+    // they pass through the anti join (same contract as minhash_dedup)
+    val cleaned = run(
+      s"""  - {op: decontaminate, cols: [id, toks], k: 2, where: "id = 2",
+         |     table: {format: parquet, path: "$tmp"}, to: txt}""".stripMargin)
+      .select("id").collect().map(r => Option(r.get(0)))
+    cleaned.flatten.toSet shouldBe Set(1L, 3L, 4L) // doc 2 is the benchmark; null id survives
+    cleaned.count(_.isEmpty) shouldBe 1
+    // redact: null text stays null, no throw
+    val red = run("""  - {op: redact, cols: [txt], values: ["N:[0-9]+"]}""")
+    red.where(col("id") === 4L).select("txt").head.isNullAt(0) shouldBe true
+  }
+
   test("conf scoping: a streaming run leaves the shared batch SQLConf untouched") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     // l1 runs a real AvailableNow stream through runToBatch (which pins 8
