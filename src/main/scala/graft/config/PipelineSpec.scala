@@ -242,6 +242,13 @@ final case class TransformSpec(
   *    rewritten target carries the union schema outright; with append
   *    the new files do, and readers merge (source drift:allow handles
   *    exactly that shape). */
+/** `clusterBy`: range-repartition + sort-within-partitions on the given
+  * columns before writing — every output file then covers a narrow,
+  * non-overlapping value range, so parquet min/max statistics prune
+  * row groups on later reads (the data-layout half of pruning;
+  * `partitionBy` is the directory half). The shuffle is paid once at
+  * write time; at 100 TB this is what makes time-range scans of a fact
+  * table read 1% of files instead of all of them. */
 final case class SinkSpec(
     format: String,               // parquet | csv | json
     path: String,
@@ -252,7 +259,8 @@ final case class SinkSpec(
     bucketBy: Seq[String],
     sortBy: Seq[String],
     table: Option[String],
-    evolve: Option[String])       // add_nulls | fail (parquet only)
+    evolve: Option[String],       // add_nulls | fail (parquet only)
+    clusterBy: Seq[String])       // range-layout columns (path sinks)
 
 /** Persisted high-water-mark IO (one tiny JSON object per incremental
   * source). On a cluster `statePath` lives on the shared FS; the write is
@@ -388,7 +396,7 @@ object PipelineSpec {
 
   private def sink(n: JsonNode, at: String): SinkSpec = {
     fields(n, at, Set("format", "path", "mode", "partitionBy", "options",
-      "buckets", "bucketBy", "sortBy", "table", "evolve"))
+      "buckets", "bucketBy", "sortBy", "table", "evolve", "clusterBy"))
     val fmt = reqStr(n, "format", at)
     require(Set("parquet", "csv", "json")(fmt), s"$at.format: unknown '$fmt'")
     val s = SinkSpec(fmt, reqStr(n, "path", at),
@@ -397,7 +405,11 @@ object PipelineSpec {
       buckets = opt(n, "buckets").map(_.asInt()),
       bucketBy = strArr(n, "bucketBy"), sortBy = strArr(n, "sortBy"),
       table = optStr(n, "table"),
-      evolve = optStr(n, "evolve"))
+      evolve = optStr(n, "evolve"),
+      clusterBy = strArr(n, "clusterBy"))
+    require(s.clusterBy.isEmpty || s.buckets.isEmpty,
+      s"$at: clusterBy (range layout) and buckets (hash layout) are " +
+        "mutually exclusive — pick the layout the dominant read pattern needs")
     s.evolve.foreach { e =>
       require(Set("add_nulls", "fail")(e), s"$at.evolve: unknown '$e' " +
         "(add_nulls | fail)")

@@ -813,7 +813,13 @@ object PipelineRunner {
           df.sparkSession.sql(s"DROP TABLE IF EXISTS ${s.table.get}")
         w.option("path", s.path).saveAsTable(s.table.get)
       case None =>
-        val out = evolved(df, s)
+        val evolvedOut = evolved(df, s)
+        // range layout: one shuffle at write time so each output file
+        // covers a narrow, non-overlapping value range — parquet min/max
+        // stats then prune row groups on every later filtered read
+        val out = if (s.clusterBy.isEmpty) evolvedOut else
+          evolvedOut.repartitionByRange(s.clusterBy.map(col): _*)
+            .sortWithinPartitions(s.clusterBy.map(col): _*)
         def save(d: DataFrame, mode: String, path: String): Unit = {
           var w = d.write.mode(mode).options(s.options)
           if (s.partitionBy.nonEmpty) w = w.partitionBy(s.partitionBy: _*)

@@ -168,6 +168,48 @@ class ConfigPipelineSpec extends SparkSpecBase {
     }.getMessage should include("LABEL:regex")
   }
 
+  test("sink clusterBy: output files cover disjoint value ranges (min/max pruning layout)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_io/clustered_sink"
+    // AQE (correctly) coalesces this test-sized shuffle to one file —
+    // pin it off so the multi-file layout mechanics are what's asserted
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try PipelineRunner.run(spark,
+      s"""name: cluster_demo
+         |source: {format: parquet, path: "$sf/lineitem.parquet"}
+         |transforms:
+         |  - {op: select, cols: [l_orderkey, l_shipdate, l_quantity]}
+         |sink: {format: parquet, path: "$dir", mode: overwrite,
+         |       clusterBy: [l_shipdate]}
+         |""".stripMargin)
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    // per-file [min, max] ranges must not overlap: that disjointness is
+    // exactly what lets parquet row-group stats skip files under a
+    // shipdate predicate at scale
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("l_shipdate").cast("string")).as("lo"),
+        max(col("l_shipdate").cast("string")).as("hi"))
+      .collect().map(r => (r.getAs[String]("lo"), r.getAs[String]("hi")))
+      .sorted // ISO timestamps order lexicographically
+    ranges.length should be > 1 // the layout actually split the range
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      hi should be <= lo
+    }
+    // row fidelity: clustering reorders, never drops
+    spark.read.parquet(dir).count() shouldBe
+      spark.read.parquet(s"$sf/lineitem.parquet").count()
+    // mutually exclusive with hash bucketing
+    intercept[IllegalArgumentException] {
+      PipelineSpec.parse(
+        s"""name: bad
+           |source: {format: parquet, path: p}
+           |sink: {format: parquet, path: q, clusterBy: [a],
+           |       buckets: 4, bucketBy: [a], table: t}
+           |""".stripMargin)
+    }.getMessage should include("mutually exclusive")
+  }
+
   test("parse errors are path-qualified") {
     val e1 = intercept[IllegalArgumentException](PipelineSpec.parse("name: x\n"))
     e1.getMessage should include("pipeline.source")
