@@ -30,7 +30,17 @@ import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
   * AGGREGATE expressions over the transformed result ("count(*) >= 100",
   * "avg(score) BETWEEN 0 AND 1") evaluated in ONE aggregate-only job
   * BEFORE any sink writes: a failed assertion aborts the run and nothing
-  * publishes (the data-quality SLA gate). */
+  * publishes (the data-quality SLA gate).
+  *
+  * `branches` (ADF "new branch" parity, batch only): named side flows
+  * that FORK from the validated source (post-checks, pre-transforms),
+  * each with its own transform chain and sink — one declared pipeline
+  * feeds many shaped outputs (e.g. the curated corpus AND a per-lang
+  * aggregate AND a sampled eyeball set). Branch sinks publish only
+  * after the main flow's assertions pass (the SLA gate covers the whole
+  * run); each branch is its own Spark action, so at scale a reused fork
+  * point is worth a persist() — the runner keeps the semantics, the
+  * deployment picks the caching. */
 final case class PipelineSpec(
     name: String,
     mode: String,                 // batch | streaming
@@ -41,7 +51,15 @@ final case class PipelineSpec(
     sink: Option[SinkSpec],
     quarantine: Option[SinkSpec],
     metricsSink: Option[SinkSpec],
-    assertions: Seq[String])
+    assertions: Seq[String],
+    branches: Seq[BranchSpec])
+
+/** One forked side flow: transforms applied to the post-check frame,
+  * result written to the branch's sink. */
+final case class BranchSpec(
+    name: String,
+    transforms: Seq[TransformSpec],
+    sink: SinkSpec)
 
 /** format ∈ parquet | csv | json | jdbc (§2.A3-A5). `schema` is a Spark
   * DDL string ("a INT, b STRING"); required for csv/json, ignored for
@@ -300,7 +318,8 @@ object PipelineSpec {
   def parse(yaml: String): PipelineSpec = {
     val root = mapper.readTree(yaml)
     fields(root, "pipeline", Set("name", "mode", "output_mode", "source",
-      "checks", "transforms", "sink", "quarantine", "metrics_sink", "assertions"))
+      "checks", "transforms", "sink", "quarantine", "metrics_sink", "assertions",
+      "branches"))
     val mode = optStr(root, "mode").getOrElse("batch")
     require(Set("batch", "streaming")(mode), s"pipeline.mode: unknown '$mode'")
     PipelineSpec(
@@ -313,7 +332,21 @@ object PipelineSpec {
       sink = opt(root, "sink").map(sink(_, "sink")),
       quarantine = opt(root, "quarantine").map(sink(_, "quarantine")),
       metricsSink = opt(root, "metrics_sink").map(sink(_, "metrics_sink")),
-      assertions = strArr(root, "assertions"))
+      assertions = strArr(root, "assertions"),
+      branches = {
+        val bs = arr(root, "branches").zipWithIndex.map { case (n, i) =>
+          val at = s"branches[$i]"
+          fields(n, at, Set("name", "transforms", "sink"))
+          BranchSpec(
+            name = reqStr(n, "name", at),
+            transforms = arr(n, "transforms").zipWithIndex.map { case (t, j) =>
+              transform(t, s"$at.transforms[$j]") },
+            sink = sink(req(n, "sink", at), s"$at.sink"))
+        }
+        val dup = bs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+        require(dup.isEmpty, s"branches: duplicate name(s) [${dup.mkString(", ")}]")
+        bs
+      })
   }
 
   /** A typo'd config key must FAIL, not silently no-op (the classic

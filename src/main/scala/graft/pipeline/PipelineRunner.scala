@@ -67,6 +67,15 @@ object PipelineRunner {
 
     spec.sink.foreach(write(out, _))
     spec.quarantine.foreach(write(quarantined, _))
+    // branches (ADF "new branch"): side flows forked from the validated
+    // source, each with its own transform chain and sink. They publish
+    // AFTER the assertion gate (above) so the run-level SLA covers every
+    // output, and BEFORE the watermark advances (below) so a failed
+    // branch write leaves the mark untouched and the rerun re-reads.
+    spec.branches.foreach { b =>
+      write(b.transforms.foldLeft(passed0)((df, t) => applyTransform(spark, df, t)),
+        b.sink)
+    }
     // Advance the high-water mark AFTER the sinks committed (a failed
     // write must not skip data on retry — sinks are idempotent
     // overwrites, the mark only moves on success). The max runs as a
@@ -125,6 +134,9 @@ object PipelineRunner {
     require(spec.metricsSink.isEmpty,
       "metrics_sink is batch-only — streaming metrics would be per-batch " +
         "observations, not one run-level row set")
+    require(spec.branches.isEmpty,
+      "branches are batch-only — fork a stream by declaring one streaming " +
+        "pipeline per output (each needs its own checkpoint lifecycle)")
     require(spec.assertions.isEmpty,
       "assertions are batch-only — a run-level SLA gate has no single " +
         "evaluation point on an unbounded stream")

@@ -782,7 +782,34 @@ object Sources extends QueryPack {
     PipelineRunner.run(spark, yaml).passed
   }
 
+  /** §3.2 EP14 — branched (DAG) pipeline: one declared source feeds the
+    * main curated sink AND a per-language aggregate side sink (ADF "new
+    * branch" parity). The query returns the branch's published output
+    * read back from its sink — so the fork, the branch transforms, AND
+    * the sink write are all on the verified path. */
+  val ep14: QueryDef = m(
+    "ep14_config_branches",
+    """SELECT lang, COUNT(*) AS n_docs FROM documents
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    val out = s"$ioDir/ep14_branches"
+    val yaml =
+      s"""name: ep14_branches
+         |source: {format: parquet, path: "$dir/documents.parquet"}
+         |transforms:
+         |  - {op: select, cols: [doc_id, n_chars]}
+         |sink: {format: parquet, path: "$out/main", mode: overwrite}
+         |branches:
+         |  - name: per_lang
+         |    transforms:
+         |      - {op: aggregate, cols: [lang], aggs: ["COUNT(*) AS n_docs"]}
+         |      - {op: sort, cols: [lang]}
+         |    sink: {format: parquet, path: "$out/per_lang", mode: overwrite}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml)
+    spark.read.parquet(s"$out/per_lang").orderBy(col("lang"))
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a4, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3, ep3b, ep4, ep5, ep5b,
-      ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13)
+      ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13, ep14)
 }

@@ -210,6 +210,71 @@ class ConfigPipelineSpec extends SparkSpecBase {
     }.getMessage should include("mutually exclusive")
   }
 
+  test("branches: one declared pipeline feeds multiple shaped sinks, gated together") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_branches").toString
+    def yaml(assertion: String) =
+      s"""name: branch_demo
+         |source: {format: parquet, path: "$sf/documents.parquet"}
+         |checks:
+         |  - {type: not_null, col: text}
+         |transforms:
+         |  - {op: select, cols: [doc_id, lang, n_chars]}
+         |  - {op: sort, cols: [doc_id]}
+         |assertions: ["$assertion"]
+         |sink: {format: parquet, path: "$out/main", mode: overwrite}
+         |branches:
+         |  - name: per_lang
+         |    transforms:
+         |      - {op: aggregate, cols: [lang], aggs: ["COUNT(*) AS n_docs"]}
+         |    sink: {format: parquet, path: "$out/per_lang", mode: overwrite}
+         |  - name: eyeball
+         |    transforms:
+         |      - {op: sample, fraction: 0.1, seed: 7}
+         |      - {op: select, cols: [doc_id, text]}
+         |    sink: {format: parquet, path: "$out/eyeball", mode: overwrite}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml("count(*) >= 1"))
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    spark.read.parquet(s"$out/main").count() shouldBe total
+    // per_lang forked BEFORE the main select/sort — it still sees `lang`
+    val perLang = spark.read.parquet(s"$out/per_lang")
+    perLang.columns.toSeq shouldBe Seq("lang", "n_docs")
+    perLang.agg(org.apache.spark.sql.functions.sum("n_docs")).head.getLong(0) shouldBe total
+    // eyeball kept the un-projected text column (fork point is post-check)
+    spark.read.parquet(s"$out/eyeball").columns.toSeq shouldBe Seq("doc_id", "text")
+    // the SLA gate covers branches too: a failed assertion publishes NOTHING
+    val out2 = java.nio.file.Files.createTempDirectory("graft_branches2").toString
+    intercept[IllegalStateException] {
+      PipelineRunner.run(spark, yaml("count(*) >= 999999999").replace(out, out2))
+    }
+    new java.io.File(s"$out2/per_lang").exists() shouldBe false
+    // streaming rejects branches with a clear error
+    intercept[IllegalArgumentException] {
+      PipelineRunner.run(spark,
+        s"""name: branch_stream
+           |mode: streaming
+           |source: {format: parquet, path: "$sf",
+           |         options: {pathGlobFilter: "documents.parquet"},
+           |         schema: "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"}
+           |branches:
+           |  - name: x
+           |    transforms: []
+           |    sink: {format: parquet, path: "$out2/x", mode: overwrite}
+           |""".stripMargin)
+    }.getMessage should include("batch-only")
+    // duplicate branch names fail at parse time
+    intercept[IllegalArgumentException] {
+      PipelineSpec.parse(
+        """name: dup
+          |source: {format: parquet, path: p}
+          |branches:
+          |  - {name: a, transforms: [], sink: {format: parquet, path: q}}
+          |  - {name: a, transforms: [], sink: {format: parquet, path: r}}
+          |""".stripMargin)
+    }.getMessage should include("duplicate")
+  }
+
   test("parse errors are path-qualified") {
     val e1 = intercept[IllegalArgumentException](PipelineSpec.parse("name: x\n"))
     e1.getMessage should include("pipeline.source")
