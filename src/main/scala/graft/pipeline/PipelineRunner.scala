@@ -72,6 +72,10 @@ object PipelineRunner {
     // AFTER the assertion gate (above) so the run-level SLA covers every
     // output, and BEFORE the watermark advances (below) so a failed
     // branch write leaves the mark untouched and the rerun re-reads.
+    // Ordering also protects the check metrics: the main sink/quarantine
+    // actions above latch the Observation on the FULL plan first, so a
+    // branch carrying a truncating op (limit/sample) can never pre-latch
+    // partial counts — the hazard documented at `observed` below.
     spec.branches.foreach { b =>
       write(b.transforms.foldLeft(passed0)((df, t) => applyTransform(spark, df, t)),
         b.sink)
