@@ -448,6 +448,14 @@ object PipelineSpec {
         "(add_nulls | fail)")
       require(fmt == "parquet",
         s"$at.evolve: schema evolution needs a self-describing format (parquet)")
+      // a config key must FAIL, not silently no-op: the bucketed branch
+      // writes through saveAsTable (schema owned by the catalog table)
+      // and never applies evolution, so accepting both would drop the
+      // policy on the floor
+      require(s.buckets.isEmpty && s.bucketBy.isEmpty,
+        s"$at.evolve: schema evolution applies to path sinks only — a " +
+          "bucketed sink's schema is managed by its catalog table; drop " +
+          "`evolve` or the bucket spec")
     }
     if (s.buckets.isDefined || s.bucketBy.nonEmpty) {
       require(s.buckets.exists(_ > 0) && s.bucketBy.nonEmpty,

@@ -24,8 +24,41 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Checkpoints {
 
-  /** Eagerly localCheckpoint `df` — materialize it and cut lineage. */
-  def eager(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  /** Eagerly checkpoint `df` — materialize it and cut lineage.
+    *
+    * Two modes, picked per-session by `SPARK_GRAFT_CHECKPOINT_DIR`:
+    *  - unset (default, right for local[*]): `localCheckpoint` — blocks
+    *    live in executor storage, zero extra IO, but any executor loss
+    *    destroys them with no lineage to recompute from. On a single-JVM
+    *    deployment there is nothing to lose an executor to, so this is
+    *    strictly faster.
+    *  - set to a cluster-visible path (HDFS/object store): reliable
+    *    `checkpoint()` — blocks are written to the shared FS, so the
+    *    iterative loops (connectedComponents, lshClusters) survive
+    *    executor churn. This is the 100 TB posture: a 20-round CC loop on
+    *    a 1000-executor cluster WILL see preemptions, and a
+    *    localCheckpoint-based loop dies on the first one.
+    * The checkpoint dir is installed once (idempotent set per session);
+    * both modes return a plan whose root is a LogicalRDD, so `release`
+    * and the retained-memory contracts work identically. */
+  def eager(df: DataFrame): DataFrame = checkpointDir match {
+    case Some(dir) =>
+      val sc = df.sparkSession.sparkContext
+      // setCheckpointDir creates a unique subdir per call — only install
+      // when unset or pointed elsewhere, so one session reuses one root
+      if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+      df.checkpoint(true)
+    case None => df.localCheckpoint(true)
+  }
+
+  /** The reliable-checkpoint root, if configured. The env var is the
+    * deployment surface; the system property exists because a ScalaTest
+    * JVM cannot set its own environment (HardeningSpec uses it to run the
+    * clustering loop in reliable mode). */
+  private def checkpointDir: Option[String] =
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .orElse(sys.props.get("graft.checkpoint.dir"))
+      .filter(_.nonEmpty)
 
   /** Release the block-manager storage behind an eagerly-checkpointed
     * frame. Safe only after every consumer of `df` has materialized

@@ -747,13 +747,20 @@ object PipelineRunner {
         val thr = t.threshold.getOrElse(0.3)
         require(thr >= 0.0 && thr <= 1.0,
           s"quality_filter threshold must be in [0, 1], got $thr")
-        val frac = lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)
+        // zero-token guard INSIDE the expression: under ANSI mode (the
+        // Spark 4 default) a bare x / size(toks) throws DIVIDE_BY_ZERO
+        // the moment an upstream tokenize+stopword step empties a row's
+        // array — when() makes empty/null-token rows score null in the
+        // tag variant and fail the predicate (null) in the drop variant,
+        // without relying on And short-circuit order
+        val frac = when(size(toks) > 0,
+          lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
         t.name match {
           case Some(out) =>
             requireFreshColumn(df, out, "quality_filter")
             df.withColumn(out, round(frac, 6))
           case None => // null/empty token rows have no signal → drop
-            df.where(size(toks) > 0 && frac <= thr)
+            df.where(frac <= thr)
         }
       case "decontaminate" => // §2.J12 through the config surface (batch
         // only): benchmark shingles broadcast, corpus side map-only
@@ -862,8 +869,22 @@ object PipelineRunner {
           val target = new org.apache.hadoop.fs.Path(s.path)
           val fs = target.getFileSystem(
             df.sparkSession.sessionState.newHadoopConf())
-          val staging = new org.apache.hadoop.fs.Path(s.path + "__staging")
-          val retired = new org.apache.hadoop.fs.Path(s.path + "__retired")
+          // siblings derived from the NORMALIZED path (Path collapses a
+          // trailing slash), never by string concat — "dir/" + "__staging"
+          // would nest the staging dir INSIDE the target and the retire
+          // rename would try to move a directory into its own child
+          val staging = new org.apache.hadoop.fs.Path(
+            target.getParent, target.getName + "__staging")
+          val retired = new org.apache.hadoop.fs.Path(
+            target.getParent, target.getName + "__retired")
+          // crash recovery BEFORE debris cleanup: a run that died between
+          // the two renames left no target, and the retired dir is then
+          // the ONLY committed copy — restore it (a pure-metadata rename)
+          // rather than deleting it as debris; if THIS run then fails
+          // mid-write, the dataset is still published
+          if (!fs.exists(target) && fs.exists(retired))
+            require(fs.rename(retired, target),
+              s"sink commit: could not restore retired copy to ${s.path}")
           fs.delete(staging, true) // debris from a previously crashed run
           fs.delete(retired, true)
           save(out, "overwrite", staging.toString)

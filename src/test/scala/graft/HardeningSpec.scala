@@ -337,4 +337,127 @@ class HardeningSpec extends SparkSpecBase {
     spark.conf.get("spark.sql.shuffle.partitions") shouldBe before
     batchParts should not be empty
   }
+
+  test("A6: crash between the commit renames — the retired copy is restored, not deleted") {
+    import graft.pipeline.PipelineRunner
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val dir = "/tmp/graft_io/atomic_recover"
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    def pipeline(derive: String) =
+      s"""name: atomic_recover
+         |source: {format: parquet, path: "$sf/region.parquet"}
+         |transforms:
+         |  - {op: derive, name: tag, expr: "$derive"}
+         |sink: {format: parquet, path: "$dir", mode: overwrite}
+         |""".stripMargin
+    PipelineRunner.run(spark, pipeline("'v1'"))
+    // simulate a crash BETWEEN rename(target→retired) and
+    // rename(staging→target): the retired dir is the only committed copy
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val retired = new org.apache.hadoop.fs.Path(
+      target.getParent, target.getName + "__retired")
+    fs.rename(target, retired) shouldBe true
+    fs.exists(target) shouldBe false
+    // the NEXT run fails mid-write (ANSI cast throws in the write tasks).
+    // Pre-fix behavior deleted the retired copy as debris first — a
+    // permanent data loss; post-fix the run restores it on entry, so the
+    // dataset stays published even though this run never commits.
+    intercept[Exception] { PipelineRunner.run(spark, pipeline("CAST(r_name AS INT)")) }
+    val restored = spark.read.parquet(dir)
+    restored.count() shouldBe 5
+    restored.select("tag").distinct().collect().map(_.getString(0)) shouldBe Array("v1")
+    // and a later good run publishes over the restored copy normally
+    PipelineRunner.run(spark, pipeline("'v2'"))
+    spark.read.parquet(dir).select("tag").distinct()
+      .collect().map(_.getString(0)) shouldBe Array("v2")
+  }
+
+  test("A6: a trailing slash in the sink path keeps staging a SIBLING, not a child") {
+    import graft.pipeline.PipelineRunner
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val dir = "/tmp/graft_io/atomic_slash"
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    def pipeline = // note the configured path ends in '/'
+      s"""name: atomic_slash
+         |source: {format: parquet, path: "$sf/region.parquet"}
+         |sink: {format: parquet, path: "$dir/", mode: overwrite}
+         |""".stripMargin
+    // pre-fix, string-concat staging ("$dir/__staging") nested INSIDE the
+    // target made the retire rename move a directory into its own child —
+    // every overwrite-of-existing run failed; two runs must both commit
+    PipelineRunner.run(spark, pipeline)
+    PipelineRunner.run(spark, pipeline)
+    spark.read.parquet(dir).count() shouldBe 5
+    fs.exists(new org.apache.hadoop.fs.Path(dir + "/__staging")) shouldBe false
+    fs.exists(new org.apache.hadoop.fs.Path(dir + "__staging")) shouldBe false
+  }
+
+  test("EP: evolve on a bucketed sink is rejected at parse time, not silently dropped") {
+    // the bucketed branch writes through saveAsTable and never applies
+    // evolution — accepting the key there would no-op it, violating the
+    // config contract (a key must act or fail)
+    val e = intercept[IllegalArgumentException] {
+      graft.config.PipelineSpec.parse(
+        s"""name: evolve_bucketed
+           |source: {format: parquet, path: "$sf/region.parquet"}
+           |sink: {format: parquet, path: /tmp/graft_io/nope, table: nope_t,
+           |       buckets: 4, bucketBy: [r_regionkey], evolve: add_nulls}
+           |""".stripMargin)
+    }
+    e.getMessage should include("path sinks only")
+  }
+
+  test("EP13: quality_filter survives zero-token rows under ANSI (tag → null, drop → drops)") {
+    import graft.pipeline.PipelineRunner
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zero_toks").toString
+    Seq((1L, "stop stop stop"), (2L, "fresh words here"))
+      .toDF("id", "txt").write.mode("overwrite").parquet(tmp)
+    // the derive empties row 1's token array — exactly what a
+    // tokenize+stopword chain produces; a bare x/size(toks) would throw
+    // DIVIDE_BY_ZERO under ANSI (the Spark 4 default) in BOTH variants
+    def run(ops: String) = PipelineRunner.run(spark,
+      s"""name: zero_toks
+         |source: {format: parquet, path: "$tmp"}
+         |transforms:
+         |  - {op: derive, name: toks, expr: "filter(split(txt, ' '), t -> t != 'stop')"}
+         |$ops
+         |""".stripMargin).passed
+    val tagged = run("""  - {op: quality_filter, cols: [toks], threshold: 0.5, name: score}""")
+      .orderBy("id").select("score").collect()
+    tagged(0).isNullAt(0) shouldBe true // no tokens → no signal, not a crash
+    tagged(1).getDouble(0) shouldBe 0.0
+    val kept = run("""  - {op: quality_filter, cols: [toks], threshold: 0.5}""")
+      .select("id").collect().map(_.getLong(0))
+    kept.toSeq shouldBe Seq(2L)
+  }
+
+  test("K12: reliable-checkpoint mode runs the clustering loop against a checkpoint dir") {
+    import graft.core.Tables
+    import graft.queries.Similarity
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_reliable_cp").toString
+    // the env var is the deployment surface; the sys-prop twin exists so a
+    // test JVM (which cannot set its own environment) can flip the mode
+    System.setProperty("graft.checkpoint.dir", dir)
+    try {
+      // k12b-shaped: LSH → verify → connected components over documents
+      val docs = Tables.documents(spark, sf)
+        .select(col("doc_id"), array_distinct(split(lower(col("text")), " ")).as("ts"))
+      val reliable = Similarity.lshClusters(docs, threshold = 0.8, bucketCap = 4096)
+        .as[(Long, Long)].collect().toMap
+      // the loop really checkpointed to the shared dir (cluster-durable
+      // blocks — what survives executor loss on a real deployment)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      val root = spark.sparkContext.getCheckpointDir.get
+      fs.listStatus(new org.apache.hadoop.fs.Path(root)) should not be empty
+      System.clearProperty("graft.checkpoint.dir")
+      graft.core.Checkpoints.releaseAll(spark)
+      val local = Similarity.lshClusters(docs, threshold = 0.8, bucketCap = 4096)
+        .as[(Long, Long)].collect().toMap
+      reliable shouldBe local // identical labels under either durability mode
+    } finally {
+      System.clearProperty("graft.checkpoint.dir")
+      graft.core.Checkpoints.releaseAll(spark)
+    }
+  }
 }

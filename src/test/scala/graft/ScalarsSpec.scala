@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar-function semantics kept OFF the bench hot path. from_json /
+  * to_json are CodegenFallback expressions (interpreted, one full Jackson
+  * parse per evaluation), so the benched JSON queries (i7, i8) extract
+  * with codegen'd forms — json_tuple, str_to_map, cast, format_string.
+  * The struct round-trip semantics those forms replaced are pinned here
+  * on tiny data, where an interpreted expression costs nothing. */
+class ScalarsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val kSchema = StructType(Seq(StructField("k", LongType)))
+
+  test("I8: from_json/to_json struct round-trip ≡ the codegen'd json_tuple+format form") {
+    val base = Seq((1L, """{"k":42}"""), (2L, """{"k":-7}"""), (3L, """{"k":0}"""))
+      .toDF("id", "props")
+      .selectExpr("id", "props", "json_tuple(props, 'k') AS k_str")
+      .withColumn("parsed", from_json(col("props"), kSchema))
+    val rows = base.select(
+        col("id"),
+        col("parsed").getField("k").as("k_struct"),
+        to_json(col("parsed")).as("rebuilt_struct"),
+        col("k_str").cast(LongType).as("k_cheap"),
+        format_string("{\"k\":%d}", col("k_str").cast(LongType)).as("rebuilt_cheap"))
+      .orderBy("id").collect()
+    rows should have length 3
+    rows.foreach { r =>
+      withClue(s"id ${r.getLong(0)}: ") {
+        r.getLong(1) shouldBe r.getLong(3)   // struct field ≡ cast of json_tuple
+        r.getString(2) shouldBe r.getString(4) // to_json ≡ format_string rebuild
+      }
+    }
+  }
+
+  test("I8: from_json yields null fields on malformed input, not a throw") {
+    // unparseable text, a wrong-typed field, and an absent field: in
+    // every case the extraction comes back null (PERMISSIVE default) —
+    // whether Spark nulls the whole struct or just the field is an
+    // implementation detail the pipeline never depends on
+    val got = Seq("not json", """{"k":"noncast"}""", """{"other":1}""")
+      .toDF("props")
+      .select(from_json(col("props"), kSchema).getField("k").as("k"))
+      .collect()
+    got.foreach(_.isNullAt(0) shouldBe true)
+    // and a parseable field still extracts through the same path
+    Seq("""{"k":9}""").toDF("props")
+      .select(from_json(col("props"), kSchema).getField("k").as("k"))
+      .head.getLong(0) shouldBe 9L
+  }
+}
