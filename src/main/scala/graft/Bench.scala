@@ -43,6 +43,45 @@ object Bench {
       dt
     }
 
+    // Run ONE query in a freshly forked JVM — same classpath, module
+    // flags and heap as this one — and return its per-query seconds
+    // (parsed from the child's own bench line; JVM/session startup and
+    // its warmup pass are excluded by construction). Isolation cuts both
+    // ways: a heavy query stops paying for the session's accumulated GC
+    // pressure / codegen cache / storage fragmentation, and stops taxing
+    // every query after it. SPARK_GRAFT_FORK_HEAVY names the queries to
+    // isolate (exact name or short prefix, comma-separated) — comparing a
+    // query's forked vs in-session seconds is the direct measurement of
+    // cross-query contamination (BASELINE.md records the k12b pair).
+    def forked(name: String): Double = {
+      import scala.jdk.CollectionConverters._
+      val javaBin = java.nio.file.Paths.get(
+        sys.props("java.home"), "bin", "java").toString
+      // inherit the parent's JVM args verbatim: the --add-opens set Spark
+      // needs on JDK 17+ and the -Xmx both live there
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val pb = new ProcessBuilder(
+        (Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", sys.props("java.class.path"), "graft.Bench")).asJava)
+      pb.environment().put("SPARK_GRAFT_ONLY", name)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().remove("SPARK_GRAFT_FORK_HEAVY") // child never re-forks
+      // child stderr (failure notes, [graft-cc] attribution) stays visible
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+      val rc = p.waitFor()
+      val re = ("\"" + java.util.regex.Pattern.quote(name) +
+        "\":(-?[0-9][0-9.eE+-]*)").r
+      val secs = out.reverseIterator
+        .flatMap(l => re.findFirstMatchIn(l).map(_.group(1).toDouble))
+        .nextOption().getOrElse(-1.0)
+      if (rc != 0 || secs < 0)
+        System.err.println(s"[bench] forked $name: exit=$rc, parsed=$secs")
+      secs
+    }
+
     // one small warmup pass to JIT codegen paths before timing
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
@@ -58,7 +97,15 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val results = names.map(n => n -> force(n))
+    // SPARK_GRAFT_FORK_HEAVY=k12b,... — run the named queries (exact name
+    // or prefix, e.g. "k12b" for k12b_lsh_neardup_clusters) each in a
+    // fresh JVM; everything else runs in-session as usual
+    val forkSpecs = sys.env.get("SPARK_GRAFT_FORK_HEAVY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    forkSpecs.filterNot(f => names.exists(n => n == f || n.startsWith(f + "_")))
+      .foreach(f => System.err.println(s"[bench] SPARK_GRAFT_FORK_HEAVY '$f' matches no query"))
+    def isForked(n: String) = forkSpecs.exists(f => n == f || n.startsWith(f + "_"))
+    val results = names.map(n => n -> (if (isForked(n)) forked(n) else force(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -25,6 +25,13 @@ object GraftFunctions {
       "graft_ngrams(array<string>, <int literal n>)")
   }
 
+  private def minhashBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(arr, Literal(n: Int, _)) => MinHashSig(arr, n)
+    case Seq(arr) => MinHashSig(arr, 12)
+    case _ => throw new IllegalArgumentException(
+      "graft_minhash_sig(array<string>, <int literal numHashes>)")
+  }
+
   private def bottomKBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(c, Literal(k: Int, _)) => BottomKSketch(c, k).toAggregateExpression()
     case Seq(c) => BottomKSketch(c, 64).toAggregateExpression()
@@ -42,6 +49,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bottomk"),
       new ExpressionInfo(classOf[BottomKSketch].getName, "graft_bottomk"),
       bottomKBuilder),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      minhashBuilder),
     (FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       (args: Seq[Expression]) => RollingHash(args.head)),

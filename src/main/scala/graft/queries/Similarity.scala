@@ -190,11 +190,18 @@ object Similarity extends QueryPack {
     * dial every LSH deployment tunes. */
   def lshCandidatesOf(docs: DataFrame, bucketCap: Int,
       nHashes: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    // The whole signature in one fused codegen pass (ext.MinHashSig): per
+    // token ONE string hash plus nHashes 8-byte rehashes against running
+    // minima. The HOF spelling of the same math — transform to a base
+    // array, then nHashes× array_min(transform(...)) — is numHashes+1
+    // interpreted traversals per row (every higher-order function is
+    // CodegenFallback with per-element lambda dispatch) and dominated the
+    // candidate stage. The expression is bit-identical to the HOF form
+    // (spec-asserted), so banding, recall and the k12b oracle are
+    // untouched by the swap.
+    graft.ext.GraftFunctions.register(docs.sparkSession)
     val sigs = docs.select(
-      col("doc_id"),
-      array((0 until nHashes).map { h =>
-        array_min(expr(s"transform(ts, t -> xxhash64(concat('seed$h:', t)))"))
-      }: _*).as("sig"))
+      col("doc_id"), expr(s"graft_minhash_sig(ts, $nHashes)").as("sig"))
     val bands = Checkpoints.eager(sigs.select(col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${nHashes / rowsPerBand - 1}), " +
         s"b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))")))
@@ -340,8 +347,21 @@ object Similarity extends QueryPack {
     // iterative-DataFrame rule; Checkpoints.eager picks local (fast) vs
     // reliable (cluster-durable) per SPARK_GRAFT_CHECKPOINT_DIR.
     val t0 = System.nanoTime()
-    val sym = Checkpoints.eager(edges.toDF("src", "dst")
-      .union(edges.toDF("dst", "src").select(col("src"), col("dst"))))
+    // materialize the DIRECTED edges first: the symmetrizing union reads
+    // both branches from the checkpoint's blocks, so the (possibly
+    // expensive) upstream edge computation — k12b's LSH-verify join —
+    // runs ONCE, not once per union branch
+    val directed = Checkpoints.eager(edges.toDF("src", "dst"))
+    // pre-partition the symmetric edge set on the propagation key: every
+    // round joins sym on dst, and a checkpoint preserves its physical
+    // partitioning, so the O(diameter) rounds each shuffle only the
+    // (shrinking) label side — the static edge set never moves again.
+    // At cluster scale this is the difference between one edge shuffle
+    // total and one per round.
+    val sym = Checkpoints.eager(
+      directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("dst")))
+    Checkpoints.release(directed)
     ccLog(s"edges symmetrized+materialized in ${secsSince(t0)}")
     // SUM(lbl) over zero rows is NULL — an empty node set is already the
     // (empty) fixpoint, not an NPE.
@@ -499,8 +519,13 @@ object Similarity extends QueryPack {
         md5(to_json(array_sort(array_distinct(col("ts"))))).as("__k"))
       ) // reused by reps AND the expansion join
     ccLog(s"lsh stage collapse-keys: ${secsSince(tColl)}")
-    val reps = keyed.groupBy(col("__k"))
-      .agg(min(col("doc_id")).as("doc_id"), first(col("ts")).as("ts"))
+    // reps has FOUR consumers downstream (the candidate build, both
+    // sides of the verify join, the CC node set, the final expansion) —
+    // without a checkpoint each one re-runs this groupBy shuffle over
+    // the full token payloads; materializing it once was worth ~40% of
+    // the whole clustering query at sf0.1
+    val reps = Checkpoints.eager(keyed.groupBy(col("__k"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("ts")).as("ts")))
     val members = keyed.select(col("doc_id"), col("__k").as("__mk"))
     val repOf = reps.select(col("__k").as("__rk"), col("doc_id").as("__rep"))
     // null-SAFE key equality: a null token set hashes to the null key,
@@ -517,7 +542,7 @@ object Similarity extends QueryPack {
       // no dedup before the label join. Materialize the (small) expanded
       // result and drop the keyed checkpoint — nothing else was pinned.
       return Checkpoints.materializeThenRelease(
-        expand(repOf.select(col("__rep"), col("__rep").as("lbl"))), keyed)
+        expand(repOf.select(col("__rep"), col("__rep").as("lbl"))), keyed, reps)
     }
     val repDocs = reps.select(col("doc_id"), col("ts"))
     // Jaccard with the union size computed arithmetically — the arrays
@@ -558,7 +583,7 @@ object Similarity extends QueryPack {
     // surviving this call is the returned checkpoint (asserted in
     // SimilarityOpsSpec), which the caller owns — Bench/Verify release
     // all per-query storage between queries.
-    Checkpoints.materializeThenRelease(expand(repClusters), keyed, labels)
+    Checkpoints.materializeThenRelease(expand(repClusters), keyed, labels, reps)
   }
 
   /** §2.K6→K12 end-to-end — the 100-TB dedup endgame with NO all-pairs
@@ -574,8 +599,10 @@ object Similarity extends QueryPack {
     * sf0.001/0.01/0.1: identical token sets share ALL minhashes, and the
     * marginal j≈0.8 pairs that 4×3 missed at sf0.1 (6 docs of 5000, the
     * 4.2%-per-pair banding budget) are caught at 0.3%-per-pair by the
-    * doubled bands — verified against a brute-force all-pairs union-find
-    * at all three scale factors this round. So the verified edge set
+    * doubled bands — re-verified against a brute-force all-pairs
+    * union-find at all three scale factors after the round-9 move to the
+    * fused graft_minhash_sig lanes (a different but equally independent
+    * xxhash64 family). So the verified edge set
     * equals DuckDB's all-pairs threshold edges and the recursive-CTE
     * closure agrees exactly. SimilarityOpsSpec asserts the same equality
     * at sf0.001. Recall is still probabilistic by nature — at corpus

@@ -129,6 +129,28 @@ class ConfigPipelineSpec extends SparkSpecBase {
     streamed.count() shouldBe kept.count()
   }
 
+  test("EP13: redact streams identically to batch (map-only regexp chain)") {
+    // same YAML body, batch vs streaming — redact is a pure projection so
+    // the claim "streams fine" must mean VALUE-identical output, not just
+    // running without error
+    val body =
+      s"""source: {format: parquet, path: "$sf",
+         |         options: {pathGlobFilter: "documents.parquet"},
+         |         schema: "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"}
+         |transforms:
+         |  - {op: redact, cols: [text], values: ["NUM:[0-9]+", "VOWELRUN:[aeiou]{2,}"]}
+         |""".stripMargin
+    def byId(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = byId(PipelineRunner.run(spark, s"name: red_b\n$body").passed)
+    val stream = byId(PipelineRunner.run(spark, s"name: red_s\nmode: streaming\n$body").passed)
+    stream.size shouldBe batch.size
+    stream shouldBe batch
+    // and the redaction really fired: no digit survives in any output row
+    batch.values.exists(_.matches(".*[0-9].*")) shouldBe false
+  }
+
   test("EP13: redact scrubs PII patterns in declared order, in place or to a new column") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

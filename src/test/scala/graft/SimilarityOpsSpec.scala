@@ -72,6 +72,33 @@ class SimilarityOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("K6: graft_minhash_sig ≡ the HOF xxhash64 composition bit-for-bit") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // corpus docs plus the edge cases: empty array (all-null lanes), a
+    // null token (hashes to the bare seed), duplicated tokens (min is
+    // idempotent), unicode
+    val edge = Seq(
+      Seq.empty[String], Seq(null: String), Seq("a", null, "b"),
+      Seq("x", "x", "x"), Seq("ünïcødé", "😀", ""), Seq("solo"))
+      .toDF("ts")
+    val corpus = Tables.documents(spark, sf)
+      .select(array_distinct(split(lower(col("text")), " ")).as("ts"))
+    Seq(edge, corpus).foreach { src =>
+      val n = 8
+      val both = src
+        .withColumn("fused", expr(s"graft_minhash_sig(ts, $n)"))
+        .withColumn("base", expr("transform(ts, t -> xxhash64(t))"))
+        .withColumn("hof", array((0 until n).map { h =>
+          array_min(expr(s"transform(base, b -> xxhash64($h, b))"))
+        }: _*))
+        .select("fused", "hof").collect()
+      both.foreach { r =>
+        r.getSeq[java.lang.Long](0) shouldBe r.getSeq[java.lang.Long](1)
+      }
+    }
+  }
+
   test("K6: bucket cap keeps dedup connectivity at linear pair cost") {
     // cap=8 genuinely engages star-capping on this corpus (duplicate
     // clusters at sf0.001 run to hundreds of docs, hot in ALL bands).
