@@ -339,6 +339,34 @@ object Similarity extends QueryPack {
     * which the caller owns (lshClusters releases it after expansion). */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 50): DataFrame = {
+    // AQE is disabled for the duration of the loop (restored on exit):
+    // a checkpoint only carries its physical partitioning forward when
+    // the captured plan is NOT wrapped in AdaptiveSparkPlanExec (AQE
+    // reports UnknownPartitioning at capture time — plan-asserted in
+    // PlanSpec). With partitioning preserved, the pre-partitioned edge
+    // set joins WITHOUT reshuffling in every round, and each round's
+    // groupBy output checkpoint hands its layout to the next round. AQE
+    // has nothing to offer inside the loop in exchange: its coalescing
+    // and skew-splitting act on shuffle stages, which this loop's joins
+    // no longer have. Iterative loops pinning their partitioning
+    // explicitly is the standard large-graph trade.
+    // materialize the DIRECTED edges first, with AQE still ON: this one
+    // action forces the caller's (possibly expensive) upstream edge
+    // computation — k12b's LSH-verify join — which benefits from adaptive
+    // shuffle sizing; it also means the symmetrizing union inside the
+    // loop reads both branches from the checkpoint's blocks, so the
+    // upstream runs ONCE, not once per union branch
+    val t0 = System.nanoTime()
+    val directed = Checkpoints.eager(edges.toDF("src", "dst"))
+    val spark = nodes.sparkSession
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try connectedComponentsLoop(nodes, directed, maxRounds, t0)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+  }
+
+  private def connectedComponentsLoop(nodes: DataFrame, directed: DataFrame,
+      maxRounds: Int, t0: Long): DataFrame = {
     // Eager checkpoint after every round truncates the LOGICAL plan, not
     // just the computation: without it each round's plan embeds every
     // previous round's, and Catalyst re-optimization time grows
@@ -346,12 +374,6 @@ object Similarity extends QueryPack {
     // take seconds ran for minutes in pure planning). This is the standard
     // iterative-DataFrame rule; Checkpoints.eager picks local (fast) vs
     // reliable (cluster-durable) per SPARK_GRAFT_CHECKPOINT_DIR.
-    val t0 = System.nanoTime()
-    // materialize the DIRECTED edges first: the symmetrizing union reads
-    // both branches from the checkpoint's blocks, so the (possibly
-    // expensive) upstream edge computation — k12b's LSH-verify join —
-    // runs ONCE, not once per union branch
-    val directed = Checkpoints.eager(edges.toDF("src", "dst"))
     // pre-partition the symmetric edge set on the propagation key: every
     // round joins sym on dst, and a checkpoint preserves its physical
     // partitioning, so the O(diameter) rounds each shuffle only the

@@ -65,6 +65,49 @@ class PlanSpec extends SparkSpecBase {
     d.collect().length should be > 0
   }
 
+  test("K12: the CC round join reuses the edge checkpoint's partitioning (labels alone shuffle)") {
+    import graft.core.Checkpoints
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // connectedComponents pre-partitions the symmetric edge set on dst
+    // and checkpoints it WITH AQE DISABLED — a checkpoint only carries
+    // its physical partitioning forward when the captured plan is not
+    // wrapped in AdaptiveSparkPlanExec (AQE reports UnknownPartitioning
+    // at capture time). With the layout preserved, every propagation
+    // round plans exactly ONE exchange (the label side); the static edge
+    // set never moves again. At cluster scale that is one edge shuffle
+    // total instead of one per round.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // at CC scale BOTH sides are far past the broadcast threshold — model
+    // that here, else the toy label set broadcasts and proves nothing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val sym = Checkpoints.eager(
+      Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+        .repartition(col("dst")))
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("vec_id", "lbl")
+    try {
+      val round = sym.join(labels.withColumnRenamed("vec_id", "dst2"),
+          col("dst") === col("dst2"))
+        .select(col("src").as("vec_id"), col("lbl"))
+      val p = plan(round)
+      withClue(p) {
+        // exactly one Exchange, and it shuffles the LABEL key — the edge
+        // side reads its preserved hashpartitioning(dst) straight from
+        // the checkpoint (formatted mode prints the Exchange node and its
+        // partitioning arguments on separate lines)
+        "\\) Exchange".r.findAllIn(p).size shouldBe 1
+        "hashpartitioning\\(dst2#".r.findAllIn(p).size should be >= 1
+      }
+      round.count() shouldBe 4
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      Checkpoints.release(sym)
+    }
+  }
+
   test("d9: the salt reaches the shuffle keys (hot users spread over S partitions)") {
     val p = plan(Joins.d9.build(spark, sf))
     withClue(p) {
