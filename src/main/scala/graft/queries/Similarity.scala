@@ -360,9 +360,13 @@ object Similarity extends QueryPack {
     val directed = Checkpoints.eager(edges.toDF("src", "dst"))
     val spark = nodes.sparkSession
     val aqePrev = spark.conf.get("spark.sql.adaptive.enabled")
+    val partsPrev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try connectedComponentsLoop(nodes, directed, maxRounds, t0)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+      spark.conf.set("spark.sql.shuffle.partitions", partsPrev)
+    }
   }
 
   private def connectedComponentsLoop(nodes: DataFrame, directed: DataFrame,
@@ -374,17 +378,6 @@ object Similarity extends QueryPack {
     // take seconds ran for minutes in pure planning). This is the standard
     // iterative-DataFrame rule; Checkpoints.eager picks local (fast) vs
     // reliable (cluster-durable) per SPARK_GRAFT_CHECKPOINT_DIR.
-    // pre-partition the symmetric edge set on the propagation key: every
-    // round joins sym on dst, and a checkpoint preserves its physical
-    // partitioning, so the O(diameter) rounds each shuffle only the
-    // (shrinking) label side — the static edge set never moves again.
-    // At cluster scale this is the difference between one edge shuffle
-    // total and one per round.
-    val sym = Checkpoints.eager(
-      directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(col("dst")))
-    Checkpoints.release(directed)
-    ccLog(s"edges symmetrized+materialized in ${secsSince(t0)}")
     // SUM(lbl) over zero rows is NULL — an empty node set is already the
     // (empty) fixpoint, not an NPE.
     def lblSum(df: DataFrame): Option[Long] =
@@ -406,7 +399,33 @@ object Similarity extends QueryPack {
     }
     var (labels, sum) = checkpointWithSum(
       nodes.toDF("vec_id").select(col("vec_id"), col("vec_id").as("lbl")))
-    if (sum.isEmpty) { Checkpoints.release(sym); return labels }
+    if (sum.isEmpty) { Checkpoints.release(directed); return labels }
+    // Data-proportional round sizing (AQE is off in the loop, so this is
+    // the static stand-in for its coalescing): target ~500k shuffled rows
+    // per task, capped by the session setting — at cluster scale
+    // rows/500k exceeds the cap and the operator-tuned session value
+    // rules; at toy scale this collapses a 32-task round into a few
+    // tasks and removes pure scheduling overhead (counts are free: both
+    // frames are materialized checkpoints).
+    val spark = nodes.sparkSession
+    val nEdges = directed.count()
+    val nNodes = labels.count()
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.max(1L, math.min(sessionParts.toLong,
+      math.max(2 * nEdges, nNodes) / 500000L + 1)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    ccLog(s"loop sizing: nodes=$nNodes edges=$nEdges parts=$loopParts")
+    // pre-partition the symmetric edge set on the propagation key: every
+    // round joins sym on dst, and a checkpoint (captured with AQE off)
+    // preserves its physical partitioning, so the O(diameter) rounds each
+    // shuffle only the (shrinking) label side — the static edge set never
+    // moves again. At cluster scale this is the difference between one
+    // edge shuffle total and one per round.
+    val sym = Checkpoints.eager(
+      directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(loopParts, col("dst")))
+    Checkpoints.release(directed)
+    ccLog(s"edges symmetrized+materialized in ${secsSince(t0)}")
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
