@@ -196,9 +196,12 @@ object Similarity extends QueryPack {
     // array, then nHashes× array_min(transform(...)) — is numHashes+1
     // interpreted traversals per row (every higher-order function is
     // CodegenFallback with per-element lambda dispatch) and dominated the
-    // candidate stage. The expression is bit-identical to the HOF form
-    // (spec-asserted), so banding, recall and the k12b oracle are
-    // untouched by the swap.
+    // candidate stage. The spec-asserted bit-equivalence is against the
+    // HOF spelling of the SAME xxhash64(hash, base) composition — NOT the
+    // pre-round-9 xxhash64(concat("seedN:", t)) family, so the swap did
+    // change the candidate sets; output stability is covered by
+    // re-verification against brute-force ground truth at three scale
+    // factors (see k12b's doc), not by construction.
     graft.ext.GraftFunctions.register(docs.sparkSession)
     val sigs = docs.select(
       col("doc_id"), expr(s"graft_minhash_sig(ts, $nHashes)").as("sig"))
@@ -320,6 +323,13 @@ object Similarity extends QueryPack {
     * short lines — noise-free in tests, decisive in a post-mortem. */
   private def ccLog(msg: String): Unit = System.err.println(s"[graft-cc] $msg")
   private def secsSince(t0: Long): String = f"${(System.nanoTime() - t0) / 1e9}%.2fs"
+  /** Stage timer that records to BOTH channels: the stderr line (live
+    * post-mortem detail) and the Attribution registry (survives the
+    * driver's tail truncation via Bench's final JSON line). */
+  private def ccStage(stage: String, t0: Long): Unit = {
+    graft.core.Attribution.record(stage, (System.nanoTime() - t0) / 1e9)
+    ccLog(s"stage $stage: ${secsSince(t0)}")
+  }
 
   /** Distributed connected components by min-label propagation: each
     * round every node takes the minimum label among itself and its
@@ -425,7 +435,7 @@ object Similarity extends QueryPack {
       directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
         .repartition(loopParts, col("dst")))
     Checkpoints.release(directed)
-    ccLog(s"edges symmetrized+materialized in ${secsSince(t0)}")
+    ccStage("edges_sym", t0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -446,6 +456,7 @@ object Similarity extends QueryPack {
       converged = nextSum == sum // labels only decrease: equal sum = fixpoint
       sum = nextSum
       rounds += 1
+      graft.core.Attribution.record("cc_round", (System.nanoTime() - rt) / 1e9)
       ccLog(s"round $rounds: ${secsSince(rt)}" +
         (if (converged) " (converged)" else ""))
     }
@@ -559,7 +570,7 @@ object Similarity extends QueryPack {
         array_sort(array_distinct(col("ts"))).as("ts"),
         md5(to_json(array_sort(array_distinct(col("ts"))))).as("__k"))
       ) // reused by reps AND the expansion join
-    ccLog(s"lsh stage collapse-keys: ${secsSince(tColl)}")
+    ccStage("collapse_keys", tColl)
     // reps has FOUR consumers downstream (the candidate build, both
     // sides of the verify join, the CC node set, the final expansion) —
     // without a checkpoint each one re-runs this groupBy shuffle over
@@ -600,7 +611,7 @@ object Similarity extends QueryPack {
     val tau = math.round(threshold * 1e6) - 1
     val tCand = System.nanoTime()
     val candidates = lshCandidatesOf(repDocs, bucketCap, nHashes = 24)
-    ccLog(s"lsh stage candidates: ${secsSince(tCand)}")
+    ccStage("candidates", tCand)
     val verified = candidates
       .join(repDocs.toDF("id_a", "ts_a"), "id_a")
       .join(repDocs.toDF("id_b", "ts_b"), "id_b")
@@ -616,7 +627,7 @@ object Similarity extends QueryPack {
     // (which also forced the verify join), so the candidate-pair
     // checkpoint (lshCandidatesOf's return) is now dead
     Checkpoints.release(candidates)
-    ccLog(s"lsh stage verify+cc: ${secsSince(tCc)}")
+    ccStage("verify_cc", tCc)
     val repClusters = labels.select(col("vec_id").as("__rep"), col("lbl"))
     // 3: expand — every doc takes its representative's component label.
     // The expansion is two longs per row (the small result): materialize
