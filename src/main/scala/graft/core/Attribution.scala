@@ -35,11 +35,14 @@ object Attribution {
 
   /** JSON object fragment `{"stage":secs,…}` (repeated stages add
     * `"stage_n":count`), or "" when nothing was recorded. Keys come from
-    * a fixed set of code-side literals — no escaping needed. */
+    * a fixed set of code-side literals — no escaping needed. Locale.ROOT
+    * pins the decimal separator: a comma-decimal default locale would
+    * emit invalid JSON on the one line built to survive truncation. */
   def snapshotJson(): String = synchronized {
     if (stages.isEmpty) ""
     else stages.map { case (k, (s, n)) =>
-      val base = "\"" + k + "\":" + f"$s%.2f"
+      val base = "\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(s))
       if (n > 1) base + ",\"" + k + "_n\":" + n else base
     }.mkString("{", ",", "}")
   }

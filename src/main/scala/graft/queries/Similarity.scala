@@ -325,7 +325,16 @@ object Similarity extends QueryPack {
   private def secsSince(t0: Long): String = f"${(System.nanoTime() - t0) / 1e9}%.2fs"
   /** Stage timer that records to BOTH channels: the stderr line (live
     * post-mortem detail) and the Attribution registry (survives the
-    * driver's tail truncation via Bench's final JSON line). */
+    * driver's tail truncation via Bench's final JSON line).
+    *
+    * Disjointness contract: the recorded stages partition the clustering
+    * wall time — collapse_keys → candidates → edges_sym → cc_round (×n)
+    * → expand cover consecutive, non-overlapping intervals, so the
+    * snapshot's values sum to (approximately) the query's wall seconds.
+    * Note edges_sym is where the verify join actually RUNS: the eager
+    * checkpoint of the directed edge set forces the upstream LSH-verify
+    * computation, so its seconds attribute the verify cost, not just the
+    * symmetrize shuffle. */
   private def ccStage(stage: String, t0: Long): Unit = {
     graft.core.Attribution.record(stage, (System.nanoTime() - t0) / 1e9)
     ccLog(s"stage $stage: ${secsSince(t0)}")
@@ -621,13 +630,11 @@ object Similarity extends QueryPack {
       .where(round(col("__i").cast(DoubleType)
         / (size(col("ts_a")) + size(col("ts_b")) - col("__i")), 6) >= threshold)
       .select(col("id_a"), col("id_b"))
-    val tCc = System.nanoTime()
     val labels = connectedComponents(repDocs.select("doc_id"), verified)
     // connectedComponents eagerly materialized its symmetrized edge set
     // (which also forced the verify join), so the candidate-pair
     // checkpoint (lshCandidatesOf's return) is now dead
     Checkpoints.release(candidates)
-    ccStage("verify_cc", tCc)
     val repClusters = labels.select(col("vec_id").as("__rep"), col("lbl"))
     // 3: expand — every doc takes its representative's component label.
     // The expansion is two longs per row (the small result): materialize
@@ -635,7 +642,10 @@ object Similarity extends QueryPack {
     // surviving this call is the returned checkpoint (asserted in
     // SimilarityOpsSpec), which the caller owns — Bench/Verify release
     // all per-query storage between queries.
-    Checkpoints.materializeThenRelease(expand(repClusters), keyed, labels, reps)
+    val tExp = System.nanoTime()
+    val out = Checkpoints.materializeThenRelease(expand(repClusters), keyed, labels, reps)
+    ccStage("expand", tExp)
+    out
   }
 
   /** §2.K6→K12 end-to-end — the 100-TB dedup endgame with NO all-pairs
