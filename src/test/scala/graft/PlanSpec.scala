@@ -108,6 +108,49 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("K12: the single-exchange CC round survives RELIABLE checkpoint mode") {
+    import graft.core.Checkpoints
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // Same invariant as the localCheckpoint case above, asserted in the
+    // mode a real cluster runs: graft.checkpoint.dir set → Checkpoints
+    // routes through Dataset.checkpoint() (ReliableCheckpointRDD on a
+    // shared FS). Dataset.checkpoint captures the physical plan's
+    // outputPartitioning into the LogicalRDD exactly like localCheckpoint
+    // does, so the pre-partitioned edge set must STILL join without its
+    // own Exchange — if reliable mode silently dropped the layout, every
+    // CC round on a 1000-executor cluster would re-shuffle the full edge
+    // set, the exact regression this test pins against.
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-reliable-ck")
+    sys.props("graft.checkpoint.dir") = ckDir.toString
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sym = Checkpoints.eager(
+        Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+          .repartition(col("dst")))
+      try {
+        val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("vec_id", "lbl")
+        val round = sym.join(labels.withColumnRenamed("vec_id", "dst2"),
+            col("dst") === col("dst2"))
+          .select(col("src").as("vec_id"), col("lbl"))
+        val p = plan(round)
+        withClue(p) {
+          "\\) Exchange".r.findAllIn(p).size shouldBe 1
+          "hashpartitioning\\(dst2#".r.findAllIn(p).size should be >= 1
+        }
+        round.count() shouldBe 4
+      } finally Checkpoints.release(sym)
+    } finally {
+      sys.props.remove("graft.checkpoint.dir")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      org.apache.commons.io.FileUtils.deleteQuietly(ckDir.toFile)
+    }
+  }
+
   test("d9: the salt reaches the shuffle keys (hot users spread over S partitions)") {
     val p = plan(Joins.d9.build(spark, sf))
     withClue(p) {
