@@ -25,7 +25,13 @@ import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
   * (pipeline, run_ts, check, pass_cnt, fail_cnt) — lands in the declared
   * sink. Declare `mode: append` to accumulate run history for drift
   * dashboards; the rows reuse the observe()-collected counts, so no
-  * extra pass over the data happens. */
+  * extra pass over the data happens. Dropping curation gates
+  * (minhash_dedup / quality_filter / decontaminate without `name:`)
+  * additionally contribute one `gate_<op>_<position>` row each, with
+  * pass_cnt = rows retained and fail_cnt = rows killed by the gate —
+  * these counts DO run as dedicated aggregate-only jobs (see
+  * PipelineRunner for why they cannot ride observe), and only when a
+  * metrics_sink is declared. */
 /** `assertions` (batch only): dataset-level post-conditions — SQL
   * AGGREGATE expressions over the transformed result ("count(*) >= 100",
   * "avg(score) BETWEEN 0 AND 1") evaluated in ONE aggregate-only job
@@ -176,7 +182,19 @@ final case class CheckSpec(
   *    its cluster id under that column (inspect/re-weight near-dup
   *    groups rather than dropping them). The scale path end-to-end:
   *    banded candidates → verify over candidates only → O(diameter)
-  *    label propagation — no all-pairs stage at any size
+  *    label propagation — no all-pairs stage at any size.
+  *    `state_path` (optional) makes the dedup CROSS-RUN incremental:
+  *    the parquet at that path holds the already-published corpus's
+  *    survivor rows (doc_id, ts, lbl); the batch clusters against that
+  *    state, rows near-duplicating published data are killed (or, with
+  *    `name`, tagged with the EXISTING cluster's label), and after the
+  *    pipeline's sinks commit the new survivors append to the state —
+  *    the ep9 high-water-mark pattern applied to cluster state. Ids
+  *    must be unique across ALL runs sharing one state_path. Recall
+  *    across runs is against published survivors (exact at threshold
+  *    1.0 — set-equality is transitive; at lower thresholds a doc
+  *    similar only to a KILLED near-dup of a survivor can slip through,
+  *    the standard incremental-dedup recall budget)
   *  - ann_topk (§2.K4, batch only): `cols` = [idCol, vectorCol], `where`
   *    = predicate selecting EXACTLY ONE query row (enforced; the query
   *    row is excluded from results), `k` = result size (default 10).
@@ -239,7 +257,8 @@ final case class TransformSpec(
     bucketCap: Option[Int],
     k: Option[Int],
     fraction: Option[Double],
-    seed: Option[Long])
+    seed: Option[Long],
+    statePath: Option[String])
 
 /** `buckets`+`bucketBy` (+optional `sortBy`) write a bucketed table —
   * requires `table` (bucket metadata lives in the catalog; Spark cannot
@@ -403,7 +422,7 @@ object PipelineSpec {
   private def transform(n: JsonNode, at: String): TransformSpec = {
     fields(n, at, Set("op", "cols", "name", "expr", "to", "table", "on",
       "how", "broadcast", "aggs", "orderBy", "where", "values", "max_rows",
-      "threshold", "bucket_cap", "k", "fraction", "seed"))
+      "threshold", "bucket_cap", "k", "fraction", "seed", "state_path"))
     val op = reqStr(n, "op", at)
     require(Set("select", "rename", "drop", "derive", "filter", "cast", "join",
       "limit", "sort", "aggregate", "union", "dedup", "asof_join",
@@ -424,7 +443,8 @@ object PipelineSpec {
       bucketCap = opt(n, "bucket_cap").map(_.asInt()),
       k = opt(n, "k").map(_.asInt()),
       fraction = optNum(n, "fraction"),
-      seed = opt(n, "seed").map(_.asLong()))
+      seed = opt(n, "seed").map(_.asLong()),
+      statePath = optStr(n, "state_path"))
   }
 
   private def sink(n: JsonNode, at: String): SinkSpec = {

@@ -45,7 +45,35 @@ object PipelineRunner {
     val src = read(spark, spec.source)
 
     val (passed0, quarantined, metricsOf) = validate(spark, src, spec.checks)
-    val out = spec.transforms.foldLeft(passed0)((df, t) => applyTransform(spark, df, t))
+    // Curation-gate accounting: minhash_dedup / quality_filter /
+    // decontaminate (in their dropping variants — `name:` tags instead of
+    // dropping) remove rows invisibly; a 100 TB curation run that cannot
+    // report per-gate rows-in/rows-out is not operable. Capture the frame
+    // pair around each dropping gate; counts run later (see gateMetrics)
+    // and ONLY when a metrics_sink asked for them — zero cost otherwise.
+    //
+    // Why these do NOT ride observe() like the check metrics: a
+    // CollectMetrics node must be unique in a query, but decontaminate
+    // and minhash_dedup consume their input from TWO plan branches
+    // (corpus + shingle sides; idOk join + idNull union), so an observe
+    // node placed below them appears twice in one plan — Spark rejects
+    // the duplicate metric name at analysis, and a dedup that tolerated
+    // it would double-count. The same duplication can hit a gate's
+    // OUTPUT node when a later self-joining transform sits above it.
+    // Dedicated aggregate-only count jobs are the correct price.
+    val gateOps = Set("minhash_dedup", "quality_filter", "decontaminate")
+    val gateFrames = Seq.newBuilder[(String, DataFrame, DataFrame)]
+    // state publications a transform wants to make only AFTER the run's
+    // sinks commit (minhash_dedup's cross-run cluster state) — the same
+    // publish-then-advance contract as the incremental watermark below
+    val deferred = scala.collection.mutable.Buffer.empty[() => Unit]
+    val out = spec.transforms.zipWithIndex.foldLeft(passed0) {
+      case (df, (t, i)) =>
+        val res = applyTransform(spark, df, t, deferred)
+        if (gateOps(t.op) && t.name.isEmpty && spec.metricsSink.isDefined)
+          gateFrames += ((s"gate_${t.op}_$i", df, res))
+        res
+    }
 
     // dataset-level assertions gate the PUBLISH: one aggregate-only job
     // over the transformed result BEFORE any sink writes — a failed SLA
@@ -77,9 +105,14 @@ object PipelineRunner {
     // branch carrying a truncating op (limit/sample) can never pre-latch
     // partial counts — the hazard documented at `observed` below.
     spec.branches.foreach { b =>
-      write(b.transforms.foldLeft(passed0)((df, t) => applyTransform(spark, df, t)),
+      write(b.transforms.foldLeft(passed0)((df, t) => applyTransform(spark, df, t, deferred)),
         b.sink)
     }
+    // Deferred state publications (minhash_dedup state_path appends) run
+    // only once EVERY sink above committed: a failed write leaves the
+    // dedup state untouched, so the rerun re-clusters the same batch
+    // against the same published corpus instead of double-appending.
+    deferred.foreach(_())
     // Advance the high-water mark AFTER the sinks committed (a failed
     // write must not skip data on retry — sinks are idempotent
     // overwrites, the mark only moves on success). The max runs as a
@@ -106,7 +139,17 @@ object PipelineRunner {
     // the node — a truncated probe would latch partial (wrong) counts.
     val observed = (spec.sink.isDefined || spec.quarantine.isDefined) &&
       !spec.transforms.exists(t => truncatingOps(t.op))
-    val metrics = metricsOf(observed)
+    // Per-gate kill rates, AFTER the sinks: the dropping gates' internal
+    // checkpoints (minhash_dedup's cluster labels) are materialized by
+    // now, so the rows-out count reads cheap checkpointed blocks, and the
+    // rows-in count is an aggregate-only (empty-ReadSchema) pass. Rendered
+    // in check-metric terms: pass = rows retained, fail = rows killed.
+    val gateMetrics = gateFrames.result().map { case (g, inF, outF) =>
+      val nIn = inF.count()
+      val nOut = outF.count()
+      CheckMetric(g, nOut, nIn - nOut)
+    }
+    val metrics = metricsOf(observed) ++ gateMetrics
     // run-metadata sink: one row per check, stamped with the run time.
     // The counts were already collected (observe or fallback) — this is a
     // driver-local write of |checks| rows, not another pass over data.
@@ -442,7 +485,13 @@ object PipelineRunner {
     require(!df.columns.contains(out),
       s"$op: output column '$out' already exists — pick another `name`")
 
-  def applyTransform(spark: SparkSession, df: DataFrame, t: TransformSpec): DataFrame =
+  /** `deferred` collects post-publish state writes (minhash_dedup's
+    * cross-run state append); callers that can't publish state (the
+    * streaming path, which rejects stateful batch ops anyway) may omit
+    * it — registrations land in a throwaway buffer and never run. */
+  def applyTransform(spark: SparkSession, df: DataFrame, t: TransformSpec,
+      deferred: scala.collection.mutable.Buffer[() => Unit] =
+        scala.collection.mutable.Buffer.empty): DataFrame =
     t.op match {
       case "select" => df.selectExpr(t.cols: _*)
       case "rename" => // cols as ["old:new", ...]
@@ -627,8 +676,74 @@ object PipelineRunner {
         val idNull = df.where(col(id).isNull)
         val idOk = df.where(col(id).isNotNull)
         val docs = idOk.select(col(id).as("doc_id"), array_distinct(col(toks)).as("ts"))
-        val labels = graft.queries.Similarity
-          .lshClusters(docs, thr, t.bucketCap.getOrElse(4096))
+        // Cross-run incremental mode (`state_path`): the parquet there
+        // holds every ALREADY-PUBLISHED survivor (doc_id, ts, lbl). The
+        // batch clusters against those rows, so a doc near-duplicating
+        // published data joins the published cluster (and is killed in
+        // drop mode / tagged with the published label in tag mode).
+        // First run: no state file yet → plain single-batch clustering.
+        val state = t.statePath
+          .filter(p => Files.exists(Paths.get(p)))
+          .map { p =>
+            val st = spark.read.parquet(p)
+            require(st.columns.toSet == Set("doc_id", "ts", "lbl"),
+              s"minhash_dedup state at $p: expected columns " +
+                s"(doc_id, ts, lbl), got ${st.columns.mkString(",")}")
+            require(st.schema("doc_id").dataType == docs.schema("doc_id").dataType,
+              s"minhash_dedup state at $p: doc_id type " +
+                s"${st.schema("doc_id").dataType.sql} does not match the " +
+                s"batch's ${docs.schema("doc_id").dataType.sql}")
+            st
+          }
+        // state rows whose id reappears in the batch are the SAME doc
+        // being rerun (ids are unique across runs) — keep the batch copy
+        // only, so a rerun reproduces its original output instead of
+        // colliding with its own published rows
+        val combined = state.fold(docs)(st =>
+          docs.unionByName(st.select(col("doc_id"), col("ts"))
+            .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")))
+        val labels0 = graft.queries.Similarity
+          .lshClusters(combined, thr, t.bucketCap.getOrElse(4096))
+        // Components containing published state inherit the PUBLISHED
+        // label (min stored lbl if a bridging batch doc merged several —
+        // at threshold 1.0 merges cannot happen, set-equality is an
+        // equivalence relation, so incremental labels are oracle-exact).
+        // Components of batch docs only keep their min-id label; ids are
+        // unique across runs (the state contract), so vec_id == lbl
+        // still identifies survivors and never collides with old labels.
+        val labels = state.fold(labels0) { st =>
+          val stLbl = st.select(col("doc_id").as("__sid"), col("lbl").as("__slbl"))
+          val published = labels0
+            .join(stLbl, col("vec_id") === col("__sid"))
+            .groupBy(col("lbl")).agg(min(col("__slbl")).as("__plbl"))
+          labels0.join(published, Seq("lbl"), "left")
+            .select(col("vec_id"),
+              coalesce(col("__plbl"), col("lbl")).as("lbl"))
+        }
+        // state advance = this batch's survivors (they ARE the newly
+        // published corpus); DEFERRED until the run's sinks commit. The
+        // append anti-joins against the ids already in state, so
+        // rerunning a committed batch (the failure-recovery path) adds
+        // zero rows — state never accumulates retry duplicates, without
+        // paying a distinct() shuffle over the full state on every read.
+        // The eager checkpoint materializes the append set BEFORE the
+        // write opens the directory, so the job never reads the path it
+        // is appending to.
+        t.statePath.foreach { p =>
+          val newState = labels.where(col("vec_id") === col("lbl"))
+            .join(docs, col("vec_id") === col("doc_id"))
+            .select(col("doc_id"), col("ts"), col("lbl"))
+          deferred += { () =>
+            val toAppend =
+              if (Files.exists(Paths.get(p)))
+                newState.join(spark.read.parquet(p).select(col("doc_id")),
+                  Seq("doc_id"), "left_anti")
+              else newState
+            val cp = graft.core.Checkpoints.eager(toAppend)
+            cp.write.mode("append").parquet(p)
+            graft.core.Checkpoints.release(cp)
+          }
+        }
         t.name match {
           case Some(out) =>
             requireFreshColumn(df, out, "minhash_dedup")

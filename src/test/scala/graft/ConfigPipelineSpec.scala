@@ -980,10 +980,79 @@ class ConfigPipelineSpec extends SparkSpecBase {
     // dedup genuinely removed near-duplicates (the sf0.001 corpus has
     // big duplicate clusters — see SimilarityOpsSpec's K6 cap test)
     n should be < spark.read.parquet(s"$sf/documents.parquet").count()
-    // metrics landed: one row per declared check
-    spark.read.parquet(s"$out/check_metrics")
-      .select("check").collect().map(_.getString(0)).sorted shouldBe
-      Array("has_text", "len_band")
+    // metrics landed: one row per declared check PLUS one per dropping
+    // curation gate (rows-in/rows-out accounting — pass = retained,
+    // fail = killed), named gate_<op>_<transform position>
+    val m = spark.read.parquet(s"$out/check_metrics")
+      .select("check", "pass_cnt", "fail_cnt").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    m.keySet shouldBe Set("has_text", "len_band",
+      "gate_quality_filter_1", "gate_minhash_dedup_2", "gate_decontaminate_3")
+    // gate chain conservation: nothing between the gates drops rows, so
+    // each gate's retained count is exactly the next gate's rows-in
+    val (qfPass, _) = m("gate_quality_filter_1")
+    val (mhPass, mhFail) = m("gate_minhash_dedup_2")
+    val (dcPass, dcFail) = m("gate_decontaminate_3")
+    qfPass shouldBe mhPass + mhFail
+    mhPass shouldBe dcPass + dcFail
+    // the last gate's retained rows ARE the published corpus (derive/
+    // select/sort downstream are row-preserving)
+    dcPass shouldBe n
+    // the dedup gate genuinely killed rows on this corpus (same signal
+    // as the corpus-shrunk assertion above, now attributed to its gate)
+    mhFail should be > 0L
+  }
+
+  test("minhash_dedup state_path: cross-run incremental dedup against the published corpus") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_incdedup").toString
+    Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "x y z"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/batch1")
+    Seq((10L, "gamma beta alpha"), (11L, "completely new words"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/batch2")
+    def yaml(batch: String, out: String) =
+      s"""name: inc_dedup
+         |source: {format: parquet, path: "$dir/$batch"}
+         |transforms:
+         |  - {op: tokenize, cols: [text], name: toks}
+         |  - {op: minhash_dedup, cols: [doc_id, toks], threshold: 1.0,
+         |     state_path: "$dir/state"}
+         |sink: {format: parquet, path: "$dir/$out", mode: overwrite}
+         |""".stripMargin
+    def ids(path: String): Seq[Long] =
+      spark.read.parquet(path).select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+    // run 1: no state yet → plain in-batch dedup; survivors publish AND
+    // seed the state (threshold 1.0 = oracle-exact set-equality clusters)
+    PipelineRunner.run(spark, yaml("batch1", "out1"))
+    ids(s"$dir/out1") shouldBe Seq(1L, 3L)
+    val st1 = spark.read.parquet(s"$dir/state")
+    st1.columns.toSet shouldBe Set("doc_id", "ts", "lbl")
+    ids(s"$dir/state") shouldBe Seq(1L, 3L)
+    // run 2: doc 10's token set equals PUBLISHED doc 1's (order differs —
+    // sets, not sequences) → killed against the state; 11 is new → kept
+    PipelineRunner.run(spark, yaml("batch2", "out2"))
+    ids(s"$dir/out2") shouldBe Seq(11L)
+    ids(s"$dir/state") shouldBe Seq(1L, 3L, 11L)
+    // rerun of the committed batch (failure-recovery path): output is
+    // reproduced, state does not grow — retries never compound
+    PipelineRunner.run(spark, yaml("batch2", "out2b"))
+    ids(s"$dir/out2b") shouldBe Seq(11L)
+    ids(s"$dir/state") shouldBe Seq(1L, 3L, 11L)
+    // tag mode against the same state: batch rows carry the PUBLISHED
+    // cluster label (doc 10 → cluster 1), new docs their own id
+    val tagged = PipelineRunner.run(spark,
+      s"""name: inc_tag
+         |source: {format: parquet, path: "$dir/batch2"}
+         |transforms:
+         |  - {op: tokenize, cols: [text], name: toks}
+         |  - {op: minhash_dedup, cols: [doc_id, toks], threshold: 1.0,
+         |     name: cluster_id, state_path: "$dir/state"}
+         |""".stripMargin).passed
+    tagged.select("doc_id", "cluster_id").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap shouldBe
+      Map(10L -> 1L, 11L -> 11L)
   }
 
   test("sample: seeded global + stratified sampling from YAML, seed-stable") {
