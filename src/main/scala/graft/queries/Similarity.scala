@@ -315,6 +315,86 @@ object Similarity extends QueryPack {
     ivfTopK(spark, dir, nCentroids = 16, nProbe = 4, k = 10)
   }
 
+  /** SemDeDup-style semantic near-dup clustering (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse-quantize every embedding to its nearest
+    * centroid (`ivfAssign` — the map-only broadcast-codebook pass k10
+    * uses), then verify cosine ≥ `threshold` ONLY within each cell, and
+    * connect the surviving edges into clusters (min member = canonical
+    * survivor). The cell blocking is the published algorithm's semantics,
+    * not an approximation of something else: cross-cell near-dups are out
+    * of scope BY DEFINITION (k-means-cluster-then-pairwise is the whole
+    * point — it bounds pair volume to Σ|cell|², the recall/cost dial
+    * being the centroid count), which is what makes the operator
+    * oracle-EXACT: DuckDB reproduces the identical assignment (same
+    * rounded-argmax tie-break: max 6-dp score, then max cid) and the
+    * identical within-cell closure.
+    *
+    * 100 TB posture: assignment is map-only (broadcast codebook);
+    * the within-cell pair join is one shuffle on the cell key; C scales
+    * with the corpus so cells stay bounded (SemDeDup runs k≈100k at
+    * web scale, keeping Σ|cell|² linear-ish); label propagation is the
+    * same O(diameter) CC loop every dedup family here shares. Skewed
+    * (over-dense) cells would salt or cap exactly like lshCandidatesOf's
+    * bucket cap — at this corpus' cell sizes (≤150 rows) the exact join
+    * is the right plan. */
+  def semDedupClusters(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nCentroids: Int, threshold: Double): DataFrame = {
+    // one materialization, four consumers (both pair sides, the CC node
+    // set, the final labeling join) — without it each re-runs the C
+    // codegen cosines per vector
+    val assigned = Checkpoints.eager(ivfAssign(spark, dir, nCentroids))
+    val pairs = assigned.select(col("cell"), col("vec_id").as("id_a"), col("e").as("e_a"))
+      .join(assigned.select(col("cell"), col("vec_id").as("id_b"), col("e").as("e_b")),
+        Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(score6(expr("graft_cosine(e_a, e_b)")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val labels = connectedComponents(assigned.select("vec_id"), pairs)
+    // CC materialized its symmetrized edges (forcing the verify join) and
+    // the labels checkpoint backs the result; the harness releases all
+    // per-query storage between queries (same ownership as k12)
+    assigned.select(col("vec_id"), col("cell"))
+      .join(labels.select(col("vec_id"), col("lbl").as("cluster_id")), Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("cluster_id"),
+        (col("vec_id") === col("cluster_id")).as("is_survivor"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** §2.K11 — the fourth dedup family (exact k1, token-set LSH k12b,
+    * SimHash k8, now embedding-semantic), oracle-checked end-to-end:
+    * DuckDB replays the assignment argmax, the within-cell threshold
+    * join, and the recursive-CTE closure. */
+  val k11: QueryDef = m(
+    "k11_semdedup_clusters",
+    """WITH RECURSIVE v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < 16),
+      |assign AS (
+      |  SELECT vec_id, e, cid AS cell FROM (
+      |    SELECT v.vec_id, v.e, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |        ORDER BY ROUND(list_cosine_similarity(v.e, c.c), 6) DESC, c.cid DESC) AS rn
+      |    FROM v CROSS JOIN cents c) WHERE rn = 1),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.35),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |comp AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+      |         FROM reach GROUP BY src)
+      |SELECT a.vec_id, a.cell,
+      |  COALESCE(c.cluster_id, a.vec_id) AS cluster_id,
+      |  a.vec_id = COALESCE(c.cluster_id, a.vec_id) AS is_survivor
+      |FROM assign a LEFT JOIN comp c ON a.vec_id = c.vec_id
+      |ORDER BY a.vec_id""".stripMargin) { (spark, dir) =>
+    semDedupClusters(spark, dir, nCentroids = 16, threshold = 0.35)
+  }
+
   /** Per-stage/per-round progress lines for the clustering paths. They go
     * to stderr because the bench/verify harnesses run Spark at log level
     * ERROR; the driver captures stderr, so a slow k12b run attributes its
@@ -701,5 +781,5 @@ object Similarity extends QueryPack {
   }
 
   override def defs: Seq[QueryDef] =
-    Seq(k1, k2, k3, k4, k5, k6, k7, k10, k12, k12b)
+    Seq(k1, k2, k3, k4, k5, k6, k7, k10, k11, k12, k12b)
 }

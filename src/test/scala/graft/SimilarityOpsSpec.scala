@@ -261,6 +261,50 @@ class SimilarityOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("K11: SemDeDup clusters equal brute-force within-cell cosine union-find") {
+    // ground truth computed independently in Scala: assign each vector to
+    // its argmax-cosine centroid (6-dp rounded score, tie-break max score
+    // then max centroid id — the k10/k11 contract), union-find over
+    // within-cell pairs at cosine ≥ 0.35, min member labels the cluster
+    val got = Similarity.k11.build(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    def cos6(a: Seq[Double], b: Seq[Double]): BigDecimal = {
+      val dot = a.lazyZip(b).map(_ * _).sum
+      val c = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val cents = vecs.filter(_._1 < 16)
+    val cellOf = vecs.map { case (id, e) =>
+      id -> cents.map { case (cid, c) => (cos6(e, c), cid) }.max._2
+    }.toMap
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for {
+      (ia, ea) <- vecs; (ib, eb) <- vecs
+      if ia < ib && cellOf(ia) == cellOf(ib) && cos6(ea, eb) >= 0.35
+    } parent(find(ia)) = find(ib) // union by arbitrary root; label = min member below
+    val label = vecs.map(_._1).groupBy(find).map { case (_, ms) =>
+      val root = ms.min; ms.map(_ -> root)
+    }.flatten.toMap
+    got.length shouldBe vecs.length
+    // the corpus must exercise the operator: some genuine multi-member
+    // cluster exists at this threshold (guards against a vacuous pass)
+    got.count(!_._4) should be > 0
+    got.foreach { case (id, cell, cluster, survivor) =>
+      withClue(s"vec $id: ") {
+        cell shouldBe cellOf(id)
+        cluster shouldBe label(id)
+        survivor shouldBe (id == cluster)
+      }
+    }
+  }
+
   test("K12b: lshClusters retains ONLY its result checkpoint; release empties storage") {
     import graft.core.Checkpoints
     // shared session — earlier suites/tests may have pinned storage
