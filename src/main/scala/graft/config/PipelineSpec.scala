@@ -195,6 +195,17 @@ final case class CheckSpec(
   *    1.0 — set-equality is transitive; at lower thresholds a doc
   *    similar only to a KILLED near-dup of a survivor can slip through,
   *    the standard incremental-dedup recall budget)
+  *  - semdedup (§2.K11, batch only): SemDeDup-style embedding-semantic
+  *    dedup — the fourth dedup family beside minhash_dedup's token-set
+  *    one. `cols` = [idCol, embeddingCol] (id unique + orderable +
+  *    non-null; the embedding cast to ARRAY<DOUBLE>), `threshold` = min
+  *    cosine in (-1, 1] to count as a near-dup (required — no universal
+  *    default exists across embedding spaces), `k` = centroid count
+  *    (default 16; centroids are the k smallest ids; scale dial ∝ corpus
+  *    size). Verification runs WITHIN coarse-quantized cells only — the
+  *    published algorithm's semantics, which bounds pair volume to
+  *    Σ|cell|². Default keeps only cluster survivors (min id); with
+  *    `name` it TAGS every row with its cluster id instead.
   *  - ann_topk (§2.K4, batch only): `cols` = [idCol, vectorCol], `where`
   *    = predicate selecting EXACTLY ONE query row (enforced; the query
   *    row is excluded from results), `k` = result size (default 10).
@@ -427,8 +438,8 @@ object PipelineSpec {
     require(Set("select", "rename", "drop", "derive", "filter", "cast", "join",
       "limit", "sort", "aggregate", "union", "dedup", "asof_join",
       "flatten", "pivot", "unpivot", "surrogate_key", "merge",
-      "tokenize", "tfidf", "minhash_dedup", "ann_topk", "sample", "pack",
-      "quality_filter", "decontaminate", "redact")(op),
+      "tokenize", "tfidf", "minhash_dedup", "semdedup", "ann_topk",
+      "sample", "pack", "quality_filter", "decontaminate", "redact")(op),
       s"$at.op: unknown '$op'")
     TransformSpec(op,
       cols = strArr(n, "cols"), name = optStr(n, "name"),

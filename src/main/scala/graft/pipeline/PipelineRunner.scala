@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StructType}
 
 import graft.config._
 import graft.ext.GraftFunctions
@@ -61,7 +61,7 @@ object PipelineRunner {
     // it would double-count. The same duplication can hit a gate's
     // OUTPUT node when a later self-joining transform sits above it.
     // Dedicated aggregate-only count jobs are the correct price.
-    val gateOps = Set("minhash_dedup", "quality_filter", "decontaminate")
+    val gateOps = Set("minhash_dedup", "semdedup", "quality_filter", "decontaminate")
     val gateFrames = Seq.newBuilder[(String, DataFrame, DataFrame)]
     // state publications a transform wants to make only AFTER the run's
     // sinks commit (minhash_dedup's cross-run cluster state) — the same
@@ -201,10 +201,10 @@ object PipelineRunner {
         "group; a global row_number window has no streaming equivalent; " +
         "merge anti-joins the full base)"))
     streamable.foreach(t => require(
-      !Set("tfidf", "minhash_dedup", "ann_topk", "decontaminate")(t.op),
-      s"streaming mode: '${t.op}' is batch-only (idf / LSH clustering / " +
-        "top-k / the contaminated-id set all need the whole corpus; " +
-        "`tokenize` and `quality_filter` stream fine)"))
+      !Set("tfidf", "minhash_dedup", "semdedup", "ann_topk", "decontaminate")(t.op),
+      s"streaming mode: '${t.op}' is batch-only (idf / LSH or semantic " +
+        "clustering / top-k / the contaminated-id set all need the whole " +
+        "corpus; `tokenize` and `quality_filter` stream fine)"))
 
     // Transforms apply to the PASS side only — batch parity: the batch
     // quarantine keeps pre-transform rows (+ failed_checks), and a select
@@ -756,6 +756,46 @@ object PipelineRunner {
               .select(col("vec_id").as("__surv_id"))
             idOk.join(survivors, col(id) === col("__surv_id"), "left_semi")
               .unionByName(idNull)
+        }
+      case "semdedup" => // §2.K11 through the config surface (batch only):
+        // SemDeDup (arXiv:2303.09540) — the embedding-semantic dedup
+        // family beside minhash_dedup's token-set one: coarse-quantize
+        // each vector to its nearest centroid (broadcast codebook,
+        // map-only), verify cosine >= threshold WITHIN cells only, label
+        // connected components. Default: keep survivors (min id per
+        // cluster). With `name`: tag every row with its cluster id.
+        // `k` = centroid count (the recall/cost dial — SemDeDup's cell
+        // blocking means cross-cell near-dups are out of scope by the
+        // published algorithm's definition, which is also what keeps the
+        // pair volume Σ|cell|² instead of n²).
+        require(t.cols.length == 2, "semdedup needs `cols: [idCol, embeddingCol]`")
+        val (sid, embc) = (t.cols(0), t.cols(1))
+        val sthr = t.threshold.getOrElse(throw new IllegalArgumentException(
+          "semdedup needs `threshold` (min cosine to count as a near-dup)"))
+        require(sthr > -1.0 && sthr <= 1.0,
+          s"semdedup threshold must be in (-1, 1], got $sthr")
+        val nc = t.k.getOrElse(16)
+        require(nc > 0, s"semdedup centroid count `k` must be positive, got $nc")
+        // same NULL-id contract as minhash_dedup: rows without identity
+        // pass through untouched (tagged null) rather than vanishing
+        val sIdNull = df.where(col(sid).isNull)
+        val sIdOk = df.where(col(sid).isNotNull)
+        val vecs = sIdOk.select(col(sid).as("vec_id"),
+          col(embc).cast(ArrayType(DoubleType)).as("e"))
+        val sLabels = graft.queries.Similarity
+          .semDedupLabels(vecs, nc, sthr).select(col("vec_id"), col("lbl"))
+        t.name match {
+          case Some(out) =>
+            requireFreshColumn(df, out, "semdedup")
+            sIdOk.join(sLabels.toDF("__mid", out), col(sid) === col("__mid"))
+              .drop("__mid")
+              .unionByName(sIdNull.withColumn(out,
+                lit(null).cast(df.schema(sid).dataType)))
+          case None => // left semi on survivors: original schema, fewer rows
+            val survivors = sLabels.where(col("vec_id") === col("lbl"))
+              .select(col("vec_id").as("__surv_id"))
+            sIdOk.join(survivors, col(sid) === col("__surv_id"), "left_semi")
+              .unionByName(sIdNull)
         }
       case "ann_topk" => // §2.K4 through the config surface (batch only):
         // broadcast the single query vector, exact cosine over every other

@@ -339,10 +339,37 @@ object Similarity extends QueryPack {
     * is the right plan. */
   def semDedupClusters(spark: org.apache.spark.sql.SparkSession, dir: String,
       nCentroids: Int, threshold: Double): DataFrame = {
+    val vecs = emb(Tables.embeddings(spark, dir)).select(col("vec_id"), col("e"))
+    semDedupLabels(vecs, nCentroids, threshold)
+      .select(col("vec_id"), col("cell"), col("lbl").as("cluster_id"),
+        (col("vec_id") === col("lbl")).as("is_survivor"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DataFrame-level SemDeDup core shared by k11 and the YAML `semdedup`
+    * op: `vecs` = (vec_id, e ARRAY<DOUBLE>) with unique, orderable,
+    * non-null ids. Centroids are the `nCentroids` SMALLEST ids (the
+    * dense-id `vec_id < n` contract of k10/k11 generalized to arbitrary
+    * id domains — deterministic, and reproducible by the SQL oracle);
+    * assignment tie-break is max 6-dp score then max centroid id, the
+    * same struct-max both k10 and the DuckDB replay use. Returns
+    * (vec_id, cell, lbl); survivor = (vec_id == lbl). */
+  def semDedupLabels(vecs: DataFrame, nCentroids: Int, threshold: Double): DataFrame = {
+    val spark = vecs.sparkSession
+    graft.ext.GraftFunctions.register(spark)
+    // TakeOrdered n smallest ids → one broadcast codebook row, exactly
+    // k10's shape (the codebook is tiny by construction; SemDeDup's dial
+    // is nCentroids ∝ corpus size, each centroid row stays O(dim))
+    val cents = vecs.orderBy(col("vec_id")).limit(nCentroids)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("e").as("c"))).as("cs"))
     // one materialization, four consumers (both pair sides, the CC node
     // set, the final labeling join) — without it each re-runs the C
     // codegen cosines per vector
-    val assigned = Checkpoints.eager(ivfAssign(spark, dir, nCentroids))
+    val assigned = Checkpoints.eager(
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("cell", expr(
+          "(array_max(transform(cs, s -> struct(round(graft_cosine(e, s.c), 6) AS sc, s.cid AS cid)))).cid"))
+        .select(col("vec_id"), col("e"), col("cell")))
     val pairs = assigned.select(col("cell"), col("vec_id").as("id_a"), col("e").as("e_a"))
       .join(assigned.select(col("cell"), col("vec_id").as("id_b"), col("e").as("e_b")),
         Seq("cell"))
@@ -354,10 +381,7 @@ object Similarity extends QueryPack {
     // the labels checkpoint backs the result; the harness releases all
     // per-query storage between queries (same ownership as k12)
     assigned.select(col("vec_id"), col("cell"))
-      .join(labels.select(col("vec_id"), col("lbl").as("cluster_id")), Seq("vec_id"))
-      .select(col("vec_id"), col("cell"), col("cluster_id"),
-        (col("vec_id") === col("cluster_id")).as("is_survivor"))
-      .orderBy(col("vec_id"))
+      .join(labels.select(col("vec_id"), col("lbl")), Seq("vec_id"))
   }
 
   /** §2.K11 — the fourth dedup family (exact k1, token-set LSH k12b,

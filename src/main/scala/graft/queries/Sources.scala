@@ -809,7 +809,54 @@ object Sources extends QueryPack {
     spark.read.parquet(s"$out/per_lang").orderBy(col("lang"))
   }
 
+  /** §3.2 EP15 — SemDeDup (§2.K11) from the YAML surface, in TAG mode:
+    * every vector keeps its semantic-cluster label (`name: cluster_id`),
+    * then config-level `derive` marks survivors. Same oracle semantics
+    * as k11 (the op's "k smallest ids" centroid contract equals k11's
+    * `vec_id < 16` on this dense-id corpus), so the config route
+    * cross-checks the direct one end-to-end — assignment argmax,
+    * within-cell threshold join, and closure all replayed by DuckDB. */
+  val ep15: QueryDef = m(
+    "ep15_config_semdedup",
+    """WITH RECURSIVE v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < 16),
+      |assign AS (
+      |  SELECT vec_id, e, cid AS cell FROM (
+      |    SELECT v.vec_id, v.e, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |        ORDER BY ROUND(list_cosine_similarity(v.e, c.c), 6) DESC, c.cid DESC) AS rn
+      |    FROM v CROSS JOIN cents c) WHERE rn = 1),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.35),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |comp AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+      |         FROM reach GROUP BY src)
+      |SELECT a.vec_id, COALESCE(c.cluster_id, a.vec_id) AS cluster_id,
+      |  a.vec_id = COALESCE(c.cluster_id, a.vec_id) AS is_survivor
+      |FROM assign a LEFT JOIN comp c ON a.vec_id = c.vec_id
+      |ORDER BY a.vec_id""".stripMargin) { (spark, dir) =>
+    val yaml =
+      s"""name: ep15_semdedup
+         |source: {format: parquet, path: "$dir/embeddings.parquet"}
+         |transforms:
+         |  - {op: semdedup, cols: [vec_id, embedding], threshold: 0.35, k: 16,
+         |     name: cluster_id}
+         |  - {op: derive, name: is_survivor, expr: "vec_id = cluster_id"}
+         |  - {op: select, cols: [vec_id, cluster_id, is_survivor]}
+         |  - {op: sort, cols: [vec_id]}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml).passed
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a4, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3, ep3b, ep4, ep5, ep5b,
-      ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13, ep14)
+      ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13, ep14, ep15)
 }

@@ -1055,6 +1055,78 @@ class ConfigPipelineSpec extends SparkSpecBase {
       Map(10L -> 1L, 11L -> 11L)
   }
 
+  test("semdedup: embedding-semantic dedup from YAML — drop, tag, nulls, gate metrics") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_semdedup").toString
+    // crafted geometry, k=2 centroids = ids 0 and 1 (the two smallest):
+    //   cell 0: {0, 2} with cos(0,2) ≈ 0.994 ≥ 0.9 → cluster {0, 2}
+    //   cell 1: {1, 3, 4} all pairwise ≥ 0.9 → cluster {1, 3, 4}
+    //           {5} lands in cell 1 but cos ≈ 0.2 to everything → singleton
+    //   null id: passes through untagged, never clustered
+    Seq(
+      (Option(0L), Array(1.0, 0.0, 0.0, 0.0)),
+      (Option(1L), Array(0.0, 1.0, 0.0, 0.0)),
+      (Option(2L), Array(0.9, 0.1, 0.0, 0.0)),
+      (Option(3L), Array(0.0, 1.0, 0.1, 0.0)),
+      (Option(4L), Array(0.1, 0.9, 0.0, 0.0)),
+      (Option(5L), Array(-1.0, 0.2, 0.0, 0.0)),
+      (Option.empty[Long], Array(1.0, 0.0, 0.0, 0.0)))
+      .toDF("vid", "emb").write.parquet(s"$dir/vecs")
+    val out = s"$dir/out"
+    PipelineRunner.run(spark,
+      s"""name: sd_drop
+         |source: {format: parquet, path: "$dir/vecs"}
+         |transforms:
+         |  - {op: semdedup, cols: [vid, emb], threshold: 0.9, k: 2}
+         |sink: {format: parquet, path: "$out/survivors", mode: overwrite}
+         |metrics_sink: {format: parquet, path: "$out/metrics"}
+         |""".stripMargin)
+    val surv = spark.read.parquet(s"$out/survivors")
+    surv.columns.toSeq shouldBe Seq("vid", "emb") // original schema preserved
+    surv.select("vid").collect().map(r =>
+      if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq shouldBe
+      Seq(-1L, 0L, 1L, 5L) // min-id survivors + the null-id passthrough
+    // gate accounting: 7 in, 4 retained, 3 killed — named by op + position
+    val m = spark.read.parquet(s"$out/metrics")
+      .select("check", "pass_cnt", "fail_cnt").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    m shouldBe Map("gate_semdedup_0" -> ((4L, 3L)))
+    // tag mode: every row keeps its cluster label; null id tags null
+    val tagged = PipelineRunner.run(spark,
+      s"""name: sd_tag
+         |source: {format: parquet, path: "$dir/vecs"}
+         |transforms:
+         |  - {op: semdedup, cols: [vid, emb], threshold: 0.9, k: 2, name: cl}
+         |""".stripMargin).passed
+    tagged.select("vid", "cl").collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap shouldBe
+      Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 5L, -1L -> -1L)
+    // declaration errors fail fast at build
+    def bad(body: String) = intercept[IllegalArgumentException](
+      PipelineRunner.run(spark,
+        s"""name: sd_bad
+           |source: {format: parquet, path: "$dir/vecs"}
+           |transforms:
+           |  - $body
+           |""".stripMargin))
+    bad("{op: semdedup, cols: [vid, emb], k: 2}")
+      .getMessage should include("threshold")
+    bad("{op: semdedup, cols: [vid, emb], threshold: 1.5, k: 2}")
+      .getMessage should include("(-1, 1]")
+    bad("{op: semdedup, cols: [vid], threshold: 0.9}")
+      .getMessage should include("cols")
+    // corpus-wide op: rejected in streaming mode like minhash_dedup
+    intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: sd_stream
+         |mode: streaming
+         |source: {format: parquet, path: "$dir/vecs"}
+         |transforms:
+         |  - {op: semdedup, cols: [vid, emb], threshold: 0.9}
+         |""".stripMargin)).getMessage should include("batch-only")
+  }
+
   test("sample: seeded global + stratified sampling from YAML, seed-stable") {
     def run(body: String) = PipelineRunner.run(spark,
       s"""name: smp_demo
