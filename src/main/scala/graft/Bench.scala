@@ -38,11 +38,30 @@ object Bench {
     val attributions =
       scala.collection.mutable.LinkedHashMap.empty[String, String]
 
+    // /proc/stat steal ticks (USER_HZ=100): CPU time the hypervisor
+    // withheld from this VM. Round-12 finding: identical k12b work showed
+    // 4x the task CPU when run late in a long bench (no spill, no GC
+    // delta, no plan delta — the box itself slows under sustained load),
+    // and this VM carries thousands of accumulated steal-seconds. A query
+    // that loses real CPU to the host now says so in its attribution —
+    // the difference between "unexplained 3x regression" and "the host
+    // took 40 CPU-seconds back". Returns 0 where /proc/stat is absent.
+    def stealTicks(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().find(_.startsWith("cpu "))
+          .map(_.trim.split("\\s+")).filter(_.length > 8)
+          .map(_(8).toLong).getOrElse(0L)
+        finally src.close()
+      } catch { case _: Throwable => 0L }
+    val runSteal0 = stealTicks()
+
     def force(name: String): Double = {
       // stages accumulate in a process-wide registry; clear per query so
       // one query's snapshot never carries a predecessor's stages (k12,
       // k12b and the config dedup pipelines all share cc_round keys)
       graft.core.Attribution.clear()
+      val steal0 = stealTicks()
       val t0 = System.nanoTime()
       val dt =
         try {
@@ -53,6 +72,9 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
+      // ≥1s of steal during one query is signal, below is sampling noise
+      val stealS = (stealTicks() - steal0) / 100.0
+      if (stealS >= 1.0) graft.core.Attribution.record("steal", stealS)
       val attr = graft.core.Attribution.snapshotJson()
       if (attr.nonEmpty) attributions(name) = attr
       // drop every cache/checkpoint the query pinned: between independent
@@ -86,6 +108,15 @@ object Bench {
           Seq("-cp", sys.props("java.class.path"), "graft.Bench")).asJava)
       pb.environment().put("SPARK_GRAFT_ONLY", name)
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      // child-protocol only (not plain SPARK_GRAFT_ONLY iteration, where a
+      // stateful query re-run could advance side state): warm the timed
+      // query's OWN codegen path at sf0.001 first — the generic warm-up
+      // pass doesn't reach the clustering family's fused expressions, and
+      // the in-session number it's compared against has them amortized by
+      // the preceding k-family queries. Round-12 idle-box measurement:
+      // forked k12b 23-25 s either way (the warm costs ~2 s, first-touch
+      // codegen ~the same), vs 28.1 s in-session-alone — isolation wins
+      pb.environment().put("SPARK_GRAFT_WARM_SELF", "1")
       // explicit empty, not remove: UNSET now means "fork the default
       // set" — an inherited default would make the child re-fork forever
       pb.environment().put("SPARK_GRAFT_FORK_HEAVY", "")
@@ -129,12 +160,24 @@ object Bench {
     }
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    graft.core.Checkpoints.releaseAll(spark) // warmup leaves no storage behind
-    graft.core.Attribution.clear()           // nor stray stage timings
 
     // SPARK_GRAFT_ONLY=q1,q2 limits the run (local iteration aid).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Forked-child protocol: the parent sets WARM_SELF so the child also
+    // warms the one query it's about to time (sf0.001 — ~nothing), putting
+    // forked and in-session numbers on the same "no first-touch codegen"
+    // footing. Deliberately NOT honored for bare SPARK_GRAFT_ONLY use:
+    // warm-running a stateful query (ep9-style state_path) would advance
+    // its side state before the timed run.
+    if (sys.env.contains("SPARK_GRAFT_WARM_SELF"))
+      for (o <- only; w <- o if SparkEntry.queries.contains(w)) {
+        try SparkEntry.queries(w)(spark, warmDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    graft.core.Checkpoints.releaseAll(spark) // warmup leaves no storage behind
+    graft.core.Attribution.clear()           // nor stray stage timings
     only.foreach { o => // a typo would otherwise silently run everything
       val unknown = o -- SparkEntry.queries.keySet
       if (unknown.nonEmpty)
@@ -154,7 +197,21 @@ object Bench {
     forkSpecs.filterNot(f => names.exists(n => n == f || n.startsWith(f + "_")))
       .foreach(f => System.err.println(s"[bench] SPARK_GRAFT_FORK_HEAVY '$f' matches no query"))
     def isForked(n: String) = forkSpecs.exists(f => n == f || n.startsWith(f + "_"))
-    val results = names.map(n => n -> (if (isForked(n)) forked(n) else force(n)))
+    // Isolated queries run FIRST, not at their alphabetical slot.
+    // Round-12 controlled runs: a child forked after a short parent
+    // history times at k12b's clean floor (~20-25 s), while the same
+    // child forked after the full ~110-query parent ran up to 4x slower
+    // on byte-identical stages — task CPU inflated with zero spill/GC/
+    // plan delta, i.e. the machine itself degrades under sustained
+    // full-width load (host-level throttling; see stealTicks). Forking
+    // the heavies up front measures them on the same fresh-box footing
+    // every round instead of inheriting whatever the preceding 5 minutes
+    // of bench load did to the box. The parent blocks while each child
+    // runs, so in-session numbers are unaffected by the reorder.
+    val runOrder = names.filter(isForked) ++ names.filterNot(isForked)
+    val byName = runOrder.map(n =>
+      n -> (if (isForked(n)) forked(n) else force(n))).toMap
+    val results = names.map(n => n -> byName(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -169,7 +226,11 @@ object Bench {
       else ",\"attribution\":" + attributions
         .map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.count(_._2 < 0)},"sf":"$sfDir"$attrJson}""")
+    // whole-run steal: nonzero here means the hypervisor taxed this bench
+    // (the per-query "steal" attribution entries say which queries paid)
+    val runSteal = String.format(java.util.Locale.ROOT, "%.1f",
+      Double.box((stealTicks() - runSteal0) / 100.0))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.count(_._2 < 0)},"sf":"$sfDir","steal_sec":$runSteal$attrJson}""")
     spark.stop()
   }
 }

@@ -206,6 +206,13 @@ final case class CheckSpec(
   *    published algorithm's semantics, which bounds pair volume to
   *    Σ|cell|². Default keeps only cluster survivors (min id); with
   *    `name` it TAGS every row with its cluster id instead.
+  *    `state_path` (optional) makes it CROSS-RUN incremental, the same
+  *    contract as minhash_dedup's: the parquet there holds published
+  *    survivors (vec_id, e, lbl); a batch clusters against them,
+  *    near-dups of published vectors are killed (or tagged with the
+  *    published label), and this batch's survivors append only AFTER
+  *    the run's sinks commit (retry-idempotent via anti-join on ids;
+  *    ids must be unique across all runs sharing one state_path).
   *  - ann_topk (§2.K4, batch only): `cols` = [idCol, vectorCol], `where`
   *    = predicate selecting EXACTLY ONE query row (enforced; the query
   *    row is excluded from results), `k` = result size (default 10).

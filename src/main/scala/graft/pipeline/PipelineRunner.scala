@@ -782,8 +782,65 @@ object PipelineRunner {
         val sIdOk = df.where(col(sid).isNotNull)
         val vecs = sIdOk.select(col(sid).as("vec_id"),
           col(embc).cast(ArrayType(DoubleType)).as("e"))
-        val sLabels = graft.queries.Similarity
-          .semDedupLabels(vecs, nc, sthr).select(col("vec_id"), col("lbl"))
+        // Cross-run incremental mode (`state_path`) — minhash_dedup's
+        // contract applied to the semantic family: the parquet holds
+        // every published survivor (vec_id, e, lbl); the batch clusters
+        // against those, near-dups of published vectors join the
+        // published cluster, survivors append AFTER sinks commit.
+        // Centroids stay stable across runs for free: they are the k
+        // smallest ids of state ∪ batch, and ids are unique across runs.
+        // Same recall budget as minhash below 1.0: a batch doc similar
+        // only to a KILLED near-dup of a survivor can slip through (the
+        // state stores survivors, not every seen vector — the price of
+        // state growing with the deduped corpus, not the raw one).
+        val sState = t.statePath
+          .filter(p => Files.exists(Paths.get(p)))
+          .map { p =>
+            val st = spark.read.parquet(p)
+            require(st.columns.toSet == Set("vec_id", "e", "lbl"),
+              s"semdedup state at $p: expected columns (vec_id, e, lbl), " +
+                s"got ${st.columns.mkString(",")}")
+            require(st.schema("vec_id").dataType == vecs.schema("vec_id").dataType,
+              s"semdedup state at $p: vec_id type " +
+                s"${st.schema("vec_id").dataType.sql} does not match the " +
+                s"batch's ${vecs.schema("vec_id").dataType.sql}")
+            st
+          }
+        // a rerun of a committed batch keeps the batch copy of its own
+        // ids (ids are unique across runs sharing a state_path)
+        val sCombined = sState.fold(vecs)(st =>
+          vecs.unionByName(st.select(col("vec_id"),
+              col("e").cast(ArrayType(DoubleType)).as("e"))
+            .join(vecs.select(col("vec_id")), Seq("vec_id"), "left_anti")))
+        val sLabels0 = graft.queries.Similarity
+          .semDedupLabels(sCombined, nc, sthr).select(col("vec_id"), col("lbl"))
+        // components touching published state inherit the PUBLISHED label
+        val sLabels = sState.fold(sLabels0) { st =>
+          val stLbl = st.select(col("vec_id").as("__sid"), col("lbl").as("__slbl"))
+          val published = sLabels0
+            .join(stLbl, col("vec_id") === col("__sid"))
+            .groupBy(col("lbl")).agg(min(col("__slbl")).as("__plbl"))
+          sLabels0.join(published, Seq("lbl"), "left")
+            .select(col("vec_id"),
+              coalesce(col("__plbl"), col("lbl")).as("lbl"))
+        }
+        // state advance = this batch's survivors, deferred + retry-idempotent
+        t.statePath.foreach { p =>
+          val newState = sLabels.where(col("vec_id") === col("lbl"))
+            .join(vecs.select(col("vec_id").as("__bid"), col("e")),
+              col("vec_id") === col("__bid"))
+            .select(col("vec_id"), col("e"), col("lbl"))
+          deferred += { () =>
+            val toAppend =
+              if (Files.exists(Paths.get(p)))
+                newState.join(spark.read.parquet(p).select(col("vec_id")),
+                  Seq("vec_id"), "left_anti")
+              else newState
+            val cp = graft.core.Checkpoints.eager(toAppend)
+            cp.write.mode("append").parquet(p)
+            graft.core.Checkpoints.release(cp)
+          }
+        }
         t.name match {
           case Some(out) =>
             requireFreshColumn(df, out, "semdedup")

@@ -1127,6 +1127,60 @@ class ConfigPipelineSpec extends SparkSpecBase {
          |""".stripMargin)).getMessage should include("batch-only")
   }
 
+  test("semdedup state_path: cross-run incremental semantic dedup") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_incsem").toString
+    // batch 1 geometry (k=2 → centroids = ids 0 and 1):
+    //   cos(0,2) ≈ 0.994, cos(1,3) ≈ 0.995 → clusters {0,2} and {1,3}
+    Seq((0L, Array(1.0, 0.0, 0.0, 0.0)), (1L, Array(0.0, 1.0, 0.0, 0.0)),
+      (2L, Array(0.9, 0.1, 0.0, 0.0)), (3L, Array(0.0, 1.0, 0.1, 0.0)))
+      .toDF("vid", "emb").write.parquet(s"$dir/batch1")
+    // batch 2: 10 near-dups PUBLISHED survivor 0 (cos ≈ 0.9986); 11 is
+    // orthogonal to everything → genuinely new
+    Seq((10L, Array(0.95, 0.05, 0.0, 0.0)), (11L, Array(0.0, 0.0, 1.0, 0.0)))
+      .toDF("vid", "emb").write.parquet(s"$dir/batch2")
+    def yaml(batch: String, out: String) =
+      s"""name: inc_sem
+         |source: {format: parquet, path: "$dir/$batch"}
+         |transforms:
+         |  - {op: semdedup, cols: [vid, emb], threshold: 0.9, k: 2,
+         |     state_path: "$dir/state"}
+         |sink: {format: parquet, path: "$dir/$out", mode: overwrite}
+         |""".stripMargin
+    def ids(path: String): Seq[Long] =
+      spark.read.parquet(path).select($"vid".as("i")).collect()
+        .map(_.getLong(0)).sorted.toSeq
+    def stateIds(): Seq[Long] =
+      spark.read.parquet(s"$dir/state").select("vec_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+    // run 1: no state yet → in-batch dedup; survivors seed the state
+    PipelineRunner.run(spark, yaml("batch1", "out1"))
+    ids(s"$dir/out1") shouldBe Seq(0L, 1L)
+    spark.read.parquet(s"$dir/state").columns.toSet shouldBe
+      Set("vec_id", "e", "lbl")
+    stateIds() shouldBe Seq(0L, 1L)
+    // run 2: 10 killed against the published corpus, 11 survives
+    PipelineRunner.run(spark, yaml("batch2", "out2"))
+    ids(s"$dir/out2") shouldBe Seq(11L)
+    stateIds() shouldBe Seq(0L, 1L, 11L)
+    // rerun of the committed batch: output reproduced, state unchanged
+    PipelineRunner.run(spark, yaml("batch2", "out2b"))
+    ids(s"$dir/out2b") shouldBe Seq(11L)
+    stateIds() shouldBe Seq(0L, 1L, 11L)
+    // tag mode: batch rows carry the PUBLISHED cluster label
+    val tagged = PipelineRunner.run(spark,
+      s"""name: inc_sem_tag
+         |source: {format: parquet, path: "$dir/batch2"}
+         |transforms:
+         |  - {op: semdedup, cols: [vid, emb], threshold: 0.9, k: 2,
+         |     name: cl, state_path: "$dir/state"}
+         |""".stripMargin).passed
+    tagged.select("vid", "cl").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap shouldBe
+      Map(10L -> 0L, 11L -> 11L)
+  }
+
   test("sample: seeded global + stratified sampling from YAML, seed-stable") {
     def run(body: String) = PipelineRunner.run(spark,
       s"""name: smp_demo
