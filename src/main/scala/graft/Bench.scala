@@ -54,6 +54,29 @@ object Bench {
           .map(_(8).toLong).getOrElse(0L)
         finally src.close()
       } catch { case _: Throwable => 0L }
+
+    // Fixed-work single-thread spin (xorshift64, 50M iters ≈ 0.1 s warm):
+    // the box's effective compute rate in Mops. Round-12 idle-box trace:
+    // the same probe in Python swung 1.71–4.35 Mops over 32 minutes with
+    // ~zero steal — the host throttles guest IPC without ticking
+    // /proc/stat steal, which is exactly the failure mode that made k12b's
+    // shuffle stages read 4x slow while its CPU-bound stage stayed clean.
+    // Bracketing each forked heavy (and the whole run) with this number
+    // turns "the box was slow" from a conjecture into a gate-line fact.
+    def probeMops(): Double = {
+      val n = 50000000
+      var x = 0x9E3779B97F4A7C15L
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      val us = (System.nanoTime() - t0) / 1e3
+      if (x == 42L) System.err.print("") // keep the loop live under JIT
+      n / us
+    }
+    probeMops(); probeMops() // JIT the probe so probe #1 isn't interpreter-speed
+    val runProbe0 = probeMops()
+    def mopsStr(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
     val runSteal0 = stealTicks()
 
     def force(name: String): Double = {
@@ -75,6 +98,9 @@ object Bench {
       // ≥1s of steal during one query is signal, below is sampling noise
       val stealS = (stealTicks() - steal0) / 100.0
       if (stealS >= 1.0) graft.core.Attribution.record("steal", stealS)
+      // heavies get a compute-rate reading too: a slow number with a low
+      // probe is the box, with a high probe it's the code
+      if (dt >= 5.0) graft.core.Attribution.record("probe_mops", probeMops())
       val attr = graft.core.Attribution.snapshotJson()
       if (attr.nonEmpty) attributions(name) = attr
       // drop every cache/checkpoint the query pinned: between independent
@@ -122,9 +148,11 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_FORK_HEAVY", "")
       // child stderr (failure notes, [graft-cc] attribution) stays visible
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val probePre = probeMops() // parent-side, warm JIT: brackets the child
       val p = pb.start()
       val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
       val rc = p.waitFor()
+      val probePost = probeMops()
       val re = ("\"" + java.util.regex.Pattern.quote(name) +
         "\":(-?[0-9][0-9.eE+-]*)").r
       val secs = out.reverseIterator
@@ -139,7 +167,13 @@ object Bench {
         val j = if (i < 0) -1 else l.indexOf(marker, i)
         val end = if (j < 0) -1 else l.indexOf('}', j + marker.length - 1)
         if (end < 0) None else Some(l.substring(j + marker.length - 1, end + 1))
-      }.nextOption().foreach(attr => attributions(name) = attr)
+      }.nextOption().foreach { attr =>
+        // graft the parent-side compute-rate bracket into the child's flat
+        // stage object so the gate line carries both
+        attributions(name) = attr.dropRight(1) +
+          s""","probe_mops_pre":${mopsStr(probePre)}""" +
+          s""","probe_mops_post":${mopsStr(probePost)}}"""
+      }
       if (rc != 0 || secs < 0)
         System.err.println(s"[bench] forked $name: exit=$rc, parsed=$secs")
       secs
@@ -230,7 +264,8 @@ object Bench {
     // (the per-query "steal" attribution entries say which queries paid)
     val runSteal = String.format(java.util.Locale.ROOT, "%.1f",
       Double.box((stealTicks() - runSteal0) / 100.0))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.count(_._2 < 0)},"sf":"$sfDir","steal_sec":$runSteal$attrJson}""")
+    val probeEnd = probeMops()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.count(_._2 < 0)},"sf":"$sfDir","steal_sec":$runSteal,"probe_mops_start":${mopsStr(runProbe0)},"probe_mops_end":${mopsStr(probeEnd)}$attrJson}""")
     spark.stop()
   }
 }

@@ -175,6 +175,7 @@ object Similarity extends QueryPack {
       TextOps.tokens(Tables.documents(spark, dir))
         .select(col("doc_id"), array_distinct(col("toks")).as("ts")),
       bucketCap)
+      .select(col("id_a"), col("id_b")) // k6's published schema is the pair
       .orderBy(col("id_a"), col("id_b"))
 
   /** The generic candidate generator behind k6: takes ANY (doc_id,
@@ -203,12 +204,19 @@ object Similarity extends QueryPack {
     // re-verification against brute-force ground truth at three scale
     // factors (see k12b's doc), not by construction.
     graft.ext.GraftFunctions.register(docs.sparkSession)
+    // set size rides the banding as one extra int per row: the verify
+    // stage's Jaccard size bound (J ≥ τ ⇒ |A|,|B| within a factor τ) can
+    // then prune pairs from the two-long pair set BEFORE any token array
+    // is joined on — at 100 TB the verify join's pair shuffle carrying a
+    // full token array per candidate is the single widest shuffle in the
+    // dedup path, so every pair killed here never pays it
     val sigs = docs.select(
-      col("doc_id"), expr(s"graft_minhash_sig(ts, $nHashes)").as("sig"))
-    val bands = Checkpoints.eager(sigs.select(col("doc_id"),
+      col("doc_id"), size(col("ts")).as("__sz"),
+      expr(s"graft_minhash_sig(ts, $nHashes)").as("sig"))
+    val bands = Checkpoints.eager(sigs.select(col("doc_id"), col("__sz"),
       posexplode(expr(s"transform(sequence(0, ${nHashes / rowsPerBand - 1}), " +
         s"b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))")))
-      .toDF("doc_id", "band_id", "band_sig"))
+      .toDF("doc_id", "__sz", "band_id", "band_sig"))
     // ^ eager-checkpointed: four consumers below (stats, both self-join
     // sides, star pairs) — without it the 12-minhash signature computation
     // re-runs per branch (measured ~4x the banding cost at sf0.1). On a
@@ -220,7 +228,8 @@ object Similarity extends QueryPack {
     // occupancy stats: one groupBy (map-side combined) on the same key the
     // self-join shuffles on
     val stats = bands.groupBy(col("band_id"), col("band_sig"))
-      .agg(count(lit(1)).as("__n"), min(col("doc_id")).as("__anchor"))
+      .agg(count(lit(1)).as("__n"), min(col("doc_id")).as("__anchor"),
+        min_by(col("__sz"), col("doc_id")).as("__anchor_sz"))
       .where(col("__n") >= 2)
     val sized = bands.join(stats, Seq("band_id", "band_sig"))
     // full pairwise candidates for in-cap buckets, via a shuffle hash
@@ -229,19 +238,22 @@ object Similarity extends QueryPack {
     // task per bucket and collapses on dense corpora (measured 2x slower
     // at sf0.1)
     val pruned = sized.where(col("__n") <= bucketCap)
-      .select(col("band_id"), col("band_sig"), col("doc_id"))
-    val a = pruned.toDF("band_a", "sig_a", "id_a")
-    val b = pruned.toDF("band_b", "sig_b", "id_b")
+      .select(col("band_id"), col("band_sig"), col("doc_id"), col("__sz"))
+    val a = pruned.toDF("band_a", "sig_a", "id_a", "sz_a")
+    val b = pruned.toDF("band_b", "sig_b", "id_b", "sz_b")
     val fullPairs = a.join(b,
       col("band_a") === col("band_b") && col("sig_a") === col("sig_b")
         && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
     // linear star for over-cap buckets: anchor = bucket min, so
     // id_a < id_b holds by construction
     val starPairs = sized.where(col("__n") > bucketCap)
       .where(col("doc_id") =!= col("__anchor"))
-      .select(col("__anchor").as("id_a"), col("doc_id").as("id_b"))
-    // materialize the pair set (two longs per row — the small output) and
+      .select(col("__anchor").as("id_a"), col("doc_id").as("id_b"),
+        col("__anchor_sz").as("sz_a"), col("__sz").as("sz_b"))
+    // materialize the pair set (two longs + two ints per row — still the
+    // small output; sz_a/sz_b are functions of the ids so the distinct()
+    // dedups exactly as the two-column form did) and
     // release the band explosion; the returned checkpoint is owned by the
     // caller (lshClusters releases it once connectedComponents has
     // materialized the edge set; for k6 the Bench/Verify harness releases
@@ -725,11 +737,19 @@ object Similarity extends QueryPack {
     val tCand = System.nanoTime()
     val candidates = lshCandidatesOf(repDocs, bucketCap, nHashes = 24)
     ccStage("candidates", tCand)
+    // the size bound runs on the candidate pair set itself (sizes rode
+    // the LSH banding), so size-incompatible pairs die while the rows
+    // are still two longs + two ints — BEFORE either token array is
+    // joined on. The verify join's second shuffle carries ts_a per
+    // surviving pair; at 100 TB that is the widest shuffle in the dedup
+    // path and pre-pruning is the difference between shuffling arrays
+    // for all candidates vs only plausibly-similar ones.
     val verified = candidates
+      .where(col("sz_a").cast("long") * 1000000L >= col("sz_b") * tau &&
+        col("sz_b").cast("long") * 1000000L >= col("sz_a") * tau)
+      .select(col("id_a"), col("id_b"))
       .join(repDocs.toDF("id_a", "ts_a"), "id_a")
       .join(repDocs.toDF("id_b", "ts_b"), "id_b")
-      .where(size(col("ts_a")).cast("long") * 1000000L >= size(col("ts_b")) * tau &&
-        size(col("ts_b")).cast("long") * 1000000L >= size(col("ts_a")) * tau)
       .withColumn("__i", size(array_intersect(col("ts_a"), col("ts_b"))))
       .where(round(col("__i").cast(DoubleType)
         / (size(col("ts_a")) + size(col("ts_b")) - col("__i")), 6) >= threshold)
