@@ -25,10 +25,20 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** events.parquet carries parquet TIMESTAMP(NANOS) `ts`, which Spark 4.x
-    * rejects by default (FIXTURES.md "Spark gotcha"). Recipe: read nanos as
-    * BIGINT and derive `event_ts` — µs-truncated, naive (NTZ) — which is
-    * value-identical to DuckDB's `CAST(ts AS TIMESTAMP)` on the same file.
+  /** events.parquet: TYPE-ADAPTIVE loader. The driver has shipped `ts` as
+    * parquet TIMESTAMP(NANOS) (rounds 1–12) and TIMESTAMP(MICROS) (round
+    * 13+); this loader absorbs either and always yields the same contract:
+    *
+    *   - `ts`       BIGINT epoch-nanoseconds (the ordering/bucketing key)
+    *   - `event_ts` TIMESTAMP_NTZ, µs precision — value-identical to
+    *                DuckDB's `CAST(ts AS TIMESTAMP)` on the same file
+    *
+    * NANOS branch: Spark 4.x rejects TIMESTAMP(NANOS) by default, so the
+    * legacy conf reads it as BIGINT and `event_ts` is derived by µs
+    * truncation. MICROS branch: the column loads as a timestamp (the
+    * legacy conf is a no-op); `event_ts` is a plain NTZ cast and `ts` is
+    * re-derived as nanos via `unix_micros` under the session's pinned UTC
+    * zone, so every downstream `div`/compare keeps working unchanged.
     *
     * The conf is set at session BUILD time by every graft entry point
     * (Verify/Bench/Show/PlanProbe/TestSpark) so plan behavior never depends
@@ -38,9 +48,30 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("event_ts",
-        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) file, read nanos-as-BIGINT
+        raw.withColumn("event_ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case TimestampNTZType | TimestampType => // TIMESTAMP(MICROS) file
+        raw
+          .withColumn("event_ts", col("ts").cast(TimestampNTZType))
+          .withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts loaded as unsupported type ${other.sql} — driver data drift? " +
+          "Expected BIGINT (nanos under legacy conf) or a timestamp type (micros).")
+    }
+  }
+
+  /** True when dir/events.parquet physically carries TIMESTAMP(NANOS)
+    * (loads as BIGINT under the legacy conf); false for TIMESTAMP(MICROS)
+    * (loads as a timestamp type). Used by config builders that must emit
+    * type-correct derive expressions (ep3/ep4). One footer read. */
+  def eventsTsIsLong(spark: SparkSession, dir: String): Boolean = {
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events").schema("ts").dataType == LongType
   }
 
   /** Naive-timestamp literal for filters against TIMESTAMP_NTZ columns. */

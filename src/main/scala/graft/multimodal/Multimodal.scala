@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   * `uri`); decode / feature-extract / resize / frame-sample run inside
   * `mapPartitions` so each task amortizes codec setup over its whole
   * partition and the shuffle only ever moves the (small) extracted
-  * features, never re-shuffles raw bytes. No media codecs ship in this
-  * container, so [[decodeStub]] is the clearly-marked FAKE decode — a
-  * deterministic byte-level stand-in with the same signature, batching
-  * shape, and schema a real libjpeg/ffmpeg binding would have. Swap the
-  * function body, keep the plumbing.
+  * features, never re-shuffles raw bytes. The `image` kind decodes for
+  * REAL through `javax.imageio` (JDK-built-in PNG/JPEG/GIF/BMP — see
+  * [[decodeImage]]); audio/video have no pure-JVM codec in this
+  * container, so they take the clearly-marked deterministic byte-level
+  * FALLBACK with the same signature, batching shape, and schema a real
+  * libsndfile/ffmpeg binding would have. Swap that branch, keep the
+  * plumbing.
   */
 object Multimodal {
 
@@ -32,7 +34,9 @@ object Multimodal {
   final case class MediaFeatures(
       doc_id: Long, kind: String, n_bytes: Long,
       frame_sample: String,           // hex of the sampled leading frame
-      histogram: Array[Double])       // 16-bin normalized byte histogram
+      histogram: Array[Double],       // 16-bin normalized histogram (pixels when decoded, bytes otherwise)
+      width: Int, height: Int,        // real dimensions when decoded, 0 otherwise
+      decoded: Boolean)               // true = a real codec produced the features
 
   /** Deterministic blob synthesis: documents.text encoded as UTF-8 plays
     * the role of downloaded media bytes; meta is derived, `uri` points at
@@ -52,25 +56,67 @@ object Multimodal {
         length(col("text")).cast("long").as("nBytes"),
         concat(lit("s3://media-bucket/doc/"), col("doc_id")).as("uri")).as("meta"))
 
-  /** FAKE decode + feature extraction (???-equivalent): a real build links
-    * a codec here. Byte histogram stands in for pixel/sample statistics;
-    * `frame_sample` is the first-8-byte "frame". Deterministic, so it is
-    * testable end-to-end. Runs per-partition: one "codec init" per task,
-    * then a streamed pass over the partition's rows. */
+  /** REAL image decode via `javax.imageio` (ships in the JDK — PNG, JPEG,
+    * GIF, BMP): dimensions + a 16-bin normalized LUMINANCE histogram
+    * (ITU-R BT.601 integer weights, so the result is deterministic across
+    * JVMs). Returns None when the bytes aren't a decodable image — the
+    * caller falls back to byte-level features. Audio/video decoding would
+    * slot in the same way but has no pure-JVM codec in this container. */
+  private[multimodal] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val hist = new Array[Double](16)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(lum >> 4) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(w.toLong * h, 1L).toDouble
+        var b = 0
+        while (b < 16) { hist(b) /= n; b += 1 }
+        Some((w, h, hist))
+      }
+    } catch { case _: Exception => None } // corrupt blob → fallback, never a task failure
+
+  /** Decode + feature extraction. `image` blobs go through the REAL
+    * javax.imageio decoder (width/height + pixel-luminance histogram,
+    * `decoded = true`); audio/video and undecodable bytes take the
+    * deterministic byte-histogram FALLBACK (the honest stand-in for
+    * codecs this container doesn't ship — same signature and batch shape
+    * a libsndfile/ffmpeg binding would have). Runs per-partition: codec
+    * setup (ImageIO cache off) once per task, then a streamed pass, and
+    * only the small feature rows ever shuffle. */
   def decodeStub(spark: SparkSession, blobs: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     blobs.select(col("doc_id"), col("kind"), col("bytes")).as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // <- real impl: codecInit() once per partition
+        // codec init, once per partition: no tmp-file cache inside executors
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, kind, bytes) =>
-          val hist = new Array[Double](16)
-          var i = 0
-          while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1; i += 1 }
-          val n = math.max(bytes.length, 1)
-          var b = 0
-          while (b < 16) { hist(b) /= n; b += 1 }
           val frame = bytes.take(8).map(x => f"${x & 0xff}%02X").mkString
-          MediaFeatures(id, kind, bytes.length.toLong, frame, hist)
+          val real = if (kind == "image") decodeImage(bytes) else None
+          real match {
+            case Some((w, h, hist)) =>
+              MediaFeatures(id, kind, bytes.length.toLong, frame, hist, w, h, decoded = true)
+            case None =>
+              val hist = new Array[Double](16)
+              var i = 0
+              while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1; i += 1 }
+              val n = math.max(bytes.length, 1)
+              var b = 0
+              while (b < 16) { hist(b) /= n; b += 1 }
+              MediaFeatures(id, kind, bytes.length.toLong, frame, hist, 0, 0, decoded = false)
+          }
         }
       }
   }

@@ -247,8 +247,25 @@ object PipelineRunner {
     val path = s.path.orElse(s.table.map(t => s"${t}.parquet")).getOrElse(
       throw new IllegalArgumentException("source needs path or table"))
     val ddl = s.schema.getOrElse(throw new IllegalArgumentException(
-      "streaming sources must declare a schema (file-stream inference is disabled)"))
-    val r = spark.readStream.schema(StructType.fromDDL(ddl)).options(s.options)
+      "streaming sources must declare a schema (file-stream inference is " +
+        "disabled) — use `schema: auto` to infer from the files at start"))
+    // `schema: auto`: probe the batch reader's view of the same path ONCE at
+    // stream construction. A hard-coded schema string silently mis-reads a
+    // drifted physical type (the round-13 events INT64-micros regression);
+    // auto keeps config pipelines correct across driver-side re-generation.
+    // One footer read on the driver — negligible at any scale.
+    val schema =
+      if (ddl.trim.equalsIgnoreCase("auto")) {
+        val probe = spark.read.options(s.options)
+        (s.format match {
+          case "parquet" => probe.parquet(path)
+          case "csv"     => probe.option("inferSchema", "true").csv(path)
+          case "json"    => probe.json(path)
+          case other => throw new IllegalArgumentException(
+            s"source format '$other' is not streamable")
+        }).schema
+      } else StructType.fromDDL(ddl)
+    val r = spark.readStream.schema(schema).options(s.options)
     s.format match {
       case "parquet" => r.parquet(path)
       case "csv"     => r.csv(path)

@@ -55,7 +55,10 @@ object Relational extends QueryPack {
         .orderBy(col("r_regionkey"))
   }
 
-  /** §2.A2 — events scan through the nanos-timestamp recipe. */
+  /** §2.A2 — events scan through the dual-format timestamp recipe: the
+    * query name keeps its historical `_nanos` suffix, but Tables.events
+    * adapts to either physical encoding (TIMESTAMP(NANOS) rounds 1–12,
+    * TIMESTAMP(MICROS) round 13+) and `event_ts` is identical for both. */
   val a2: QueryDef = m(
     "a2_scan_events_nanos",
     """SELECT event_id, CAST(ts AS TIMESTAMP) AS event_ts, user_id, event_type,

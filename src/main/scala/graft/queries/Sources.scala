@@ -360,11 +360,19 @@ object Sources extends QueryPack {
        |  AND value BETWEEN 0.0 AND 400.0
        |  AND user_id % 2 = 0
        |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    // `schema: auto` + a probe-chosen derive: the declared schema and the
+    // event_ts expression both track the file's physical ts type (nanos
+    // BIGINT vs micros timestamp), so this pipeline survives driver-side
+    // data drift (the round-13 regression class).
+    val tsExpr =
+      if (Tables.eventsTsIsLong(spark, dir))
+        "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"
+      else "CAST(ts AS TIMESTAMP_NTZ)"
     val yaml =
       s"""name: ep3_stream
          |mode: streaming
          |source: {format: parquet, path: "$dir",
-         |  schema: "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+         |  schema: auto,
          |  options: {pathGlobFilter: "events.parquet"}}
          |checks:
          |  - {type: not_null, col: event_id}
@@ -372,7 +380,7 @@ object Sources extends QueryPack {
          |  - {type: range, col: value, lo: 0.0, hi: 400.0}
          |transforms:
          |  - {op: filter, expr: "user_id % 2 = 0"}
-         |  - {op: derive, name: event_ts, expr: "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"}
+         |  - {op: derive, name: event_ts, expr: "$tsExpr"}
          |  - {op: derive, name: v_bucket, expr: "CAST(floor(value / 50) AS BIGINT)"}
          |  - {op: select, cols: [event_id, user_id, event_type, event_ts, v_bucket, value]}
          |  - {op: sort, cols: [event_id]}
@@ -402,7 +410,7 @@ object Sources extends QueryPack {
          |mode: streaming
          |output_mode: update
          |source: {format: parquet, path: "$dir",
-         |  schema: "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+         |  schema: auto,
          |  options: {pathGlobFilter: "events.parquet"}}
          |checks:
          |  - {type: not_null, col: event_id}
@@ -430,6 +438,13 @@ object Sources extends QueryPack {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
       |  ON p.user_id = v.user_id AND v.ts <= p.ts
       |ORDER BY p.event_id""".stripMargin) { (spark, dir) =>
+    // Probe-chosen NTZ derives (see ep3): the as-of ordering key `ts`
+    // stays in the file's physical type on BOTH sides (AsOfJoinExec orders
+    // any orderable type), only the output projections adapt.
+    val ntz = (c: String) =>
+      if (Tables.eventsTsIsLong(spark, dir))
+        s"CAST(timestamp_micros($c div 1000) AS TIMESTAMP_NTZ)"
+      else s"CAST($c AS TIMESTAMP_NTZ)"
     val yaml =
       s"""name: ep4_asof
          |source: {format: parquet, path: "$dir/events.parquet"}
@@ -437,8 +452,7 @@ object Sources extends QueryPack {
          |  - {type: not_null, col: user_id}
          |transforms:
          |  - {op: filter, expr: "event_type = 'purchase'"}
-         |  - {op: derive, name: purchase_ts,
-         |     expr: "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"}
+         |  - {op: derive, name: purchase_ts, expr: "${ntz("ts")}"}
          |  - {op: select, cols: [event_id, user_id, ts, purchase_ts]}
          |  - op: asof_join
          |    table: {format: parquet, path: "$dir/events.parquet"}
@@ -446,8 +460,7 @@ object Sources extends QueryPack {
          |    cols: ["user_id:v_user_id", "ts:v_ts"]
          |    on: ["user_id:v_user_id"]
          |    expr: "ts:v_ts"
-         |  - {op: derive, name: last_view_ts,
-         |     expr: "CAST(timestamp_micros(v_ts div 1000) AS TIMESTAMP_NTZ)"}
+         |  - {op: derive, name: last_view_ts, expr: "${ntz("v_ts")}"}
          |  - {op: select, cols: [event_id, user_id, purchase_ts, last_view_ts]}
          |  - {op: sort, cols: [event_id]}
          |""".stripMargin

@@ -29,30 +29,46 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** events schema as the streaming source must declare it (ts read as
-    * BIGINT nanos under the legacy conf, same as Tables.events). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events schema as the streaming source must declare it. Streaming file
+    * sources disable schema inference, and a WRONG declared type for `ts`
+    * is silently mis-read (INT64 micros loaded as "nanos" longs are 1000×
+    * off — the round-13 regression). So: probe the batch reader's view of
+    * the same file ONCE and declare exactly that. Under the legacy conf a
+    * TIMESTAMP(NANOS) file probes as BIGINT; a TIMESTAMP(MICROS) file
+    * probes as a timestamp type. One driver-side footer read — negligible
+    * at any scale. */
+  def eventsSchema(spark: SparkSession, dir: String): StructType =
+    spark.read
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .schema
 
-  /** Unbounded view of the events table (§2.A9 streaming file source).
-    * `event_ts` stays TIMESTAMP (session TZ pinned UTC): watermarks
-    * reject TIMESTAMP_NTZ event-time columns — queries cast their window
-    * bounds to NTZ at output instead. */
+  /** Unbounded view of the events table (§2.A9 streaming file source),
+    * normalized to the same contract as Tables.events: `ts` BIGINT
+    * epoch-nanos, `event_ts` TIMESTAMP (session TZ pinned UTC —
+    * watermarks reject TIMESTAMP_NTZ event-time columns, so queries cast
+    * their window bounds to NTZ at output instead). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     // fallback for foreign sessions only — graft sessions set this at build
     // time (see Tables.events); no-op there
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
+    val schema = eventsSchema(spark, dir)
+    val raw = spark.readStream
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) file, declared nanos-as-BIGINT
+        raw.withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType | TimestampType => // TIMESTAMP(MICROS) file
+        raw
+          .withColumn("event_ts", col("ts").cast(TimestampType))
+          .withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts probed as unsupported type ${other.sql} — driver data drift?")
+    }
   }
 
   def rmrf(p: String): Unit = {

@@ -1,0 +1,66 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.multimodal.Multimodal
+
+/** §north-star multimodal: the mapPartitions decode pipeline, with the
+  * REAL javax.imageio image decoder (VERDICT r13 task 6) and the
+  * deterministic byte-level fallback for codec-less kinds. */
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** A real 8×4 PNG: left half black, right half white. */
+  private def pngBytes(): Array[Byte] = {
+    val img = new BufferedImage(8, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("mm: a real PNG decodes through the Spark pipeline with true dimensions") {
+    val bytes = pngBytes()
+    val blobs = Seq((1L, "image", bytes), (2L, "audio", bytes))
+      .toDF("doc_id", "kind", "bytes")
+    val feats = Multimodal.decodeStub(spark, blobs).collect().sortBy(_.doc_id)
+
+    val img = feats(0)
+    img.decoded shouldBe true
+    (img.width, img.height) shouldBe ((8, 4))
+    // black pixels → luminance 0 → bin 0; white → 255 → bin 15; half each
+    img.histogram(0) shouldBe 0.5 +- 1e-12
+    img.histogram(15) shouldBe 0.5 +- 1e-12
+    img.histogram.sum shouldBe 1.0 +- 1e-12
+
+    // same bytes under a non-image kind: no codec ships → byte fallback
+    val aud = feats(1)
+    aud.decoded shouldBe false
+    (aud.width, aud.height) shouldBe ((0, 0))
+    val expected = new Array[Double](16)
+    bytes.foreach(b => expected((b & 0xff) >> 4) += 1.0 / bytes.length)
+    aud.histogram.zip(expected).foreach { case (a, e) => a shouldBe e +- 1e-12 }
+  }
+
+  test("mm: corrupt 'image' bytes fall back deterministically, never fail the task") {
+    val junk = "definitely not a PNG".getBytes("UTF-8")
+    val feats = Multimodal.decodeStub(spark,
+      Seq((7L, "image", junk)).toDF("doc_id", "kind", "bytes")).collect()
+    feats.head.decoded shouldBe false
+    feats.head.n_bytes shouldBe junk.length.toLong
+    feats.head.frame_sample shouldBe junk.take(8).map(x => f"${x & 0xff}%02X").mkString
+  }
+
+  test("mm2 contract: synthetic text blobs never decode as images (oracle stays byte-math)") {
+    val blobs = Multimodal.attachBlobs(Tables.documents(spark, sf).limit(50))
+    val feats = Multimodal.decodeStub(spark, blobs)
+    feats.filter(col("decoded")).count() shouldBe 0L
+  }
+}
