@@ -255,17 +255,26 @@ object Bench {
     // total) — repeat the headline number in a short LAST line so the
     // total always survives truncation, now with the per-stage seconds of
     // every query that recorded attribution (the clustering family)
-    val attrJson =
-      if (attributions.isEmpty) ""
-      else ",\"attribution\":" + attributions
+    // attribution goes on its OWN line, before the final total: round 13's
+    // surviving tail cut the total's leading digits because the
+    // attribution blob stretched the last line past the capture window —
+    // the LAST line must stay short enough (≈200 chars) to always land
+    // intact, so it carries only the headline numbers.
+    if (attributions.nonEmpty)
+      println("{\"metric\":\"attribution\",\"queries\":" + attributions
         .map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
+        .mkString("{", ",", "}") + "}")
     // whole-run steal: nonzero here means the hypervisor taxed this bench
     // (the per-query "steal" attribution entries say which queries paid)
     val runSteal = String.format(java.util.Locale.ROOT, "%.1f",
       Double.box((stealTicks() - runSteal0) / 100.0))
     val probeEnd = probeMops()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.count(_._2 < 0)},"sf":"$sfDir","steal_sec":$runSteal,"probe_mops_start":${mopsStr(runProbe0)},"probe_mops_end":${mopsStr(probeEnd)}$attrJson}""")
+    // heap on the gate line: round-14 controlled pair on one idle box —
+    // -Xmx32g total 192.9 s vs -Xmx96g 339.4 s on identical code+data
+    // (G1 young/humongous pauses scale with heap; k12b's shuffle stages
+    // paid 3x). A slow round with a huge heap number is self-explaining.
+    val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.count(_._2 < 0)},"sf":"$sfDir","heap_gb":$heapGb,"steal_sec":$runSteal,"probe_mops_start":${mopsStr(runProbe0)},"probe_mops_end":${mopsStr(probeEnd)}}""")
     spark.stop()
   }
 }
