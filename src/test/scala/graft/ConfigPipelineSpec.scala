@@ -129,6 +129,61 @@ class ConfigPipelineSpec extends SparkSpecBase {
     streamed.count() shouldBe kept.count()
   }
 
+  test("EP3: `schema: auto` streams both events ts encodings to identical values") {
+    // The round-13 drift class: the same logical events under the two
+    // physical ts encodings the driver has shipped (TIMESTAMP(NANOS) vs
+    // TIMESTAMP(MICROS); checked-in 5-row samples — see FixturesSpec). A
+    // streaming config pipeline with `schema: auto` plus a probe-chosen
+    // derive must produce value-identical output over either file; a
+    // hard-coded DDL string is exactly what silently mis-read micros as
+    // nanos longs in round 13.
+    import java.nio.file.{Files, StandardCopyOption}
+    def sampleDir(name: String): String = {
+      val dir = Files.createTempDirectory(s"graft_cfg_$name")
+      val in = getClass.getResourceAsStream(s"/fixtures/$name.parquet")
+      require(in != null, s"missing test resource fixtures/$name.parquet")
+      try Files.copy(in, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      dir.toString
+    }
+    def run(dir: String): Map[Long, String] = {
+      val tsExpr =
+        if (graft.core.Tables.eventsTsIsLong(spark, dir))
+          "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"
+        else "CAST(ts AS TIMESTAMP_NTZ)"
+      PipelineRunner.run(spark,
+        s"""name: auto_stream
+           |mode: streaming
+           |source: {format: parquet, path: "$dir",
+           |  schema: auto,
+           |  options: {pathGlobFilter: "events.parquet"}}
+           |transforms:
+           |  - {op: derive, name: event_ts, expr: "$tsExpr"}
+           |  - {op: select, cols: [event_id, event_ts]}
+           |""".stripMargin).passed
+        .collect().map(r => r.getLong(0) -> r.get(1).toString).toMap
+    }
+    val nanos = run(sampleDir("events_nanos"))
+    val micros = run(sampleDir("events_micros"))
+    nanos.size shouldBe 5
+    nanos shouldBe micros
+    // a declared-DDL pipeline still works when the declaration is RIGHT
+    // (micros file, timestamp_ntz declared) — auto is a superset, not a
+    // replacement
+    val declared = PipelineRunner.run(spark,
+      s"""name: ddl_stream
+         |mode: streaming
+         |source: {format: parquet, path: "${sampleDir("events_micros")}",
+         |  schema: "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+         |  options: {pathGlobFilter: "events.parquet"}}
+         |transforms:
+         |  - {op: derive, name: event_ts, expr: "CAST(ts AS TIMESTAMP_NTZ)"}
+         |  - {op: select, cols: [event_id, event_ts]}
+         |""".stripMargin).passed
+      .collect().map(r => r.getLong(0) -> r.get(1).toString).toMap
+    declared shouldBe micros
+  }
+
   test("EP13: redact streams identically to batch (map-only regexp chain)") {
     // same YAML body, batch vs streaming — redact is a pure projection so
     // the claim "streams fine" must mean VALUE-identical output, not just
