@@ -64,5 +64,52 @@ object MultimodalQ extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(mm1, mm2)
+  /** The REAL codec in the registered query surface: per document, a
+    * deterministic PNG is synthesized IN-EXECUTOR (dimensions + xorshift
+    * pixels keyed by doc_id), encoded with javax.imageio, then decoded
+    * back through the same mapPartitions pipeline every real media blob
+    * takes — recovered dimensions and the pixel-luminance histogram prove
+    * a genuine codec ran, not byte math. X-tier (DuckDB cannot decode
+    * PNGs); MultimodalSpec asserts the recovered dimensions against the
+    * synthesis formula and `decoded = true` on every row. PNG is
+    * lossless and the pixel stream is seeded, so output is deterministic
+    * across runs and JVMs. Scale posture: synthesis/encode/decode all run
+    * inside one mapPartitions pass — no blob ever shuffles; only the
+    * (doc_id, dims, bins) feature rows move. */
+  val mm3: QueryDef = x("mm3_real_image_decode") { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val blobs = docs.mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.map { id =>
+        val w = 4 + (id % 13).toInt
+        val h = 3 + (id % 7).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var s = id * 0x9E3779B97F4A7C15L + 1L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+            img.setRGB(x, y, (s & 0xffffffL).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, "image", bos.toByteArray)
+      }
+    }.toDF("doc_id", "kind", "bytes")
+    Multimodal.decodeStub(spark, blobs).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("decoded"),
+        // middle luminance bins: random RGB concentrates there, so these
+        // carry real signal (the extreme bins are ~always 0 on noise)
+        score6(element_at(col("histogram"), 8)).as("bin7"),
+        score6(element_at(col("histogram"), 9)).as("bin8"))
+      .orderBy(col("doc_id"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(mm1, mm2, mm3)
 }

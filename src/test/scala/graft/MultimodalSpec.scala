@@ -58,6 +58,26 @@ class MultimodalSpec extends SparkSpecBase {
     feats.head.frame_sample shouldBe junk.take(8).map(x => f"${x & 0xff}%02X").mkString
   }
 
+  test("mm3: every synthesized PNG decodes with the dimensions the formula predicts") {
+    val out = graft.queries.MultimodalQ.mm3.build(spark, sf)
+      .select("doc_id", "width", "height", "decoded").collect()
+    out.length should be > 0
+    out.foreach { r =>
+      val id = r.getLong(0)
+      withClue(s"doc $id: ") {
+        r.getBoolean(3) shouldBe true // the real codec ran on every row
+        r.getInt(1) shouldBe 4 + (id % 13).toInt
+        r.getInt(2) shouldBe 3 + (id % 7).toInt
+      }
+    }
+    // determinism across two full runs (PNG encode→decode is lossless)
+    val again = graft.queries.MultimodalQ.mm3.build(spark, sf)
+      .select("doc_id", "bin7", "bin8").collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+    val first = graft.queries.MultimodalQ.mm3.build(spark, sf)
+      .select("doc_id", "bin7", "bin8").collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+    again shouldBe first
+  }
+
   test("mm2 contract: synthetic text blobs never decode as images (oracle stays byte-math)") {
     val blobs = Multimodal.attachBlobs(Tables.documents(spark, sf).limit(50))
     val feats = Multimodal.decodeStub(spark, blobs)
