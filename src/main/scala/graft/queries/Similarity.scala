@@ -204,6 +204,7 @@ object Similarity extends QueryPack {
     // re-verification against brute-force ground truth at three scale
     // factors (see k12b's doc), not by construction.
     graft.ext.GraftFunctions.register(docs.sparkSession)
+    val tBands = System.nanoTime()
     // set size rides the banding as one extra int per row: the verify
     // stage's Jaccard size bound (J ≥ τ ⇒ |A|,|B| within a factor τ) can
     // then prune pairs from the two-long pair set BEFORE any token array
@@ -217,6 +218,7 @@ object Similarity extends QueryPack {
       posexplode(expr(s"transform(sequence(0, ${nHashes / rowsPerBand - 1}), " +
         s"b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))")))
       .toDF("doc_id", "__sz", "band_id", "band_sig"))
+    ccStage("cand_bands", tBands)
     // ^ eager-checkpointed: four consumers below (stats, both self-join
     // sides, star pairs) — without it the 12-minhash signature computation
     // re-runs per branch (measured ~4x the banding cost at sf0.1). On a
@@ -258,8 +260,11 @@ object Similarity extends QueryPack {
     // caller (lshClusters releases it once connectedComponents has
     // materialized the edge set; for k6 the Bench/Verify harness releases
     // all per-query storage between queries)
-    Checkpoints.materializeThenRelease(
+    val tPairs = System.nanoTime()
+    val out = Checkpoints.materializeThenRelease(
       fullPairs.union(starPairs).distinct(), bands)
+    ccStage("cand_pairs", tPairs)
+    out
   }
 
   val k6: QueryDef = x("k6_minhash_lsh") { (spark, dir) =>
