@@ -88,14 +88,111 @@ object Multimodal {
       }
     } catch { case _: Exception => None } // corrupt blob → fallback, never a task failure
 
+  /** PCM-16 WAV decode via `javax.sound.sampled` (ships in the JDK, no
+    * audio device required — pure header parse + frame extraction).
+    * Returns (sampleRate, channels, samples) or None when the bytes
+    * aren't PCM_SIGNED 16-bit WAV — the caller falls back to byte-level
+    * features. This is a REAL audio codec path: the header fields and
+    * every sample come out of AudioSystem, not byte math. */
+  def decodeWavPcm16(
+      bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val pcm16 = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16
+        if (!pcm16) None
+        else {
+          val data = in.readAllBytes()
+          val n = data.length / 2
+          val out = new Array[Short](n)
+          var i = 0
+          if (fmt.isBigEndian)
+            while (i < n) {
+              out(i) = (((data(2 * i) & 0xff) << 8) | (data(2 * i + 1) & 0xff)).toShort
+              i += 1
+            }
+          else
+            while (i < n) {
+              out(i) = (((data(2 * i + 1) & 0xff) << 8) | (data(2 * i) & 0xff)).toShort
+              i += 1
+            }
+          Some((fmt.getSampleRate.toInt, fmt.getChannels, out))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Audio feature record: header facts + integer-exact sample stats
+    * (sum of squares and peak are exact longs/ints, so `rms` is the one
+    * double and it is bit-reproducible across engines). */
+  final case class AudioFeatures(doc_id: Long, sample_rate: Int,
+      channels: Int, n_frames: Long, rms: Double, peak: Int, decoded: Boolean)
+
+  /** mapPartitions audio decode — same batch shape as [[decodeStub]],
+    * REAL WAV codec for the decode step; undecodable blobs yield a
+    * zeroed row with `decoded = false` rather than a task failure. */
+  def decodeAudio(spark: SparkSession, blobs: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          decodeWavPcm16(bytes) match {
+            case Some((rate, ch, samples)) =>
+              var sumSq = 0L
+              var peak = 0
+              var i = 0
+              while (i < samples.length) {
+                val v = samples(i).toInt
+                sumSq += v.toLong * v
+                val a = math.abs(v)
+                if (a > peak) peak = a
+                i += 1
+              }
+              val rms =
+                if (samples.length == 0) 0.0
+                else BigDecimal(math.sqrt(sumSq.toDouble / samples.length))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              AudioFeatures(id, rate, ch, samples.length.toLong / ch, rms, peak,
+                decoded = true)
+            case None => AudioFeatures(id, 0, 0, 0L, 0.0, 0, decoded = false)
+          }
+        }
+      }
+  }
+
+  /** Encode signed-16 little-endian PCM samples as a WAV container via
+    * javax.sound (the same codec family the decode path uses). */
+  def encodeWavPcm16(
+      sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Decode + feature extraction. `image` blobs go through the REAL
     * javax.imageio decoder (width/height + pixel-luminance histogram,
-    * `decoded = true`); audio/video and undecodable bytes take the
-    * deterministic byte-histogram FALLBACK (the honest stand-in for
-    * codecs this container doesn't ship — same signature and batch shape
-    * a libsndfile/ffmpeg binding would have). Runs per-partition: codec
-    * setup (ImageIO cache off) once per task, then a streamed pass, and
-    * only the small feature rows ever shuffle. */
+    * `decoded = true`); audio has the REAL javax.sound WAV path via
+    * [[decodeAudio]] (mm4 drives it oracle-checked); video and
+    * undecodable bytes take the deterministic byte-histogram FALLBACK
+    * (the honest stand-in for codecs this container doesn't ship — same
+    * signature and batch shape an ffmpeg binding would have). Runs
+    * per-partition: codec setup (ImageIO cache off) once per task, then
+    * a streamed pass, and only the small feature rows ever shuffle. */
   def decodeStub(spark: SparkSession, blobs: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     blobs.select(col("doc_id"), col("kind"), col("bytes")).as[(Long, String, Array[Byte])]

@@ -111,5 +111,49 @@ object MultimodalQ extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(mm1, mm2, mm3)
+  /** REAL audio codec, fully ORACLE-CHECKED: per document a deterministic
+    * 16-bit PCM sawtooth (pure INTEGER arithmetic — no libm in the
+    * waveform, so DuckDB regenerates the exact samples with
+    * generate_series) is encoded as a WAV container and decoded back
+    * through javax.sound.sampled in the same mapPartitions pass. The
+    * header facts (sample_rate, channels, n_frames) and integer-exact
+    * sample stats (sum-of-squares RMS, peak) come from the DECODED
+    * stream, so a hash match against the oracle proves the codec
+    * round-trip is faithful sample-for-sample. Blobs never shuffle. */
+  val mm4: QueryDef = m(
+    "mm4_audio_wav_decode",
+    """WITH d AS (SELECT doc_id, 400 + doc_id % 200 AS n, 3 + doc_id % 11 AS k
+      |           FROM documents),
+      |s AS (SELECT d.doc_id, d.n,
+      |        ((g.f * d.k * 257) % 65536) - 32768 AS v
+      |      FROM d, generate_series(0, 399 + 200) AS g(f)
+      |      WHERE g.f < d.n)
+      |SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+      |  CAST(n AS BIGINT) AS n_frames,
+      |  ROUND(sqrt(CAST(SUM(CAST(v AS BIGINT) * v) AS DOUBLE) / COUNT(*)), 6) AS rms,
+      |  CAST(MAX(ABS(v)) AS INTEGER) AS peak
+      |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val blobs = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 400 + (id % 200).toInt
+          val k = 3 + (id % 11).toInt
+          val samples = new Array[Short](n)
+          var f = 0
+          while (f < n) {
+            samples(f) = (((f * k * 257) % 65536) - 32768).toShort
+            f += 1
+          }
+          (id, Multimodal.encodeWavPcm16(8000, 1, samples))
+        }
+      }.toDF("doc_id", "bytes")
+    Multimodal.decodeAudio(spark, blobs).toDF()
+      .where(col("decoded"))
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        col("n_frames"), col("rms"), col("peak"))
+      .orderBy(col("doc_id"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(mm1, mm2, mm3, mm4)
 }

@@ -78,6 +78,32 @@ class MultimodalSpec extends SparkSpecBase {
     again shouldBe first
   }
 
+  test("mm4: WAV encode/decode round-trips samples exactly, including stereo") {
+    // mono: a known 4-sample signal survives the container round-trip
+    val mono = Array[Short](-32768, -1, 0, 32767)
+    val monoWav = Multimodal.encodeWavPcm16(8000, 1, mono)
+    val decodedMono = Multimodal.decodeWavPcm16(monoWav)
+    decodedMono.isDefined shouldBe true
+    val (rate, ch, back) = decodedMono.get
+    (rate, ch) shouldBe ((8000, 1))
+    back.toSeq shouldBe mono.toSeq
+    // stereo: channel count comes from the header, frames = samples / channels
+    val stereo = Array[Short](100, -100, 200, -200, 300, -300)
+    val stereoWav = Multimodal.encodeWavPcm16(44100, 2, stereo)
+    val feats = {
+      val blobs = Seq((5L, stereoWav)).toDF("doc_id", "bytes")
+      Multimodal.decodeAudio(spark, blobs).collect().head
+    }
+    feats.decoded shouldBe true
+    (feats.sample_rate, feats.channels, feats.n_frames) shouldBe ((44100, 2, 3L))
+    feats.peak shouldBe 300
+    // corrupt bytes: zeroed row, never a task failure
+    val junk = Multimodal.decodeAudio(spark,
+      Seq((6L, "not a wav".getBytes("UTF-8"))).toDF("doc_id", "bytes")).collect().head
+    junk.decoded shouldBe false
+    junk.n_frames shouldBe 0L
+  }
+
   test("mm2 contract: synthetic text blobs never decode as images (oracle stays byte-math)") {
     val blobs = Multimodal.attachBlobs(Tables.documents(spark, sf).limit(50))
     val feats = Multimodal.decodeStub(spark, blobs)
