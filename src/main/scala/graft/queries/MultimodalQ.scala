@@ -155,5 +155,68 @@ object MultimodalQ extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(mm1, mm2, mm3, mm4)
+  /** Frame-sample + REAL decode + REAL resize — the remaining two ops of
+    * the north-star media quartet (decode/extract/resize/frame-sample).
+    * Per document: a frame "video" is synthesized (deterministic PNGs in
+    * a length-prefixed container — the demux stand-in is labeled in
+    * Multimodal.encodeFrameContainer; the per-frame codec is real), the
+    * MIDDLE frame is sampled without touching the others, decoded via
+    * javax.imageio, and bilinear-resized to a 4×3 thumbnail whose
+    * luminance histogram is the output feature. X-tier (PNG/raster bytes
+    * aren't SQL-reproducible); MultimodalSpec asserts frame counts,
+    * dimensions, and in-JVM determinism. Blobs stay inside one
+    * mapPartitions pass end-to-end — only (id, counts, dims, bins)
+    * shuffle. */
+  val mm5: QueryDef = x("mm5_video_frame_sample") { (spark, dir) =>
+    import spark.implicits._
+    val blobs = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val nFrames = 3 + (id % 4).toInt
+          val frames = (0 until nFrames).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var s = id * 0x9E3779B97F4A7C15L + f * 0xC2B2AE3D27D4EB4FL + 1L
+            for (y <- 0 until 6; x <- 0 until 8) {
+              s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+              img.setRGB(x, y, (s & 0xffffffL).toInt)
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+          (id, Multimodal.encodeFrameContainer(frames))
+        }
+      }.toDF("doc_id", "bytes")
+    blobs.as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          Multimodal.sampleFrame(bytes, 0) match {
+            case Some((n, _)) =>
+              val (_, mid) = Multimodal.sampleFrame(bytes, n / 2).get
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(mid))
+              val thumb = Multimodal.resizeImage(img, 4, 3)
+              var bin7 = 0
+              var total = 0
+              for (y <- 0 until 3; x <- 0 until 4) {
+                val rgb = thumb.getRGB(x, y)
+                val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000
+                if ((lum >> 4) == 7) bin7 += 1
+                total += 1
+              }
+              (id, n, img.getWidth, img.getHeight, thumb.getWidth, thumb.getHeight,
+                BigDecimal(bin7.toDouble / total)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            case None => (id, 0, 0, 0, 0, 0, 0.0)
+          }
+        }
+      }
+      .toDF("doc_id", "n_frames", "frame_w", "frame_h", "thumb_w", "thumb_h", "bin7")
+      .orderBy(col("doc_id"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(mm1, mm2, mm3, mm4, mm5)
 }

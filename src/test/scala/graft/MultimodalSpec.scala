@@ -104,6 +104,30 @@ class MultimodalSpec extends SparkSpecBase {
     junk.n_frames shouldBe 0L
   }
 
+  test("mm5: frame container samples the middle frame; resize yields exact thumb dims") {
+    val out = graft.queries.MultimodalQ.mm5.build(spark, sf)
+      .select("doc_id", "n_frames", "frame_w", "frame_h", "thumb_w", "thumb_h")
+      .collect()
+    out.length should be > 0
+    out.foreach { r =>
+      val id = r.getLong(0)
+      withClue(s"doc $id: ") {
+        r.getInt(1) shouldBe 3 + (id % 4).toInt // container frame count survives
+        (r.getInt(2), r.getInt(3)) shouldBe ((8, 6)) // real decode of the sampled frame
+        (r.getInt(4), r.getInt(5)) shouldBe ((4, 3)) // real bilinear resize
+      }
+    }
+    // malformed container → zeroed row, not a task failure
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    Multimodal.sampleFrame("garbage".getBytes("UTF-8"), 0) shouldBe None
+    // round-trip of the container itself
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4), Array[Byte](5, 6))
+    val packed = Multimodal.encodeFrameContainer(frames)
+    Multimodal.sampleFrame(packed, 1).map { case (n, f) => (n, f.toSeq) } shouldBe
+      Some((3, Seq[Byte](4)))
+  }
+
   test("mm2 contract: synthetic text blobs never decode as images (oracle stays byte-math)") {
     val blobs = Multimodal.attachBlobs(Tables.documents(spark, sf).limit(50))
     val feats = Multimodal.decodeStub(spark, blobs)
