@@ -343,6 +343,31 @@ object Scalars extends QueryPack {
       .orderBy(col("n_nationkey"))
   }
 
+  /** §2.I8 extension — Spark 4 VARIANT: `parse_json` builds the binary
+    * variant value once, `variant_get` extracts typed fields from it.
+    * Distinct from i8's string-JSON path: VARIANT is the engine's native
+    * semi-structured type, and at 100 TB it matters because parquet
+    * writes it SHREDDED (typed subcolumns with stats), so filters and
+    * projections on extracted fields prune like ordinary columns instead
+    * of re-parsing text per row. Null-JSON rows surface as null variants
+    * (try_parse_json) — same rows DuckDB's ->> returns NULL for. */
+  val i8v: QueryDef = m(
+    "i8v_variant_json",
+    """SELECT event_id,
+      |  CAST(props->>'$.k' AS INTEGER) AS k_int,
+      |  CAST(props->>'$.k' AS DOUBLE) AS k_dbl,
+      |  props IS NULL OR json_valid(props) = false AS bad_json
+      |FROM events ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .selectExpr("event_id", "try_parse_json(props) AS v")
+      .selectExpr(
+        "event_id",
+        "variant_get(v, '$.k', 'int') AS k_int",
+        "variant_get(v, '$.k', 'double') AS k_dbl",
+        "v IS NULL AS bad_json")
+      .orderBy(col("event_id"))
+  }
+
   override def defs: Seq[QueryDef] =
-    Seq(i1, i2, i3, i4, i4x, i5, i6, i7, i8, i9, i9x)
+    Seq(i1, i2, i3, i4, i4x, i5, i6, i7, i8, i8v, i9, i9x)
 }
