@@ -50,4 +50,32 @@ class ScalarsSpec extends SparkSpecBase {
       .select(from_json(col("props"), kSchema).getField("k").as("k"))
       .head.getLong(0) shouldBe 9L
   }
+
+  test("I8v: VARIANT survives a parquet round-trip with typed extraction intact") {
+    // the 100 TB posture for semi-structured columns: store the parsed
+    // VARIANT, not the source text — this asserts the storage round-trip
+    // (write VariantType to parquet, read back, extract) is lossless for
+    // typed fields, nested paths, and null/invalid inputs
+    val dir = java.nio.file.Files.createTempDirectory("graft_variant").toString
+    Seq(
+      (1L, """{"k": 42, "nest": {"a": [1, 2, 3]}}"""),
+      (2L, """{"k": -7}"""),
+      (3L, "not json"),
+      (4L, null)
+    ).toDF("id", "props")
+      .selectExpr("id", "try_parse_json(props) AS v")
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .selectExpr(
+        "id",
+        "variant_get(v, '$.k', 'int') AS k",
+        "variant_get(v, '$.nest.a[2]', 'int') AS a2",
+        "v IS NULL AS bad")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getBoolean(3))).toMap
+    back(1L) shouldBe ((Some(42), Some(3), false))
+    back(2L) shouldBe ((Some(-7), None, false))
+    back(3L) shouldBe ((None, None, true))
+    back(4L) shouldBe ((None, None, true))
+  }
 }
