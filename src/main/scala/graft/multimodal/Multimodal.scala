@@ -201,21 +201,33 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Frame count + the i-th frame's bytes (None on a malformed blob). */
+  /** Frame count + the i-th frame's bytes (None on a malformed blob).
+    *
+    * Header sanity runs BEFORE any allocation: 4 bytes of garbage can
+    * claim a 2-billion-frame container, and sizing an array off an
+    * unvalidated count is an executor-killing OutOfMemoryError (an
+    * Error, so no `catch Exception` saves it — caught live by
+    * MultimodalSpec's malformed-blob case). Every bound below derives
+    * from the blob's own length, so allocations never exceed it. */
   def sampleFrame(bytes: Array[Byte], i: Int): Option[(Int, Array[Byte])] =
     try {
       val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
       val n = in.readInt()
-      if (n <= 0 || i >= n) None
+      // the n-entry length table itself must fit in the blob — caps the
+      // table allocation at bytes.length/4 ints
+      if (n <= 0 || i >= n || n.toLong * 4 + 4 > bytes.length) None
       else {
         val lens = Array.fill(n)(in.readInt())
-        var skip = 0L
-        var j = 0
-        while (j < i) { skip += lens(j); j += 1 }
-        in.skipNBytes(skip)
-        val frame = new Array[Byte](lens(i))
-        in.readFully(frame)
-        Some((n, frame))
+        if (lens.exists(l => l < 0 || l > bytes.length)) None
+        else {
+          var skip = 0L
+          var j = 0
+          while (j < i) { skip += lens(j); j += 1 }
+          in.skipNBytes(skip)
+          val frame = new Array[Byte](lens(i))
+          in.readFully(frame) // short blob → EOFException → None
+          Some((n, frame))
+        }
       }
     } catch { case _: Exception => None }
 
