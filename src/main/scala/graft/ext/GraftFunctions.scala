@@ -32,6 +32,13 @@ object GraftFunctions {
       "graft_minhash_sig(array<string>, <int literal numHashes>)")
   }
 
+  private def srpBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(v, Literal(n: Int, _)) => SrpSig(v, n)
+    case Seq(v) => SrpSig(v, 8)
+    case _ => throw new IllegalArgumentException(
+      "graft_srp_sig(array<double>, <int literal numBits>)")
+  }
+
   private def bottomKBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(c, Literal(k: Int, _)) => BottomKSketch(c, k).toAggregateExpression()
     case Seq(c) => BottomKSketch(c, 64).toAggregateExpression()
@@ -52,6 +59,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       minhashBuilder),
+    (FunctionIdentifier("graft_srp_sig"),
+      new ExpressionInfo(classOf[SrpSig].getName, "graft_srp_sig"),
+      srpBuilder),
     (FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       (args: Seq[Expression]) => RollingHash(args.head)),

@@ -169,12 +169,13 @@ object TextOps2 extends QueryPack {
     graft.ext.GraftFunctions.register(spark)
     val v = Tables.embeddings(spark, dir)
       .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
-      // hyperplane j component i = ±1 from a fixed hash — deterministic
-      .withColumn("sig", expr(
-        """aggregate(sequence(0, 7), 0L, (acc, j) ->
-          |  acc * 2 + CASE WHEN aggregate(zip_with(e, sequence(0, size(e) - 1),
-          |    (x, i) -> x * (CAST((xxhash64(concat('hp', j, ':', i)) & 1) * 2 - 1 AS DOUBLE))),
-          |    0D, (s, x) -> s + x) > 0 THEN 1 ELSE 0 END)""".stripMargin))
+      // fused codegen signature (ext/SrpSig): hyperplane j component i =
+      // ±1 from the same fixed xxhash64 derivation the HOF form used
+      // (bit-identity spec'd in SimilarityOpsSpec), but the hyperplanes
+      // are computed ONCE per dim instead of hashed per (row, bit,
+      // component) — round 14's 9.28 s interpreted hashing storm is now
+      // 8 multiply-add loops per row inside WholeStageCodegen
+      .withColumn("sig", expr("graft_srp_sig(e, 8)"))
     val q = v.where(col("vec_id") === 0)
       .select(col("e").as("qe"), col("sig").as("qsig"))
     // multi-probe: own bucket plus all hamming-1 neighbor buckets (standard

@@ -161,6 +161,41 @@ class SimilarityOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("K9: fused SRP signature ≡ HOF hash derivation bit-for-bit, both eval paths") {
+    GraftFunctions.register(spark)
+    val d = Tables.embeddings(spark, sf)
+      .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+      .select(col("vec_id"),
+        expr("graft_srp_sig(e, 8)").as("fused"),
+        // the exact formula k9 shipped before ext/SrpSig replaced it
+        expr(
+          """aggregate(sequence(0, 7), 0L, (acc, j) ->
+            |  acc * 2 + CASE WHEN aggregate(zip_with(e, sequence(0, size(e) - 1),
+            |    (x, i) -> x * (CAST((xxhash64(concat('hp', j, ':', i)) & 1) * 2 - 1 AS DOUBLE))),
+            |    0D, (s, x) -> s + x) > 0 THEN 1 ELSE 0 END)""".stripMargin).as("hof"))
+    val rows = d.as[(Long, Long, Long)].collect()
+    rows should not be empty
+    rows.foreach { case (id, fused, hof) =>
+      withClue(s"vec_id=$id: ") { fused shouldBe hof }
+    }
+    // signatures must spread across buckets (a constant sig would make
+    // the LSH bucketing vacuous) and stay inside the 8-bit range
+    rows.foreach { case (_, s, _) => s should (be >= 0L and be <= 255L) }
+    rows.map(_._2).distinct.length should be > 1
+    // interpreted path agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = try d.as[(Long, Long, Long)].collect()
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    interp.sortBy(_._1).map(r => r._1 -> r._2) shouldBe
+      rows.sortBy(_._1).map(r => r._1 -> r._2)
+    // null-element poisoning matches the HOF (every bit 0), empty → 0
+    val edge = Seq(Tuple1(Seq[java.lang.Double](1.0, null, 3.0)),
+        Tuple1(Seq.empty[java.lang.Double]))
+      .toDF("e").select(expr("graft_srp_sig(cast(e as array<double>), 8)"))
+      .collect().map(_.getLong(0))
+    edge shouldBe Array(0L, 0L)
+  }
+
   test("K9: ANN candidates rank identically to brute force on shared ids") {
     import graft.queries.TextOps2
     val ann = TextOps2.k9.build(spark, sf).as[(Long, Double)].collect()
