@@ -67,9 +67,14 @@ final case class BranchSpec(
     transforms: Seq[TransformSpec],
     sink: SinkSpec)
 
-/** format ∈ parquet | csv | json | jdbc (§2.A3-A5). `schema` is a Spark
-  * DDL string ("a INT, b STRING"); required for csv/json, ignored for
-  * parquet, unused for jdbc (driver-resolved).
+/** format ∈ parquet | csv | json | jdbc | kafka (§2.A3-A5, A9). `schema`
+  * is a Spark DDL string ("a INT, b STRING"); required for csv/json,
+  * ignored for parquet, unused for jdbc (driver-resolved). kafka
+  * (streaming mode only) is addressed entirely via options —
+  * kafka.bootstrap.servers + exactly one of subscribe/subscribePattern/
+  * assign, everything passed to the connector verbatim — and carries the
+  * connector's fixed record schema (key/value binary + topic/partition/
+  * offset/timestamp); parse the value with `derive` transforms.
   *
   * `incremental` (ADF incremental-copy parity, the single most common
   * pipeline pattern): reads only rows whose `watermark_col` exceeds the
@@ -164,8 +169,15 @@ final case class CheckSpec(
   *    producing a one-task stage; derive + hash natural keys for facts
   *  - merge (ADF Alter-Row parity, batch only): `table` = the change set,
   *    `on` = match keys, `how` = upsert (default: matching base rows are
-  *    replaced by their update row, unmatched update rows are inserted)
-  *    or delete (matching base rows are removed). Plain anti-join + union
+  *    replaced by their update row, unmatched update rows are inserted),
+  *    delete (matching base rows are removed), or scd2 (effective-dated
+  *    history: the base carries valid_from/valid_to/is_current; `expr`
+  *    names the change set's effective-date column; a change whose
+  *    attributes differ from the key's CURRENT version closes it at the
+  *    effective date and opens a new current version, identical changes
+  *    are no-ops, unseen keys insert as new current rows, and historical
+  *    rows pass through — the change set must carry exactly the base's
+  *    non-SCD columns plus the effective-date column). Plain join + union
   *    algebra — no storage-layer transaction log is assumed.
   *  - tokenize (§2.J1/J2): `cols` = [the text column], `name` = output
   *    token-array column (default "toks"), `values` = optional stopwords
@@ -359,11 +371,16 @@ object PipelineSpec {
       "branches"))
     val mode = optStr(root, "mode").getOrElse("batch")
     require(Set("batch", "streaming")(mode), s"pipeline.mode: unknown '$mode'")
+    val src = source(req(root, "source", "pipeline"), "source")
+    require(src.format != "kafka" || mode == "streaming",
+      "source.format kafka requires `mode: streaming` (batch kafka scans " +
+        "re-read the topic from scratch; declare offsets explicitly if you " +
+        "truly want that, via a streaming run with startingOffsets)")
     PipelineSpec(
       name = reqStr(root, "name", "pipeline"),
       mode = mode,
       outputMode = optStr(root, "output_mode"),
-      source = source(req(root, "source", "pipeline"), "source"),
+      source = src,
       checks = arr(root, "checks").zipWithIndex.map { case (n, i) => check(n, s"checks[$i]") },
       transforms = arr(root, "transforms").zipWithIndex.map { case (n, i) => transform(n, s"transforms[$i]") },
       sink = opt(root, "sink").map(sink(_, "sink")),
@@ -399,7 +416,8 @@ object PipelineSpec {
     fields(n, at, Set("format", "path", "table", "schema", "options",
       "incremental", "drift"))
     val fmt = reqStr(n, "format", at)
-    require(Set("parquet", "csv", "json", "jdbc")(fmt), s"$at.format: unknown '$fmt'")
+    require(Set("parquet", "csv", "json", "jdbc", "kafka")(fmt),
+      s"$at.format: unknown '$fmt'")
     val s = SourceSpec(fmt,
       path = optStr(n, "path"), table = optStr(n, "table"),
       schema = optStr(n, "schema"), options = strMap(n, "options"),
@@ -410,8 +428,31 @@ object PipelineSpec {
           reqStr(inc, "state_path", s"$at.incremental"))
       },
       drift = optStr(n, "drift"))
-    if (fmt != "jdbc") require(s.path.isDefined || s.table.isDefined,
-      s"$at: needs path or table")
+    if (fmt == "kafka") {
+      // message-bus source contract (§2.A9 extension): the broker and
+      // subscription are addressed via options passed through verbatim to
+      // Spark's kafka connector; the record schema is FIXED by the
+      // connector (key/value binary + topic/partition/offset/timestamp),
+      // so a declared schema would be silently ignored — reject it.
+      require(s.options.contains("kafka.bootstrap.servers"),
+        s"$at: kafka source needs options.kafka.bootstrap.servers")
+      val subs = Seq("subscribe", "subscribePattern", "assign")
+        .filter(s.options.contains)
+      require(subs.size == 1,
+        s"$at: kafka source needs exactly one of subscribe | " +
+          s"subscribePattern | assign in options; got [${subs.mkString(", ")}]")
+      require(s.schema.isEmpty,
+        s"$at: kafka's record schema is fixed by the connector (key/value " +
+          "binary + topic/partition/offset/timestamp) — parse the value " +
+          "with `derive` transforms instead of declaring a schema")
+      require(s.path.isEmpty && s.table.isEmpty,
+        s"$at: kafka sources are addressed via options, not path/table")
+      require(s.drift.isEmpty && s.incremental.isEmpty,
+        s"$at: drift/incremental do not apply to a kafka source (the " +
+          "checkpoint tracks offsets)")
+    }
+    if (fmt != "jdbc" && fmt != "kafka")
+      require(s.path.isDefined || s.table.isDefined, s"$at: needs path or table")
     s.drift.foreach { d =>
       require(Set("allow", "strict")(d), s"$at.drift: unknown '$d' (allow | strict)")
       require(s.schema.isDefined, s"$at: a drift policy needs a declared `schema`")

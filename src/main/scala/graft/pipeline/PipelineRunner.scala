@@ -239,11 +239,32 @@ object PipelineRunner {
     RunResult(spec, passed, quarantined, Nil)
   }
 
-  /** §2.A9 — streaming file source from the same SourceSpec vocabulary. */
+  /** §2.A9 — streaming file source from the same SourceSpec vocabulary,
+    * plus the message-bus (`format: kafka`) pass-through contract. */
   def readStream(spark: SparkSession, s: SourceSpec): DataFrame = {
     require(s.incremental.isEmpty,
       "incremental watermark state is batch-only — a streaming source " +
         "already tracks its progress in the query checkpoint")
+    if (s.format == "kafka") {
+      // YAML → connector translation is a verbatim options pass-through
+      // (kafka.bootstrap.servers, subscribe/subscribePattern/assign,
+      // startingOffsets, maxOffsetsPerTrigger, …). The connector jar
+      // (spark-sql-kafka-0-10) does NOT ship in this offline image, so
+      // the provider lookup is guarded with an actionable error; the
+      // translation itself — and the downstream pipeline semantics over
+      // kafka's fixed record schema — are spec-tested against a
+      // MemoryStream stand-in (StreamingOpsSpec).
+      try return spark.readStream.format("kafka").options(s.options).load()
+      catch {
+        case e: Exception if Option(e.getMessage)
+            .exists(_.contains("Failed to find data source")) =>
+          throw new IllegalStateException(
+            "kafka source: the Kafka connector jar (spark-sql-kafka-0-10 + " +
+              "kafka-clients) is not on the classpath — add it to the " +
+              "cluster's jars to use `format: kafka`; the YAML contract " +
+              "itself is validated and translated correctly", e)
+      }
+    }
     val path = s.path.orElse(s.table.map(t => s"${t}.parquet")).getOrElse(
       throw new IllegalArgumentException("source needs path or table"))
     val ddl = s.schema.getOrElse(throw new IllegalArgumentException(
@@ -257,13 +278,24 @@ object PipelineRunner {
     val schema =
       if (ddl.trim.equalsIgnoreCase("auto")) {
         val probe = spark.read.options(s.options)
-        (s.format match {
+        try (s.format match {
           case "parquet" => probe.parquet(path)
           case "csv"     => probe.option("inferSchema", "true").csv(path)
           case "json"    => probe.json(path)
           case other => throw new IllegalArgumentException(
             s"source format '$other' is not streamable")
         }).schema
+        catch {
+          // the normal bootstrap for a file stream is "directory exists,
+          // files arrive later" — the probe then fails with a bare
+          // 'unable to infer schema'. Say what `auto` actually requires.
+          case e: org.apache.spark.sql.AnalysisException
+              if Option(e.getCondition).exists(_.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+            throw new IllegalArgumentException(
+              s"`schema: auto` needs at least one readable file at $path " +
+                "when the stream STARTS (the probe reads the batch view " +
+                "once) — declare a DDL schema for empty-at-start sources", e)
+        }
       } else StructType.fromDDL(ddl)
     val r = spark.readStream.schema(schema).options(s.options)
     s.format match {
@@ -305,6 +337,11 @@ object PipelineRunner {
         // connection per partition). Executed against in-process Derby by
         // a5_jdbc_roundtrip and ConfigPipelineSpec.
         spark.read.format("jdbc").options(s.options).load()
+      case "kafka" => throw new IllegalArgumentException(
+        "kafka sources are streaming-only here (`mode: streaming`) — a " +
+          "batch kafka scan re-reads the topic every run; parse-time " +
+          "validation should have caught this (kafka in a transform " +
+          "`table:` or check `ref_table:` is not supported)")
     }
     val conformed = applyDrift(base, s)
     // incremental high-water mark: a plain typed comparison that pushes
@@ -635,29 +672,118 @@ object PipelineRunner {
         import org.apache.spark.sql.expressions.Window
         df.withColumn(t.name.getOrElse("sk"),
           row_number().over(Window.orderBy(t.orderBy.map(sortExpr): _*)).cast("bigint"))
-      case "merge" => // SCD1 upsert/delete as plain join algebra (no
-        // storage transaction log): one anti-join shuffle on the keys +
-        // a shuffle-free by-name union. At 100 TB, bucket the base on the
-        // merge key and the anti join reads co-located buckets.
+      case "merge" => // SCD1 upsert/delete + SCD2 effective-dated history,
+        // all as plain join algebra (no storage transaction log): one
+        // shuffle on the merge key + shuffle-free by-name unions. At
+        // 100 TB, bucket the base on the merge key and the joins read
+        // co-located buckets.
         require(t.on.nonEmpty, "merge needs `on` key columns")
         val updates = read(spark, t.table.getOrElse(
           throw new IllegalArgumentException("merge needs `table` (the change set)")))
+        // SQL MERGE errors when one target row matches several source
+        // rows — enforce the same for the row-replacing modes (a
+        // duplicate-keyed change set would silently emit every duplicate
+        // or double-version a key). One aggregate-only job over the
+        // (small) change side; delete is dup-insensitive.
+        def requireUniqueKeys(): Unit = {
+          val dup = updates.groupBy(t.on.map(col): _*)
+            .count().where(col("count") > 1).limit(1).collect()
+          require(dup.isEmpty, s"merge: change set has duplicate keys on " +
+            s"(${t.on.mkString(",")}), e.g. ${dup.headOption.fold("")(_.toString)} — " +
+            "dedup the change set first (op: dedup with orderBy)")
+        }
         t.how.getOrElse("upsert") match {
-          case "upsert" => // updates win on key match; unmatched inserts.
-            // SQL MERGE errors when one target row matches several source
-            // rows — enforce the same here (a duplicate-keyed change set
-            // would silently emit every duplicate). One aggregate-only job
-            // over the (small) change side; delete is dup-insensitive.
-            val dup = updates.groupBy(t.on.map(col): _*)
-              .count().where(col("count") > 1).limit(1).collect()
-            require(dup.isEmpty, s"merge: change set has duplicate keys on " +
-              s"(${t.on.mkString(",")}), e.g. ${dup.headOption.fold("")(_.toString)} — " +
-              "dedup the change set first (op: dedup with orderBy)")
+          case "upsert" => // updates win on key match; unmatched inserts
+            requireUniqueKeys()
             df.join(updates, t.on, "left_anti").unionByName(updates)
           case "delete" => // remove base rows whose key appears in the set
             df.join(updates.select(t.on.map(col): _*), t.on, "left_anti")
+          case "scd2" => // effective-dated history close-out (the ADF
+            // "Alter Row" + history-table pattern): a change row whose
+            // attributes DIFFER from the key's current version closes
+            // that version (valid_to = effective ts, is_current = false)
+            // and opens a new current one; an identical change row is a
+            // no-op (classic SCD2 versions on actual change, not on
+            // every arrival); a change row with an unseen key inserts as
+            // a new current row; historical rows pass through untouched.
+            // Plan shape: ONE equi-join shuffle on the keys builds the
+            // matched frame, and close-out/new-version/no-op rows all
+            // come out of a SINGLE pass over it — each joined row emits
+            // an array of pre-shaped structs (two when versioning, one
+            // otherwise) that one generate (explode) flattens. A
+            // filter-per-branch + union would re-execute the join subtree
+            // once per branch (Spark does not dedupe union legs) — 3× the
+            // dominant cost at scale. Inserts are one anti-join
+            // (broadcast when the change set is small); unions are
+            // shuffle-free.
+            val effCol = t.expr.getOrElse(throw new IllegalArgumentException(
+              "merge scd2 needs `expr` (the change set's effective-date column)"))
+            val scdCols = Seq("valid_from", "valid_to", "is_current")
+            scdCols.foreach(cn => require(df.columns.contains(cn),
+              s"merge scd2: base lacks SCD column '$cn' " +
+                s"(needs ${scdCols.mkString(", ")})"))
+            val baseAttrs = df.columns.filterNot(scdCols.contains).toSeq
+            require(t.on.forall(baseAttrs.contains),
+              s"merge scd2: `on` keys must be non-SCD base columns")
+            require(updates.columns.contains(effCol),
+              s"merge scd2: change set lacks effective-date column '$effCol'")
+            val carried = updates.columns.filterNot(_ == effCol).toSeq
+            require(carried.toSet == baseAttrs.toSet,
+              s"merge scd2: change set must carry exactly the base's non-SCD " +
+                s"columns (${baseAttrs.sorted.mkString(", ")}) plus '$effCol'; " +
+                s"got (${updates.columns.sorted.mkString(", ")})")
+            requireUniqueKeys()
+            // a null effective date would silently corrupt both the
+            // close-out and the new version — fail fast (bounded probe,
+            // same cost class as the duplicate-key guard)
+            val nullEff = updates.where(col(effCol).isNull).limit(1).collect()
+            require(nullEff.isEmpty, s"merge scd2: change set has null " +
+              s"'$effCol' values, e.g. ${nullEff.headOption.fold("")(_.toString)}")
+            val attrsOnly = baseAttrs.filterNot(t.on.contains)
+            val vfType = df.schema("valid_from").dataType
+            val vtType = df.schema("valid_to").dataType
+            val curFlag = coalesce(col("is_current"), lit(false))
+            val cur = df.where(curFlag)
+            val hist = df.where(!curFlag)
+            val u = updates.withColumn("__matched", lit(true))
+            val cond = t.on.map(k => col(s"c.$k") === col(s"u.$k")).reduce(_ && _)
+            val j = cur.alias("c").join(u.alias("u"), cond, "left")
+            // null-safe attribute comparison: a NULL→value (or value→NULL)
+            // flip IS a change; NULL→NULL is not
+            val differs = attrsOnly.map(a => !(col(s"c.$a") <=> col(s"u.$a")))
+              .reduceOption(_ || _).getOrElse(lit(false))
+            val versioned = col("u.__matched").isNotNull && differs
+            // pre-shaped output rows as structs (field order = base
+            // schema, so r.* conforms without a second projection)
+            def shaped(vf: Column, vt: Column, isCur: Column,
+                attr: String => Column): Column =
+              struct(df.columns.toSeq.map {
+                case "valid_from" => vf.cast(vfType).as("valid_from")
+                case "valid_to" => vt.cast(vtType).as("valid_to")
+                case "is_current" => isCur.as("is_current")
+                case cn => attr(cn).as(cn)
+              }: _*)
+            val keepR = shaped(col("c.valid_from"), col("c.valid_to"),
+              col("c.is_current"), cn => col(s"c.$cn"))
+            val closedR = shaped(col("c.valid_from"), col(s"u.$effCol"),
+              lit(false), cn => col(s"c.$cn"))
+            val openedR = shaped(col(s"u.$effCol"), lit(null),
+              lit(true), cn => col(s"u.$cn"))
+            val merged = j.select(explode(
+                when(versioned, array(closedR, openedR))
+                  .otherwise(array(keepR))).as("r"))
+              .select(col("r.*"))
+            val inserts = updates
+              .join(cur.select(t.on.map(col): _*), t.on, "left_anti")
+              .select(df.columns.toSeq.map {
+                case "valid_from" => col(effCol).cast(vfType).as("valid_from")
+                case "valid_to" => lit(null).cast(vtType).as("valid_to")
+                case "is_current" => lit(true).as("is_current")
+                case cn => col(cn)
+              }: _*)
+            hist.unionByName(merged).unionByName(inserts)
           case other => throw new IllegalArgumentException(
-            s"merge how: unknown '$other' (upsert | delete)")
+            s"merge how: unknown '$other' (upsert | delete | scd2)")
         }
       case "tokenize" => // §2.J1/J2 through the config surface
         val src = t.cols.headOption.getOrElse(throw new IllegalArgumentException(

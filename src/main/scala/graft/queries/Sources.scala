@@ -61,6 +61,41 @@ object Sources extends QueryPack {
       .orderBy(col("id"))
   }
 
+  /** §2.A3 MULTILINE path — quoted records with embedded newlines,
+    * embedded delimiters, and RFC-4180 doubled quotes, read through the
+    * config surface (`multiLine: true` + `escape: '"'` pass through the
+    * source options verbatim). The fixture is hand-written — a Spark
+    * write would quote for us and prove nothing. Scale note: multiLine
+    * disables line-boundary file SPLITTING (a record can span a split
+    * point, so each file parses as one unit) — keep multiline CSV inputs
+    * in many small-to-medium files, or convert to parquet at the edge;
+    * the option is for ingesting what exists, not a 100 TB steady state. */
+  val a3c: QueryDef = m(
+    "a3c_csv_multiline",
+    s"""SELECT id, note, val
+       |FROM read_csv('$ioDir/multiline_csv/data.csv', delim = ';', header = true,
+       |  columns = {'id': 'BIGINT', 'note': 'VARCHAR', 'val': 'DOUBLE'})
+       |ORDER BY id""".stripMargin) { (spark, dir) =>
+    val p = java.nio.file.Paths.get(s"$ioDir/multiline_csv")
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.writeString(p.resolve("data.csv"),
+      "id;note;val\n" +
+        "1;\"line one\nline two\";1.5\n" +
+        "2;\"has;delimiter\";2.0\n" +
+        "3;\"quote \"\"inside\"\" here\";3.25\n" +
+        "4;plain;4.0\n")
+    val spec = graft.config.PipelineSpec.parse(
+      s"""name: a3c_multiline
+         |source:
+         |  format: csv
+         |  path: "$ioDir/multiline_csv"
+         |  schema: "id BIGINT, note STRING, val DOUBLE"
+         |  options: {header: "true", delimiter: ";", multiLine: "true",
+         |            escape: "\\"", mode: FAILFAST}
+         |""".stripMargin)
+    PipelineRunner.read(spark, spec.source).orderBy(col("id"))
+  }
+
   /** The malformed fixture + PERMISSIVE reader, shared with SourcesSpec. */
   def writeMalformedCsv(): Unit = {
     val p = java.nio.file.Paths.get(s"$ioDir/malformed_csv")
@@ -869,7 +904,78 @@ object Sources extends QueryPack {
     PipelineRunner.run(spark, yaml).passed
   }
 
+  /** §3.2 EP16 — SCD2 merge (effective-dated history) from the YAML
+    * surface. The engine first writes two sf-invariant artifacts (same
+    * nation-based determinism rule as ep6): an SCD base where every
+    * nation is a current version and keys ≤ 5 also carry a closed 2023
+    * version, and a change set with three populations — keys ≤ 10 move
+    * region (attribute change → close-out + new version), keys 11–13
+    * arrive UNCHANGED (classic SCD2 no-ops — nothing versions), and
+    * three unseen keys insert as new current rows. The oracle replays
+    * the same semantics as one DuckDB query over the two artifacts:
+    * current × changes left join with null-safe attribute comparison,
+    * then history ∪ no-ops ∪ close-outs ∪ new versions ∪ inserts. */
+  val ep16: QueryDef = m(
+    "ep16_config_scd2",
+    s"""WITH b AS (SELECT * FROM read_parquet('$ioDir/nation_scd_base/*.parquet')),
+       |u AS (SELECT * FROM read_parquet('$ioDir/nation_scd_changes/*.parquet')),
+       |cur AS (SELECT * FROM b WHERE is_current),
+       |hist AS (SELECT * FROM b WHERE NOT is_current),
+       |m AS (
+       |  SELECT c.n_nationkey, c.n_name, c.n_regionkey, c.valid_from,
+       |         c.valid_to, c.is_current, u.n_name AS un, u.n_regionkey AS ur,
+       |         u.eff_date,
+       |         u.n_nationkey IS NOT NULL AND (
+       |           c.n_name IS DISTINCT FROM u.n_name OR
+       |           c.n_regionkey IS DISTINCT FROM u.n_regionkey) AS versioned
+       |  FROM cur c LEFT JOIN u ON c.n_nationkey = u.n_nationkey)
+       |SELECT n_nationkey, n_name, n_regionkey, valid_from, valid_to, is_current
+       |FROM hist
+       |UNION ALL
+       |SELECT n_nationkey, n_name, n_regionkey, valid_from, valid_to, is_current
+       |FROM m WHERE NOT versioned
+       |UNION ALL
+       |SELECT n_nationkey, n_name, n_regionkey, valid_from, eff_date, FALSE
+       |FROM m WHERE versioned
+       |UNION ALL
+       |SELECT n_nationkey, un, ur, eff_date, NULL, TRUE FROM m WHERE versioned
+       |UNION ALL
+       |SELECT u.n_nationkey, u.n_name, u.n_regionkey, u.eff_date, NULL, TRUE
+       |FROM u WHERE NOT EXISTS (
+       |  SELECT 1 FROM cur c WHERE c.n_nationkey = u.n_nationkey)
+       |ORDER BY n_nationkey, valid_from""".stripMargin) { (spark, dir) =>
+    val base = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val d = (s: String) => lit(java.sql.Date.valueOf(s))
+    base.select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        d("2024-01-01").as("valid_from"),
+        lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+      .unionByName(base.where(col("n_nationkey") <= 5)
+        .select(col("n_nationkey"), col("n_name"),
+          (col("n_regionkey") + 50).as("n_regionkey"),
+          d("2023-01-01").as("valid_from"),
+          d("2024-01-01").as("valid_to"), lit(false).as("is_current")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$ioDir/nation_scd_base")
+    base.where(col("n_nationkey") <= 10)
+      .withColumn("n_regionkey", col("n_regionkey") + 100)
+      .unionByName(base.where(col("n_nationkey").between(11, 13)))
+      .unionByName(base.where(col("n_nationkey") <= 2)
+        .withColumn("n_nationkey", col("n_nationkey") + 1000)
+        .withColumn("n_name", concat(lit("NEW_"), col("n_name"))))
+      .withColumn("eff_date", d("2025-06-01"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$ioDir/nation_scd_changes")
+    val yaml =
+      s"""name: ep16_scd2
+         |source: {format: parquet, path: "$ioDir/nation_scd_base"}
+         |transforms:
+         |  - {op: merge, how: scd2, on: [n_nationkey], expr: eff_date,
+         |     table: {format: parquet, path: "$ioDir/nation_scd_changes"}}
+         |  - {op: sort, cols: [n_nationkey, valid_from]}
+         |""".stripMargin
+    PipelineRunner.run(spark, yaml).passed
+  }
+
   override def defs: Seq[QueryDef] =
-    Seq(a3, a3b, a4, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3, ep3b, ep4, ep5, ep5b,
-      ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13, ep14, ep15)
+    Seq(a3, a3b, a3c, a4, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3, ep3b, ep4, ep5,
+      ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13, ep14, ep15, ep16)
 }

@@ -1483,6 +1483,71 @@ class ConfigPipelineSpec extends SparkSpecBase {
     ids() shouldBe Seq()
   }
 
+  test("EP16: scd2 merge versions changed keys, skips identical ones, is rerun-idempotent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/tmp/graft_io/scd2_spec"
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // base: keys 1,2,3 current; key 1 also carries a closed 2023 version
+    Seq(
+      (1L, "alpha", 10L, d("2024-01-01"), null.asInstanceOf[java.sql.Date], true),
+      (2L, "beta", 20L, d("2024-01-01"), null.asInstanceOf[java.sql.Date], true),
+      (3L, "gamma", 30L, d("2024-01-01"), null.asInstanceOf[java.sql.Date], true),
+      (1L, "alpha", 11L, d("2023-01-01"), d("2024-01-01"), false))
+      .toDF("k", "name", "region", "valid_from", "valid_to", "is_current")
+      .write.mode("overwrite").parquet(s"$dir/base")
+    // changes: key 2 moves region (versions), key 3 identical (no-op),
+    // key 9 unseen (inserts); key 1 absent (untouched)
+    def writeChanges(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("k", "name", "region")
+        .withColumn("eff", lit(d("2025-06-01")))
+        .write.mode("overwrite").parquet(s"$dir/changes")
+    writeChanges(Seq((2L, "beta", 99L), (3L, "gamma", 30L), (9L, "iota", 40L)))
+    def yaml(base: String) =
+      s"""name: scd2_spec
+         |source: {format: parquet, path: "$base"}
+         |transforms:
+         |  - {op: merge, how: scd2, on: [k], expr: eff,
+         |     table: {format: parquet, path: "$dir/changes"}}
+         |  - {op: sort, cols: [k, valid_from]}
+         |""".stripMargin
+    def runDF(base: String) = PipelineRunner.run(spark, yaml(base)).passed
+    def rows(base: String): Seq[(Long, String, Long, java.sql.Date, java.sql.Date, Boolean)] =
+      runDF(base)
+        .as[(Long, String, Long, java.sql.Date, java.sql.Date, Boolean)]
+        .collect().toSeq
+    val out = rows(s"$dir/base")
+    out shouldBe Seq(
+      (1L, "alpha", 11L, d("2023-01-01"), d("2024-01-01"), false),
+      (1L, "alpha", 10L, d("2024-01-01"), null, true),
+      (2L, "beta", 20L, d("2024-01-01"), d("2025-06-01"), false),
+      (2L, "beta", 99L, d("2025-06-01"), null, true),
+      (3L, "gamma", 30L, d("2024-01-01"), null, true),
+      (9L, "iota", 40L, d("2025-06-01"), null, true))
+    // rerun-idempotence: applying the SAME change set to the merged
+    // result versions nothing further — every change now matches its
+    // key's current attributes (or its insert), so merge∘merge = merge
+    runDF(s"$dir/base").write.mode("overwrite").parquet(s"$dir/merged")
+    rows(s"$dir/merged") shouldBe out
+    // guard rails: duplicate change keys fail fast
+    writeChanges(Seq((2L, "beta", 99L), (2L, "beta", 98L)))
+    (the[IllegalArgumentException] thrownBy rows(s"$dir/base"))
+      .getMessage should include("duplicate keys")
+    // null effective date fails fast
+    Seq((2L, "beta", 99L)).toDF("k", "name", "region")
+      .withColumn("eff", lit(null).cast("date"))
+      .write.mode("overwrite").parquet(s"$dir/changes")
+    (the[IllegalArgumentException] thrownBy rows(s"$dir/base"))
+      .getMessage should include("null")
+    // a change set missing an attribute column fails fast (no silent
+    // carry-forward ambiguity)
+    Seq((2L, "beta")).toDF("k", "name")
+      .withColumn("eff", lit(d("2025-06-01")))
+      .write.mode("overwrite").parquet(s"$dir/changes")
+    (the[IllegalArgumentException] thrownBy rows(s"$dir/base"))
+      .getMessage should include("exactly the base's non-SCD columns")
+  }
+
   test("EP1: rename / cast / drop transforms compose in order") {
     val yaml =
       s"""name: t_demo

@@ -78,6 +78,68 @@ class StreamingOpsSpec extends SparkSpecBase {
     emitted.keySet should not contain "04"
   }
 
+  test("A9: kafka source contract — validation, offline guard, semantics on the connector schema") {
+    import graft.config.PipelineSpec
+    import graft.pipeline.PipelineRunner
+    // minimal valid spec parses; options pass through verbatim
+    val ok = PipelineSpec.parse(
+      """name: kbus
+        |mode: streaming
+        |source:
+        |  format: kafka
+        |  options: {kafka.bootstrap.servers: "broker:9092", subscribe: events,
+        |            startingOffsets: earliest, maxOffsetsPerTrigger: "100000"}
+        |""".stripMargin)
+    ok.source.options("subscribe") shouldBe "events"
+    ok.source.options("startingOffsets") shouldBe "earliest"
+    // validation guard rails (each the config-platform fail-fast posture)
+    def bad(src: String, mode: String = "mode: streaming\n") =
+      the[IllegalArgumentException] thrownBy PipelineSpec.parse(
+        s"name: kbad\n$mode" + s"source:\n$src")
+    bad("  format: kafka\n  options: {subscribe: events}\n")
+      .getMessage should include("kafka.bootstrap.servers")
+    bad("  format: kafka\n  options: {kafka.bootstrap.servers: b, " +
+      "subscribe: e, assign: x}\n")
+      .getMessage should include("exactly one")
+    bad("  format: kafka\n  schema: \"v STRING\"\n  options: " +
+      "{kafka.bootstrap.servers: b, subscribe: e}\n")
+      .getMessage should include("fixed by the connector")
+    bad("  format: kafka\n  options: {kafka.bootstrap.servers: b, subscribe: e}\n",
+      mode = "").getMessage should include("mode: streaming")
+    // the YAML→reader translation genuinely reaches Spark's provider
+    // lookup; offline (no connector jar in this image) the guard names
+    // the jar to add instead of surfacing a bare lookup failure
+    val err = the[IllegalStateException] thrownBy
+      PipelineRunner.readStream(spark, ok.source)
+    err.getMessage should include("spark-sql-kafka-0-10")
+    // pipeline semantics over kafka's fixed record schema, stood in by a
+    // MemoryStream with the same shape: the derive-the-payload + filter
+    // chain every broker pipeline starts with, run as a REAL AvailableNow
+    // micro-batch query
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val transforms = PipelineSpec.parse(
+      """name: shape
+        |source: {format: parquet, path: unused}
+        |transforms:
+        |  - {op: derive, name: payload, expr: "CAST(value AS STRING)"}
+        |  - {op: filter, expr: "`partition` = 0"}
+        |  - {op: select, cols: [topic, offset, payload]}
+        |""".stripMargin).transforms
+    val ms = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long, Timestamp, Int)](spark)
+    def rec(k: String, v: String, p: Int, off: Long) =
+      (k.getBytes("UTF-8"), v.getBytes("UTF-8"), "events", p, off,
+        new Timestamp(1700000000000L + off), 0)
+    ms.addData(rec("k1", "hello", 0, 0L), rec("k2", "drop-me", 1, 1L),
+      rec("k3", "world", 0, 2L))
+    val out = StreamOps.runToBatch(spark, "kafka_standin",
+      _ => transforms.foldLeft[DataFrame](ms.toDF().toDF("key", "value", "topic",
+        "partition", "offset", "timestamp", "timestampType"))(
+        (df, t) => PipelineRunner.applyTransform(spark, df, t)),
+      "append")
+    out.as[(String, Long, String)].collect().sortBy(_._2) shouldBe
+      Seq(("events", 0L, "hello"), ("events", 2L, "world"))
+  }
+
   test("L5: streaming dedup drops crafted duplicate keys within the stream") {
     val base = "/tmp/graft_stream_test/l5"
     StreamOps.rmrf(base)
