@@ -41,5 +41,11 @@ val driverMem: String = {
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // this container's POSIX locale makes the JVM default charset US-ASCII
+  // (file.encoding=ANSI_X3.4-1968), and Spark's VARIANT string path
+  // decodes through the default charset — non-ASCII JSON values come
+  // back as mojibake. Real clusters run UTF-8 locales; pin it here so
+  // local behavior matches production.
+  "-Dfile.encoding=UTF-8",
   s"-Xmx$driverMem",
 )

@@ -34,7 +34,11 @@ object Bench {
         a.startsWith("-Xmx") || a.startsWith("-Xms") ||
         a.startsWith("-XX:MaxRAM") || a.startsWith("-XX:InitialRAMPercentage") ||
         a.startsWith("-XX:MinRAMPercentage")
-      } :+ "-Xmx32g"
+      } ++ Seq("-Xmx32g",
+        // this container's POSIX locale defaults the JVM charset to
+        // US-ASCII, which mangles VARIANT/non-ASCII strings — production
+        // clusters run UTF-8, so the child should too
+        "-Dfile.encoding=UTF-8")
   }
 
   // round, not floor: G1 reports maxMemory slightly below -Xmx (minus a

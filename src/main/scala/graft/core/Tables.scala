@@ -53,10 +53,25 @@ object Tables {
       case LongType => // TIMESTAMP(NANOS) file, read nanos-as-BIGINT
         raw.withColumn("event_ts",
           timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
-      case TimestampNTZType | TimestampType => // TIMESTAMP(MICROS) file
+      case TimestampNTZType => // TIMESTAMP(MICROS) file, naive values —
+        // derive epoch-micros ZONE-FREE (timestampdiff between two NTZ
+        // values never consults the session zone; the previous
+        // unix_micros(cast AS TIMESTAMP) silently shifted ts in any
+        // foreign session not pinned to UTC)
+        raw
+          .withColumn("event_ts", col("ts"))
+          .withColumn("ts", expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+            * lit(1000L))
+      case TimestampType => // MICROS adjusted-to-UTC (an absolute instant:
+        // unix_micros is zone-free here, but the NTZ render of event_ts is
+        // not — pin the zone like the nanosAsLong guard above; no-op under
+        // any graft-built session)
+        if (spark.conf.getOption("spark.sql.session.timeZone").forall(_ != "UTC"))
+          spark.conf.set("spark.sql.session.timeZone", "UTC")
         raw
           .withColumn("event_ts", col("ts").cast(TimestampNTZType))
-          .withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+          .withColumn("ts", unix_micros(col("ts")) * lit(1000L))
       case other =>
         throw new IllegalStateException(
           s"events.ts loaded as unsupported type ${other.sql} — driver data drift? " +

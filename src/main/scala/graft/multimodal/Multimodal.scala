@@ -255,7 +255,14 @@ object Multimodal {
     * signature and batch shape an ffmpeg binding would have). Runs
     * per-partition: codec setup (ImageIO cache off) once per task, then
     * a streamed pass, and only the small feature rows ever shuffle. */
-  def decodeStub(spark: SparkSession, blobs: DataFrame): Dataset[MediaFeatures] = {
+  /** `tryRealDecode = false` pins every row to the deterministic
+    * byte-histogram fallback — for callers whose ORACLE is byte math
+    * (mm2): a text blob that happens to start with valid image magic
+    * ('GIF87a', 'BM', …) must not silently flip to pixel features when
+    * the driver regenerates the corpus. Real media pipelines (mm3) keep
+    * the default. */
+  def decodeStub(spark: SparkSession, blobs: DataFrame,
+      tryRealDecode: Boolean = true): Dataset[MediaFeatures] = {
     import spark.implicits._
     blobs.select(col("doc_id"), col("kind"), col("bytes")).as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
@@ -263,7 +270,8 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, kind, bytes) =>
           val frame = bytes.take(8).map(x => f"${x & 0xff}%02X").mkString
-          val real = if (kind == "image") decodeImage(bytes) else None
+          val real =
+            if (tryRealDecode && kind == "image") decodeImage(bytes) else None
           real match {
             case Some((w, h, hist)) =>
               MediaFeatures(id, kind, bytes.length.toLong, frame, hist, w, h, decoded = true)

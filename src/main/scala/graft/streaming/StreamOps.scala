@@ -61,7 +61,14 @@ object StreamOps {
     schema("ts").dataType match {
       case LongType => // TIMESTAMP(NANOS) file, declared nanos-as-BIGINT
         raw.withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType | TimestampType => // TIMESTAMP(MICROS) file
+      case TimestampNTZType | TimestampType => // TIMESTAMP(MICROS) file.
+        // The NTZ→TIMESTAMP cast (event_ts must be zoned — watermarks
+        // reject NTZ) and the nanos derivation both consult the session
+        // zone for naive values: pin UTC like the nanosAsLong guard above
+        // (no-op under any graft-built session), so a foreign non-UTC
+        // session cannot silently shift event times
+        if (spark.conf.getOption("spark.sql.session.timeZone").forall(_ != "UTC"))
+          spark.conf.set("spark.sql.session.timeZone", "UTC")
         raw
           .withColumn("event_ts", col("ts").cast(TimestampType))
           .withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))

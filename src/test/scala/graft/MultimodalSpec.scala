@@ -128,9 +128,33 @@ class MultimodalSpec extends SparkSpecBase {
       Some((3, Seq[Byte](4)))
   }
 
-  test("mm2 contract: synthetic text blobs never decode as images (oracle stays byte-math)") {
-    val blobs = Multimodal.attachBlobs(Tables.documents(spark, sf).limit(50))
-    val feats = Multimodal.decodeStub(spark, blobs)
-    feats.filter(col("decoded")).count() shouldBe 0L
+  test("mm2 contract: fallback-only decode can never diverge from the byte-math oracle") {
+    // mm2 now pins tryRealDecode = false, so even a blob carrying VALID
+    // image magic stays on the byte-histogram path — the oracle cannot
+    // drift no matter what text the driver regenerates
+    val png = pngBytes()
+    val feats = Multimodal.decodeStub(spark,
+      Seq((1L, "image", png)).toDF("doc_id", "kind", "bytes"),
+      tryRealDecode = false).collect()
+    feats.head.decoded shouldBe false
+    val expected = new Array[Double](16)
+    png.foreach(b => expected((b & 0xff) >> 4) += 1.0 / png.length)
+    feats.head.histogram.zip(expected).foreach { case (a, e) => a shouldBe e +- 1e-12 }
+    // and the full corpus under mm2's exact path: all byte-math
+    val blobs = Multimodal.attachBlobs(Tables.documents(spark, sf))
+    Multimodal.decodeStub(spark, blobs, tryRealDecode = false)
+      .filter(col("decoded")).count() shouldBe 0L
+  }
+
+  test("mm5: truncated container tail emits the zeroed row, never a task failure") {
+    // header says 3 frames but the payload is cut mid-frame: the first
+    // sampleFrame (frame 0) can succeed while the middle-frame read hits
+    // the truncation — exactly the shape that used to .get-crash
+    val frames = Seq(Array.fill[Byte](40)(1), Array.fill[Byte](40)(2),
+      Array.fill[Byte](40)(3))
+    val full = Multimodal.encodeFrameContainer(frames)
+    val truncated = full.take(full.length - 60)
+    Multimodal.sampleFrame(truncated, 0).map(_._1) shouldBe Some(3)
+    Multimodal.sampleFrame(truncated, 1) shouldBe None
   }
 }
