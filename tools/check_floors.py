@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Mechanical clean-floor check for bench runs.
+
+Usage:
+    python3 tools/check_floors.py BENCH_r14.json        # driver bench capture
+    python3 tools/check_floors.py bench_stdout.txt      # raw Bench stdout
+    ... | python3 tools/check_floors.py -                # stdin
+
+Parses per-query seconds from the bench output (works on the driver's
+truncated "tail" captures too — every surviving "name":secs pair is used),
+compares each against tools/clean_floors.json, and flags queries above
+2x their clean floor with > 0.75 s absolute excess (the absolute guard
+keeps sub-second noise from flagging).
+
+The verdict separates regression from host noise mechanically:
+  - flags + low steal + sane heap  -> REGRESSION (exit 1)
+  - flags + high steal or oversized heap -> HOST-NOISE / HEAP (exit 0,
+    the run is not evidence about the code)
+  - no flags -> CLEAN (exit 0)
+"""
+import json
+import re
+import sys
+
+
+def load_text(path: str) -> str:
+    data = sys.stdin.read() if path == "-" else open(path).read()
+    try:
+        obj = json.loads(data)
+        if isinstance(obj, dict) and "tail" in obj:
+            return obj["tail"]
+    except (json.JSONDecodeError, UnicodeDecodeError):
+        pass
+    return data
+
+
+def main() -> int:
+    if len(sys.argv) != 2:
+        print(__doc__)
+        return 2
+    text = load_text(sys.argv[1])
+    spec = json.load(open(f"{sys.path[0]}/clean_floors.json"))
+    floors, default = spec["floors"], spec["default"]
+
+    # every "name":secs pair whose key has the registered-query SHAPE
+    # (family letters + number [+ variant letter] + underscore, e.g.
+    # a3b_, ep16_, k12b_, mm4_, i9x_ — plus the two flat names). This
+    # excludes the attribution block's stage keys (steal, probe_mops,
+    # cc_round_3, edges_sym, ...) and the gate line's scalars without
+    # needing the full line to survive the driver's tail truncation.
+    qname = re.compile(r"^(?:[a-z]{1,3}[0-9]+[a-z]?_[a-z0-9_]+|c_metrics|pricing_summary)$")
+    times = {}
+    for m in re.finditer(r'"([a-z][a-z0-9_]+)":(-?[0-9][0-9.eE+-]*)', text):
+        k, v = m.group(1), float(m.group(2))
+        if qname.match(k):
+            times[k] = v  # last occurrence wins (the final line repeats)
+
+    gate = {}
+    for key in ("heap_gb", "steal_sec", "probe_mops_start", "probe_mops_end"):
+        m = re.findall(rf'"{key}":(-?[0-9][0-9.eE+-]*)', text)
+        if m:
+            gate[key] = float(m[-1])
+
+    flags = []
+    for q, sec in sorted(times.items()):
+        floor = floors.get(q, default)
+        if sec > 2 * floor and sec - floor > 0.75:
+            flags.append((q, sec, floor))
+
+    print(f"parsed {len(times)} query timings; gate: {gate or 'n/a'}")
+    for q, sec, floor in flags:
+        print(f"  FLAG {q}: {sec:.2f}s vs clean floor {floor:.1f}s "
+              f"({sec / floor:.1f}x)")
+
+    noisy = gate.get("steal_sec", 0) >= 20 or gate.get("heap_gb", 32) > 48
+    if not flags:
+        print("verdict: CLEAN — every query within 2x of its clean floor")
+        return 0
+    if noisy:
+        print("verdict: HOST-NOISE/HEAP — flags exist but steal_sec/heap_gb "
+              "say the environment, not the code, is the suspect; re-run "
+              "on an idle box at -Xmx32g before concluding anything")
+        return 0
+    print("verdict: REGRESSION — flags on a clean run (low steal, sane heap)")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
