@@ -62,6 +62,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_srp_sig"),
       new ExpressionInfo(classOf[SrpSig].getName, "graft_srp_sig"),
       srpBuilder),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHashSig(args.head)),
     (FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       (args: Seq[Expression]) => RollingHash(args.head)),

@@ -92,34 +92,25 @@ object TextOps2 extends QueryPack {
     }
   }
 
-  /** Per-doc 64-bit SimHash signatures (shared by k8 and its spec).
-    * Columnar construction: explode token hashes once, then 64 codegen'd
-    * conditional sums in ONE hash aggregate (the nested-HOF form — a
-    * per-(row,bit) interpreted lambda — measured ~10x slower). One
-    * shuffle by doc_id; bit b lands at position 63-b (bit order is
-    * arbitrary but fixed; hamming distance is order-invariant).
-    * shiftleft|or, not a*2+x: setting bit 63 overflows signed-long
-    * multiplication under ANSI mode.
-    *
-    * Cost note: a cold run of this build is dominated by the ONE-TIME
-    * whole-stage-codegen compile of the 64-sum aggregate (~4 s), not by
-    * execution (~1 s warm at sf0.1) — at cluster scale the compile
-    * amortizes across every partition of a 100 TB corpus. */
+  /** Per-doc 64-bit SimHash signatures (shared by k8 and its spec), as
+    * ONE map-only fused pass: `graft_simhash` (ext/SimHashSig) computes
+    * the whole signature per row inside WholeStageCodegen. The previous
+    * build exploded every (doc, token) pair and shuffled them into a
+    * 64-conditional-sum aggregate — a full token-level exchange (plus a
+    * one-time ~4 s codegen compile of the 64-sum plan) for a value that
+    * is a pure function of one row. Bit placement (b → 63-b) and the
+    * per-token xxhash64 are unchanged; SimilarityOpsSpec asserts the
+    * fused form ≡ the aggregate form bit-for-bit on the real corpus.
+    * The `size > 0` filter preserves the explode form's row set exactly
+    * (token-less docs vanished there; they would sig to 0 here). */
   def simhashDocs(spark: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
-    val tok = Tables.documents(spark, dir)
+    graft.ext.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
       .where(col("doc_id") < 200)
-      .select(col("doc_id"),
-        explode(expr("transform(array_distinct(split(lower(text), ' ')), t -> xxhash64(t))")).as("h"))
-    val sums = tok.groupBy(col("doc_id")).agg(
-      sum(expr("CASE WHEN ((h >> 0) & 1) = 1 THEN 1 ELSE -1 END")).as("b0"),
-      (1 until 64).map(b =>
-        sum(expr(s"CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"b$b")): _*)
-    sums.withColumn("simhash", expr(
-        (0 until 64).map(b =>
-          s"shiftleft(CAST(CASE WHEN b$b > 0 THEN 1 ELSE 0 END AS BIGINT), ${63 - b})")
-          .mkString(" | ")))
-      .select(col("doc_id"), col("simhash"))
+      .withColumn("toks", expr("array_distinct(split(lower(text), ' '))"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), expr("graft_simhash(toks)").as("simhash"))
   }
 
   /** SimHash near-dup (X-tier: xxhash64 bit math is engine-internal).

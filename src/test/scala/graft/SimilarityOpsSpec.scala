@@ -136,6 +136,38 @@ class SimilarityOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("K8: fused graft_simhash ≡ the explode + 64-sum aggregate bit-for-bit") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{explode, sum}
+    val toks = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "array_distinct(split(lower(text), ' ')) AS toks")
+      .where(org.apache.spark.sql.functions.size(col("toks")) > 0)
+    val fused = toks.selectExpr("doc_id", "graft_simhash(toks) AS s")
+      .as[(Long, Long)].collect().toMap
+    // the aggregate construction k8 shipped before ext/SimHashSig
+    val tok = toks.select(col("doc_id"),
+      explode(expr("transform(toks, t -> xxhash64(t))")).as("h"))
+    val sums = tok.groupBy(col("doc_id")).agg(
+      sum(expr("CASE WHEN ((h >> 0) & 1) = 1 THEN 1 ELSE -1 END")).as("b0"),
+      (1 until 64).map(b =>
+        sum(expr(s"CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"b$b")): _*)
+    val agg = sums.withColumn("s", expr(
+        (0 until 64).map(b =>
+          s"shiftleft(CAST(CASE WHEN b$b > 0 THEN 1 ELSE 0 END AS BIGINT), ${63 - b})")
+          .mkString(" | ")))
+      .select(col("doc_id"), col("s")).as[(Long, Long)].collect().toMap
+    fused.keySet shouldBe agg.keySet
+    fused.foreach { case (id, s) =>
+      withClue(s"doc_id=$id: ")(s shouldBe agg(id))
+    }
+    // interpreted path agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = try toks.selectExpr("doc_id", "graft_simhash(toks) AS s")
+      .as[(Long, Long)].collect().toMap
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    interp shouldBe fused
+  }
+
   test("K8: banded candidates cover the all-pairs hamming ground truth") {
     import graft.queries.TextOps2
     val pairs = TextOps2.k8.build(spark, sf)
