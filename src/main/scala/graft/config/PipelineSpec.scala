@@ -416,7 +416,7 @@ object PipelineSpec {
     fields(n, at, Set("format", "path", "table", "schema", "options",
       "incremental", "drift"))
     val fmt = reqStr(n, "format", at)
-    require(Set("parquet", "csv", "json", "jdbc", "kafka")(fmt),
+    require(Set("parquet", "csv", "json", "xml", "jdbc", "kafka")(fmt),
       s"$at.format: unknown '$fmt'")
     val s = SourceSpec(fmt,
       path = optStr(n, "path"), table = optStr(n, "table"),

@@ -331,6 +331,16 @@ object PipelineRunner {
       case "json" =>
         val r = spark.read.options(s.options)
         s.schema.map(ddl => r.schema(StructType.fromDDL(ddl))).getOrElse(r).json(path)
+      case "xml" => // ADF copy-activity parity via Spark 4's BUILT-IN XML
+        // datasource (ships in spark-sql since 4.0 — no external jar).
+        // `rowTag` names the repeating record element; a declared schema
+        // rides the same contract as csv/json. Batch-only here (the
+        // streaming source set stays parquet/csv/json/kafka).
+        val r = spark.read
+          .option("rowTag", s.options.getOrElse("rowTag", "ROW"))
+          .options(s.options)
+        s.schema.map(ddl => r.schema(StructType.fromDDL(ddl))).getOrElse(r)
+          .format("xml").load(path)
       case "jdbc" => // §2.A5: options pass through verbatim — url/dbtable/
         // driver, plus partitionColumn/lowerBound/upperBound/numPartitions
         // for the parallel scan a cluster-scale read requires (one

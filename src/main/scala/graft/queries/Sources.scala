@@ -136,6 +136,37 @@ object Sources extends QueryPack {
       .orderBy(col("r_regionkey"))
   }
 
+  /** ADF copy-activity XML parity through Spark 4's BUILT-IN XML
+    * datasource (ships in spark-sql since 4.0 — zero external jars). The
+    * engine WRITES nation as XML (explicit rowTag), reads it back through
+    * the config-driven `{format: xml}` source with a declared schema, and
+    * the oracle is the nation parquet itself — the same value-preserving
+    * round-trip contract as a5's JDBC case (DuckDB has no XML reader, so
+    * the round-trip against the parquet truth IS the strongest available
+    * oracle, and it is a full hash match, not rows-only). Scale note:
+    * like multiline CSV, XML records can span line boundaries, so files
+    * are the parallelism unit — many medium files, or convert to parquet
+    * at the edge. */
+  val a4b: QueryDef = m(
+    "a4b_xml_roundtrip",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""".stripMargin) { (spark, dir) =>
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .coalesce(1).write.mode("overwrite")
+      .option("rowTag", "nation").option("rootTag", "nations")
+      .format("xml").save(s"$ioDir/nation_xml")
+    val spec = graft.config.PipelineSpec.parse(
+      s"""name: a4b_xml
+         |source:
+         |  format: xml
+         |  path: "$ioDir/nation_xml"
+         |  schema: "n_nationkey INT, n_name STRING, n_regionkey INT"
+         |  options: {rowTag: nation}
+         |""".stripMargin)
+    PipelineRunner.read(spark, spec.source).orderBy(col("n_nationkey"))
+  }
+
   /** §2.A5 — JDBC round-trip through an IN-PROCESS Derby database (the
     * embedded driver ships with Spark's jars — zero new dependencies,
     * works offline). The engine WRITES nation to a Derby table, then
@@ -976,6 +1007,6 @@ object Sources extends QueryPack {
   }
 
   override def defs: Seq[QueryDef] =
-    Seq(a3, a3b, a3c, a4, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3, ep3b, ep4, ep5,
-      ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13, ep14, ep15, ep16)
+    Seq(a3, a3b, a3c, a4, a4b, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3, ep3b, ep4,
+      ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13, ep14, ep15, ep16)
 }

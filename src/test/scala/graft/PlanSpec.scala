@@ -237,6 +237,41 @@ class PlanSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("merge scd2: single-pass versioning — the join subtree is never duplicated") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.pipeline.PipelineRunner
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_plan_scd2").toString
+    def d(s: String) = java.sql.Date.valueOf(s)
+    Seq((1L, "a", 1L, d("2024-01-01"), null.asInstanceOf[java.sql.Date], true),
+        (2L, "b", 2L, d("2024-01-01"), null.asInstanceOf[java.sql.Date], true))
+      .toDF("k", "name", "region", "valid_from", "valid_to", "is_current")
+      .write.mode("overwrite").parquet(s"$dir/base")
+    Seq((1L, "a", 9L), (3L, "c", 3L)).toDF("k", "name", "region")
+      .withColumn("eff", lit(d("2025-01-01")))
+      .write.mode("overwrite").parquet(s"$dir/chg")
+    val out = PipelineRunner.run(spark,
+      s"""name: plan_scd2
+         |source: {format: parquet, path: "$dir/base"}
+         |transforms:
+         |  - {op: merge, how: scd2, on: [k], expr: eff,
+         |     table: {format: parquet, path: "$dir/chg"}}
+         |""".stripMargin).passed
+    // exactly TWO joins in the whole plan: the versioning outer join +
+    // the insert anti join. A filter-per-branch union would carry the
+    // outer join once per branch (Spark does not dedupe union legs) —
+    // 3x the dominant cost at scale. One Generate flattens the
+    // close-out/new-version/no-op structs out of the single join pass.
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+    val opt = out.queryExecution.optimizedPlan
+    withClue(plan(out)) {
+      opt.collect { case j: Join => j.joinType.sql }.sorted shouldBe
+        Seq("LEFT ANTI", "LEFT OUTER")
+      opt.collect { case g: Generate => g }.size shouldBe 1
+    }
+  }
+
   test("pivot: explicit values mean NO value-discovery job at plan-build time") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     import graft.pipeline.PipelineRunner
