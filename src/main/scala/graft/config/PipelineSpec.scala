@@ -317,7 +317,7 @@ final case class TransformSpec(
   * write time; at 100 TB this is what makes time-range scans of a fact
   * table read 1% of files instead of all of them. */
 final case class SinkSpec(
-    format: String,               // parquet | csv | json
+    format: String,               // parquet | csv | json | xml
     path: String,
     mode: String,                 // overwrite | append | errorifexists
     partitionBy: Seq[String],
@@ -510,7 +510,8 @@ object PipelineSpec {
     fields(n, at, Set("format", "path", "mode", "partitionBy", "options",
       "buckets", "bucketBy", "sortBy", "table", "evolve", "clusterBy"))
     val fmt = reqStr(n, "format", at)
-    require(Set("parquet", "csv", "json")(fmt), s"$at.format: unknown '$fmt'")
+    require(Set("parquet", "csv", "json", "xml")(fmt),
+      s"$at.format: unknown '$fmt'")
     val s = SinkSpec(fmt, reqStr(n, "path", at),
       mode = optStr(n, "mode").getOrElse("overwrite"),
       partitionBy = strArr(n, "partitionBy"), options = strMap(n, "options"),

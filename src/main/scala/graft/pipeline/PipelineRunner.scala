@@ -1215,6 +1215,9 @@ object PipelineRunner {
             case "parquet" => w.parquet(path)
             case "csv"     => w.option("header", s.options.getOrElse("header", "true")).csv(path)
             case "json"    => w.json(path)
+            case "xml"     => // A8 symmetry for the built-in XML datasource
+              w.option("rowTag", s.options.getOrElse("rowTag", "ROW"))
+                .format("xml").save(path)
           }
         }
         if (s.mode == "overwrite") {

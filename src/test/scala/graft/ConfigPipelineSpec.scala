@@ -1548,6 +1548,36 @@ class ConfigPipelineSpec extends SparkSpecBase {
       .getMessage should include("exactly the base's non-SCD columns")
   }
 
+  test("A8: xml sink + xml source round-trip values through the YAML surface") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = "/tmp/graft_io/xml_sink_spec"
+    PipelineRunner.run(spark,
+      s"""name: xml_out
+         |source: {format: parquet, path: "$sf/region.parquet"}
+         |transforms:
+         |  - {op: select, cols: [r_regionkey, r_name]}
+         |sink: {format: xml, path: "$dir", mode: overwrite,
+         |       options: {rowTag: region}}
+         |""".stripMargin)
+    val back = PipelineRunner.run(spark,
+      s"""name: xml_in
+         |source:
+         |  format: xml
+         |  path: "$dir"
+         |  schema: "r_regionkey BIGINT, r_name STRING"
+         |  options: {rowTag: region}
+         |transforms:
+         |  - {op: sort, cols: [r_regionkey]}
+         |""".stripMargin).passed
+      .as[(Long, String)].collect()
+    val want = spark.read.parquet(s"$sf/region.parquet")
+      .select(col("r_regionkey"), col("r_name")).orderBy(col("r_regionkey"))
+      .as[(Long, String)].collect()
+    back shouldBe want
+    back.length should be > 0
+  }
+
   test("EP1: rename / cast / drop transforms compose in order") {
     val yaml =
       s"""name: t_demo
