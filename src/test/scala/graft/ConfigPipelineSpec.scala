@@ -1548,6 +1548,97 @@ class ConfigPipelineSpec extends SparkSpecBase {
       .getMessage should include("exactly the base's non-SCD columns")
   }
 
+  test("EP16: scd2 ≡ an independent reference implementation on randomized inputs") {
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    import org.scalacheck.Gen
+    val dir = "/tmp/graft_io/scd2_prop"
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val eff = d("2025-06-01")
+    // base version chains + a change set over overlapping keys, with
+    // nullable attributes so the null-safe comparison is exercised
+    case class Ver(k: Long, name: String, region: java.lang.Long,
+        vf: java.sql.Date, vt: java.sql.Date, cur: Boolean)
+    val attr: Gen[(String, java.lang.Long)] = for {
+      n <- Gen.oneOf("a", "b", null)
+      r <- Gen.oneOf(Seq[java.lang.Long](1L, 2L, null))
+    } yield (n, r)
+    val scenario: Gen[(Seq[Ver], Seq[(Long, String, java.lang.Long)])] = for {
+      curKeys <- Gen.someOf(0L to 7L)
+      histKeys <- Gen.someOf(curKeys) // history only under existing keys
+      curAttrs <- Gen.listOfN(curKeys.size, attr)
+      histAttrs <- Gen.listOfN(histKeys.size, attr)
+      chgKeys <- Gen.someOf(0L to 9L) // 8,9 = possible inserts
+      chgAttrs <- Gen.listOfN(chgKeys.size, attr)
+    } yield {
+      val cur = curKeys.zip(curAttrs).map { case (k, (n, r)) =>
+        Ver(k, n, r, d("2024-01-01"), null, cur = true) }
+      val hist = histKeys.zip(histAttrs).map { case (k, (n, r)) =>
+        Ver(k, n, r, d("2023-01-01"), d("2024-01-01"), cur = false) }
+      val chg = chgKeys.zip(chgAttrs).map { case (k, (n, r)) => (k, n, r) }
+      ((cur ++ hist).toSeq, chg.toSeq)
+    }
+    val baseSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("name", StringType), StructField("region", LongType),
+      StructField("valid_from", DateType), StructField("valid_to", DateType),
+      StructField("is_current", BooleanType, nullable = false)))
+    val chgSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("name", StringType), StructField("region", LongType),
+      StructField("eff", DateType)))
+    forSamples(scenario, 6) { case (base, chg) =>
+      spark.createDataFrame(
+        java.util.Arrays.asList(base.map(v =>
+          SRow(v.k, v.name, v.region, v.vf, v.vt, v.cur)): _*), baseSchema)
+        .write.mode("overwrite").parquet(s"$dir/base")
+      spark.createDataFrame(
+        java.util.Arrays.asList(chg.map { case (k, n, r) =>
+          SRow(k, n, r, eff) }: _*), chgSchema)
+        .write.mode("overwrite").parquet(s"$dir/chg")
+      val got = PipelineRunner.run(spark,
+        s"""name: scd2_prop
+           |source: {format: parquet, path: "$dir/base"}
+           |transforms:
+           |  - {op: merge, how: scd2, on: [k], expr: eff,
+           |     table: {format: parquet, path: "$dir/chg"}}
+           |""".stripMargin).passed
+        .select(col("k"), col("name"), col("region"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.getDate(3)).map(_.toString),
+          Option(r.getDate(4)).map(_.toString), r.getBoolean(5)))
+        .toSeq.sorted(Ordering.by((t: (Long, Option[String], Option[Long],
+          Option[String], Option[String], Boolean)) => t.toString))
+      // independent reference: plain Scala over the same rows
+      val chgBy = chg.map(c => c._1 -> c).toMap
+      val want = base.flatMap { v =>
+        def row(vf: java.sql.Date, vt: java.sql.Date, cur: Boolean,
+            n: String, r: java.lang.Long) =
+          (v.k, Option(n), Option(r).map(_.longValue), Option(vf).map(_.toString),
+            Option(vt).map(_.toString), cur)
+        if (!v.cur) Seq(row(v.vf, v.vt, cur = false, v.name, v.region))
+        else chgBy.get(v.k) match {
+          case Some((_, n, r))
+              if Option(n) != Option(v.name) ||
+                 Option(r).map(_.longValue) != Option(v.region).map(_.longValue) =>
+            Seq(row(v.vf, eff, cur = false, v.name, v.region),
+              row(eff, null, cur = true, n, r))
+          case _ => Seq(row(v.vf, v.vt, cur = true, v.name, v.region))
+        }
+      } ++ chg.collect {
+        case (k, n, r) if !base.exists(v => v.cur && v.k == k) =>
+          (k, Option(n), Option(r).map(_.longValue),
+            Some(eff.toString), None, true)
+      }
+      got shouldBe want.sorted(Ordering.by((t: (Long, Option[String],
+        Option[Long], Option[String], Option[String], Boolean)) => t.toString))
+    }
+  }
+
   test("A8: xml sink + xml source round-trip values through the YAML surface") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
