@@ -237,6 +237,15 @@ final case class CheckSpec(
   *    (class rebalancing): `cols` = [stratumCol] + `values` =
   *    ["stratum:fraction", ...] with `fraction` as the default for
   *    unlisted strata (sampleBy semantics)
+  *  - mix (batch only): declared-mixture rebalancing — the
+  *    LLM-pretraining domain-reweighting step. `cols` = [domainCol],
+  *    `values` = ["domain:weight", ...] (weights normalized to shares),
+  *    `seed` REQUIRED. Each declared domain is seeded-sampled so the
+  *    output approximates the target proportions while keeping as much
+  *    data as possible: the binding domain keeps everything (fraction
+  *    1.0), the rest downsample to match; undeclared-domain rows drop.
+  *    One aggregate-only count job + a map-only sampleBy — the data
+  *    never shuffles.
   *  - redact (§2.J14): PII scrubbing — each `values` entry is
   *    "LABEL:regex" and every regex match in the text column is replaced
   *    by "[LABEL]", in declared order. `cols` = [textCol], `name` =
@@ -487,7 +496,7 @@ object PipelineSpec {
       "limit", "sort", "aggregate", "union", "dedup", "asof_join",
       "flatten", "pivot", "unpivot", "surrogate_key", "merge",
       "tokenize", "tfidf", "minhash_dedup", "semdedup", "ann_topk",
-      "sample", "pack", "quality_filter", "decontaminate", "redact")(op),
+      "sample", "mix", "pack", "quality_filter", "decontaminate", "redact")(op),
       s"$at.op: unknown '$op'")
     TransformSpec(op,
       cols = strArr(n, "cols"), name = optStr(n, "name"),

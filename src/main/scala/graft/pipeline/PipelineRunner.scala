@@ -201,10 +201,11 @@ object PipelineRunner {
         "group; a global row_number window has no streaming equivalent; " +
         "merge anti-joins the full base)"))
     streamable.foreach(t => require(
-      !Set("tfidf", "minhash_dedup", "semdedup", "ann_topk", "decontaminate")(t.op),
+      !Set("tfidf", "minhash_dedup", "semdedup", "ann_topk", "decontaminate",
+        "mix")(t.op),
       s"streaming mode: '${t.op}' is batch-only (idf / LSH or semantic " +
-        "clustering / top-k / the contaminated-id set all need the whole " +
-        "corpus; `tokenize` and `quality_filter` stream fine)"))
+        "clustering / top-k / the contaminated-id set / the mixture counts " +
+        "all need the whole corpus; `tokenize` and `quality_filter` stream fine)"))
 
     // Transforms apply to the PASS side only — batch parity: the batch
     // quarantine keeps pre-transform rows (+ failed_checks), and a select
@@ -1087,6 +1088,61 @@ object PipelineRunner {
             "sample: use `fraction`+`seed`, or `cols: [stratumCol]` + " +
               "`values: [\"stratum:fraction\", ...]` (+ optional default `fraction`)")
         }
+      case "mix" => // declared-mixture rebalancing (the LLM-pretraining
+        // domain-reweighting step; batch only — the counts need the whole
+        // corpus): sample each declared domain so the output approximates
+        // the declared target proportions while keeping as much data as
+        // possible. The binding domain — the one whose rows run out first
+        // at its target share — keeps EVERYTHING (fraction 1.0); every
+        // other domain downsamples to match. Plan shape: one
+        // aggregate-only count job (driver result bounded by the declared
+        // domain list), then a map-only seeded sampleBy — the data itself
+        // never shuffles. Undeclared-domain rows are dropped: they have
+        // no target share, and silently keeping them would skew the
+        // mixture the op exists to enforce.
+        require(t.cols.length == 1, "mix needs `cols: [domainCol]`")
+        require(t.values.nonEmpty, "mix needs `values: [\"domain:weight\", ...]`")
+        val mixSeed = t.seed.getOrElse(throw new IllegalArgumentException(
+          "mix needs `seed` (unseeded sampling is not reproducible)"))
+        val domain = t.cols.head
+        val weights = t.values.map { sp =>
+          sp.split(":", 2) match {
+            case Array(dm, w) => dm -> w.toDouble
+            case _ => throw new IllegalArgumentException(
+              s"mix values: expected 'domain:weight', got '$sp'")
+          }
+        }
+        require(weights.map(_._1).distinct.size == weights.size,
+          "mix: duplicate domain in `values`")
+        weights.foreach { case (dm, w) =>
+          require(w > 0, s"mix: weight for '$dm' must be positive, got $w") }
+        // declared keys normalized through the column's own type (same
+        // contract as `sample` — an integer/decimal domain column must
+        // match its string shadow rendering, one driver-local fold)
+        val domT = df.schema(domain).dataType
+        val mixNormRow = spark.range(1).select(
+          weights.map { case (dm, _) => lit(dm).cast(domT).cast("string") }: _*).head()
+        val normed = weights.zipWithIndex.map { case ((dm, w), i) =>
+          require(!mixNormRow.isNullAt(i),
+            s"mix: domain key '$dm' does not parse as ${domT.sql}")
+          mixNormRow.getString(i) -> w
+        }
+        val wSum = normed.map(_._2).sum
+        val share = normed.map { case (dm, w) => dm -> w / wSum }.toMap
+        val dCol = "__domain_s"
+        val shadowed = df.withColumn(dCol, col(domain).cast("string"))
+          .where(col(dCol).isin(normed.map(_._1): _*))
+        val counts = shadowed.groupBy(col(dCol)).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        normed.foreach { case (dm, _) => require(counts.getOrElse(dm, 0L) > 0L,
+          s"mix: domain '$dm' has no rows — drop it from the mixture or fix " +
+            "the data (a zero-row domain makes the target unreachable)") }
+        // the largest achievable output T satisfies T * share_d <= count_d
+        // for every domain; the argmin domain binds at fraction 1.0
+        val totalT = share.map { case (dm, s) => counts(dm) / s }.min
+        val fractions = share.map { case (dm, s) =>
+          dm -> math.min(1.0, totalT * s / counts(dm)) }
+        shadowed.stat.sampleBy(dCol, fractions, mixSeed).drop(dCol)
       case "redact" => // §2.J14 through the config surface: PII scrub as
         // a regexp_replace chain — map-only, streams fine
         require(t.cols.length == 1, "redact needs `cols: [textCol]`")

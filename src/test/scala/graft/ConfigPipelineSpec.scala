@@ -1639,6 +1639,54 @@ class ConfigPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("mix: declared-mixture rebalancing keeps the binding domain whole, seed-stably") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = "/tmp/graft_io/mix_spec"
+    // a: 100 rows, b: 300, c: 600, junk: 50 (undeclared → dropped).
+    // Targets 0.5/0.3/0.2 → T = min(100/.5, 300/.3, 600/.2) = 200 →
+    // fractions a=1.0 (binding), b=0.2, c≈0.0667
+    ((0 until 100).map(i => ("a", i)) ++ (0 until 300).map(i => ("b", i)) ++
+      (0 until 600).map(i => ("c", i)) ++ (0 until 50).map(i => ("junk", i)))
+      .toDF("domain", "id").write.mode("overwrite").parquet(dir)
+    def run(seed: Long) = PipelineRunner.run(spark,
+      s"""name: mix_spec
+         |source: {format: parquet, path: "$dir"}
+         |transforms:
+         |  - {op: mix, cols: [domain], seed: $seed,
+         |     values: ["a:0.5", "b:0.3", "c:0.2"]}
+         |""".stripMargin).passed
+    val out = run(7L).select(col("domain"), col("id")).as[(String, Int)].collect()
+    val byDom = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // the binding domain survives COMPLETELY — fraction 1.0 is exact
+    byDom("a") shouldBe 100
+    // undeclared domains are gone
+    byDom.keySet shouldBe Set("a", "b", "c")
+    // the sampled domains land near their Bernoulli expectation (60, 40);
+    // ±40% absolute tolerance keeps the test deterministic-safe for any
+    // seed while still catching a wrong fraction (b at 300·0.2=60 vs a
+    // broken 300·0.5=150 is far outside the band)
+    byDom("b").toDouble shouldBe 60.0 +- 24.0
+    byDom("c").toDouble shouldBe 40.0 +- 16.0
+    // seed stability: identical rows, not just identical counts
+    run(7L).select(col("domain"), col("id")).as[(String, Int)]
+      .collect().sorted shouldBe out.sorted
+    // guard rails: unseeded and zero-row domains fail fast
+    (the[IllegalArgumentException] thrownBy PipelineRunner.run(spark,
+      s"""name: mix_noseed
+         |source: {format: parquet, path: "$dir"}
+         |transforms:
+         |  - {op: mix, cols: [domain], values: ["a:1"]}
+         |""".stripMargin)).getMessage should include("seed")
+    (the[IllegalArgumentException] thrownBy PipelineRunner.run(spark,
+      s"""name: mix_missing
+         |source: {format: parquet, path: "$dir"}
+         |transforms:
+         |  - {op: mix, cols: [domain], seed: 1,
+         |     values: ["a:0.5", "nope:0.5"]}
+         |""".stripMargin)).getMessage should include("no rows")
+  }
+
   test("A8: xml sink + xml source round-trip values through the YAML surface") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
