@@ -743,6 +743,17 @@ object PipelineRunner {
               s"merge scd2: change set must carry exactly the base's non-SCD " +
                 s"columns (${baseAttrs.sorted.mkString(", ")}) plus '$effCol'; " +
                 s"got (${updates.columns.sorted.mkString(", ")})")
+            // types too, not just names: a type-drifted change set would
+            // otherwise coerce through the struct-array conditional and
+            // silently WIDEN the published dimension's schema
+            val retyped = carried.filter(cn =>
+              updates.schema(cn).dataType.catalogString !=
+                df.schema(cn).dataType.catalogString)
+            require(retyped.isEmpty, "merge scd2: change-set column types " +
+              "must match the base — " + retyped.map(cn =>
+                s"$cn: ${updates.schema(cn).dataType.sql} vs base " +
+                  s"${df.schema(cn).dataType.sql}").mkString("; ") +
+              " — cast upstream (op: cast) before the merge")
             requireUniqueKeys()
             // a null effective date would silently corrupt both the
             // close-out and the new version — fail fast (bounded probe,

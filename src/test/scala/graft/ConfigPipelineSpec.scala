@@ -1546,6 +1546,13 @@ class ConfigPipelineSpec extends SparkSpecBase {
       .write.mode("overwrite").parquet(s"$dir/changes")
     (the[IllegalArgumentException] thrownBy rows(s"$dir/base"))
       .getMessage should include("exactly the base's non-SCD columns")
+    // a type-drifted change set fails fast instead of silently widening
+    // the published dimension's schema
+    Seq((2L, "beta", 99)).toDF("k", "name", "region") // region INT, base BIGINT
+      .withColumn("eff", lit(d("2025-06-01")))
+      .write.mode("overwrite").parquet(s"$dir/changes")
+    (the[IllegalArgumentException] thrownBy rows(s"$dir/base"))
+      .getMessage should include("types must match the base")
   }
 
   test("EP16: scd2 ≡ an independent reference implementation on randomized inputs") {
