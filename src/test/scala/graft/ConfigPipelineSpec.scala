@@ -1646,6 +1646,49 @@ class ConfigPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("examples: every shipped YAML parses; scd2 + mix examples run end-to-end") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import scala.jdk.CollectionConverters._
+    val out = "/tmp/graft_io/examples_spec"
+    def template(name: String): String =
+      Files.readString(Paths.get(s"examples/$name"))
+        .replace("SFDIR", sf).replace("OUTDIR", out)
+    // rot guard: every example must at least PARSE against the current
+    // config vocabulary (a renamed op or field breaks the suite, not a
+    // user)
+    val all = scala.util.Using.resource(Files.list(Paths.get("examples")))(
+      _.iterator().asScala.map(_.getFileName.toString).toSeq.sorted)
+    all should not be empty
+    all.foreach { f =>
+      withClue(s"examples/$f: ")(PipelineSpec.parse(template(f)).name should not be empty)
+    }
+    // the round-15 examples run end-to-end on the test data
+    val dim = graft.core.Tables.nation(spark, sf)
+      .select(col("n_nationkey").as("c_custkey"), col("n_name").as("c_name"),
+        lit(java.sql.Date.valueOf("2024-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+    dim.write.mode("overwrite").parquet(s"$out/dim_customer")
+    dim.where(col("c_custkey") < 5)
+      .select(col("c_custkey"), concat(col("c_name"), lit("_v2")).as("c_name"))
+      .withColumn("change_date", lit(java.sql.Date.valueOf("2025-01-01")))
+      .write.mode("overwrite").parquet(s"$out/customer_changes")
+    PipelineRunner.run(spark, template("scd2_dimension.yaml"))
+    val scd2Out = spark.read.parquet(s"$out/dim_customer_next")
+    scd2Out.where(!col("is_current")).count() shouldBe 5 // closed versions
+    scd2Out.count() shouldBe dim.count() + 5             // + new versions
+    PipelineRunner.run(spark, template("domain_mix.yaml"))
+    val mixed = spark.read.parquet(s"$out/mixed_corpus")
+    mixed.count() should be > 0L
+    // only declared domains survive (at sf0.001 a low-share domain's
+    // Bernoulli sample can legitimately come up empty, so subset not
+    // equality — the exact-proportion law lives in the dedicated mix spec)
+    val doms = mixed.select(col("source")).distinct()
+      .collect().map(_.getString(0)).toSet
+    doms should not be empty
+    assert(doms.subsetOf(Set("src0", "src1", "src2")), s"unexpected domains $doms")
+  }
+
   test("mix: declared-mixture rebalancing keeps the binding domain whole, seed-stably") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
