@@ -67,9 +67,14 @@ final case class BranchSpec(
     transforms: Seq[TransformSpec],
     sink: SinkSpec)
 
-/** format ∈ parquet | csv | json | jdbc | kafka (§2.A3-A5, A9). `schema`
-  * is a Spark DDL string ("a INT, b STRING"); required for csv/json,
-  * ignored for parquet, unused for jdbc (driver-resolved). kafka
+/** format ∈ parquet | orc | csv | json | xml | jdbc | kafka | binaryfile
+  * (§2.A3-A5, A9). `schema` is a Spark DDL string ("a INT, b STRING");
+  * required for csv/json, ignored for parquet/orc (self-describing),
+  * unused for jdbc (driver-resolved). binaryfile is the whole-blob ingest
+  * path for multimodal corpora (images/audio/video as opaque bytes): each
+  * file becomes one row with the connector's FIXED schema (path,
+  * modificationTime, length, content binary) — a declared schema is
+  * rejected for the same reason kafka's is. kafka
   * (streaming mode only) is addressed entirely via options —
   * kafka.bootstrap.servers + exactly one of subscribe/subscribePattern/
   * assign, everything passed to the connector verbatim — and carries the
@@ -326,7 +331,7 @@ final case class TransformSpec(
   * write time; at 100 TB this is what makes time-range scans of a fact
   * table read 1% of files instead of all of them. */
 final case class SinkSpec(
-    format: String,               // parquet | csv | json | xml
+    format: String,               // parquet | orc | csv | json | xml
     path: String,
     mode: String,                 // overwrite | append | errorifexists
     partitionBy: Seq[String],
@@ -336,7 +341,8 @@ final case class SinkSpec(
     sortBy: Seq[String],
     table: Option[String],
     evolve: Option[String],       // add_nulls | fail (parquet only)
-    clusterBy: Seq[String])       // range-layout columns (path sinks)
+    clusterBy: Seq[String],       // range-layout columns (path sinks)
+    files: Option[Int])           // compaction: exact output file count
 
 /** Persisted high-water-mark IO (one tiny JSON object per incremental
   * source). On a cluster `statePath` lives on the shared FS; the write is
@@ -425,7 +431,9 @@ object PipelineSpec {
     fields(n, at, Set("format", "path", "table", "schema", "options",
       "incremental", "drift"))
     val fmt = reqStr(n, "format", at)
-    require(Set("parquet", "csv", "json", "xml", "jdbc", "kafka")(fmt),
+    require(
+      Set("parquet", "orc", "csv", "json", "xml", "jdbc", "kafka",
+        "binaryfile")(fmt),
       s"$at.format: unknown '$fmt'")
     val s = SourceSpec(fmt,
       path = optStr(n, "path"), table = optStr(n, "table"),
@@ -460,14 +468,25 @@ object PipelineSpec {
         s"$at: drift/incremental do not apply to a kafka source (the " +
           "checkpoint tracks offsets)")
     }
+    if (fmt == "binaryfile") {
+      // whole-blob ingest: the connector's record schema is fixed (path,
+      // modificationTime, length, content) — same reject rationale as
+      // kafka. Options (pathGlobFilter, recursiveFileLookup) pass through.
+      require(s.schema.isEmpty,
+        s"$at: binaryfile's record schema is fixed by the connector " +
+          "(path, modificationTime, length, content) — filter with " +
+          "options.pathGlobFilter and transform downstream instead")
+      require(s.drift.isEmpty,
+        s"$at: drift does not apply to a binaryfile source (fixed schema)")
+    }
     if (fmt != "jdbc" && fmt != "kafka")
       require(s.path.isDefined || s.table.isDefined, s"$at: needs path or table")
     s.drift.foreach { d =>
       require(Set("allow", "strict")(d), s"$at.drift: unknown '$d' (allow | strict)")
       require(s.schema.isDefined, s"$at: a drift policy needs a declared `schema`")
-      require(fmt == "parquet",
-        s"$at: drift applies to parquet sources — csv/json readers already " +
-          "enforce the declared schema at parse time")
+      require(fmt == "parquet" || fmt == "orc",
+        s"$at: drift applies to self-describing sources (parquet/orc) — " +
+          "csv/json readers already enforce the declared schema at parse time")
     }
     s
   }
@@ -517,9 +536,10 @@ object PipelineSpec {
 
   private def sink(n: JsonNode, at: String): SinkSpec = {
     fields(n, at, Set("format", "path", "mode", "partitionBy", "options",
-      "buckets", "bucketBy", "sortBy", "table", "evolve", "clusterBy"))
+      "buckets", "bucketBy", "sortBy", "table", "evolve", "clusterBy",
+      "files"))
     val fmt = reqStr(n, "format", at)
-    require(Set("parquet", "csv", "json", "xml")(fmt),
+    require(Set("parquet", "orc", "csv", "json", "xml")(fmt),
       s"$at.format: unknown '$fmt'")
     val s = SinkSpec(fmt, reqStr(n, "path", at),
       mode = optStr(n, "mode").getOrElse("overwrite"),
@@ -528,10 +548,20 @@ object PipelineSpec {
       bucketBy = strArr(n, "bucketBy"), sortBy = strArr(n, "sortBy"),
       table = optStr(n, "table"),
       evolve = optStr(n, "evolve"),
-      clusterBy = strArr(n, "clusterBy"))
+      clusterBy = strArr(n, "clusterBy"),
+      files = opt(n, "files").map(_.asInt()))
     require(s.clusterBy.isEmpty || s.buckets.isEmpty,
       s"$at: clusterBy (range layout) and buckets (hash layout) are " +
         "mutually exclusive — pick the layout the dominant read pattern needs")
+    s.files.foreach { f =>
+      require(f > 0, s"$at.files: must be > 0, got $f")
+      // compaction is a coalesce at write time; a bucketed table's file
+      // count is its bucket count, and a range layout's file count is its
+      // partition count — `files` would silently fight both layouts
+      require(s.buckets.isEmpty && s.clusterBy.isEmpty,
+        s"$at.files: compaction conflicts with buckets/clusterBy — those " +
+          "layouts already fix the output file structure")
+    }
     s.evolve.foreach { e =>
       require(Set("add_nulls", "fail")(e), s"$at.evolve: unknown '$e' " +
         "(add_nulls | fail)")

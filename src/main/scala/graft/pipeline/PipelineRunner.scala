@@ -281,6 +281,7 @@ object PipelineRunner {
         val probe = spark.read.options(s.options)
         try (s.format match {
           case "parquet" => probe.parquet(path)
+          case "orc"     => probe.orc(path)
           case "csv"     => probe.option("inferSchema", "true").csv(path)
           case "json"    => probe.json(path)
           case other => throw new IllegalArgumentException(
@@ -301,6 +302,7 @@ object PipelineRunner {
     val r = spark.readStream.schema(schema).options(s.options)
     s.format match {
       case "parquet" => r.parquet(path)
+      case "orc"     => r.orc(path)
       case "csv"     => r.csv(path)
       case "json"    => r.json(path)
       case other => throw new IllegalArgumentException(
@@ -326,6 +328,19 @@ object PipelineRunner {
         val r = if (s.drift.isDefined)
           spark.read.option("mergeSchema", "true") else spark.read
         r.options(s.options).parquet(path)
+      case "orc" => // self-describing like parquet; same drift contract
+        // (ORC footers carry the schema, mergeSchema unions evolved files)
+        val r = if (s.drift.isDefined)
+          spark.read.option("mergeSchema", "true") else spark.read
+        r.options(s.options).orc(path)
+      case "binaryfile" => // whole-blob multimodal ingest: one row per
+        // file (path, modificationTime, length, content). The connector
+        // never decodes — blobs stay opaque bytes until a downstream
+        // transform (the mm* ops) asks. Scale note: each blob must fit in
+        // one row (spark.sql.sources.binaryFile.maxLength caps at 2 GB);
+        // shard larger media at the edge. pathGlobFilter/
+        // recursiveFileLookup ride through verbatim.
+        spark.read.format("binaryFile").options(s.options).load(path)
       case "csv" =>
         val r = spark.read.options(s.options)
         s.schema.map(ddl => r.schema(StructType.fromDDL(ddl))).getOrElse(r).csv(path)
@@ -1272,14 +1287,25 @@ object PipelineRunner {
         // range layout: one shuffle at write time so each output file
         // covers a narrow, non-overlapping value range — parquet min/max
         // stats then prune row groups on every later filtered read
-        val out = if (s.clusterBy.isEmpty) evolvedOut else
+        val clustered = if (s.clusterBy.isEmpty) evolvedOut else
           evolvedOut.repartitionByRange(s.clusterBy.map(col): _*)
             .sortWithinPartitions(s.clusterBy.map(col): _*)
+        // compaction (`files: n`): the small-file fix for high-cardinality
+        // ingest — coalesce merges partitions WITHOUT a shuffle (each
+        // output task reads several inputs), so compacting 10k micro-files
+        // to n is one cheap map-side pass. Parse-time validation already
+        // rejected files+buckets/clusterBy, so this never undoes a layout.
+        // At 100 TB pick n from bytes/target-file-size (128-1024 MB files
+        // are the parquet sweet spot); AQE's advisory partition size does
+        // the same for shuffle outputs, `files` covers the final write.
+        val out = s.files.map(clustered.coalesce).getOrElse(clustered)
         def save(d: DataFrame, mode: String, path: String): Unit = {
           var w = d.write.mode(mode).options(s.options)
           if (s.partitionBy.nonEmpty) w = w.partitionBy(s.partitionBy: _*)
           s.format match {
             case "parquet" => w.parquet(path)
+            case "orc"     => w.orc(path) // columnar alternative, same
+              // atomic-commit/partitioning contract as parquet
             case "csv"     => w.option("header", s.options.getOrElse("header", "true")).csv(path)
             case "json"    => w.json(path)
             case "xml"     => // A8 symmetry for the built-in XML datasource

@@ -228,5 +228,66 @@ object MultimodalQ extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(mm1, mm2, mm3, mm4, mm5)
+  /** Whole-blob ingest through Spark's `binaryFile` datasource — the
+    * front door a real multimodal corpus arrives through (a bucket of
+    * image/audio/video files, NOT rows in a table). The query first
+    * materializes a small blob store executor-side (each task writes its
+    * partition's documents as `doc_<id>.bin` through the Hadoop
+    * FileSystem API — no driver collect), then ingests it back via the
+    * config surface (`format: binaryfile` + pathGlobFilter): one row per
+    * blob with the connector's fixed schema. The oracle re-derives byte
+    * length and md5 from the same documents in DuckDB, so path→row
+    * fidelity is hash-checked end to end.
+    *
+    * Scale posture: binaryFile parallelizes by FILE — the driver lists
+    * the store (O(files) metadata, same as any object-store listing) and
+    * executors stream blob bytes straight into rows; blobs never pass
+    * through the driver. Row width is the blob itself, so downstream ops
+    * should extract features (mm2-mm5) and DROP the bytes before any
+    * shuffle; the 2 GB column cap means >2 GB media is sharded at the
+    * edge. */
+  val mm6: QueryDef = m(
+    "mm6_binaryfile_source",
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_md5
+      |FROM documents WHERE doc_id % 100 = 0
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val store = "/tmp/graft_io/blob_store"
+    val storePath = new org.apache.hadoop.fs.Path(store)
+    val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(storePath, true)
+    fs.mkdirs(storePath)
+    Tables.documents(spark, dir).where(col("doc_id") % 100 === 0)
+      .select(col("doc_id"), col("text"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        // executor-side: re-resolve the FS from a fresh Configuration
+        // (the driver's conf is not serializable capture-free; for the
+        // local/HDFS case defaults carry the same fs.defaultFS)
+        val pfs = new org.apache.hadoop.fs.Path(store)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        it.foreach { r =>
+          val out = pfs.create(new org.apache.hadoop.fs.Path(
+            store, s"doc_${r.getLong(0)}.bin"), true)
+          try out.write(r.getString(1)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+      }
+    val spec = graft.config.PipelineSpec.parse(
+      s"""name: mm6_binaryfile
+         |source:
+         |  format: binaryfile
+         |  path: "$store"
+         |  options: {pathGlobFilter: "*.bin"}
+         |""".stripMargin)
+    graft.pipeline.PipelineRunner.read(spark, spec.source)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(mm1, mm2, mm3, mm4, mm5, mm6)
 }

@@ -167,6 +167,35 @@ object Sources extends QueryPack {
     PipelineRunner.read(spark, spec.source).orderBy(col("n_nationkey"))
   }
 
+  /** A-tier ORC parity — Spark's second built-in columnar format, wired
+    * through the config surface in BOTH directions: the pipeline WRITES
+    * supplier as ORC via a config sink (compacted to one file with
+    * `files: 1`), then reads it back via `{format: orc}` (self-describing
+    * — no declared schema needed, same as parquet). DuckDB has no ORC
+    * reader, so the oracle is the supplier parquet itself: the round-trip
+    * must be value-preserving — the a4b/a5 contract, a full hash match.
+    * Scale note: ORC rides the exact same vectorized-scan + min/max
+    * row-group pruning machinery as parquet in Spark, so every layout
+    * play elsewhere in this repo (partitionBy, clusterBy ranges,
+    * compaction) applies verbatim. */
+  val a4c: QueryDef = m(
+    "a4c_orc_roundtrip",
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+      |ORDER BY s_suppkey""".stripMargin) { (spark, dir) =>
+    PipelineRunner.run(spark,
+      s"""name: a4c_orc_write
+         |source: {format: parquet, path: "$dir/supplier.parquet"}
+         |transforms:
+         |  - {op: select, cols: [s_suppkey, s_name, s_nationkey, s_acctbal]}
+         |sink: {format: orc, path: "$ioDir/supplier_orc", files: 1}
+         |""".stripMargin)
+    val spec = graft.config.PipelineSpec.parse(
+      s"""name: a4c_orc_read
+         |source: {format: orc, path: "$ioDir/supplier_orc"}
+         |""".stripMargin)
+    PipelineRunner.read(spark, spec.source).orderBy(col("s_suppkey"))
+  }
+
   /** §2.A5 — JDBC round-trip through an IN-PROCESS Derby database (the
     * embedded driver ships with Spark's jars — zero new dependencies,
     * works offline). The engine WRITES nation to a Derby table, then
@@ -1006,7 +1035,43 @@ object Sources extends QueryPack {
     PipelineRunner.run(spark, yaml).passed
   }
 
+  /** Compaction as a declared sink property (`files: n`) — the
+    * operational fix for small-file sprawl, the #1 silent performance
+    * killer of long-lived ingest tables (every micro-batch / incremental
+    * run appends a few rows → thousands of KB-sized files → scan planning
+    * and footer reads dominate). The pipeline reads a deliberately
+    * fragmented copy of lineitem (64 shards), filters, and commits
+    * exactly 3 output files via a shuffle-free coalesce at write time.
+    * The oracle ignores layout entirely — content must equal the same
+    * filter over the original lineitem, proving compaction is purely
+    * physical. CompactionSpec asserts the file count. */
+  val ep17: QueryDef = m(
+    "ep17_config_compact",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem WHERE l_quantity >= 45
+      |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .repartition(64) // simulate incremental-ingest fragmentation
+      .write.mode("overwrite").parquet(s"$ioDir/lineitem_frag")
+    PipelineRunner.run(spark,
+      s"""name: ep17_compact
+         |source: {format: parquet, path: "$ioDir/lineitem_frag"}
+         |transforms:
+         |  - {op: filter, expr: "l_quantity >= 45"}
+         |sink: {format: parquet, path: "$ioDir/lineitem_compact", files: 3}
+         |""".stripMargin)
+    // read back from the COMMITTED sink — the check covers what a
+    // downstream consumer actually sees, not the in-flight frame
+    spark.read.parquet(s"$ioDir/lineitem_compact")
+      // (l_orderkey, l_linenumber) is not unique in the synthetic corpus —
+      // extendedprice completes a total order for the row-ordered compare
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+  }
+
   override def defs: Seq[QueryDef] =
-    Seq(a3, a3b, a3c, a4, a4b, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3, ep3b, ep4,
-      ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13, ep14, ep15, ep16)
+    Seq(a3, a3b, a3c, a4, a4b, a4c, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3,
+      ep3b, ep4, ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13,
+      ep14, ep15, ep16, ep17)
 }
