@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Morton (Z-order) interleave over two quantized dimensions, as PURE
+  * built-in column algebra — shift/and/or of codegen'd expressions, so
+  * the whole code computes inside one WholeStageCodegen pass (no UDF, no
+  * custom Expression needed: composition is preference (a) from the
+  * operator playbook).
+  *
+  * Why it exists: `clusterBy` (repartitionByRange + sortWithinPartitions)
+  * gives each output file a tight min/max range on ONE sort prefix —
+  * filters on the second sort column prune nothing once the first is
+  * spread. Sorting by the Morton code of two quantized columns instead
+  * bounds BOTH dimensions per file (each file covers a small square of
+  * the (x, y) grid, not a thin full-width stripe), so parquet/ORC
+  * row-group stats prune scans filtered on EITHER dimension. This is the
+  * standard multi-dimensional data-skipping layout at 100 TB; the code is
+  * written once at layout time and costs nothing at read time.
+  *
+  * The same arithmetic is emitted as ANSI SQL by [[interleaveSql]] so the
+  * DuckDB oracle replays bit-identical codes (g4_zorder_cluster). */
+object ZOrder {
+
+  /** Interleave the low `bits` bits of `x` (even positions) and `y` (odd
+    * positions): z = Σ ((x>>i)&1)<<2i | ((y>>i)&1)<<(2i+1). Inputs are
+    * cast to BIGINT; callers quantize to non-negative values < 2^bits
+    * first (quantization choice — modulo, range bucketing, percentile
+    * binning — is the caller's layout decision). */
+  def interleave(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val xl = x.cast("bigint")
+    val yl = y.cast("bigint")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** The exact same interleave as an ANSI SQL expression string (DuckDB
+    * and Spark SQL share the `>> << & |` operator semantics on BIGINT).
+    * Parenthesized per term; wrap the whole string in parens before
+    * aliasing. */
+  def interleaveSql(x: String, y: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+  }
+
+  /** Inverse of [[interleave]] for one dimension (parity 0 = x, 1 = y) —
+    * used by the spec to prove the code is a bijection (z determines both
+    * coordinates, which is exactly why per-file z-ranges bound both). */
+  def deinterleave(z: Long, parity: Int, bits: Int): Long =
+    (0 until bits).map(i => ((z >> (2 * i + parity)) & 1L) << i).sum
+}

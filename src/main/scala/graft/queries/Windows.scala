@@ -188,5 +188,38 @@ object Windows extends QueryPack {
       .limit(100)
   }
 
-  override def defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, g1, g2)
+  /** G-tier extension — Z-ORDER (Morton) clustering key: the
+    * multi-dimensional data-skipping layout. `clusterBy` on (a, b) gives
+    * files a tight range on `a` only; ordering by the interleaved code of
+    * two quantized columns gives every file a small SQUARE of the (x, y)
+    * grid, so min/max row-group stats prune scans filtered on EITHER
+    * column. The code is pure built-in bit algebra (ext/ZOrder.scala —
+    * one WholeStageCodegen pass, no UDF), and the oracle replays the
+    * identical arithmetic in DuckDB via the shared SQL emitter, so the
+    * codes are hash-checked bit-for-bit. Tie-break note: z is a bijection
+    * of (xq, yq) — deinterleave recovers both — so (z, o_orderkey) is a
+    * total order wherever (xq, yq, o_orderkey) is. */
+  val g4: QueryDef = {
+    val zSql = graft.ext.ZOrder.interleaveSql("xq", "yq", 8)
+    m(
+      "g4_zorder_cluster",
+      s"""WITH q AS (SELECT o_orderkey, o_custkey % 256 AS xq,
+         |  CAST(floor(o_totalprice) AS BIGINT) % 256 AS yq FROM orders)
+         |SELECT o_orderkey, xq, yq, ($zSql) AS z
+         |FROM q ORDER BY z, o_orderkey""".stripMargin) { (spark, dir) =>
+      val q = Tables.orders(spark, dir).select(
+        col("o_orderkey"),
+        (col("o_custkey") % 256).as("xq"),
+        (floor(col("o_totalprice")).cast("bigint") % 256).as("yq"))
+      q.select(col("o_orderkey"), col("xq"), col("yq"),
+          graft.ext.ZOrder.interleave(col("xq"), col("yq"), 8).as("z"))
+        // the layout move this key exists for is repartitionByRange(z) +
+        // sortWithinPartitions(z) at write time (= `clusterBy` on a
+        // derived z column); the query materializes the code itself so
+        // the oracle can pin the arithmetic
+        .orderBy(col("z"), col("o_orderkey"))
+    }
+  }
+
+  override def defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, g1, g2, g4)
 }
