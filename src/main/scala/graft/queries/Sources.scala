@@ -1070,8 +1070,25 @@ object Sources extends QueryPack {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
   }
 
+  /** Driver-visible run of the `mix` op (declared-mixture domain
+    * reweighting — see PipelineRunner). X-tier like every seeded-sampling
+    * query (e10/ep12): Bernoulli sampleBy draws are engine-specific, so
+    * no cross-engine oracle exists by construction; the semantics
+    * (binding domain kept whole, proportions within tolerance, seed
+    * stability, fail-fast guards) are spec'd in ConfigPipelineSpec. */
+  val ep18: QueryDef = x("ep18_config_mix") { (spark, dir) =>
+    PipelineRunner.run(spark,
+      s"""name: ep18_mix
+         |source: {format: parquet, path: "$dir/documents.parquet"}
+         |transforms:
+         |  - {op: mix, cols: [lang], values: ["en:0.5", "de:0.25", "fr:0.25"],
+         |     seed: 42}
+         |  - {op: sort, cols: [doc_id]}
+         |""".stripMargin).passed
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a3c, a4, a4b, a4c, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3,
       ep3b, ep4, ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13,
-      ep14, ep15, ep16, ep17)
+      ep14, ep15, ep16, ep17, ep18)
 }

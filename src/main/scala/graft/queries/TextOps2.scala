@@ -331,5 +331,56 @@ object TextOps2 extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(j6b, j9, j10, j11, j12, j13, j14, k8, k9)
+  /** J-tier extension — unigram language-model log-probability per doc,
+    * the CCNet/KenLM-style perplexity proxy for corpus quality filtering
+    * (docs whose tokens are globally rare score low; boilerplate scores
+    * high). Two aggregation passes over the corpus itself: (1) vocabulary
+    * counts, (2) per-doc average token log-prob under that vocabulary.
+    *
+    * Float determinism (the reason this is hash-checkable at all): a
+    * per-doc SUM of doubles is order-dependent across partitions, so each
+    * token's log-prob is first quantized to integer MICRO-units
+    * (floor(ln(c/n)·1e6) as BIGINT) — the doc aggregate is then an exact,
+    * order-independent integer sum, and the final value is ONE correctly
+    * rounded IEEE division (sum / (1e6·n_tokens)), bit-identical on both
+    * engines. ln itself is libm-rounded on both (the j5 precedent).
+    *
+    * Scale posture: tf shrinks the join input to distinct (doc, term)
+    * pairs; the vocabulary join is a SHUFFLE join on term — at 100 TB the
+    * vocab has billions of types so broadcasting is impossible, and the
+    * Zipf head ("the") is exactly the AQE-skew/salting case d9
+    * demonstrates. The 1-row corpus total is the only broadcast. */
+  val j15: QueryDef = m(
+    "j15_unigram_logprob",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+      |vocab AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks)
+      |SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(tf.tf * CAST(floor(ln(CAST(vocab.c AS DOUBLE) / n.n) * 1e6) AS BIGINT)) AS DOUBLE)
+      |    / (1e6 * CAST(SUM(tf.tf) AS DOUBLE)) AS avg_logprob
+      |FROM tf JOIN vocab ON tf.term = vocab.term CROSS JOIN n
+      |GROUP BY tf.doc_id
+      |ORDER BY tf.doc_id""".stripMargin) { (spark, dir) =>
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val n = vocab.agg(sum(col("c")).cast(DoubleType).as("n"))
+    val lpMicro = floor(log(col("c").cast(DoubleType) / col("n")) * lit(1e6))
+      .cast("long")
+    tf.join(vocab, "term")
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tok"), sum(col("tf") * lpMicro).as("num"))
+      .select(col("doc_id"), col("n_tok").as("n_tokens"),
+        (col("num").cast(DoubleType) / (lit(1e6) * col("n_tok").cast(DoubleType)))
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  override def defs: Seq[QueryDef] =
+    Seq(j6b, j9, j10, j11, j12, j13, j14, j15, k8, k9)
 }
