@@ -356,6 +356,33 @@ class PlanSpec extends SparkSpecBase {
     plan(Sources.ep8.build(spark, sf)) should include("TakeOrderedAndProject")
   }
 
+  test("g4: the Morton code computes inside codegen — no UDF, no extra exchange") {
+    val d = Windows.g4.build(spark, sf)
+    d.collect()
+    // the AQE toString prints Final AND Initial plans — assert on the
+    // final section only, or every operator double-counts
+    val p = d.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(p) {
+      // pure bit algebra: nothing falls out of codegen into an eval loop
+      (p.contains("BatchEvalPython") || p.contains("UDF")) shouldBe false
+      // one range exchange for the final sort is the ONLY shuffle — the
+      // code itself is a projection over the scan
+      "Exchange".r.findAllIn(p).size shouldBe 1
+      // the Morton projection sits inside a codegen stage
+      p should include regex "\\*\\(\\d+\\) Project [^\\n]*shiftleft"
+    }
+  }
+
+  test("j15: doc aggregate is two-phase over an exact integer sum (no float agg)") {
+    val p = plan(TextOps2.j15.build(spark, sf))
+    p should include("partial_sum")
+    withClue(p) {
+      // the quantized micro-unit sum must aggregate LONGS; the only double
+      // arithmetic is the final single division in the result projection
+      "partial_sum\\(sum#?\\w*[^\\n]*DOUBLE".r.findFirstIn(p) shouldBe None
+    }
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE finalizes the physical plan only on execution of THIS dataset's
     // own QueryExecution — collect, then look for codegen stage markers
