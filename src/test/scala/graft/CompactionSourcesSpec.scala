@@ -117,6 +117,49 @@ class CompactionSourcesSpec extends SparkSpecBase {
     rows(0).getAs[Array[Byte]]("content") shouldBe Array[Byte](1, 2, 3)
   }
 
+  test("z-order layout from config: SQL emitter works as a derive expr, clusterBy gives disjoint z-ranges") {
+    // the interleave emitter doubles as a config-surface expression —
+    // Spark SQL shares DuckDB's `>> << & |` semantics on BIGINT, so the
+    // SAME string drives the oracle and the YAML derive
+    val zExpr = graft.ext.ZOrder.interleaveSql("xq", "yq", 8)
+    // AQE (correctly) coalesces a test-sized shuffle to one file — pin it
+    // off so the multi-file layout mechanics are what's asserted
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try PipelineRunner.run(spark,
+      s"""name: zorder_layout
+         |source: {format: parquet, path: "$sf/orders.parquet"}
+         |transforms:
+         |  - {op: derive, name: xq, expr: "o_custkey % 256"}
+         |  - {op: derive, name: yq, expr: "CAST(floor(o_totalprice) AS BIGINT) % 256"}
+         |  - op: derive
+         |    name: z
+         |    expr: "$zExpr"
+         |sink: {format: parquet, path: "$io/orders_z", clusterBy: [z]}
+         |""".stripMargin)
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val files = partFiles(s"$io/orders_z")
+    files.size should be > 1
+    // clusterBy contract applied to the Morton key: each file owns a
+    // DISJOINT z interval (this is what lets row-group stats prune on
+    // both quantized dimensions — the locality bound is ZOrderSpec's)
+    val ranges = files.map { f =>
+      val d = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("z")), max(col("z"))).collect()(0)
+      (d.getLong(0), d.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => hi should be <= lo2
+      case _                      =>
+    }
+    // value preservation: the layout never changes content
+    spark.read.parquet(s"$io/orders_z").count() shouldBe
+      graft.core.Tables.orders(spark, sf).count()
+    // derived z matches the column-algebra builder row-for-row
+    spark.read.parquet(s"$io/orders_z")
+      .where(col("z") =!= graft.ext.ZOrder.interleave(col("xq"), col("yq"), 8))
+      .count() shouldBe 0L
+  }
+
   test("binaryfile: declared schema and drift are rejected at parse time") {
     an[IllegalArgumentException] should be thrownBy PipelineSpec.parse(
       """name: bad
