@@ -283,7 +283,7 @@ final case class CheckSpec(
   *    unique id as long as shards stay under 1e6 bins)
   */
 final case class TransformSpec(
-    op: String,                   // select | rename | drop | derive | filter | cast | join | limit | sort | aggregate | union | dedup | asof_join | flatten | pivot | unpivot | surrogate_key
+    op: String,                   // select | rename | drop | derive | filter | cast | join | limit | sort | shuffle | aggregate | union | dedup | asof_join | flatten | pivot | unpivot | surrogate_key
     cols: Seq[String],
     name: Option[String],
     expr: Option[String],
@@ -512,7 +512,7 @@ object PipelineSpec {
       "threshold", "bucket_cap", "k", "fraction", "seed", "state_path"))
     val op = reqStr(n, "op", at)
     require(Set("select", "rename", "drop", "derive", "filter", "cast", "join",
-      "limit", "sort", "aggregate", "union", "dedup", "asof_join",
+      "limit", "sort", "shuffle", "aggregate", "union", "dedup", "asof_join",
       "flatten", "pivot", "unpivot", "surrogate_key", "merge",
       "tokenize", "tfidf", "minhash_dedup", "semdedup", "ann_topk",
       "sample", "mix", "pack", "quality_filter", "decontaminate", "redact")(op),

@@ -196,10 +196,11 @@ object PipelineRunner {
     streamable.foreach(t => require(t.op != "asof_join",
       "streaming mode: 'asof_join' is batch-only (use a stream-stream " +
         "interval join for streaming time alignment)"))
-    streamable.foreach(t => require(!Set("pivot", "surrogate_key", "merge")(t.op),
+    streamable.foreach(t => require(!Set("pivot", "surrogate_key", "merge",
+      "shuffle")(t.op),
       s"streaming mode: '${t.op}' is batch-only (pivot needs a finished " +
         "group; a global row_number window has no streaming equivalent; " +
-        "merge anti-joins the full base)"))
+        "merge anti-joins the full base; shuffle is a global sort)"))
     streamable.foreach(t => require(
       !Set("tfidf", "minhash_dedup", "semdedup", "ann_topk", "decontaminate",
         "mix")(t.op),
@@ -593,6 +594,21 @@ object PipelineRunner {
           throw new IllegalArgumentException("join needs `on` cols or an `expr` condition"))), how)
       case "limit" => df.limit(t.expr.get.toInt)
       case "sort"  => df.orderBy(t.cols.map(sortExpr): _*)
+      case "shuffle" => // deterministic corpus shuffle (g5 through the
+        // config surface): reorder rows by md5(seed ':' keyCols...) — a
+        // seeded pseudorandom permutation that is reproducible across
+        // runs AND engines (md5 is engine-neutral, unlike xxhash64 /
+        // rand()). Spark executes it as a range-partitioned global sort
+        // on a uniform key: balanced partitions by construction, no
+        // skew, restart-stable. A new seed = a new epoch order. `cols`
+        // must be a unique row key — duplicate keys would collide to the
+        // same slot and make the permutation ambiguous across engines.
+        require(t.cols.nonEmpty,
+          "shuffle needs `cols: [keyCols...]` (a unique row key)")
+        val shSeed = t.seed.getOrElse(throw new IllegalArgumentException(
+          "shuffle needs `seed` (an unseeded shuffle is not reproducible)"))
+        df.orderBy(md5(concat_ws(":",
+          lit(shSeed.toString) +: t.cols.map(c => col(c).cast("string")): _*)))
       case "aggregate" => // §2.E through the config surface
         require(t.aggs.nonEmpty, "aggregate needs `aggs` expressions")
         val aggs = t.aggs.map(expr)

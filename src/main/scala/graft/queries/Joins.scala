@@ -245,6 +245,63 @@ object Joins extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** D-tier extension — SNAPSHOT DIFF (CDC-style change detection): given
+    * two versions of a keyed table, emit exactly the insert/delete/update
+    * rows between them — the step that turns full-snapshot ingestion (the
+    * only thing many upstream systems can export) into an incremental
+    * change stream a merge/scd2 op can consume.
+    *
+    * Shape: ONE full-outer equi-join shuffle on the key; classification
+    * is pure row-local algebra over the joined frame (null key side →
+    * insert/delete, null-safe value comparison → update), and unchanged
+    * rows — the overwhelming majority in a 100 TB daily snapshot — are
+    * filtered before anything downstream sees them. Value comparison is
+    * null-safe (`<=>`) so NULL→value and value→NULL transitions register
+    * as updates instead of vanishing. The two snapshots here are derived
+    * deterministically from `orders` (drop keys ≡9 mod 10 from the old
+    * version, keys ≡0 mod 10 from the new, bump price on keys ≡0 mod 7)
+    * so the oracle replays the identical construction. */
+  val d10: QueryDef = m(
+    "d10_snapshot_diff",
+    """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      |prev AS (SELECT * FROM o WHERE o_orderkey % 10 < 9),
+      |next AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderstatus
+      |  FROM o WHERE o_orderkey % 10 > 0)
+      |SELECT * FROM (
+      |  SELECT COALESCE(prev.o_orderkey, next.o_orderkey) AS o_orderkey,
+      |    CASE WHEN prev.o_orderkey IS NULL THEN 'insert'
+      |         WHEN next.o_orderkey IS NULL THEN 'delete'
+      |         WHEN (prev.o_totalprice IS DISTINCT FROM next.o_totalprice)
+      |           OR (prev.o_orderstatus IS DISTINCT FROM next.o_orderstatus)
+      |           THEN 'update' END AS change,
+      |    prev.o_totalprice AS price_old, next.o_totalprice AS price_new
+      |  FROM prev FULL JOIN next ON prev.o_orderkey = next.o_orderkey)
+      |WHERE change IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val prev = o.where(col("o_orderkey") % 10 < 9)
+      .toDF("k_old", "price_old", "status_old")
+    val next = o.where(col("o_orderkey") % 10 > 0)
+      .select(col("o_orderkey").as("k_new"),
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")).as("price_new"),
+        col("o_orderstatus").as("status_new"))
+    prev.join(next, prev("k_old") === next("k_new"), "full_outer")
+      .withColumn("change",
+        when(col("k_old").isNull, lit("insert"))
+          .when(col("k_new").isNull, lit("delete"))
+          .when(!(col("price_old") <=> col("price_new"))
+            || !(col("status_old") <=> col("status_new")), lit("update")))
+      .where(col("change").isNotNull)
+      .select(coalesce(col("k_old"), col("k_new")).as("o_orderkey"),
+        col("change"), col("price_old"), col("price_new"))
+      .orderBy(col("o_orderkey"))
+  }
+
   override def defs: Seq[QueryDef] =
-    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9)
+    Seq(d1, d2, d3, d4, d5, d6, d7, d7b, d8, d9, d10)
 }

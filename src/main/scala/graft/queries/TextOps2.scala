@@ -381,6 +381,133 @@ object TextOps2 extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** J-tier extension — TOKEN-BUDGET TRIM: cut a corpus to its first N
+    * tokens in deterministic shuffle order ("give me a 500 B-token slice
+    * of this 2 T-token corpus, reproducibly"). Order is g5's seeded-md5
+    * permutation; a doc survives iff the running token total through it
+    * stays within budget.
+    *
+    * The running total is the interesting part at scale: the naive
+    * `SUM OVER (ORDER BY key)` is a SINGLE-PARTITION window — the whole
+    * corpus through one task. This implementation is a true distributed
+    * prefix sum instead: bucket the uniform key space into fixed ranges
+    * by hash prefix (buckets = key ranges, so bucket order ≡ key order —
+    * no reliance on physical partition ids, which range-exchange sampling
+    * would make nondeterministic), cumsum WITHIN each bucket via a
+    * partitioned window, aggregate one total per bucket (buckets-count
+    * rows to the driver), prefix-scan those driver-side, and broadcast
+    * the per-bucket offsets back. Every data-sized step is partitioned;
+    * the only global object is the bucket-offset array. PlanSpec pins the
+    * no-SinglePartition shape. */
+  val j16: QueryDef = m(
+    "j16_token_budget",
+    """WITH k AS (SELECT doc_id,
+      |    md5(concat_ws(':', '42', CAST(doc_id AS VARCHAR))) AS skey,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM documents),
+      |c AS (SELECT doc_id, toks,
+      |    CAST(SUM(toks) OVER (ORDER BY skey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM k)
+      |SELECT doc_id, toks, cum FROM c WHERE cum <= 12000
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val budget = 12000L
+    val buckets = 32 // fixed ranges of the md5 space; uniform key → balanced
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("toks"))
+      .withColumn("skey",
+        md5(concat_ws(":", lit("42"), col("doc_id").cast("string"))))
+      // bucket = leading 16 bits of the key / (65536/buckets): a RANGE
+      // bucketing (not hash-mod), so bucket index order IS key order and
+      // the driver-side prefix scan below is exact
+      .withColumn("bkt",
+        (conv(substring(col("skey"), 1, 4), 16, 10).cast(LongType)
+          / lit(65536L / buckets)).cast(IntegerType))
+    val local = d.withColumn("cum_local",
+      sum(col("toks")).over(Window.partitionBy(col("bkt")).orderBy(col("skey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // one row per bucket — bounded by construction, never data-sized
+    val totals = local.groupBy(col("bkt")).agg(sum(col("toks")).as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until buckets).scanLeft(0L) {
+      case (acc, b) => acc + totals.getOrElse(b, 0L)
+    }.take(buckets) // exclusive prefix: offset(b) = sum of buckets < b
+    val offDf = spark.createDataFrame(
+      offsets.zipWithIndex.map { case (off, b) => (b, off) })
+      .toDF("bkt", "off")
+    local.join(broadcast(offDf), "bkt")
+      .withColumn("cum", col("cum_local") + col("off"))
+      .where(col("cum") <= budget)
+      .select(col("doc_id"), col("toks"), col("cum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** J-tier extension — CHUNK-LEVEL EXACT DEDUP (the tractable form of
+    * exact-substring dedup à la Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499): split every
+    * doc into fixed 8-token chunks, keep each distinct chunk only at its
+    * FIRST corpus occurrence (min (doc_id, idx) — deterministic survivor,
+    * same contract as k1), and reassemble docs from their surviving
+    * chunks in original order. Docs that lose every chunk (pure copies of
+    * earlier text) vanish entirely; boilerplate shared across docs is
+    * stripped from all but its first carrier while the novel remainder
+    * survives — finer-grained than doc-level k1, cheaper than
+    * suffix-array substring matching.
+    *
+    * Shape: generator explode (chunking is row-local), one hash-agg
+    * shuffle on chunk to elect survivors, survivor filter as a window
+    * replay (no join-back), one final per-doc agg with in-group
+    * array_sort reassembly. All shuffles are keyed; nothing global. */
+  val j17: QueryDef = m(
+    "j17_chunk_dedup",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |ch AS (SELECT doc_id, i AS idx,
+      |    array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS chunk
+      |  FROM t, UNNEST(range(0, CAST(ceil(len(toks)/8.0) AS INT))) AS u(i)),
+      |r AS (SELECT doc_id, idx, chunk,
+      |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+      |  FROM ch),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id),
+      |k AS (SELECT doc_id, COUNT(*) AS kept_chunks,
+      |    string_agg(chunk, ' ' ORDER BY idx) AS text_dedup
+      |  FROM r WHERE rn = 1 GROUP BY doc_id)
+      |SELECT k.doc_id, tot.n_chunks, k.kept_chunks, k.text_dedup
+      |FROM k JOIN tot USING (doc_id) ORDER BY k.doc_id""".stripMargin) {
+    (spark, dir) =>
+      val C = 8
+      val ch = Tables.documents(spark, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .select(col("doc_id"), posexplode(transform(
+          // sequence is ascending-safe here: toks is never empty (split of
+          // a non-empty string), so ceil(n/C) >= 1 and stop >= start
+          sequence(lit(0),
+            ceil(size(col("toks")) / lit(C.toDouble)).cast(IntegerType) - 1),
+          i => array_join(slice(col("toks"), i * C + 1, lit(C)), " "))))
+        .toDF("doc_id", "idx", "chunk")
+      // survivor election + filter in ONE shuffle: a window over chunk
+      // replays the groupBy-min join-back at half the exchanges
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("chunk")).orderBy(col("doc_id"), col("idx"))
+      val marked = ch
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_chunks",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))))
+      marked.where(col("rn") === 1)
+        .groupBy(col("doc_id"))
+        .agg(first(col("n_chunks")).as("n_chunks"),
+          count(lit(1)).as("kept_chunks"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("idx"), col("chunk")))),
+            s => s.getField("chunk")), " ").as("text_dedup"))
+        .select(col("doc_id"), col("n_chunks"), col("kept_chunks"),
+          col("text_dedup"))
+        .orderBy(col("doc_id"))
+  }
+
   override def defs: Seq[QueryDef] =
-    Seq(j6b, j9, j10, j11, j12, j13, j14, j15, k8, k9)
+    Seq(j6b, j9, j10, j11, j12, j13, j14, j15, j16, j17, k8, k9)
 }

@@ -221,5 +221,27 @@ object Windows extends QueryPack {
     }
   }
 
-  override def defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, g1, g2, g4)
+  /** G-tier extension — DETERMINISTIC CORPUS SHUFFLE: the pre-training
+    * data-order step (training runs need the corpus in a reproducible
+    * pseudorandom order, decoupled from ingestion order). The shuffle key
+    * is `md5(seed ':' doc_id)` — a seeded hash both engines compute
+    * identically (lowercase hex of the UTF-8 bytes), so unlike
+    * xxhash64-based keys (i9x) this permutation IS cross-engine
+    * oracle-able. Sorting by it is Spark's range-partitioned global sort:
+    * the key is uniform by construction, so every partition gets an equal
+    * key range — a balanced, skew-proof, restart-stable shuffle at any
+    * scale (vs `repartition(rand())`, which is neither deterministic nor
+    * resumable). A new seed = a new epoch order, no data movement logic
+    * changes. Also exposed as the config-surface `op: shuffle`. */
+  val g5: QueryDef = m(
+    "g5_corpus_shuffle",
+    """SELECT doc_id, md5(concat_ws(':', '42', CAST(doc_id AS VARCHAR))) AS skey
+      |FROM documents ORDER BY skey""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(":", lit("42"), col("doc_id").cast("string"))).as("skey"))
+      .orderBy(col("skey"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, g1, g2, g4, g5)
 }

@@ -1687,6 +1687,16 @@ class ConfigPipelineSpec extends SparkSpecBase {
       .collect().map(_.getString(0)).toSet
     doms should not be empty
     assert(doms.subsetOf(Set("src0", "src1", "src2")), s"unexpected domains $doms")
+    val run1 = PipelineRunner.run(spark, template("epoch_shuffle.yaml")).passed
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    run1 should not be empty
+    // content-preserving: the committed sink holds exactly the permuted
+    // rows (set equality — parquet read-back order is not contractual)
+    spark.read.parquet(s"$out/epoch0_corpus").select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted shouldBe run1.sorted
+    // deterministic: a re-run yields the same rows in the same ORDER
+    PipelineRunner.run(spark, template("epoch_shuffle.yaml")).passed
+      .select(col("doc_id")).collect().map(_.getLong(0)) shouldBe run1
   }
 
   test("mix: declared-mixture rebalancing keeps the binding domain whole, seed-stably") {
@@ -1735,6 +1745,43 @@ class ConfigPipelineSpec extends SparkSpecBase {
          |  - {op: mix, cols: [domain], seed: 1,
          |     values: ["a:0.5", "nope:0.5"]}
          |""".stripMargin)).getMessage should include("no rows")
+  }
+
+  test("shuffle: a seeded permutation — same rows, reproducible order, new seed new order") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = "/tmp/graft_io/shuffle_spec"
+    (0 until 400).map(i => (i.toLong, s"doc_$i")).toDF("id", "payload")
+      .write.mode("overwrite").parquet(dir)
+    def run(seed: Long) = PipelineRunner.run(spark,
+      s"""name: shuffle_spec
+         |source: {format: parquet, path: "$dir"}
+         |transforms:
+         |  - {op: shuffle, cols: [id], seed: $seed}
+         |""".stripMargin).passed
+    val a = run(7L).select(col("id")).as[Long].collect()
+    // a PERMUTATION: every row exactly once, nothing dropped or invented
+    a.sorted shouldBe (0L until 400L).toArray
+    // not the input order (the point), but reproducible across runs
+    a should not be (0L until 400L).toArray
+    run(7L).select(col("id")).as[Long].collect() shouldBe a
+    // a different seed is a different epoch order over the same rows
+    val b = run(8L).select(col("id")).as[Long].collect()
+    b.sorted shouldBe a.sorted
+    b should not be a
+    // guard rails: unseeded / keyless shuffles fail fast
+    (the[IllegalArgumentException] thrownBy PipelineRunner.run(spark,
+      s"""name: shuffle_noseed
+         |source: {format: parquet, path: "$dir"}
+         |transforms:
+         |  - {op: shuffle, cols: [id]}
+         |""".stripMargin)).getMessage should include("seed")
+    (the[IllegalArgumentException] thrownBy PipelineRunner.run(spark,
+      s"""name: shuffle_nokey
+         |source: {format: parquet, path: "$dir"}
+         |transforms:
+         |  - {op: shuffle, seed: 1}
+         |""".stripMargin)).getMessage should include("cols")
   }
 
   test("A8: xml sink + xml source round-trip values through the YAML surface") {

@@ -383,6 +383,47 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("j16: the running token total is a DISTRIBUTED prefix sum — no single-partition window") {
+    val d = TextOps2.j16.build(spark, sf)
+    d.collect()
+    val p = d.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(p) {
+      // the naive SUM OVER (ORDER BY key) would plan as
+      // `Exchange SinglePartition` + an unpartitioned Window — the whole
+      // corpus through ONE task. The bucketed prefix sum must never
+      // degenerate to that: its window partitions by the hash-range
+      // bucket, the per-bucket totals travel driver-side as `buckets`
+      // rows, and the offsets come back as a broadcast join.
+      p should not include "SinglePartition"
+      p should include("BroadcastHashJoin")
+    }
+  }
+
+  test("j17: survivor election and per-doc reassembly share the doc_id exchange") {
+    val d = TextOps2.j17.build(spark, sf)
+    d.collect()
+    val p = d.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(p) {
+      // two keyed windows (chunk, then doc_id) + the final presentation
+      // sort; the groupBy(doc_id) must REUSE the doc_id window's
+      // partitioning rather than add a fourth exchange
+      "Exchange".r.findAllIn(p).size shouldBe 3
+      p should not include "SinglePartition"
+    }
+  }
+
+  test("d10: snapshot diff is one join over two scans of the same table") {
+    val d = Joins.d10.build(spark, sf)
+    d.collect()
+    val p = d.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(p) {
+      // FULL outer equi-join (shuffle or sort-merge — never a cartesian),
+      // classification is row-local algebra after it
+      p should include("FullOuter")
+      p should not include "Cartesian"
+    }
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE finalizes the physical plan only on execution of THIS dataset's
     // own QueryExecution — collect, then look for codegen stage markers
