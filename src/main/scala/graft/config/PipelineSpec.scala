@@ -513,7 +513,7 @@ object PipelineSpec {
     val op = reqStr(n, "op", at)
     require(Set("select", "rename", "drop", "derive", "filter", "cast", "join",
       "limit", "sort", "shuffle", "aggregate", "union", "dedup", "asof_join",
-      "flatten", "pivot", "unpivot", "surrogate_key", "merge",
+      "flatten", "pivot", "unpivot", "surrogate_key", "merge", "diff",
       "tokenize", "tfidf", "minhash_dedup", "semdedup", "ann_topk",
       "sample", "mix", "pack", "quality_filter", "decontaminate", "redact")(op),
       s"$at.op: unknown '$op'")

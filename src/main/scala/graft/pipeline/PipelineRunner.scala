@@ -197,10 +197,11 @@ object PipelineRunner {
       "streaming mode: 'asof_join' is batch-only (use a stream-stream " +
         "interval join for streaming time alignment)"))
     streamable.foreach(t => require(!Set("pivot", "surrogate_key", "merge",
-      "shuffle")(t.op),
+      "shuffle", "diff")(t.op),
       s"streaming mode: '${t.op}' is batch-only (pivot needs a finished " +
         "group; a global row_number window has no streaming equivalent; " +
-        "merge anti-joins the full base; shuffle is a global sort)"))
+        "merge anti-joins the full base; shuffle is a global sort; diff " +
+        "full-outer-joins two complete snapshots)"))
     streamable.foreach(t => require(
       !Set("tfidf", "minhash_dedup", "semdedup", "ann_topk", "decontaminate",
         "mix")(t.op),
@@ -714,6 +715,50 @@ object PipelineRunner {
         import org.apache.spark.sql.expressions.Window
         df.withColumn(t.name.getOrElse("sk"),
           row_number().over(Window.orderBy(t.orderBy.map(sortExpr): _*)).cast("bigint"))
+      case "diff" => // CDC snapshot diff (d10 through the config surface):
+        // df is the OLD snapshot, `table` the NEW one. Emits ONLY the
+        // changed rows — the new values for insert/update, the key with
+        // nulls for delete, plus a `change` column (rename via `name`) —
+        // i.e. exactly the incremental change stream `merge`/`scd2`
+        // consume, derived from the full snapshots that are all many
+        // upstream systems can export. ONE full-outer equi-join shuffle;
+        // the unchanged majority filters out row-locally right after it.
+        // `cols` limits which columns count as "changed" (default: every
+        // shared non-key column); comparison is null-safe, so NULL→value
+        // and value→NULL transitions register as updates.
+        require(t.on.nonEmpty, "diff needs `on` key columns")
+        val nxt = read(spark, t.table.getOrElse(throw new IllegalArgumentException(
+          "diff needs `table` (the new snapshot)")))
+        val sharedCmp = nxt.columns.toSeq
+          .filter(df.columns.toSet)
+          .filterNot(t.on.toSet)
+        val cmpCols = if (t.cols.nonEmpty) t.cols else sharedCmp
+        require(cmpCols.nonEmpty, "diff: no comparable columns — the two " +
+          "snapshots share only the key")
+        cmpCols.foreach(c => require(sharedCmp.contains(c),
+          s"diff: compare column '$c' must be a shared non-key column " +
+            s"(available: ${sharedCmp.mkString(",")})"))
+        val changeCol = t.name.getOrElse("change")
+        require(!nxt.columns.contains(changeCol), s"diff: output column " +
+          s"'$changeCol' collides with a snapshot column — rename via `name`")
+        // the old side carries only key + compared columns, renamed so the
+        // join output is unambiguous; existence markers beat key-null
+        // tests (a legitimately-null key column would misclassify)
+        val prevSide = df.select((t.on ++ cmpCols)
+          .map(c => col(c).as(s"__old_$c")) :+ lit(true).as("__old_ex"): _*)
+        val nextSide = nxt.withColumn("__new_ex", lit(true))
+        val joinCond = t.on.map(k => nextSide(k) === col(s"__old_$k"))
+          .reduce(_ && _)
+        val anyDiff = cmpCols.map(c => !(col(s"__old_$c") <=> col(c)))
+          .reduce(_ || _)
+        nextSide.join(prevSide, joinCond, "full_outer")
+          .withColumn(changeCol,
+            when(col("__old_ex").isNull, lit("insert"))
+              .when(col("__new_ex").isNull, lit("delete"))
+              .when(anyDiff, lit("update")))
+          .where(col(changeCol).isNotNull)
+          .select(t.on.map(k => coalesce(col(k), col(s"__old_$k")).as(k)) ++
+            nxt.columns.filterNot(t.on.toSet).map(col) :+ col(changeCol): _*)
       case "merge" => // SCD1 upsert/delete + SCD2 effective-dated history,
         // all as plain join algebra (no storage transaction log): one
         // shuffle on the merge key + shuffle-free by-name unions. At

@@ -289,5 +289,97 @@ object MultimodalQ extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(mm1, mm2, mm3, mm4, mm5, mm6)
+  /** IMAGE NEAR-DUP DETECTION via perceptual average-hash — the visual
+    * analogue of k8's SimHash, closing the multimodal dedup story (a real
+    * image corpus dedups on pixels, not bytes: re-encoded/jittered copies
+    * have different bytes but the same picture). Per document a PNG is
+    * synthesized where GROUPS of 4 docs share a base pattern and each doc
+    * adds small per-pixel jitter (the stand-in for re-encode noise), then
+    * every blob runs the REAL pipeline: javax.imageio decode → 8×8
+    * bilinear thumbnail → luminance mean-threshold → 64-bit aHash.
+    *
+    * Matching is the LSH discipline, never all-pairs: the hash splits
+    * into 4×16-bit bands, candidates equi-join on (band, value) — a
+    * jittered copy agrees on ≥1 band with near-certainty — and only
+    * candidates pay the exact Hamming check (bit_count(a XOR b) ≤ 8).
+    * Cross-group band collisions (expected at ~2^-16 × pairs) are killed
+    * by the verify step, same as k6/k12b. X-tier (raster bytes aren't
+    * SQL-reproducible); MultimodalSpec asserts the found pairs are
+    * EXACTLY the same-group pairs. Hashing is map-only in one
+    * mapPartitions pass (codec amortized per task); only (id, hash) rows
+    * ever shuffle — at 100 TB of images the exchange carries 16 bytes a
+    * blob. */
+  val mm7: QueryDef = x("mm7_image_phash_neardup") { (spark, dir) =>
+    import spark.implicits._
+    val hashes = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val group = id / 4
+          val w = 16 + (group % 9).toInt
+          val h = 12 + (group % 5).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var s = group * 0x9E3779B97F4A7C15L + 1L // base: per-GROUP
+          var j = id * 0xC2B2AE3D27D4EB4FL + 1L    // jitter: per-DOC
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+              j ^= j << 13; j ^= j >>> 7; j ^= j << 17
+              def jit(v: Long, k: Int): Int = {
+                val d = ((j >>> k) % 5).toInt - 2 // ±2 per channel
+                math.min(255, math.max(0, ((v & 0xff) + d).toInt))
+              }
+              img.setRGB(x, y, (jit(s >>> 16, 8) << 16) |
+                (jit(s >>> 8, 24) << 8) | jit(s, 40))
+              x += 1
+            }
+            y += 1
+          }
+          // real codec round trip, then the aHash over the 8×8 thumbnail
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val thumb = Multimodal.resizeImage(back, 8, 8)
+          val lum = new Array[Int](64)
+          var sum = 0L
+          for (ty <- 0 until 8; tx <- 0 until 8) {
+            val rgb = thumb.getRGB(tx, ty)
+            val l = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            lum(ty * 8 + tx) = l
+            sum += l
+          }
+          val mean = sum.toDouble / 64
+          var hash = 0L
+          var i = 0
+          while (i < 64) {
+            if (lum(i) > mean) hash |= (1L << i)
+            i += 1
+          }
+          (id, hash)
+        }
+      }.toDF("doc_id", "phash")
+    val banded = hashes.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("phash"), b * 16) % 65536): _*)))
+      .toDF("doc_id", "phash", "band", "bval")
+    val a = banded.toDF("id_a", "hash_a", "band_a", "bval_a")
+    val b = banded.toDF("id_b", "hash_b", "band_b", "bval_b")
+    a.join(b, col("band_a") === col("band_b") && col("bval_a") === col("bval_b")
+        && col("id_a") < col("id_b"))
+      // a pair can agree on several bands — collapse before the verify
+      .select(col("id_a"), col("id_b"), col("hash_a"), col("hash_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(hash_a ^ hash_b)").cast("long"))
+      .where(col("hamming") <= 8)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(mm1, mm2, mm3, mm4, mm5, mm6, mm7)
 }

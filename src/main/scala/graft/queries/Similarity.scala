@@ -969,6 +969,58 @@ object Similarity extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** K-tier extension — INT8 EMBEDDING QUANTIZATION: per-dimension
+    * min/max linear quantization to 8-bit codes, the standard 4×
+    * memory/bandwidth reduction that makes billion-vector ANN indexes
+    * (IVF/HNSW serving tiers) fit in RAM. Two-job shape at any scale:
+    * (1) ONE aggregate-only pass computes the per-dim (min, max) params —
+    * output bounded by the embedding dimension, never data-sized; (2) the
+    * apply step is a MAP-ONLY broadcast of those params (here a broadcast
+    * join after posexplode; in a serving pipeline, a literal array).
+    *
+    * Cross-engine determinism is engineered, not hoped for: codes are
+    * `least(floor((v-min)/(max-min)*256), 255)` — floor, not round, so no
+    * half-way rounding-rule divergence exists; the float→double widening
+    * and IEEE ops are bit-identical in both engines; constant dimensions
+    * (max=min) pin to code 0 instead of dividing by zero. The oracle
+    * hash-checks the per-dim integer SUM of all 32 k codes — any
+    * single-bit quantization divergence breaks it. */
+  val k13: QueryDef = m(
+    "k13_embed_quantize",
+    """WITH ex AS (SELECT vec_id, i AS idx,
+      |    CAST(embedding[i + 1] AS DOUBLE) AS v
+      |  FROM embeddings, UNNEST(range(0, len(embedding))) AS t(i)),
+      |st AS (SELECT idx, min(v) AS vmin, max(v) AS vmax FROM ex GROUP BY idx),
+      |q AS (SELECT ex.idx,
+      |    CASE WHEN st.vmax = st.vmin THEN 0
+      |         ELSE CAST(least(floor((ex.v - st.vmin)
+      |                / (st.vmax - st.vmin) * 256), 255) AS BIGINT)
+      |    END AS qv
+      |  FROM ex JOIN st ON ex.idx = st.idx)
+      |SELECT q.idx, ROUND(st.vmin, 6) AS vmin, ROUND(st.vmax, 6) AS vmax,
+      |  COUNT(*) AS n, CAST(SUM(q.qv) AS BIGINT) AS sum_q
+      |FROM q JOIN st ON q.idx = st.idx
+      |GROUP BY q.idx, st.vmin, st.vmax ORDER BY q.idx""".stripMargin) {
+    (spark, dir) =>
+      val ex = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("vec_id", "idx", "vf")
+        .withColumn("v", col("vf").cast(DoubleType))
+      val stats = ex.groupBy(col("idx"))
+        .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      ex.join(broadcast(stats), "idx")
+        .withColumn("qv", when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(
+            floor((col("v") - col("vmin")) / (col("vmax") - col("vmin")) * 256),
+            lit(255.0)).cast(LongType)))
+        .groupBy(col("idx"), col("vmin"), col("vmax"))
+        .agg(count(lit(1)).as("n"), sum(col("qv")).as("sum_q"))
+        .select(col("idx").cast(LongType).as("idx"),
+          score6(col("vmin")).as("vmin"),
+          score6(col("vmax")).as("vmax"), col("n"), col("sum_q"))
+        .orderBy(col("idx"))
+  }
+
   override def defs: Seq[QueryDef] =
-    Seq(k1, k2, k3, k4, k5, k6, k7, k10, k11, k12, k12b)
+    Seq(k1, k2, k3, k4, k5, k6, k7, k10, k11, k12, k12b, k13)
 }

@@ -1087,8 +1087,58 @@ object Sources extends QueryPack {
          |""".stripMargin).passed
   }
 
+  /** CDC snapshot diff through the config surface (`op: diff` — see
+    * PipelineRunner): two deterministic snapshots of orders land as
+    * parquet artifacts, the pipeline reads the OLD one and diffs the NEW
+    * one against it, and the emitted change stream (new values +
+    * `change` marker — exactly what `merge`/`scd2` consume) is
+    * oracle-replayed by DuckDB's FULL JOIN over the same construction.
+    * Completes the snapshot-to-incremental story: upstreams that can
+    * only export full snapshots feed `diff`, whose output feeds the
+    * merge family. */
+  val ep19: QueryDef = m(
+    "ep19_config_diff",
+    """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      |prev AS (SELECT * FROM o WHERE o_orderkey % 10 < 9),
+      |nxt AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderstatus
+      |  FROM o WHERE o_orderkey % 10 > 0)
+      |SELECT * FROM (
+      |  SELECT COALESCE(nxt.o_orderkey, prev.o_orderkey) AS o_orderkey,
+      |    nxt.o_totalprice AS o_totalprice,
+      |    nxt.o_orderstatus AS o_orderstatus,
+      |    CASE WHEN prev.o_orderkey IS NULL THEN 'insert'
+      |         WHEN nxt.o_orderkey IS NULL THEN 'delete'
+      |         WHEN (prev.o_totalprice IS DISTINCT FROM nxt.o_totalprice)
+      |           OR (prev.o_orderstatus IS DISTINCT FROM nxt.o_orderstatus)
+      |           THEN 'update' END AS change
+      |  FROM prev FULL JOIN nxt ON prev.o_orderkey = nxt.o_orderkey)
+      |WHERE change IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    o.where(col("o_orderkey") % 10 < 9)
+      .write.mode("overwrite").parquet(s"$ioDir/snap_prev")
+    o.where(col("o_orderkey") % 10 > 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$ioDir/snap_next")
+    PipelineRunner.run(spark,
+      s"""name: ep19_diff
+         |source: {format: parquet, path: "$ioDir/snap_prev"}
+         |transforms:
+         |  - {op: diff, on: [o_orderkey],
+         |     table: {format: parquet, path: "$ioDir/snap_next"}}
+         |  - {op: sort, cols: [o_orderkey]}
+         |""".stripMargin).passed
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a3c, a4, a4b, a4c, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3,
       ep3b, ep4, ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13,
-      ep14, ep15, ep16, ep17, ep18)
+      ep14, ep15, ep16, ep17, ep18, ep19)
 }

@@ -1784,6 +1784,78 @@ class ConfigPipelineSpec extends SparkSpecBase {
          |""".stripMargin)).getMessage should include("cols")
   }
 
+  test("diff: change stream classifies exactly, and applying it to OLD reproduces NEW") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = "/tmp/graft_io/diff_spec"
+    // old: keys 1..6; new: 2..7, with 3's value changed and 4's value
+    // moved to/from NULL in both directions (the null-safe cases)
+    Seq((1L, Some("a"), 10), (2L, Some("b"), 20), (3L, Some("c"), 30),
+      (4L, Option.empty[String], 40), (5L, Some("e"), 50), (6L, Some("f"), 60))
+      .toDF("id", "v", "w").write.mode("overwrite").parquet(s"$dir/old")
+    Seq((2L, Some("b"), 20), (3L, Some("C!"), 30), (4L, Some("d"), 40),
+      (5L, Option.empty[String], 50), (6L, Some("f"), 60), (7L, Some("g"), 70))
+      .toDF("id", "v", "w").write.mode("overwrite").parquet(s"$dir/new")
+    val d = PipelineRunner.run(spark,
+      s"""name: diff_spec
+         |source: {format: parquet, path: "$dir/old"}
+         |transforms:
+         |  - {op: diff, on: [id],
+         |     table: {format: parquet, path: "$dir/new"}}
+         |""".stripMargin).passed
+    val rows = d.select(col("id"), col("change")).as[(Long, String)]
+      .collect().toMap
+    // 1 deleted; 3 value-changed; 4 NULL→value and 5 value→NULL (both
+    // must register as updates — the null-safe contract); 7 inserted;
+    // 2 and 6 unchanged → absent
+    rows shouldBe Map(1L -> "delete", 3L -> "update", 4L -> "update",
+      5L -> "update", 7L -> "insert")
+    // the round-trip law that makes diff the snapshot-to-incremental
+    // bridge: OLD + diff = NEW (upsert the insert/update rows, remove
+    // the delete keys)
+    val old = spark.read.parquet(s"$dir/old")
+    val ups = d.where(col("change") =!= "delete").drop("change")
+    val dels = d.where(col("change") === "delete").select(col("id"))
+    val applied = old.join(dels, Seq("id"), "left_anti")
+      .join(ups.select(col("id")), Seq("id"), "left_anti")
+      .unionByName(ups)
+    applied.exceptAll(spark.read.parquet(s"$dir/new")).count() shouldBe 0L
+    spark.read.parquet(s"$dir/new").exceptAll(applied).count() shouldBe 0L
+    // `cols` narrows what counts as changed: compare only w → value-only
+    // edits disappear, inserts/deletes stay
+    val dw = PipelineRunner.run(spark,
+      s"""name: diff_spec_w
+         |source: {format: parquet, path: "$dir/old"}
+         |transforms:
+         |  - {op: diff, on: [id], cols: [w],
+         |     table: {format: parquet, path: "$dir/new"}}
+         |""".stripMargin).passed
+    dw.select(col("id"), col("change")).as[(Long, String)].collect().toMap shouldBe
+      Map(1L -> "delete", 7L -> "insert")
+    // guard rails: keyless, unknown compare column, and change-name
+    // collisions fail fast
+    (the[IllegalArgumentException] thrownBy PipelineRunner.run(spark,
+      s"""name: diff_nokey
+         |source: {format: parquet, path: "$dir/old"}
+         |transforms:
+         |  - {op: diff, table: {format: parquet, path: "$dir/new"}}
+         |""".stripMargin)).getMessage should include("on")
+    (the[IllegalArgumentException] thrownBy PipelineRunner.run(spark,
+      s"""name: diff_badcol
+         |source: {format: parquet, path: "$dir/old"}
+         |transforms:
+         |  - {op: diff, on: [id], cols: [nope],
+         |     table: {format: parquet, path: "$dir/new"}}
+         |""".stripMargin)).getMessage should include("shared")
+    (the[IllegalArgumentException] thrownBy PipelineRunner.run(spark,
+      s"""name: diff_collide
+         |source: {format: parquet, path: "$dir/old"}
+         |transforms:
+         |  - {op: diff, on: [id], name: v,
+         |     table: {format: parquet, path: "$dir/new"}}
+         |""".stripMargin)).getMessage should include("collides")
+  }
+
   test("A8: xml sink + xml source round-trip values through the YAML surface") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -157,4 +157,27 @@ class MultimodalSpec extends SparkSpecBase {
     Multimodal.sampleFrame(truncated, 0).map(_._1) shouldBe Some(3)
     Multimodal.sampleFrame(truncated, 1) shouldBe None
   }
+
+  test("mm7: perceptual-hash near-dup finds exactly the jittered same-group pairs") {
+    val out = graft.queries.MultimodalQ.mm7.build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ground truth: docs sharing a base pattern (same doc_id / 4 group)
+    // are jittered copies of one image; everything else is unrelated
+    val ids = Tables.documents(spark, sf).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val expected = ids.groupBy(_ / 4).values.flatMap { g =>
+      val s = g.sorted
+      for (i <- s.indices; k <- i + 1 until s.length) yield (s(i), s(k))
+    }.toSet
+    // exact equality both ways: every jittered copy is FOUND (banding
+    // recall + Hamming tolerance absorb the ±2-channel noise through the
+    // real PNG → decode → bilinear-resize pipeline), and no cross-group
+    // pair survives the verify (band collisions occur — ~pairs/2^16 — but
+    // random patterns sit ~32 bits apart, far above the 8-bit gate);
+    // all seeded, so this is deterministic, not probabilistic
+    out.toSet shouldBe expected
+    // the hash is stable across runs (codec + resize are deterministic)
+    graft.queries.MultimodalQ.mm7.build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe expected
+  }
 }
