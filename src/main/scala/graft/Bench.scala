@@ -213,12 +213,16 @@ object Bench {
       val secs = out.reverseIterator
         .flatMap(l => re.findFirstMatchIn(l).map(_.group(1).toDouble))
         .nextOption().getOrElse(-1.0)
-      // relay the child's stage attribution: its final line carries
-      // "attribution":{"<name>":{stage:secs,...}} — stage objects are
-      // flat (no nested braces), so scanning to the next '}' is exact
+      // relay the child's stage attribution: it prints a dedicated
+      // {"metric":"attribution","queries":{"<name>":{stage:secs,...}}}
+      // line (round-13 format — the relay previously scanned for
+      // `"attribution":` with a colon and silently matched NOTHING, so
+      // forked k12b's steal/probe evidence never reached the gate line
+      // in rounds 13-15a). Stage objects are flat (no nested braces), so
+      // scanning to the next '}' is exact.
       val marker = "\"" + name + "\":{"
       out.reverseIterator.flatMap { l =>
-        val i = l.indexOf("\"attribution\":")
+        val i = l.indexOf("\"metric\":\"attribution\"")
         val j = if (i < 0) -1 else l.indexOf(marker, i)
         val end = if (j < 0) -1 else l.indexOf('}', j + marker.length - 1)
         if (end < 0) None else Some(l.substring(j + marker.length - 1, end + 1))

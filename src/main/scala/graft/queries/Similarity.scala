@@ -498,11 +498,20 @@ object Similarity extends QueryPack {
     // upstream runs ONCE, not once per union branch
     val t0 = System.nanoTime()
     val directed = Checkpoints.eager(edges.toDF("src", "dst"))
+    // edges_sym used to cover this force AND the symmetrize below as one
+    // number, which made the round-15 bimodality (18 s vs 150-180 s on
+    // back-to-back identical runs) unattributable — the split shows
+    // which half the host throttle landed on (it is the verify join: the
+    // longest sustained full-width stage in the query)
+    ccStage("verify_force", t0)
     val spark = nodes.sparkSession
     val aqePrev = spark.conf.get("spark.sql.adaptive.enabled")
     val partsPrev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try connectedComponentsLoop(nodes, directed, maxRounds, t0)
+    // fresh timer: edges_sym now covers ONLY the loop's own sizing counts
+    // + symmetrize/repartition checkpoint (verify_force above owns the
+    // upstream force), keeping the stage set disjoint
+    try connectedComponentsLoop(nodes, directed, maxRounds, System.nanoTime())
     finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
       spark.conf.set("spark.sql.shuffle.partitions", partsPrev)
@@ -877,6 +886,9 @@ object Similarity extends QueryPack {
     val tCand = System.nanoTime()
     val candidates = lshCandidatesOf(repDocs, bucketCap, nHashes = 24)
     ccStage("candidates", tCand)
+    // free read off the checkpoint blocks; sizes the verify join's input
+    // (the quantity the τ-prefilter and banding dials actually control)
+    ccLog(s"candidate pairs: ${candidates.count()}")
     // the size bound runs on the candidate pair set itself (sizes rode
     // the LSH banding), so size-incompatible pairs die while the rows
     // are still two longs + two ints — BEFORE either token array is
@@ -891,9 +903,23 @@ object Similarity extends QueryPack {
     val labels = if (frugal) {
       frugalComponents(repDocs, sizeOk, threshold)
     } else {
+      // SHUFFLE-HASH, not sort-merge: SMJ must SORT the pair stream —
+      // 5.5M rows at sf0.1, and after the first join each row carries a
+      // token ARRAY, so the second sort runs over wide rows and spills;
+      // measured round 15, this was the bimodal stage (18 s vs 150-180 s
+      // back-to-back on identical data — the spill path is hostage to
+      // disk/alloc weather). A hash join builds on the rep side — per
+      // partition a bounded slice of the (collapsed) rep table — and
+      // STREAMS the pair side with no sort and no wide-row spill. Still
+      // fully distributed (both sides shuffle on the key): at 100 TB
+      // reps is corpus-sized, so broadcast is not an option, but the
+      // per-partition build slice stays bounded exactly like any
+      // shuffled hash join. Never falls back to SMJ on build overflow
+      // (Spark 3.1+ honors the hint); spill of the BUILD side would
+      // mean rep skew, which the banding bucketCap already bounds.
       val verified = sizeOk
-        .join(repDocs.toDF("id_a", "ts_a"), "id_a")
-        .join(repDocs.toDF("id_b", "ts_b"), "id_b")
+        .join(repDocs.toDF("id_a", "ts_a").hint("shuffle_hash"), "id_a")
+        .join(repDocs.toDF("id_b", "ts_b").hint("shuffle_hash"), "id_b")
         .withColumn("__i", size(array_intersect(col("ts_a"), col("ts_b"))))
         .where(round(col("__i").cast(DoubleType)
           / (size(col("ts_a")) + size(col("ts_b")) - col("__i")), 6) >= threshold)
