@@ -596,20 +596,30 @@ object PipelineRunner {
       case "limit" => df.limit(t.expr.get.toInt)
       case "sort"  => df.orderBy(t.cols.map(sortExpr): _*)
       case "shuffle" => // deterministic corpus shuffle (g5 through the
-        // config surface): reorder rows by md5(seed ':' keyCols...) — a
-        // seeded pseudorandom permutation that is reproducible across
-        // runs AND engines (md5 is engine-neutral, unlike xxhash64 /
-        // rand()). Spark executes it as a range-partitioned global sort
-        // on a uniform key: balanced partitions by construction, no
-        // skew, restart-stable. A new seed = a new epoch order. `cols`
-        // must be a unique row key — duplicate keys would collide to the
-        // same slot and make the permutation ambiguous across engines.
+        // config surface): reorder rows by a seeded md5 of the key
+        // columns — a pseudorandom permutation that is reproducible
+        // across runs AND engines (md5 is engine-neutral, unlike
+        // xxhash64 / rand()). Spark executes it as a range-partitioned
+        // global sort on a uniform key: balanced partitions by
+        // construction, no skew, restart-stable. A new seed = a new
+        // epoch order. `cols` must be a unique row key — duplicate keys
+        // would collide to the same slot and make the permutation
+        // ambiguous across engines. Each key column is md5'd
+        // INDEPENDENTLY before the outer hash: a raw concat_ws(":")
+        // would make ["a:b","c"] collide with ["a","b:c"] and silently
+        // DROP null columns (["a",NULL] ≡ ["a"]). Per-column encoding is
+        // a prefix code — "N" for NULL, "V"+md5hex (fixed 32 chars)
+        // otherwise — so the concatenation is injective on the key tuple
+        // and NULL is a distinct value, not an erasure.
         require(t.cols.nonEmpty,
           "shuffle needs `cols: [keyCols...]` (a unique row key)")
         val shSeed = t.seed.getOrElse(throw new IllegalArgumentException(
           "shuffle needs `seed` (an unseeded shuffle is not reproducible)"))
-        df.orderBy(md5(concat_ws(":",
-          lit(shSeed.toString) +: t.cols.map(c => col(c).cast("string")): _*)))
+        val encoded = t.cols.map { c =>
+          when(col(c).isNull, lit("N"))
+            .otherwise(concat(lit("V"), md5(col(c).cast("string"))))
+        }
+        df.orderBy(md5(concat(lit(shSeed.toString + ":") +: encoded: _*)))
       case "aggregate" => // §2.E through the config surface
         require(t.aggs.nonEmpty, "aggregate needs `aggs` expressions")
         val aggs = t.aggs.map(expr)
@@ -743,11 +753,16 @@ object PipelineRunner {
           s"'$changeCol' collides with a snapshot column — rename via `name`")
         // the old side carries only key + compared columns, renamed so the
         // join output is unambiguous; existence markers beat key-null
-        // tests (a legitimately-null key column would misclassify)
+        // tests (a legitimately-null key column would misclassify), and
+        // the join itself is null-safe (<=>) so a NULL-valued key still
+        // MATCHES its counterpart — plain === would emit a spurious
+        // delete+insert pair for it and break the OLD+diff=NEW law
+        // (Spark plans EqualNullSafe as a normal equi-join key, so this
+        // costs nothing)
         val prevSide = df.select((t.on ++ cmpCols)
           .map(c => col(c).as(s"__old_$c")) :+ lit(true).as("__old_ex"): _*)
         val nextSide = nxt.withColumn("__new_ex", lit(true))
-        val joinCond = t.on.map(k => nextSide(k) === col(s"__old_$k"))
+        val joinCond = t.on.map(k => nextSide(k) <=> col(s"__old_$k"))
           .reduce(_ && _)
         val anyDiff = cmpCols.map(c => !(col(s"__old_$c") <=> col(c)))
           .reduce(_ || _)

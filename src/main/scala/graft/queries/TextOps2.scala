@@ -425,9 +425,14 @@ object TextOps2 extends QueryPack {
       .withColumn("bkt",
         (conv(substring(col("skey"), 1, 4), 16, 10).cast(LongType)
           / lit(65536L / buckets)).cast(IntegerType))
-    val local = d.withColumn("cum_local",
-      sum(col("toks")).over(Window.partitionBy(col("bkt")).orderBy(col("skey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // two consumers read this frame (the bucket-totals collect and the
+    // final offset join) — materialize it once so the scan + windowed
+    // prefix pass doesn't execute twice (the Checkpoints.eager contract;
+    // released after the result materializes)
+    val local = graft.core.Checkpoints.eager(
+      d.withColumn("cum_local",
+        sum(col("toks")).over(Window.partitionBy(col("bkt")).orderBy(col("skey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
     // one row per bucket — bounded by construction, never data-sized
     val totals = local.groupBy(col("bkt")).agg(sum(col("toks")).as("tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -1769,6 +1769,26 @@ class ConfigPipelineSpec extends SparkSpecBase {
     val b = run(8L).select(col("id")).as[Long].collect()
     b.sorted shouldBe a.sorted
     b should not be a
+    // multi-column keys are hashed injectively: [\"a:b\",\"c\"] vs
+    // [\"a\",\"b:c\"] must land in DIFFERENT slots (a raw concat_ws(\":\")
+    // would collide them), and a NULL column is a distinct key value,
+    // not dropped — so the permutation stays total-ordered and
+    // deterministic even on adversarial keys
+    val mdir = "/tmp/graft_io/shuffle_multicol"
+    Seq((Some("a:b"), Some("c")), (Some("a"), Some("b:c")),
+      (Some("a"), Option.empty[String]), (Option.empty[String], Some("a")))
+      .toDF("x", "y").write.mode("overwrite").parquet(mdir)
+    def runM() = PipelineRunner.run(spark,
+      s"""name: shuffle_multicol
+         |source: {format: parquet, path: "$mdir"}
+         |transforms:
+         |  - {op: shuffle, cols: [x, y], seed: 7}
+         |""".stripMargin).passed
+      .select(col("x"), col("y")).as[(Option[String], Option[String])].collect()
+    val m1 = runM()
+    m1.length shouldBe 4
+    m1.toSet.size shouldBe 4   // all four keys kept distinct
+    runM() shouldBe m1          // and the adversarial order is stable
     // guard rails: unseeded / keyless shuffles fail fast
     (the[IllegalArgumentException] thrownBy PipelineRunner.run(spark,
       s"""name: shuffle_noseed
@@ -1821,6 +1841,35 @@ class ConfigPipelineSpec extends SparkSpecBase {
       .unionByName(ups)
     applied.exceptAll(spark.read.parquet(s"$dir/new")).count() shouldBe 0L
     spark.read.parquet(s"$dir/new").exceptAll(applied).count() shouldBe 0L
+    // a NULL-valued key must still MATCH its counterpart (the join is
+    // null-safe): unchanged NULL-key row → absent; changed → one update,
+    // never a spurious delete+insert pair
+    Seq((Option.empty[String], 1), (Some("k1"), 10), (Some("k2"), 20))
+      .toDF("k", "v").write.mode("overwrite").parquet(s"$dir/nold")
+    Seq((Option.empty[String], 1), (Some("k1"), 11), (Some("k2"), 20))
+      .toDF("k", "v").write.mode("overwrite").parquet(s"$dir/nnew")
+    val nd = PipelineRunner.run(spark,
+      s"""name: diff_nullkey
+         |source: {format: parquet, path: "$dir/nold"}
+         |transforms:
+         |  - {op: diff, on: [k],
+         |     table: {format: parquet, path: "$dir/nnew"}}
+         |""".stripMargin).passed
+    nd.select(col("k"), col("change")).as[(Option[String], String)]
+      .collect().toMap shouldBe Map(Option("k1") -> "update")
+    // and a CHANGED NULL-key row is one update carrying the NULL key
+    Seq((Option.empty[String], 2), (Some("k1"), 11), (Some("k2"), 20))
+      .toDF("k", "v").write.mode("overwrite").parquet(s"$dir/nnew2")
+    PipelineRunner.run(spark,
+      s"""name: diff_nullkey2
+         |source: {format: parquet, path: "$dir/nold"}
+         |transforms:
+         |  - {op: diff, on: [k],
+         |     table: {format: parquet, path: "$dir/nnew2"}}
+         |""".stripMargin).passed
+      .select(col("k"), col("change")).as[(Option[String], String)]
+      .collect().toMap shouldBe
+      Map(Option.empty[String] -> "update", Option("k1") -> "update")
     // `cols` narrows what counts as changed: compare only w → value-only
     // edits disappear, inserts/deletes stay
     val dw = PipelineRunner.run(spark,
