@@ -433,7 +433,7 @@ object PipelineSpec {
     val fmt = reqStr(n, "format", at)
     require(
       Set("parquet", "orc", "csv", "json", "xml", "jdbc", "kafka",
-        "binaryfile")(fmt),
+        "binaryfile", "graft_table")(fmt),
       s"$at.format: unknown '$fmt'")
     val s = SourceSpec(fmt,
       path = optStr(n, "path"), table = optStr(n, "table"),
@@ -467,6 +467,23 @@ object PipelineSpec {
       require(s.drift.isEmpty && s.incremental.isEmpty,
         s"$at: drift/incremental do not apply to a kafka source (the " +
           "checkpoint tracks offsets)")
+    }
+    if (fmt == "graft_table") {
+      // ACID commit-log table (graft.tables.GraftTable): addressed by
+      // root path; schema comes from the table's own log, so a declared
+      // schema / drift policy would be silently ignored — reject both.
+      // options.versionAsOf = "<n>" time-travels to version n.
+      require(s.path.isDefined && s.table.isEmpty,
+        s"$at: graft_table sources are addressed by `path` (the table root)")
+      require(s.schema.isEmpty,
+        s"$at: a graft_table's schema is owned by its commit log — " +
+          "conform downstream with cast/select instead of declaring one")
+      require(s.drift.isEmpty,
+        s"$at: drift does not apply to a graft_table source (the log " +
+          "pins each version's schema)")
+      s.options.get("versionAsOf").foreach(v => require(
+        scala.util.Try(v.toLong).isSuccess,
+        s"$at.options.versionAsOf: must be a version number, got '$v'"))
     }
     if (fmt == "binaryfile") {
       // whole-blob ingest: the connector's record schema is fixed (path,
@@ -539,7 +556,7 @@ object PipelineSpec {
       "buckets", "bucketBy", "sortBy", "table", "evolve", "clusterBy",
       "files"))
     val fmt = reqStr(n, "format", at)
-    require(Set("parquet", "orc", "csv", "json", "xml")(fmt),
+    require(Set("parquet", "orc", "csv", "json", "xml", "graft_table")(fmt),
       s"$at.format: unknown '$fmt'")
     val s = SinkSpec(fmt, reqStr(n, "path", at),
       mode = optStr(n, "mode").getOrElse("overwrite"),
@@ -582,6 +599,23 @@ object PipelineSpec {
       require(s.table.isDefined,
         s"$at: bucketed sink needs `table` (bucket metadata lives in the catalog)")
       require(fmt == "parquet", s"$at: bucketed sink supports parquet only")
+    }
+    if (fmt == "graft_table") {
+      // ACID commit-log sink: modes overwrite|append plus the table-level
+      // merge|delete (options.on = comma-separated key cols). The format
+      // owns its physical layout and schema, so every file-sink layout /
+      // evolution knob is rejected rather than silently dropped.
+      require(Set("overwrite", "append", "merge", "delete")(s.mode),
+        s"$at.mode: graft_table supports overwrite|append|merge|delete, " +
+          s"got '${s.mode}'")
+      if (s.mode == "merge" || s.mode == "delete")
+        require(s.options.get("on").exists(_.trim.nonEmpty),
+          s"$at: graft_table mode=${s.mode} needs options.on (key columns)")
+      require(s.partitionBy.isEmpty && s.buckets.isEmpty &&
+        s.clusterBy.isEmpty && s.files.isEmpty && s.evolve.isEmpty &&
+        s.table.isEmpty,
+        s"$at: graft_table owns its layout — partitionBy/buckets/" +
+          "clusterBy/files/evolve/table do not apply")
     }
     s
   }

@@ -359,6 +359,12 @@ object PipelineRunner {
           .options(s.options)
         s.schema.map(ddl => r.schema(StructType.fromDDL(ddl))).getOrElse(r)
           .format("xml").load(path)
+      case "graft_table" => // ACID commit-log table: snapshot-isolated
+        // read of the latest version, or options.versionAsOf for time
+        // travel. Schema comes from the log (parse-time validation
+        // rejected a declared one).
+        graft.tables.GraftTable.read(spark, path,
+          s.options.get("versionAsOf").map(_.toLong))
       case "jdbc" => // §2.A5: options pass through verbatim — url/dbtable/
         // driver, plus partitionColumn/lowerBound/upperBound/numPartitions
         // for the parallel scan a cluster-scale read requires (one
@@ -1341,6 +1347,23 @@ object PipelineRunner {
 
   // -- sinks (§2.A6-A8) -----------------------------------------------------
   def write(df: DataFrame, s: SinkSpec): Unit = {
+    if (s.format == "graft_table") {
+      // ACID commit-log sink (graft.tables.GraftTable): overwrite/append
+      // commit atomically with optimistic concurrency; merge/delete are
+      // the lakehouse MERGE — only files containing matched keys are
+      // rewritten, and the commit aborts if another writer raced in
+      // (its rewrite would be against a stale snapshot). No rename-swap
+      // needed here: the log IS the commit protocol.
+      s.mode match {
+        case "merge" | "delete" =>
+          val on = s.options("on").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val how = if (s.mode == "merge")
+            s.options.getOrElse("how", "upsert") else "delete"
+          graft.tables.GraftTable.merge(df.sparkSession, s.path, df, on, how)
+        case m => graft.tables.GraftTable.write(df.sparkSession, df, s.path, m)
+      }
+      return
+    }
     s.buckets match {
       case Some(n) => // §2.A7b from config: shuffle once at write time,
         // join exchange-free ever after (parquet + catalog table)

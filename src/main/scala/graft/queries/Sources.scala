@@ -1137,8 +1137,76 @@ object Sources extends QueryPack {
          |""".stripMargin).passed
   }
 
+  /** ACID commit-log table (graft.tables.GraftTable) end-to-end through
+    * the config surface: pipeline 1 publishes orders as a graft_table
+    * (version 1), pipeline 2 MERGEs a deterministic change set — updates
+    * for keys %13, inserts above the key space — rewriting only the
+    * files that contain matched keys (version 2). The result reads BOTH
+    * versions back (latest + `versionAsOf: 1` time travel), tagged, and
+    * DuckDB replays the same upsert algebraically — so atomic commit,
+    * snapshot isolation, time travel, and merge correctness are all
+    * oracle-checked in one query. GraftTableSpec covers the
+    * crash/concurrency laws the oracle can't see. */
+  val ep20: QueryDef = m(
+    "ep20_config_acid_merge",
+    """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey, 'U' AS o_orderstatus,
+      |         o_totalprice + 5000.0 AS o_totalprice
+      |  FROM base WHERE o_orderkey % 13 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, 'N', 1.0
+      |  FROM base WHERE o_orderkey % 100 = 0),
+      |v2 AS (
+      |  SELECT * FROM base
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      |  UNION ALL SELECT * FROM upd)
+      |SELECT * FROM (
+      |  SELECT 1 AS version, * FROM base WHERE o_orderkey % 4 = 0
+      |  UNION ALL
+      |  SELECT 2 AS version, * FROM v2 WHERE o_orderkey % 4 = 0)
+      |ORDER BY version, o_orderkey""".stripMargin) { (spark, dir) =>
+    val root = s"$ioDir/acid_orders"
+    // deterministic version numbering run-to-run: start from a fresh log
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(rootPath, true)
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    base.write.mode("overwrite").parquet(s"$ioDir/acid_src")
+    PipelineRunner.run(spark,
+      s"""name: ep20_publish
+         |source: {format: parquet, path: "$ioDir/acid_src"}
+         |sink: {format: graft_table, path: "$root", mode: overwrite}
+         |""".stripMargin)
+    base.where(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 5000.0).as("o_totalprice"))
+      .unionByName(base.where(col("o_orderkey") % 100 === 0)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice")))
+      .write.mode("overwrite").parquet(s"$ioDir/acid_upd")
+    PipelineRunner.run(spark,
+      s"""name: ep20_merge
+         |source: {format: parquet, path: "$ioDir/acid_upd"}
+         |sink: {format: graft_table, path: "$root", mode: merge,
+         |       options: {on: o_orderkey}}
+         |""".stripMargin)
+    def readV(v: Int) = PipelineRunner.run(spark,
+      s"""name: ep20_read_v$v
+         |source: {format: graft_table, path: "$root",
+         |         options: {versionAsOf: "$v"}}
+         |transforms:
+         |  - {op: filter, expr: "o_orderkey % 4 = 0"}
+         |  - {op: derive, name: version, expr: "$v"}
+         |  - {op: select, cols: [version, o_orderkey, o_orderstatus, o_totalprice]}
+         |""".stripMargin).passed
+    readV(1).unionByName(readV(2))
+      .orderBy(col("version"), col("o_orderkey"))
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a3c, a4, a4b, a4c, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3,
       ep3b, ep4, ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13,
-      ep14, ep15, ep16, ep17, ep18, ep19)
+      ep14, ep15, ep16, ep17, ep18, ep19, ep20)
 }

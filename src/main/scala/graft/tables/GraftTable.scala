@@ -1,0 +1,336 @@
+package graft.tables
+
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Minimal ACID table format over parquet — a Delta/Iceberg-style commit
+  * log, self-contained (no external jars; the container is offline).
+  *
+  * Layout under the table root:
+  * {{{
+  *   <root>/_graft_log/00000000000000000001.json   // one file per version
+  *   <root>/data/<uuid>_part<i>.parquet            // immutable data files
+  * }}}
+  *
+  * Each log file is JSON-lines of actions replayed in order:
+  * `{"meta":{"schemaDdl":...}}`, `{"add":{"path":...,"numRecords":N}}`,
+  * `{"remove":{"path":...}}`. The live file set of version V is the
+  * replay of logs 1..V — so every historical version stays readable
+  * (time travel) until `vacuum` reclaims unreferenced files.
+  *
+  * The ACID story, piece by piece:
+  *  - ATOMIC commit: the log entry is fully written to a temp file and
+  *    then HARD-LINKED into its version slot. link(2) is atomic and
+  *    fails if the slot exists, so readers either see a complete log
+  *    file or none, never a torn one. (On HDFS the same protocol uses
+  *    `create(path, overwrite=false)`; on S3 a conditional PUT or a
+  *    coordination service — this local-FS implementation is the
+  *    single-filesystem instance of the standard recipe.)
+  *  - ISOLATION (snapshot): readers resolve the latest version ONCE and
+  *    read only files that version references. Data files are immutable
+  *    and staged invisibly (never referenced until their commit lands),
+  *    so a concurrent writer can never make a reader see a mix of two
+  *    versions.
+  *  - Optimistic CONCURRENCY: a writer resolves version V, prepares its
+  *    files, and claims slot V+1. Losing the race throws
+  *    [[ConcurrentWriteException]]; blind appends simply re-resolve and
+  *    retry, while merge/overwrite abort (their rewrite was computed
+  *    against a snapshot that is no longer current).
+  *  - DURABILITY / crash safety: a writer that dies before its commit
+  *    lands leaves only orphan data files and a `.tmp` log entry —
+  *    invisible to every reader, reclaimed by `vacuum`. The published
+  *    table is never in an intermediate state.
+  *
+  * At 100 TB the log-per-version scheme is exactly what lakehouse
+  * formats ship: O(changed files) metadata per commit, no directory
+  * listing on the data path, and `merge` rewrites ONLY files that
+  * contain matched keys — an upsert of 1k rows into a 100 TB table
+  * touches a handful of files, not the table.
+  */
+object GraftTable {
+
+  final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
+  /** The resolved state of one version: which files are live + schema. */
+  final case class Snapshot(version: Long, files: Seq[String], schemaDdl: String)
+
+  private val json = new ObjectMapper()
+
+  private def logDir(root: String): Path = Paths.get(root, "_graft_log")
+  private def dataDir(root: String): Path = Paths.get(root, "data")
+  private def verFile(root: String, v: Long): Path =
+    logDir(root).resolve(f"$v%020d.json")
+
+  def isTable(root: String): Boolean = Files.isDirectory(logDir(root))
+
+  def latestVersion(root: String): Option[Long] =
+    if (!isTable(root)) None
+    else {
+      val s = Files.list(logDir(root))
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".json"))
+        .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+        .maxOption
+      finally s.close()
+    }
+
+  /** Replay logs 1..asOf (default: latest). Files come back in first-add
+    * order; removes drop them. */
+  def snapshot(root: String, asOf: Option[Long] = None): Snapshot = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"not a graft_table: $root"))
+    val v = asOf.getOrElse(latest)
+    require(v >= 1 && v <= latest,
+      s"graft_table $root: version $v out of range [1, $latest]")
+    val files = scala.collection.mutable.LinkedHashSet.empty[String]
+    var schemaDdl = ""
+    (1L to v).foreach { ver =>
+      Files.readAllLines(verFile(root, ver)).asScala
+        .filter(_.nonEmpty).foreach { line =>
+          val n = json.readTree(line)
+          if (n.has("meta")) schemaDdl = n.get("meta").get("schemaDdl").asText()
+          else if (n.has("add")) files += n.get("add").get("path").asText()
+          else if (n.has("remove")) files -= n.get("remove").get("path").asText()
+        }
+    }
+    Snapshot(v, files.toSeq, schemaDdl)
+  }
+
+  /** Snapshot-isolated read of `asOf` (default latest). The schema comes
+    * from the log, not file inference — an empty version (everything
+    * deleted) still reads as a typed empty frame, and all-file reads
+    * skip per-file footer schema merging. */
+  def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
+    val s = snapshot(root, asOf)
+    val schema = StructType.fromDDL(s.schemaDdl)
+    if (s.files.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    else
+      spark.read.schema(schema)
+        .parquet(s.files.map(f => Paths.get(root).resolve(f).toString): _*)
+  }
+
+  // -- commit machinery -------------------------------------------------------
+
+  private def metaAction(schemaDdl: String): ObjectNode = {
+    val n = json.createObjectNode()
+    n.putObject("meta").put("schemaDdl", schemaDdl)
+    n
+  }
+  private def addAction(path: String, numRecords: Long): ObjectNode = {
+    val n = json.createObjectNode()
+    val a = n.putObject("add")
+    a.put("path", path); a.put("numRecords", numRecords)
+    n
+  }
+  private def removeAction(path: String): ObjectNode = {
+    val n = json.createObjectNode()
+    n.putObject("remove").put("path", path)
+    n
+  }
+
+  /** Claim version `expected + 1` with the given actions. Atomic publish
+    * + conflict detection in one primitive (see class doc).
+    * Package-visible so the spec can exercise the lost-race path
+    * directly (a real interleaving needs two writers). */
+  private[graft] def commit(root: String, expected: Long, actions: Seq[ObjectNode]): Long = {
+    Files.createDirectories(logDir(root))
+    val target = verFile(root, expected + 1)
+    val tmp = Files.createTempFile(logDir(root), ".commit", ".tmp")
+    Files.writeString(tmp, actions.map(json.writeValueAsString).mkString("\n"))
+    try Files.createLink(target, tmp)
+    catch {
+      case _: FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new ConcurrentWriteException(
+          s"graft_table $root: version ${expected + 1} was committed by " +
+            "another writer (snapshot is stale)")
+    }
+    Files.deleteIfExists(tmp)
+    expected + 1
+  }
+
+  /** Write `df`'s rows as immutable parquet files under data/ and return
+    * their (relative path, rows) adds. The files are INVISIBLE to readers
+    * until a commit references them — a crash here leaves only orphans
+    * for `vacuum`, never a torn table. */
+  private def stageDataFiles(df: DataFrame, root: String): Seq[ObjectNode] = {
+    val stamp = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val staging = Paths.get(root, s"_staging_$stamp")
+    df.write.mode("overwrite").parquet(staging.toString)
+    Files.createDirectories(dataDir(root))
+    val parts = {
+      val s = Files.list(staging)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+    // numRecords from the parquet FOOTER (pure metadata IO) — a count job
+    // over the staged output would re-scan everything just written, which
+    // at 100 TB doubles the write cost for a statistic the file already
+    // carries
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    def footerCount(p: Path): Long = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(p.toUri), hconf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }
+    val adds = parts.zipWithIndex.map { case (p, i) =>
+      val rel = s"data/${stamp}_part$i.parquet"
+      val cnt = footerCount(p)
+      Files.move(p, Paths.get(root).resolve(rel),
+        StandardCopyOption.ATOMIC_MOVE)
+      addAction(rel, cnt)
+    }
+    // staging dir now holds only _SUCCESS etc. — remove it
+    val leftovers = Files.walk(staging)
+    try leftovers.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally leftovers.close()
+    adds
+  }
+
+  private def requireSchemaMatch(df: DataFrame, snap: Snapshot, root: String): Unit = {
+    val want = StructType.fromDDL(snap.schemaDdl)
+    require(df.schema == want,
+      s"graft_table $root: schema mismatch on append/merge — table is " +
+        s"[${want.toDDL}], write is [${df.schema.toDDL}] (conform with " +
+        "select/cast, or overwrite to replace the schema)")
+  }
+
+  /** Append or overwrite. Appends retry on commit races (their adds are
+    * valid against any snapshot); overwrites recompute their removes per
+    * attempt so the swap is against the snapshot they actually beat. */
+  def write(spark: SparkSession, df: DataFrame, root: String, mode: String,
+            maxRetries: Int = 10): Long = {
+    require(Set("append", "overwrite")(mode),
+      s"graft_table: write mode must be append|overwrite, got '$mode'")
+    val adds = stageDataFiles(df, root)
+    var attempt = 0
+    while (true) {
+      val cur = latestVersion(root)
+      val snap = cur.map(_ => snapshot(root))
+      if (mode == "append") snap.foreach(requireSchemaMatch(df, _, root))
+      val actions = mode match {
+        case "append" if snap.isDefined => adds
+        case _ => // first-ever commit, or overwrite: (re)declare schema
+          metaAction(df.schema.toDDL) +:
+            (snap.toSeq.flatMap(_.files.map(removeAction)) ++ adds)
+      }
+      try return commit(root, cur.getOrElse(0L), actions)
+      catch {
+        case e: ConcurrentWriteException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Upsert/delete that rewrites ONLY the files containing matched keys.
+    *
+    * Protocol: resolve the snapshot, find touched files via a
+    * broadcast semi-join of the base (tagged with `input_file_name()`)
+    * against the update keys — the collect is bounded by FILE count,
+    * never row count — then rewrite those files' unmatched rows + the
+    * update rows as new files, and commit remove(touched) + add(new).
+    * Untouched files are never read past the semi-join probe and never
+    * rewritten; at 100 TB that is the entire point of a lakehouse MERGE.
+    *
+    * A commit race aborts (ConcurrentWriteException): the rewrite was
+    * computed against a snapshot another writer has replaced, so
+    * retrying the commit blind would resurrect their deleted rows.
+    * Callers re-run the whole merge against the fresh snapshot. */
+  def merge(spark: SparkSession, root: String, updates: DataFrame,
+            on: Seq[String], how: String = "upsert"): Long = {
+    require(on.nonEmpty, "graft_table merge needs `on` key columns")
+    require(Set("upsert", "delete")(how),
+      s"graft_table merge: how must be upsert|delete, got '$how'")
+    val snap = snapshot(root)
+    if (how == "upsert") {
+      requireSchemaMatch(updates, snap, root)
+      // SQL MERGE law: one target row must match at most one source row
+      val dup = updates.groupBy(on.map(col): _*).count()
+        .where(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty, s"graft_table merge: change set has duplicate " +
+        s"keys on (${on.mkString(",")}), e.g. ${dup.headOption.fold("")(_.toString)}")
+    }
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val keys = updates.select(on.map(col): _*).distinct()
+    val base = spark.read.schema(schema)
+      .parquet(snap.files.map(f => Paths.get(root).resolve(f).toString): _*)
+      .withColumn("__file", input_file_name())
+    val touchedAbs = base.join(broadcast(keys), on, "left_semi")
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val touchedRel = snap.files.filter(rel =>
+      touchedAbs.exists(_.endsWith("/" + Paths.get(rel).getFileName.toString)))
+    val rewritten =
+      if (touchedRel.isEmpty)
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+      else base
+        .where(col("__file").isin(touchedAbs.toSeq: _*))
+        .join(broadcast(keys), on, "left_anti")
+        .drop("__file")
+    val newData = how match {
+      case "upsert" => rewritten.unionByName(updates)
+      case "delete" => rewritten
+    }
+    val adds = stageDataFiles(newData, root)
+    commit(root, snap.version, touchedRel.map(removeAction) ++ adds)
+  }
+
+  /** Reclaim data files no log version references and dead staging/tmp
+    * debris — the cleanup half of crash safety. Retention of historical
+    * versions is the caller's policy: vacuum keeps every file any
+    * EXISTING log version references, so time travel keeps working; to
+    * truncate history, delete old log files first. */
+  def vacuum(root: String): Seq[String] = {
+    val latest = latestVersion(root).getOrElse(return Nil)
+    val referenced = scala.collection.mutable.HashSet.empty[String]
+    (1L to latest).foreach { ver =>
+      Files.readAllLines(verFile(root, ver)).asScala
+        .filter(_.nonEmpty).foreach { line =>
+          val n = json.readTree(line)
+          if (n.has("add")) referenced += n.get("add").get("path").asText()
+        }
+    }
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (Files.isDirectory(dataDir(root))) {
+      val s = Files.list(dataDir(root))
+      try s.iterator().asScala.foreach { p =>
+        val rel = s"data/${p.getFileName}"
+        if (!referenced.contains(rel)) { Files.delete(p); removed += rel }
+      } finally s.close()
+    }
+    // dead staging dirs (crashed writers) + orphaned log temp files
+    val rs = Files.list(Paths.get(root))
+    try rs.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("_staging_"))
+      .foreach { st =>
+        val w = Files.walk(st)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally w.close()
+        removed += st.getFileName.toString
+      }
+    finally rs.close()
+    if (Files.isDirectory(logDir(root))) {
+      val ls = Files.list(logDir(root))
+      try ls.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".tmp"))
+        .foreach { p => Files.delete(p); removed += s"_graft_log/${p.getFileName}" }
+      finally ls.close()
+    }
+    removed.toSeq
+  }
+}

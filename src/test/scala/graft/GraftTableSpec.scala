@@ -1,0 +1,189 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.PipelineRunner
+import graft.tables.GraftTable
+
+/** The ACID commit-log table format: atomic commits, snapshot isolation,
+  * time travel, optimistic concurrency, touched-file-only merge, crash
+  * safety, vacuum — plus the config (YAML) surface over all of it. */
+class GraftTableSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshRoot(name: String): String = {
+    val root = s"/tmp/graft_io/acid_$name"
+    val p = Paths.get(root)
+    if (Files.exists(p)) {
+      val w = Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+    root
+  }
+
+  test("write/read round-trip, append, and per-version time travel") {
+    val root = freshRoot("rt")
+    val v1 = GraftTable.write(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "overwrite")
+    v1 shouldBe 1L
+    val v2 = GraftTable.write(spark,
+      Seq((3L, "c")).toDF("id", "v"), root, "append")
+    v2 shouldBe 2L
+    GraftTable.read(spark, root).as[(Long, String)].collect().sorted shouldBe
+      Array((1L, "a"), (2L, "b"), (3L, "c"))
+    // time travel: version 1 still reads exactly the pre-append state
+    GraftTable.read(spark, root, Some(1L)).as[(Long, String)]
+      .collect().sorted shouldBe Array((1L, "a"), (2L, "b"))
+    // overwrite replaces content but history survives
+    GraftTable.write(spark, Seq((9L, "z")).toDF("id", "v"), root, "overwrite") shouldBe 3L
+    GraftTable.read(spark, root).as[(Long, String)].collect() shouldBe
+      Array((9L, "z"))
+    GraftTable.read(spark, root, Some(2L)).count() shouldBe 3L
+  }
+
+  test("append enforces the log's schema; overwrite may replace it") {
+    val root = freshRoot("schema")
+    GraftTable.write(spark, Seq((1L, "a")).toDF("id", "v"), root, "overwrite")
+    (the[IllegalArgumentException] thrownBy GraftTable.write(spark,
+      Seq((2L, 5.0)).toDF("id", "other"), root, "append"))
+      .getMessage should include("schema mismatch")
+    GraftTable.write(spark, Seq((2L, 5.0)).toDF("id", "other"), root, "overwrite")
+    GraftTable.read(spark, root).columns shouldBe Array("id", "other")
+  }
+
+  test("merge rewrites ONLY files containing matched keys") {
+    val root = freshRoot("merge")
+    // two disjoint key ranges land as separate SINGLE-FILE commits, so
+    // "which files a merge may touch" is deterministic
+    GraftTable.write(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), root,
+      "overwrite")
+    GraftTable.write(spark,
+      Seq((10L, "x"), (11L, "y")).toDF("id", "v").repartition(1), root,
+      "append")
+    val before = GraftTable.snapshot(root)
+    before.files.size should be >= 2
+    // upsert touches only the 10/11 file: update 10, insert 20
+    GraftTable.merge(spark, root,
+      Seq((10L, "X!"), (20L, "new")).toDF("id", "v"), Seq("id"))
+    val after = GraftTable.snapshot(root)
+    // the file(s) holding keys 1/2 survive IDENTICALLY (no rewrite)
+    val untouched = before.files.filter(after.files.contains)
+    untouched should not be empty
+    val untouchedRows = spark.read
+      .parquet(untouched.map(f => s"$root/$f"): _*)
+      .as[(Long, String)].collect().toSet
+    untouchedRows shouldBe Set((1L, "a"), (2L, "b"))
+    // and content is the correct upsert result
+    GraftTable.read(spark, root).as[(Long, String)].collect().sorted shouldBe
+      Array((1L, "a"), (2L, "b"), (10L, "X!"), (11L, "y"), (20L, "new"))
+    // delete by key: only the matched file rewrites again
+    GraftTable.merge(spark, root, Seq(Tuple1(2L)).toDF("id"), Seq("id"), "delete")
+    GraftTable.read(spark, root).as[(Long, String)].collect().sorted shouldBe
+      Array((1L, "a"), (10L, "X!"), (11L, "y"), (20L, "new"))
+    // duplicate-keyed change sets fail the MERGE law
+    (the[IllegalArgumentException] thrownBy GraftTable.merge(spark, root,
+      Seq((1L, "p"), (1L, "q")).toDF("id", "v"), Seq("id")))
+      .getMessage should include("duplicate")
+  }
+
+  test("optimistic concurrency: a raced commit slot throws; appends retry past it") {
+    val root = freshRoot("occ")
+    GraftTable.write(spark, Seq((1L, "a")).toDF("id", "v"), root, "overwrite")
+    // a writer that resolved version 1 loses the race when another
+    // writer's version 2 lands first: its claim of slot 2 must throw,
+    // never overwrite the rival's commit
+    val stolen = Paths.get(root, "_graft_log", f"${2L}%020d.json")
+    Files.writeString(stolen, "")
+    a[GraftTable.ConcurrentWriteException] should be thrownBy
+      GraftTable.commit(root, 1L, Nil)
+    // and the rival's log file is byte-identical (not clobbered)
+    Files.readString(stolen) shouldBe ""
+    // a blind append re-resolves past the race and lands at version 3
+    GraftTable.write(spark, Seq((2L, "c")).toDF("id", "v"), root, "append") shouldBe 3L
+  }
+
+  test("crash mid-write leaves readers on the old version; vacuum reclaims debris") {
+    val root = freshRoot("crash")
+    GraftTable.write(spark, Seq((1L, "a")).toDF("id", "v"), root, "overwrite")
+    // simulate a writer that died after staging data but before commit:
+    // orphan parquet in data/, a dead staging dir, a torn log temp file
+    Seq((99L, "ghost")).toDF("id", "v").write
+      .parquet(s"$root/_staging_deadbeef/out")
+    Files.copy(
+      Paths.get(root, "data").toFile.listFiles().head.toPath,
+      Paths.get(root, "data", "deadbeef_part0.parquet"))
+    Files.writeString(Paths.get(root, "_graft_log", ".commit_dead.tmp"), "{")
+    // readers see ONLY version 1's content — orphans are invisible
+    GraftTable.latestVersion(root) shouldBe Some(1L)
+    GraftTable.read(spark, root).as[(Long, String)].collect() shouldBe
+      Array((1L, "a"))
+    // vacuum removes exactly the unreferenced debris
+    val removed = GraftTable.vacuum(root)
+    removed should contain("data/deadbeef_part0.parquet")
+    removed.exists(_.startsWith("_staging_")) shouldBe true
+    removed.exists(_.endsWith(".tmp")) shouldBe true
+    // and the live table is untouched
+    GraftTable.read(spark, root).count() shouldBe 1L
+    // historical files are NOT vacuumed (time travel keeps working)
+    GraftTable.write(spark, Seq((2L, "b")).toDF("id", "v"), root, "overwrite")
+    GraftTable.vacuum(root)
+    GraftTable.read(spark, root, Some(1L)).as[(Long, String)]
+      .collect() shouldBe Array((1L, "a"))
+  }
+
+  test("config surface: graft_table sink modes + source time travel + validation") {
+    val root = freshRoot("cfg")
+    val src = s"/tmp/graft_io/acid_cfg_src"
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "amt")
+      .write.mode("overwrite").parquet(src)
+    PipelineRunner.run(spark,
+      s"""name: acid_base
+         |source: {format: parquet, path: "$src"}
+         |sink: {format: graft_table, path: "$root", mode: overwrite}
+         |""".stripMargin)
+    Seq((2L, 99.0), (4L, 40.0)).toDF("id", "amt")
+      .write.mode("overwrite").parquet(s"${src}_upd")
+    PipelineRunner.run(spark,
+      s"""name: acid_merge
+         |source: {format: parquet, path: "${src}_upd"}
+         |sink: {format: graft_table, path: "$root", mode: merge,
+         |       options: {on: id}}
+         |""".stripMargin)
+    val latest = PipelineRunner.run(spark,
+      s"""name: acid_read
+         |source: {format: graft_table, path: "$root"}
+         |transforms: [{op: sort, cols: [id]}]
+         |""".stripMargin).passed
+    latest.as[(Long, Double)].collect() shouldBe
+      Array((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0))
+    val v1 = PipelineRunner.run(spark,
+      s"""name: acid_tt
+         |source: {format: graft_table, path: "$root",
+         |         options: {versionAsOf: "1"}}
+         |transforms: [{op: sort, cols: [id]}]
+         |""".stripMargin).passed
+    v1.as[(Long, Double)].collect() shouldBe
+      Array((1L, 10.0), (2L, 20.0), (3L, 30.0))
+    // guard rails at parse time
+    (the[IllegalArgumentException] thrownBy PipelineRunner.run(spark,
+      s"""name: acid_bad1
+         |source: {format: parquet, path: "$src"}
+         |sink: {format: graft_table, path: "$root", mode: merge}
+         |""".stripMargin)).getMessage should include("options.on")
+    (the[IllegalArgumentException] thrownBy PipelineRunner.run(spark,
+      s"""name: acid_bad2
+         |source: {format: graft_table, path: "$root", schema: "id BIGINT"}
+         |""".stripMargin)).getMessage should include("commit log")
+    (the[IllegalArgumentException] thrownBy PipelineRunner.run(spark,
+      s"""name: acid_bad3
+         |source: {format: parquet, path: "$src"}
+         |sink: {format: graft_table, path: "$root", mode: overwrite,
+         |       clusterBy: [id]}
+         |""".stripMargin)).getMessage should include("owns its layout")
+  }
+}
