@@ -532,7 +532,8 @@ object PipelineSpec {
       "limit", "sort", "shuffle", "aggregate", "union", "dedup", "asof_join",
       "flatten", "pivot", "unpivot", "surrogate_key", "merge", "diff",
       "tokenize", "tfidf", "minhash_dedup", "semdedup", "ann_topk",
-      "sample", "mix", "pack", "quality_filter", "decontaminate", "redact")(op),
+      "sample", "mix", "pack", "quality_filter", "decontaminate", "redact",
+      "bpe_train", "bpe_tokenize")(op),
       s"$at.op: unknown '$op'")
     TransformSpec(op,
       cols = strArr(n, "cols"), name = optStr(n, "name"),

@@ -1342,6 +1342,55 @@ object PipelineRunner {
         df.withColumn(out,
           (col(shard).cast("long") * 1000000L +
             ((sum(n).over(w) - n) / budget).cast("long")).cast("long"))
+      case "bpe_train" => // learn a BPE merge table from the corpus
+        // (graft.ext.Bpe — Sennrich et al. 2016). REPLACES the frame with
+        // the merges table (a, b, rank) — sink it, then feed it to
+        // `bpe_tokenize` runs. Shape: ONE distributed word-count agg,
+        // top-K words (`max_rows`, default 2000 — the standard
+        // frequency-cutoff trainer) to the driver, k merges (`k`,
+        // default 200) learned over that bounded table. The collect is
+        // aggregate-bounded by construction, never data-sized.
+        require(t.cols.length == 1, "bpe_train needs `cols: [textCol]`")
+        val numMerges = t.k.getOrElse(200)
+        require(numMerges > 0 && numMerges <= (1 << 17),
+          s"bpe_train: k (merge count) must be in [1, 131072], got $numMerges")
+        val topWords = t.maxRows.getOrElse(2000L).toInt
+        require(topWords > 0 && topWords <= 1000000,
+          s"bpe_train: max_rows (vocab cutoff) must be in [1, 1e6], got $topWords")
+        val wordFreqs = df
+          .select(explode(org.apache.spark.sql.functions.filter(
+            split(lower(col(t.cols.head)), "[^a-z0-9]+"),
+            w => length(w) > 0)).as("w"))
+          .groupBy(col("w")).count()
+          .orderBy(col("count").desc, col("w"))
+          .limit(topWords)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val merges = graft.ext.Bpe.trainMerges(wordFreqs, numMerges)
+        import spark.implicits._
+        merges.zipWithIndex
+          .map { case ((a, b), i) => (a, b, i + 1) }
+          .toDF("a", "b", "rank")
+      case "bpe_tokenize" => // apply a learned merge table: `table` = the
+        // merges source (a, b, rank), `cols: [textCol]`, `name` = output
+        // pieces column (array<string>). The vocabulary is bounded, so it
+        // ships inside a map-only codegen expression — no join, no
+        // shuffle, one tokenizer call per row (the 100 TB shape).
+        require(t.cols.length == 1, "bpe_tokenize needs `cols: [textCol]`")
+        val out = t.name.getOrElse("bpe_pieces")
+        requireFreshColumn(df, out, "bpe_tokenize")
+        val msrc = read(spark, t.table.getOrElse(throw new IllegalArgumentException(
+          "bpe_tokenize needs `table` (the merges table from bpe_train)")))
+        val cap = 1 << 17
+        val mrows = msrc.select(col("a").cast("string"), col("b").cast("string"),
+            col("rank").cast("int"))
+          .orderBy(col("rank")).limit(cap + 1).collect()
+        require(mrows.length <= cap,
+          s"bpe_tokenize: merges table exceeds $cap entries — not a vocabulary")
+        val merges = mrows.map(r => (r.getString(0), r.getString(1))).toSeq
+        df.withColumn(out, org.apache.spark.sql.GraftSqlBridge.column(
+          graft.ext.BpeTokens(
+            org.apache.spark.sql.GraftSqlBridge.expression(col(t.cols.head)),
+            merges)))
       case other   => throw new IllegalArgumentException(s"unknown transform $other")
     }
 

@@ -513,6 +513,81 @@ object TextOps2 extends QueryPack {
         .orderBy(col("doc_id"))
   }
 
+  /** J-tier extension — REAL BPE tokenization with a LEARNED vocabulary
+    * (graft.ext.Bpe; Sennrich et al. 2016, arXiv:1508.07909), upgrading
+    * token counting from the `graft_bpeish_count` regex stand-in to the
+    * actual algorithm, end to end through the config surface: `bpe_train`
+    * learns a merge table from the corpus (one distributed word-count
+    * agg, bounded top-K to the driver), `bpe_tokenize` applies it as a
+    * map-only codegen expression carrying the (bounded) vocabulary — no
+    * join, no shuffle on the apply path.
+    *
+    * The oracle replays the EXACT tokenization: DuckDB reads the merges
+    * parquet the train pipeline wrote and re-derives every distinct
+    * word's pieces with a recursive CTE that merges the lowest-rank,
+    * leftmost adjacent pair per step — the same greedy semantics the
+    * Scala tokenizer implements (merging one occurrence at a time in
+    * that order is equivalent to the per-round all-occurrences form).
+    * So train determinism, merge-table serialization, AND apply
+    * semantics are all hash-checked cross-engine. */
+  val j18: QueryDef = m(
+    "j18_bpe_tokenize",
+    """WITH RECURSIVE
+      |words AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |    x -> x <> '')) AS w
+      |  FROM documents),
+      |merges AS (
+      |  SELECT a, b, rank FROM read_parquet('/tmp/graft_io/bpe_merges/*.parquet')),
+      |tok AS (
+      |  SELECT w, string_split(w, '') AS syms FROM (SELECT DISTINCT w FROM words)
+      |  UNION ALL
+      |  SELECT w, list_concat(list_concat(
+      |      syms[1:bp-1], [syms[bp] || syms[bp+1]]), syms[bp+2:]) AS syms
+      |  FROM (
+      |    SELECT w, syms,
+      |      (SELECT MIN_BY(i, m.rank * 1000000 + i)
+      |         FROM unnest(range(1, len(syms))) AS u(i)
+      |         JOIN merges m ON m.a = syms[i] AND m.b = syms[i+1]) AS bp
+      |    FROM tok) WHERE bp IS NOT NULL),
+      |pieces AS (
+      |  SELECT w, len(syms) AS c FROM (
+      |    SELECT w, syms,
+      |      (SELECT MIN(m.rank)
+      |         FROM unnest(range(1, len(syms))) AS u(i)
+      |         JOIN merges m ON m.a = syms[i] AND m.b = syms[i+1]) AS more
+      |    FROM tok) WHERE more IS NULL),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |         CAST(SUM(c) AS BIGINT) AS bpe_tokens
+      |  FROM words JOIN pieces USING (w) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+      |  CAST(COALESCE(p.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+      |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.pipeline.PipelineRunner.run(spark,
+      s"""name: j18_train
+         |source: {format: parquet, path: "$dir/documents.parquet"}
+         |transforms:
+         |  - {op: bpe_train, cols: [text], k: 40, max_rows: 1000}
+         |sink: {format: parquet, path: "/tmp/graft_io/bpe_merges", mode: overwrite}
+         |""".stripMargin)
+    graft.pipeline.PipelineRunner.run(spark,
+      s"""name: j18_apply
+         |source: {format: parquet, path: "$dir/documents.parquet"}
+         |transforms:
+         |  - {op: bpe_tokenize, cols: [text], name: pieces,
+         |     table: {format: parquet, path: "/tmp/graft_io/bpe_merges"}}
+         |  - {op: derive, name: n_words,
+         |     expr: "CAST(size(filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)) AS BIGINT)"}
+         |  - {op: derive, name: bpe_tokens, expr: "CAST(size(pieces) AS BIGINT)"}
+         |  - {op: select, cols: [doc_id, n_words, bpe_tokens]}
+         |  - {op: sort, cols: [doc_id]}
+         |""".stripMargin).passed
+  }
+
   override def defs: Seq[QueryDef] =
-    Seq(j6b, j9, j10, j11, j12, j13, j14, j15, j16, j17, k8, k9)
+    Seq(j6b, j9, j10, j11, j12, j13, j14, j15, j16, j17, j18, k8, k9)
 }

@@ -14,6 +14,15 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Expression ↔ Column bridge (`classic.ExpressionUtils` is
+    * `private[sql]`) — used to attach parameterized custom expressions
+    * (graft.ext.BpeTokens carries its learned merge table) that the
+    * FunctionRegistry's literal-only builder route cannot express. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** Nullability-insensitive type equality (`DataType.sameType` is
     * `private[sql]`) — used by AsOfJoinPlan to reject key/timestamp pairs
     * whose bytes would hash/order differently across the two sides. */
