@@ -513,6 +513,81 @@ object TextOps2 extends QueryPack {
         .orderBy(col("doc_id"))
   }
 
+  /** J-tier extension — SUFFIX-WINDOW EXACT-SUBSTRING DEDUP: the
+    * arbitrary-alignment upgrade of j17's fixed chunks, toward the Lee
+    * et al. 2022 (arXiv:2107.06499) bar of removing any >= K-token
+    * verbatim overlap wherever it starts. Every K-token sliding window
+    * (all alignments) elects its FIRST corpus occurrence by (doc_id,
+    * pos); every OTHER instance of the same window marks its K covered
+    * token positions for removal; docs reassemble from surviving tokens
+    * in order. A span duplicated at ANY offset is caught — j17's
+    * chunk-grid misses dups that straddle chunk boundaries.
+    *
+    * Shape: window explode is row-local (a generator); election is ONE
+    * keyed shuffle (window over the window string — at 100 TB key by a
+    * 128-bit hash of the window and verify equality within hash groups;
+    * the election algebra is unchanged); removal positions aggregate
+    * per doc (keyed); one doc-keyed join attaches them; the rebuild is
+    * a row-local HOF filter. No single-partition stage (PlanSpec pins
+    * it), no all-pairs anything. */
+  val j19: QueryDef = m(
+    "j19_window_dedup",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |wins AS (SELECT doc_id, i AS pos,
+      |    array_to_string(toks[(i+1):(i+8)], ' ') AS win
+      |  FROM t, UNNEST(range(0, len(toks) - 8 + 1)) AS u(i)
+      |  WHERE len(toks) >= 8),
+      |r AS (SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+      |  FROM wins),
+      |rem AS (SELECT DISTINCT doc_id, pos + j AS tp
+      |  FROM r, UNNEST(range(0, 8)) AS v(j) WHERE rn > 1),
+      |toksp AS (SELECT doc_id, tp, toks[CAST(tp AS INT) + 1] AS tok
+      |  FROM t, UNNEST(range(0, len(toks))) AS u(tp)),
+      |keep AS (SELECT p.doc_id, p.tp, p.tok
+      |  FROM toksp p LEFT JOIN rem ON p.doc_id = rem.doc_id AND p.tp = rem.tp
+      |  WHERE rem.tp IS NULL),
+      |agg AS (SELECT doc_id, COUNT(*) AS kept_tokens,
+      |    string_agg(tok, ' ' ORDER BY tp) AS text_dedup
+      |  FROM keep GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(agg.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+      |  COALESCE(agg.text_dedup, '') AS text_dedup
+      |FROM t LEFT JOIN agg USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin) { (spark, dir) =>
+    val K = 8
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    val wins = t.where(col("n") >= K)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), col("n") - K),
+        i => array_join(slice(col("toks"), i + 1, lit(K)), " "))))
+      .toDF("doc_id", "pos", "win")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win")).orderBy(col("doc_id"), col("pos"))
+    // every non-first instance of a window string condemns its K covered
+    // positions; collect_set dedups overlapping coverage per doc
+    val remPos = wins.withColumn("rn", row_number().over(w))
+      .where(col("rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + K - 1)).as("tp"))
+      .groupBy(col("doc_id")).agg(collect_set(col("tp")).as("rem"))
+    t.join(remPos, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").cast(LongType).as("n_tokens"),
+        org.apache.spark.sql.functions.filter(
+          transform(col("toks"), (tok, i) => struct(i.as("tp"), tok.as("tok"))),
+          s => !array_contains(
+            coalesce(col("rem"), array().cast("array<int>")),
+            s.getField("tp"))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast(LongType).as("kept_tokens"),
+        array_join(transform(col("kept"), s => s.getField("tok")), " ")
+          .as("text_dedup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** J-tier extension — REAL BPE tokenization with a LEARNED vocabulary
     * (graft.ext.Bpe; Sennrich et al. 2016, arXiv:1508.07909), upgrading
     * token counting from the `graft_bpeish_count` regex stand-in to the
@@ -589,5 +664,5 @@ object TextOps2 extends QueryPack {
   }
 
   override def defs: Seq[QueryDef] =
-    Seq(j6b, j9, j10, j11, j12, j13, j14, j15, j16, j17, j18, k8, k9)
+    Seq(j6b, j9, j10, j11, j12, j13, j14, j15, j16, j17, j18, j19, k8, k9)
 }

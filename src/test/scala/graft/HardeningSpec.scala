@@ -460,4 +460,30 @@ class HardeningSpec extends SparkSpecBase {
       graft.core.Checkpoints.releaseAll(spark)
     }
   }
+
+  test("j19: window dedup removes straddling-alignment overlap that j17's chunk grid misses") {
+    import spark.implicits._
+    val dir = "/tmp/graft_io/j19fix"
+    // doc 2 repeats doc 1's tokens 4..11 — an 8-token verbatim span that
+    // CROSSES doc 1's chunk boundary (chunks are [0..7], [8..15]), so
+    // chunk-grid dedup (j17) sees two never-before-seen chunks in doc 2
+    // and keeps everything; window dedup must remove exactly that span
+    val d1 = (0 until 16).map(i => s"w$i").mkString(" ")
+    val d2 = ((4 until 12).map(i => s"w$i") ++ Seq("x0", "x1")).mkString(" ")
+    Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextOps2.j19.build(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toMap2
+    out(1L) shouldBe ((16L, 16L, d1)) // first carrier keeps everything
+    out(2L) shouldBe ((10L, 2L, "x0 x1")) // the straddling span is gone
+    // and j17 on the same fixture keeps doc 2 whole — the gap j19 closes
+    val j17out = graft.queries.TextOps2.j17.build(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toMap2
+    j17out(2L)._3 shouldBe d2
+  }
+
+  private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
+    def toMap2: Map[A, (B, C, D)] =
+      rows.map { case (a, b, c, d) => a -> ((b, c, d)) }.toMap
+  }
 }

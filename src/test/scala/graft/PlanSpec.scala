@@ -412,6 +412,20 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("j19: window dedup — every stage keyed, no single-partition exchange, no cartesian") {
+    val d = TextOps2.j19.build(spark, sf)
+    d.collect()
+    val p = d.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(p) {
+      // election shuffles on the window string, removal aggregates on
+      // doc_id, the rebuild joins on doc_id — all keyed; the
+      // arbitrary-alignment coverage must never cost a global stage or
+      // an all-pairs join
+      p should not include "SinglePartition"
+      p should not include "Cartesian"
+    }
+  }
+
   test("d10: snapshot diff is one join over two scans of the same table") {
     val d = Joins.d10.build(spark, sf)
     d.collect()
