@@ -202,12 +202,45 @@ object PipelineRunner {
         "group; a global row_number window has no streaming equivalent; " +
         "merge anti-joins the full base; shuffle is a global sort; diff " +
         "full-outer-joins two complete snapshots)"))
-    streamable.foreach(t => require(
+    // §2.L10 — streaming incremental near-dup gate: `minhash_dedup` WITH
+    // `state_path` is allowed in streaming mode, executed PER MICRO-BATCH
+    // against the published survivor state (read state → LSH-cluster the
+    // batch against it → emit survivors → append them to state). Batches
+    // run sequentially in one MicroBatchExecution, so batch N sees every
+    // prior batch's published corpus — the exact cross-run incremental
+    // semantics of the batch op, applied at micro-batch granularity.
+    // Without state the op has no cross-batch memory (each batch would
+    // dedup only against itself) — rejected rather than silently weaker.
+    // Ops AFTER the gate also run per-batch, so they must be row-local
+    // (per-batch application ≡ streaming application); whole-corpus and
+    // stateful-stream ops stay ahead of the gate or in another pipeline.
+    val gateIdx = streamable.indexWhere(_.op == "minhash_dedup")
+    val (streamPrefix, perBatchOps) =
+      if (gateIdx < 0) (streamable, Nil) else streamable.splitAt(gateIdx)
+    perBatchOps.headOption.foreach { g =>
+      require(g.statePath.isDefined,
+        "streaming mode: 'minhash_dedup' needs `state_path` — without " +
+          "published survivor state each micro-batch would dedup only " +
+          "against itself, not the corpus seen so far")
+      require(spec.outputMode.forall(_ == "append"),
+        "streaming mode: 'minhash_dedup' requires append output (each " +
+          "batch's survivors are emitted exactly once; update/complete " +
+          "re-emissions would re-enter the dedup gate)")
+    }
+    val rowLocal = Set("select", "rename", "drop", "derive", "filter",
+      "cast", "flatten", "tokenize", "redact", "quality_filter")
+    perBatchOps.drop(1).foreach(t => require(rowLocal(t.op),
+      s"streaming mode: '${t.op}' cannot follow the minhash_dedup gate — " +
+        "downstream of the gate runs per micro-batch, so only row-local " +
+        s"ops (${rowLocal.toSeq.sorted.mkString(", ")}) keep streaming " +
+        "semantics; move it ahead of the gate"))
+    streamPrefix.foreach(t => require(
       !Set("tfidf", "minhash_dedup", "semdedup", "ann_topk", "decontaminate",
         "mix")(t.op),
       s"streaming mode: '${t.op}' is batch-only (idf / LSH or semantic " +
         "clustering / top-k / the contaminated-id set / the mixture counts " +
-        "all need the whole corpus; `tokenize` and `quality_filter` stream fine)"))
+        "all need the whole corpus; `tokenize` and `quality_filter` stream " +
+        "fine, and `minhash_dedup` streams with `state_path`)"))
 
     // Transforms apply to the PASS side only — batch parity: the batch
     // quarantine keeps pre-transform rows (+ failed_checks), and a select
@@ -215,12 +248,12 @@ object PipelineRunner {
     def mk(pass: Boolean)(ss: SparkSession): DataFrame = {
       val src = readStream(ss, spec.source)
       if (spec.checks.isEmpty) {
-        if (pass) streamable.foldLeft(src)((df, t) => applyTransform(ss, df, t))
+        if (pass) streamPrefix.foldLeft(src)((df, t) => applyTransform(ss, df, t))
         else src.where(lit(false)) // empty quarantine stream
       } else {
         val preds = spec.checks.map(checkPredicate(ss, src, _))
         val allPass = preds.reduce(_ && _)
-        if (pass) streamable.foldLeft(src.where(allPass))(
+        if (pass) streamPrefix.foldLeft(src.where(allPass))(
           (df, t) => applyTransform(ss, df, t))
         else src.where(!allPass) // quarantine says WHY, same as batch
           .withColumn("failed_checks",
@@ -228,10 +261,26 @@ object PipelineRunner {
       }
     }
 
+    // The gate + its row-local suffix run inside foreachBatch; each batch
+    // publishes its state advance only AFTER the batch output committed
+    // (same publish-then-advance recovery contract as the batch runner —
+    // see StreamOps.runToBatch's perBatch doc).
+    val perBatch: DataFrame => (DataFrame, () => Unit) = batch => {
+      val bs = batch.sparkSession // the micro-batch's own (stream) session
+      GraftFunctions.register(bs) // derive/filter exprs after the gate
+      val deferred = scala.collection.mutable.Buffer.empty[() => Unit]
+      val o = perBatchOps.foldLeft(batch)(
+        (df, t) => applyTransform(bs, df, t, deferred))
+      (o, () => deferred.foreach(_()))
+    }
+
     val outMode = spec.outputMode.getOrElse("append")
-    val passed = tail.foldLeft(
-      StreamOps.runToBatch(spark, s"ep_${spec.name}", mk(pass = true), outMode))(
-      (df, t) => applyTransform(spark, df, t))
+    val streamed =
+      if (perBatchOps.isEmpty)
+        StreamOps.runToBatch(spark, s"ep_${spec.name}", mk(pass = true), outMode)
+      else
+        StreamOps.runToBatch(spark, s"ep_${spec.name}", mk(pass = true), outMode, perBatch)
+    val passed = tail.foldLeft(streamed)((df, t) => applyTransform(spark, df, t))
     val quarantined = spec.quarantine match {
       case Some(q) =>
         val b = StreamOps.runToBatch(spark, s"ep_${spec.name}_q", mk(pass = false), "append")

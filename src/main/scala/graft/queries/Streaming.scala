@@ -268,5 +268,60 @@ object Streaming extends QueryPack {
       .orderBy(col("user_id"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9)
+  /** §2.L10 — streaming incremental near-dup dedup: the `minhash_dedup`
+    * curation gate with `state_path` under `mode: streaming`. Each
+    * micro-batch LSH-clusters against the published survivor corpus,
+    * emits its survivors, then appends them to state (publish-then-
+    * advance per batch — see StreamOps.runToBatch's perBatch contract).
+    *
+    * Oracle-checkable because the staging keeps the incremental election
+    * equal to the global one: the corpus is split into doc_id-range chunk
+    * files consumed one per trigger in range order (distinct mtimes drive
+    * the file-stream's ordering), so the earliest batch containing a
+    * token set also contains that set's global-min doc_id, and at
+    * threshold 1.0 set-equality is transitive — the streamed survivors
+    * are exactly ep7's batch answer. Same oracle as ep7, so the
+    * streaming route cross-checks the batch route. */
+  val l10: QueryDef = m(
+    "l10_streaming_minhash_dedup",
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY
+      |  to_json(list_sort(list_distinct(string_split(lower(text), ' ')))))
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val base = "/tmp/graft_io/l10_stream"
+    StreamOps.rmrf(base)
+    val src = s"$base/src"
+    Files.createDirectories(Paths.get(src))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val step = (hi - lo) / 3 + 1
+    (0 until 3).foreach { i =>
+      val tmp = s"$base/tmp_$i"
+      docs.where(col("doc_id") >= lo + i * step &&
+          col("doc_id") < lo + (i + 1) * step)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = scala.util.Using.resource(Files.list(Paths.get(tmp)))(
+        _.iterator().asScala.find(_.toString.endsWith(".parquet")).get)
+      val dst = Paths.get(src, f"chunk_$i%02d.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val yaml =
+      s"""name: l10_stream_minhash
+         |mode: streaming
+         |source: {format: parquet, path: "$src", schema: auto, options: {maxFilesPerTrigger: "1"}}
+         |transforms:
+         |  - {op: tokenize, cols: [text], name: toks}
+         |  - {op: minhash_dedup, cols: [doc_id, toks], threshold: 1.0, state_path: "$base/state"}
+         |  - {op: select, cols: [doc_id, lang, source, n_chars]}
+         |  - {op: sort, cols: [doc_id]}
+         |""".stripMargin
+    graft.pipeline.PipelineRunner.run(spark, yaml).passed
+  }
+
+  override def defs: Seq[QueryDef] = Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10)
 }

@@ -106,7 +106,23 @@ object StreamOps {
     * full result. The whole file arrives in one data batch here, so
     * update-mode emissions are also one batch (no key repeats). */
   def runToBatch(spark: SparkSession, name: String,
-      mkStream: SparkSession => DataFrame, mode: String): DataFrame = {
+      mkStream: SparkSession => DataFrame, mode: String): DataFrame =
+    runToBatch(spark, name, mkStream, mode, b => (b, () => ()))
+
+  /** runToBatch with a per-micro-batch hook: `perBatch` maps each batch
+    * frame to (output, publish). The output is written to the batch dir
+    * FIRST, then `publish()` runs — the hook's external-state advance
+    * (e.g. streaming minhash_dedup appending survivors to its published
+    * corpus). Ordering gives the same publish-then-advance recovery
+    * contract as the batch runner: a crash between write and publish
+    * replays the batch against UNCHANGED state, reproducing the same
+    * output (overwrite, same batch id), and the publish itself is
+    * idempotent by the state append's anti-join. Batches run
+    * sequentially (one MicroBatchExecution), so each hook sees every
+    * prior batch's published state. */
+  def runToBatch(spark: SparkSession, name: String,
+      mkStream: SparkSession => DataFrame, mode: String,
+      perBatch: DataFrame => (DataFrame, () => Unit)): DataFrame = {
     val base = s"/tmp/graft_stream/$name"
     rmrf(base)
     val out = s"$base/out"
@@ -123,7 +139,9 @@ object StreamOps {
       .option("checkpointLocation", s"$base/cp")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        batch.write.mode("overwrite").parquet(s"$out/batch_$id")
+        val (o, publish) = perBatch(batch)
+        o.write.mode("overwrite").parquet(s"$out/batch_$id")
+        publish()
       }
       .start()
     q.awaitTermination()

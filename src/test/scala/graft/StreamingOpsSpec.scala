@@ -167,4 +167,80 @@ class StreamingOpsSpec extends SparkSpecBase {
     spark.read.parquet(dirs: _*).as[(Long, String)].collect()
       .sortBy(_._1) shouldBe Array((1L, "x"), (2L, "y"), (3L, "z"))
   }
+
+  test("L10: streaming minhash_dedup replay equals the batch incremental result") {
+    import java.nio.file.attribute.FileTime
+    val base = "/tmp/graft_stream_test/l10"
+    StreamOps.rmrf(base)
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    // chunk 2 near-duplicates docs PUBLISHED by chunk 1 (4≡1, 5≡3): a
+    // within-batch-only dedup would keep them; the state composition kills
+    // them. 6 is fresh and must survive batch 2.
+    val chunk1 = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y"))
+    val chunk2 = Seq((4L, "a b c"), (5L, "x y"), (6L, "fresh new"))
+    Seq(("c1", chunk1), ("c2", chunk2)).zipWithIndex.foreach { case ((n, rows), i) =>
+      val tmp = s"$base/tmp_$n"
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val part = scala.util.Using.resource(Files.list(Paths.get(tmp)))(
+        _.iterator().asScala.find(_.toString.endsWith(".parquet")).get)
+      val dst = Paths.get(in, s"chunk_$n.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+
+    def dedupYaml(mode: String, path: String, state: String): String = {
+      val head =
+        if (mode == "streaming")
+          s"""name: l10_spec_stream
+             |mode: streaming
+             |source: {format: parquet, path: "$path", schema: auto, options: {maxFilesPerTrigger: "1"}}""".stripMargin
+        else
+          s"""name: l10_spec_batch
+             |source: {format: parquet, path: "$path"}""".stripMargin
+      s"""$head
+         |transforms:
+         |  - {op: tokenize, cols: [text], name: toks}
+         |  - {op: minhash_dedup, cols: [doc_id, toks], threshold: 1.0, state_path: "$state"}
+         |  - {op: select, cols: [doc_id, text]}
+         |""".stripMargin
+    }
+
+    val streamed = graft.pipeline.PipelineRunner
+      .run(spark, dedupYaml("streaming", in, s"$base/state_s")).passed
+      .as[(Long, String)].collect().sortBy(_._1)
+
+    // batch incremental reference: one batch run per chunk, shared state
+    val batched = Seq("chunk_c1.parquet", "chunk_c2.parquet").flatMap { f =>
+      graft.pipeline.PipelineRunner
+        .run(spark, dedupYaml("batch", s"$in/$f", s"$base/state_b")).passed
+        .as[(Long, String)].collect()
+    }.sortBy(_._1)
+
+    streamed shouldBe batched
+    streamed.map(_._1) shouldBe Array(1L, 3L, 6L)
+    // the streaming run's published state is the survivor corpus
+    spark.read.parquet(s"$base/state_s").select("doc_id").as[Long]
+      .collect().sorted shouldBe Array(1L, 3L, 6L)
+  }
+
+  test("L10: streaming minhash_dedup without state_path is rejected") {
+    val base = "/tmp/graft_stream_test/l10_guard"
+    StreamOps.rmrf(base)
+    Files.createDirectories(Paths.get(base))
+    Seq((1L, "a b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/in")
+    val ex = intercept[IllegalArgumentException] {
+      graft.pipeline.PipelineRunner.run(spark,
+        s"""name: l10_guard
+           |mode: streaming
+           |source: {format: parquet, path: "$base/in", schema: auto}
+           |transforms:
+           |  - {op: tokenize, cols: [text], name: toks}
+           |  - {op: minhash_dedup, cols: [doc_id, toks], threshold: 1.0}
+           |""".stripMargin)
+    }
+    ex.getMessage should include("state_path")
+  }
 }
