@@ -329,7 +329,16 @@ final case class TransformSpec(
   * row groups on later reads (the data-layout half of pruning;
   * `partitionBy` is the directory half). The shuffle is paid once at
   * write time; at 100 TB this is what makes time-range scans of a fact
-  * table read 1% of files instead of all of them. */
+  * table read 1% of files instead of all of them.
+  *
+  * `clusterBy: ["zorder(x, y[, bits])"]` (sole entry) lays out by the
+  * Morton code of the two NUMERIC columns instead: a lexicographic
+  * (x, y) sort gives each file a tight x-range but full-width y — only
+  * x-filters prune; the z-order layout bounds BOTH per file (each file
+  * covers a small square of the quantized grid), so min/max stats prune
+  * on EITHER dimension (graft.ext.ZOrder). Quantization is linear
+  * min→max into 2^bits cells (default 12 bits), the bounds found by one
+  * column-pruned aggregate at write time. */
 final case class SinkSpec(
     format: String,               // parquet | orc | csv | json | xml
     path: String,
@@ -378,6 +387,12 @@ object IncrementalState {
 
 object PipelineSpec {
   private val mapper = new ObjectMapper(new YAMLFactory())
+
+  /** `clusterBy: ["zorder(x, y[, bits])"]` — parse-validated here, then
+    * re-extracted by the write path (PipelineRunner) with the same
+    * pattern. Groups: (colA, colB, bits?). */
+  val ZOrderClusterKey: scala.util.matching.Regex =
+    """(?i)^\s*zorder\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:,\s*(\d+)\s*)?\)\s*$""".r
 
   def parse(yaml: String): PipelineSpec = {
     val root = mapper.readTree(yaml)
@@ -571,6 +586,21 @@ object PipelineSpec {
     require(s.clusterBy.isEmpty || s.buckets.isEmpty,
       s"$at: clusterBy (range layout) and buckets (hash layout) are " +
         "mutually exclusive — pick the layout the dominant read pattern needs")
+    // zorder(...) layout entry: a typo must fail AT PARSE, not as a
+    // nonexistent-column error deep in the write job
+    if (s.clusterBy.exists(_.matches("""(?i)\s*zorder\s*\(.*"""))) {
+      require(s.clusterBy.size == 1,
+        s"$at.clusterBy: zorder(...) must be the sole layout entry — its " +
+          "Morton code already totally orders both dimensions")
+      val m = PipelineSpec.ZOrderClusterKey.findFirstMatchIn(s.clusterBy.head)
+      require(m.isDefined,
+        s"$at.clusterBy: malformed '${s.clusterBy.head.trim}' — expected " +
+          "zorder(colA, colB) or zorder(colA, colB, bits)")
+      require(m.get.group(1).toLowerCase != m.get.group(2).toLowerCase,
+        s"$at.clusterBy: zorder needs two distinct columns")
+      Option(m.get.group(3)).map(_.toInt).foreach(b => require(b >= 1 && b <= 20,
+        s"$at.clusterBy: zorder bits must be in [1,20], got $b"))
+    }
     s.files.foreach { f =>
       require(f > 0, s"$at.files: must be > 0, got $f")
       // compaction is a coalesce at write time; a bucketed table's file

@@ -65,4 +65,69 @@ class ZOrderSpec extends SparkSpecBase {
     // x-major sort leaves the second dimension completely unbounded
     xy shouldBe 255L
   }
+
+  test("sink clusterBy zorder(x,y): written files bound BOTH dimensions, linear layout does not") {
+    val base = "/tmp/graft_zorder_sink"
+    graft.streaming.StreamOps.rmrf(base)
+    import spark.implicits._
+    (for (x <- 0 until 256; y <- 0 until 256) yield (x, y))
+      .toDF("x", "y").write.mode("overwrite").parquet(s"$base/in")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    // the 65k-row grid is tiny enough for AQE to coalesce the range
+    // shuffle to one file (right at scale, wrong for a 16-file layout
+    // assertion) — pin the file count for the test
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      def lay(out: String, cluster: String): Unit =
+        graft.pipeline.PipelineRunner.run(spark,
+          s"""name: zlay
+             |source: {format: parquet, path: "$base/in"}
+             |transforms: []
+             |sink: {format: parquet, path: "$base/$out", clusterBy: [$cluster]}
+             |""".stripMargin)
+      lay("z", "\"zorder(x, y, 8)\"")
+      lay("lin", "x, y")
+
+      // per-file min/max — exactly the footer stats a parquet reader
+      // prunes with; a file "hits" a filter iff its span intersects it
+      def hits(out: String, dim: String, lo: Int, hi: Int): (Int, Int) = {
+        val spans = spark.read.parquet(s"$base/$out")
+          .groupBy(input_file_name()).agg(min(col(dim)), max(col(dim)))
+          .collect().map(r => (r.getInt(1), r.getInt(2)))
+        (spans.count { case (l, h) => l <= hi && h >= lo }, spans.length)
+      }
+      // second-dimension filter y<32: the linear (x-major) layout's files
+      // are full-height x-stripes — every file hits; z-order files are
+      // squares — only the bottom band hits
+      val (linY, linN) = hits("lin", "y", 0, 31)
+      linY shouldBe linN
+      val (zY, zN) = hits("z", "y", 0, 31)
+      zY should be <= zN / 2
+      // and the first dimension still prunes on the z layout too
+      val (zX, _) = hits("z", "x", 0, 31)
+      zX should be <= zN / 2
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
+  test("sink clusterBy zorder: malformed and conflicting specs fail at parse") {
+    def parse(cluster: String) = graft.config.PipelineSpec.parse(
+      s"""name: zbad
+         |source: {format: parquet, path: "/tmp/x"}
+         |transforms: []
+         |sink: {format: parquet, path: "/tmp/y", clusterBy: [$cluster]}
+         |""".stripMargin)
+    intercept[IllegalArgumentException](parse("\"zorder(x)\""))
+      .getMessage should include("malformed")
+    intercept[IllegalArgumentException](parse("\"zorder(x, x)\""))
+      .getMessage should include("distinct")
+    intercept[IllegalArgumentException](parse("\"zorder(x, y, 25)\""))
+      .getMessage should include("bits")
+    intercept[IllegalArgumentException](parse("\"zorder(x, y)\", other"))
+      .getMessage should include("sole")
+  }
 }
