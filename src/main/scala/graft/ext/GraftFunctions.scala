@@ -70,7 +70,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => RollingHash(args.head)),
     (FunctionIdentifier("graft_bpeish_count"),
       new ExpressionInfo(classOf[BpeishTokenCount].getName, "graft_bpeish_count"),
-      (args: Seq[Expression]) => BpeishTokenCount(args.head)))
+      (args: Seq[Expression]) => BpeishTokenCount(args.head)),
+    (FunctionIdentifier("graft_sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_sorted_intersect_size"),
+      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))))
 
   /** Register every §2.M function into a live session. */
   def register(spark: SparkSession): Unit = {

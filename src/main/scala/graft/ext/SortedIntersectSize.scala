@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+
+/** |A ∩ B| of two SORTED, DISTINCT ARRAY<STRING> columns as one
+  * zero-allocation two-pointer merge walk inside WholeStageCodegen.
+  *
+  * Why it exists: the LSH-verify join (k12b / the `minhash_dedup` op at
+  * threshold < 1) computes exact Jaccard per candidate pair via
+  * `size(array_intersect(ts_a, ts_b))`. Spark's ArrayIntersect builds a
+  * per-ROW hash set and materializes the intersection array just to take
+  * its length — millions of short-lived allocations per verify batch.
+  * That churn made the verify stage GC-BIMODAL: measured round 16 on
+  * identical data, verify_force swung 8 s ↔ 42 s across back-to-back
+  * runs with flat CPU probes, and moving the shuffle dir to tmpfs did
+  * not change it — so the variance was allocator/GC weather, not disk.
+  * Both operand arrays are already sorted+distinct by construction
+  * (lshClusters' collapse stage applies array_sort ∘ array_distinct), so
+  * the intersection size is a LINEAR two-pointer compare-and-advance
+  * with no allocation at all — strictly less work per pair and nothing
+  * for the collector to chew on.
+  *
+  * CONTRACT: both arrays ascending-sorted and duplicate-free (Spark
+  * array_sort order, null elements LAST). Unsorted input silently
+  * undercounts — this is a fused engine primitive for plans that
+  * guarantee sortedness one operator upstream, not a general function
+  * (the SQL registration exists for spec cross-checks). Null handling:
+  * null if either ARRAY is null; a null ELEMENT in both arrays counts
+  * once (array_intersect's null-equality semantics).
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_sorted_intersect_size expects (array<string>, array<string>), " +
+          s"got (${l.sql}, ${r.sql})")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_sorted_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var cnt = 0
+    while (i < nx && j < ny) {
+      val xn = x.isNullAt(i); val yn = y.isNullAt(j)
+      val c =
+        if (xn && yn) 0
+        else if (xn) 1 // nulls sort last
+        else if (yn) -1
+        else x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { cnt += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val cnt = ctx.freshName("cnt"); val c = ctx.freshName("c")
+      val xn = ctx.freshName("xn"); val yn = ctx.freshName("yn")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $cnt = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  boolean $xn = $a.isNullAt($i); boolean $yn = $b.isNullAt($j);
+         |  int $c = ($xn && $yn) ? 0 : $xn ? 1 : $yn ? -1
+         |    : $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $cnt++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}

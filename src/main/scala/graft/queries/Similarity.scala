@@ -917,10 +917,16 @@ object Similarity extends QueryPack {
       // shuffled hash join. Never falls back to SMJ on build overflow
       // (Spark 3.1+ honors the hint); spill of the BUILD side would
       // mean rep skew, which the banding bucketCap already bounds.
+      // |A∩B| via the zero-allocation two-pointer expression, NOT
+      // size(array_intersect(..)): the arrays are sorted+distinct by the
+      // collapse stage, and ArrayIntersect's per-row hash set + result
+      // array made this stage GC-BIMODAL (round 16: verify_force 8 s ↔
+      // 42 s on identical data, flat probes, tmpfs shuffle unchanged —
+      // allocator weather, not IO). The merge walk allocates nothing.
       val verified = sizeOk
         .join(repDocs.toDF("id_a", "ts_a").hint("shuffle_hash"), "id_a")
         .join(repDocs.toDF("id_b", "ts_b").hint("shuffle_hash"), "id_b")
-        .withColumn("__i", size(array_intersect(col("ts_a"), col("ts_b"))))
+        .withColumn("__i", expr("graft_sorted_intersect_size(ts_a, ts_b)"))
         .where(round(col("__i").cast(DoubleType)
           / (size(col("ts_a")) + size(col("ts_b")) - col("__i")), 6) >= threshold)
         .select(col("id_a"), col("id_b"))

@@ -80,4 +80,41 @@ class ExtensionsSpec extends SparkSpecBase {
       .select(xxhash64($"s"), hash($"s"), crc32($"s".cast("binary"))).head()
     r1 shouldBe r2
   }
+
+  test("graft_sorted_intersect_size == size(array_intersect) on sorted distinct arrays") {
+    GraftFunctions.register(spark)
+    // randomized: vocab small enough to force real overlaps; both the
+    // codegen path (DataFrame) and the interpreted path (eval) checked
+    val vocab = ('a' to 'z').map(_.toString)
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 300).map { _ =>
+      def arr() = rnd.shuffle(vocab).take(rnd.nextInt(vocab.size + 1)).sorted
+      (arr(), arr())
+    }
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      expr("graft_sorted_intersect_size(a, b)").as("g"),
+      org.apache.spark.sql.functions.size(array_intersect($"a", $"b")).as("w")).collect()
+    got.foreach(r => r.getInt(0) shouldBe r.getInt(1))
+
+    // interpreted eval agrees with codegen on the same operands
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def lit(xs: Seq[String]) = Literal(
+      ArrayData.toArrayData(xs.map(s => if (s == null) null else UTF8String.fromString(s)).toArray),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    rows.take(50).foreach { case (a, b) =>
+      graft.ext.SortedIntersectSize(lit(a), lit(b)).eval(null) shouldBe
+        a.toSet.intersect(b.toSet).size
+    }
+    // edges: empty, disjoint, null element (sorts last, counts once)
+    graft.ext.SortedIntersectSize(lit(Nil), lit(Seq("a"))).eval(null) shouldBe 0
+    graft.ext.SortedIntersectSize(
+      lit(Seq("a", "b", null)), lit(Seq("b", "c", null))).eval(null) shouldBe 2
+    // null ARRAY -> null
+    val sql = Seq((Seq("a"), Option.empty[Seq[String]])).toDF("a", "b")
+      .selectExpr("graft_sorted_intersect_size(a, b)").head()
+    sql.isNullAt(0) shouldBe true
+  }
 }
