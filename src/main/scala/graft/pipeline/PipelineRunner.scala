@@ -202,45 +202,48 @@ object PipelineRunner {
         "group; a global row_number window has no streaming equivalent; " +
         "merge anti-joins the full base; shuffle is a global sort; diff " +
         "full-outer-joins two complete snapshots)"))
-    // §2.L10 — streaming incremental near-dup gate: `minhash_dedup` WITH
-    // `state_path` is allowed in streaming mode, executed PER MICRO-BATCH
-    // against the published survivor state (read state → LSH-cluster the
-    // batch against it → emit survivors → append them to state). Batches
-    // run sequentially in one MicroBatchExecution, so batch N sees every
-    // prior batch's published corpus — the exact cross-run incremental
-    // semantics of the batch op, applied at micro-batch granularity.
-    // Without state the op has no cross-batch memory (each batch would
-    // dedup only against itself) — rejected rather than silently weaker.
-    // Ops AFTER the gate also run per-batch, so they must be row-local
-    // (per-batch application ≡ streaming application); whole-corpus and
-    // stateful-stream ops stay ahead of the gate or in another pipeline.
-    val gateIdx = streamable.indexWhere(_.op == "minhash_dedup")
+    // §2.L10 — streaming incremental dedup gates: `minhash_dedup` and
+    // `semdedup` WITH `state_path` are allowed in streaming mode,
+    // executed PER MICRO-BATCH against the published survivor state
+    // (read state → cluster the batch against it → emit survivors →
+    // append them to state). Batches run sequentially in one
+    // MicroBatchExecution, so batch N sees every prior batch's published
+    // corpus — the exact cross-run incremental semantics of the batch
+    // ops, applied at micro-batch granularity. Without state a gate has
+    // no cross-batch memory (each batch would dedup only against
+    // itself) — rejected rather than silently weaker.
+    // Ops AFTER the first gate also run per-batch, so they must be
+    // row-local or a further stateful gate (per-batch application ≡
+    // streaming application); whole-corpus ops stay ahead of the gate or
+    // in another pipeline.
+    val gateOpSet = Set("minhash_dedup", "semdedup")
+    val gateIdx = streamable.indexWhere(t => gateOpSet(t.op))
     val (streamPrefix, perBatchOps) =
       if (gateIdx < 0) (streamable, Nil) else streamable.splitAt(gateIdx)
-    perBatchOps.headOption.foreach { g =>
+    perBatchOps.filter(t => gateOpSet(t.op)).foreach { g =>
       require(g.statePath.isDefined,
-        "streaming mode: 'minhash_dedup' needs `state_path` — without " +
+        s"streaming mode: '${g.op}' needs `state_path` — without " +
           "published survivor state each micro-batch would dedup only " +
           "against itself, not the corpus seen so far")
       require(spec.outputMode.forall(_ == "append"),
-        "streaming mode: 'minhash_dedup' requires append output (each " +
+        s"streaming mode: '${g.op}' requires append output (each " +
           "batch's survivors are emitted exactly once; update/complete " +
           "re-emissions would re-enter the dedup gate)")
     }
     val rowLocal = Set("select", "rename", "drop", "derive", "filter",
       "cast", "flatten", "tokenize", "redact", "quality_filter")
-    perBatchOps.drop(1).foreach(t => require(rowLocal(t.op),
-      s"streaming mode: '${t.op}' cannot follow the minhash_dedup gate — " +
+    perBatchOps.drop(1).foreach(t => require(rowLocal(t.op) || gateOpSet(t.op),
+      s"streaming mode: '${t.op}' cannot follow a dedup gate — " +
         "downstream of the gate runs per micro-batch, so only row-local " +
-        s"ops (${rowLocal.toSeq.sorted.mkString(", ")}) keep streaming " +
-        "semantics; move it ahead of the gate"))
+        s"ops (${rowLocal.toSeq.sorted.mkString(", ")}) or a further " +
+        "stateful gate keep streaming semantics; move it ahead of the gate"))
     streamPrefix.foreach(t => require(
       !Set("tfidf", "minhash_dedup", "semdedup", "ann_topk", "decontaminate",
         "mix")(t.op),
       s"streaming mode: '${t.op}' is batch-only (idf / LSH or semantic " +
         "clustering / top-k / the contaminated-id set / the mixture counts " +
         "all need the whole corpus; `tokenize` and `quality_filter` stream " +
-        "fine, and `minhash_dedup` streams with `state_path`)"))
+        "fine, and the dedup gates stream with `state_path`)"))
 
     // Transforms apply to the PASS side only — batch parity: the batch
     // quarantine keeps pre-transform rows (+ failed_checks), and a select
@@ -261,22 +264,48 @@ object PipelineRunner {
       }
     }
 
+    // ACID streaming ingest: a graft_table sink commits PER MICRO-BATCH,
+    // each commit stamped with a (appId, batchId) txn action — a replayed
+    // batch (crash between table commit and checkpoint advance) finds its
+    // txn in the log and no-ops, the lakehouse exactly-once protocol.
+    val tableSink = spec.sink.filter(_.format == "graft_table")
+    tableSink.foreach(s => require(s.mode == "append",
+      "streaming mode: graft_table sink is per-micro-batch ACID append " +
+        s"(txn-idempotent); mode '${s.mode}' is batch-only — merge/delete " +
+        "recompute file rewrites against a snapshot and belong in a batch run"))
+    // appId is stable across replays WITHIN this run and fresh across
+    // runs (a rerun is a new job whose batch 0 must append, not be
+    // skipped as last run's). Production runs with a durable checkpoint
+    // pin `options.txn_app_id` so recovery after a process death still
+    // dedupes against the previous process's commits.
+    val txnAppId = tableSink.flatMap(_.options.get("txn_app_id"))
+      .getOrElse(java.util.UUID.randomUUID().toString)
+
     // The gate + its row-local suffix run inside foreachBatch; each batch
-    // publishes its state advance only AFTER the batch output committed
-    // (same publish-then-advance recovery contract as the batch runner —
-    // see StreamOps.runToBatch's perBatch doc).
-    val perBatch: DataFrame => (DataFrame, () => Unit) = batch => {
+    // publishes its state advance (and its ACID table commit) only AFTER
+    // the batch output committed (same publish-then-advance recovery
+    // contract as the batch runner — see StreamOps.runToBatch's perBatch
+    // doc).
+    val perBatch: (DataFrame, Long) => (DataFrame, () => Unit) = (batch, id) => {
       val bs = batch.sparkSession // the micro-batch's own (stream) session
       GraftFunctions.register(bs) // derive/filter exprs after the gate
       val deferred = scala.collection.mutable.Buffer.empty[() => Unit]
       val o = perBatchOps.foldLeft(batch)(
         (df, t) => applyTransform(bs, df, t, deferred))
-      (o, () => deferred.foreach(_()))
+      // cache only when two consumers exist (batch-dir capture + table
+      // staging) — otherwise the transform chain would run twice per batch
+      val oc = if (tableSink.isDefined) o.persist() else o
+      (oc, () => {
+        deferred.foreach(_())
+        tableSink.foreach(s =>
+          graft.tables.GraftTable.appendBatch(bs, oc, s.path, txnAppId, id))
+        if (tableSink.isDefined) oc.unpersist()
+      })
     }
 
     val outMode = spec.outputMode.getOrElse("append")
     val streamed =
-      if (perBatchOps.isEmpty)
+      if (perBatchOps.isEmpty && tableSink.isEmpty)
         StreamOps.runToBatch(spark, s"ep_${spec.name}", mk(pass = true), outMode)
       else
         StreamOps.runToBatch(spark, s"ep_${spec.name}", mk(pass = true), outMode, perBatch)
@@ -287,7 +316,9 @@ object PipelineRunner {
         write(b, q); b
       case None => passed.limit(0)
     }
-    spec.sink.foreach(write(passed, _))
+    // graft_table already committed per micro-batch above — an end-of-run
+    // write would double-append every row
+    spec.sink.filterNot(_.format == "graft_table").foreach(write(passed, _))
     RunResult(spec, passed, quarantined, Nil)
   }
 

@@ -323,5 +323,51 @@ object Streaming extends QueryPack {
     graft.pipeline.PipelineRunner.run(spark, yaml).passed
   }
 
-  override def defs: Seq[QueryDef] = Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10)
+  /** §2.A10-ext — exactly-once streaming ingest into the ACID table
+    * (`graft_table` sink under `mode: streaming`): each micro-batch is
+    * one log commit stamped with a (appId, batchId) txn action, so a
+    * replayed batch no-ops instead of double-appending — the lakehouse
+    * idempotent-writes protocol (cf. Delta's txn action), on our own
+    * commit log. Three doc-ordered chunk files → three commits; the
+    * result is read back THROUGH the table (snapshot of the latest
+    * version), so the oracle checks the whole ingest path end-to-end. */
+  val l11: QueryDef = m(
+    "l11_streaming_acid_ingest",
+    """SELECT event_id, user_id, event_type, value FROM events
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val base = "/tmp/graft_io/l11_acid"
+    StreamOps.rmrf(base)
+    val src = s"$base/src"
+    Files.createDirectories(Paths.get(src))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val bounds = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val step = (hi - lo) / 3 + 1
+    (0 until 3).foreach { i =>
+      val tmp = s"$base/tmp_$i"
+      ev.where(col("event_id") >= lo + i * step &&
+          col("event_id") < lo + (i + 1) * step)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = scala.util.Using.resource(Files.list(Paths.get(tmp)))(
+        _.iterator().asScala.find(_.toString.endsWith(".parquet")).get)
+      val dst = Paths.get(src, f"chunk_$i%02d.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val table = s"$base/table"
+    graft.pipeline.PipelineRunner.run(spark,
+      s"""name: l11_acid_ingest
+         |mode: streaming
+         |source: {format: parquet, path: "$src", schema: auto, options: {maxFilesPerTrigger: "1"}}
+         |transforms: []
+         |sink: {format: graft_table, path: "$table", mode: append}
+         |""".stripMargin)
+    graft.tables.GraftTable.read(spark, table).orderBy(col("event_id"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11)
 }

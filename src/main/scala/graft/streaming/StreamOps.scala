@@ -107,22 +107,23 @@ object StreamOps {
     * update-mode emissions are also one batch (no key repeats). */
   def runToBatch(spark: SparkSession, name: String,
       mkStream: SparkSession => DataFrame, mode: String): DataFrame =
-    runToBatch(spark, name, mkStream, mode, b => (b, () => ()))
+    runToBatch(spark, name, mkStream, mode, (b, _) => (b, () => ()))
 
-  /** runToBatch with a per-micro-batch hook: `perBatch` maps each batch
-    * frame to (output, publish). The output is written to the batch dir
-    * FIRST, then `publish()` runs — the hook's external-state advance
-    * (e.g. streaming minhash_dedup appending survivors to its published
-    * corpus). Ordering gives the same publish-then-advance recovery
-    * contract as the batch runner: a crash between write and publish
-    * replays the batch against UNCHANGED state, reproducing the same
-    * output (overwrite, same batch id), and the publish itself is
-    * idempotent by the state append's anti-join. Batches run
-    * sequentially (one MicroBatchExecution), so each hook sees every
-    * prior batch's published state. */
+  /** runToBatch with a per-micro-batch hook: `perBatch(batch, batchId)`
+    * maps each batch frame to (output, publish). The output is written to
+    * the batch dir FIRST, then `publish()` runs — the hook's
+    * external-state advance (streaming minhash_dedup appending survivors
+    * to its published corpus; the graft_table sink committing the batch
+    * with its txn stamp). Ordering gives the same publish-then-advance
+    * recovery contract as the batch runner: a crash between write and
+    * publish replays the batch against UNCHANGED state, reproducing the
+    * same output (overwrite, same batch id), and each publish is
+    * idempotent (state appends anti-join; table commits txn-dedupe on
+    * batchId). Batches run sequentially (one MicroBatchExecution), so
+    * each hook sees every prior batch's published state. */
   def runToBatch(spark: SparkSession, name: String,
       mkStream: SparkSession => DataFrame, mode: String,
-      perBatch: DataFrame => (DataFrame, () => Unit)): DataFrame = {
+      perBatch: (DataFrame, Long) => (DataFrame, () => Unit)): DataFrame = {
     val base = s"/tmp/graft_stream/$name"
     rmrf(base)
     val out = s"$base/out"
@@ -139,7 +140,7 @@ object StreamOps {
       .option("checkpointLocation", s"$base/cp")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val (o, publish) = perBatch(batch)
+        val (o, publish) = perBatch(batch, id)
         o.write.mode("overwrite").parquet(s"$out/batch_$id")
         publish()
       }

@@ -135,6 +135,65 @@ object GraftTable {
     n.putObject("remove").put("path", path)
     n
   }
+  private def txnAction(appId: String, batchId: Long): ObjectNode = {
+    val n = json.createObjectNode()
+    val t = n.putObject("txn")
+    t.put("appId", appId); t.put("batchId", batchId)
+    n
+  }
+
+  /** Highest batchId this writer (`appId`) has committed, or None. Replays
+    * the log — bounded by version count, not data; a production-scale log
+    * snapshots this map in checkpoints exactly like file lists. */
+  def lastTxn(root: String, appId: String): Option[Long] = {
+    if (!isTable(root)) return None
+    val top = latestVersion(root).getOrElse(return None)
+    var best = Option.empty[Long]
+    (1L to top).foreach { ver =>
+      Files.readAllLines(verFile(root, ver)).asScala
+        .filter(_.nonEmpty).foreach { line =>
+          val n = json.readTree(line)
+          if (n.has("txn") && n.get("txn").get("appId").asText() == appId) {
+            val b = n.get("txn").get("batchId").asLong()
+            if (best.forall(_ < b)) best = Some(b)
+          }
+        }
+    }
+    best
+  }
+
+  /** Exactly-once streaming ingest: append a micro-batch, stamped with
+    * (appId, batchId). A REPLAYED batch — Spark re-runs batch N when the
+    * crash landed between our commit and the checkpoint's — finds its own
+    * txn already in the log and becomes a no-op (returns None), the
+    * standard lakehouse idempotent-writes protocol. batchIds must be
+    * monotone per appId (Structured Streaming's are); a NEW stream over a
+    * fresh checkpoint needs a new appId or it would skip everything.
+    * Races with other writers retry like `write` (an append is valid
+    * against any snapshot). */
+  def appendBatch(spark: SparkSession, df: DataFrame, root: String,
+      appId: String, batchId: Long, maxRetries: Int = 10): Option[Long] = {
+    if (lastTxn(root, appId).exists(_ >= batchId)) return None // replay
+    val adds = stageDataFiles(df, root)
+    var attempt = 0
+    while (true) {
+      val cur = latestVersion(root)
+      val snap = cur.map(_ => snapshot(root))
+      snap.foreach(requireSchemaMatch(df, _, root))
+      val actions = txnAction(appId, batchId) +:
+        (if (snap.isDefined) adds else metaAction(df.schema.toDDL) +: adds)
+      try return Some(commit(root, cur.getOrElse(0L), actions))
+      catch {
+        case e: ConcurrentWriteException =>
+          // the racer may have been a replay of THIS txn from another
+          // attempt — re-check before retrying, same exactly-once rule
+          if (lastTxn(root, appId).exists(_ >= batchId)) return None
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    None // unreachable
+  }
 
   /** Claim version `expected + 1` with the given actions. Atomic publish
     * + conflict detection in one primitive (see class doc).

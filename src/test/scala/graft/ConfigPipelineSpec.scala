@@ -895,9 +895,12 @@ class ConfigPipelineSpec extends SparkSpecBase {
   }
 
   test("EP7/EP8: corpus-wide LLM ops are batch-only in streaming mode") {
-    for (op <- Seq("{op: tfidf, cols: [event_id, props]}",
-                   "{op: minhash_dedup, cols: [event_id, props]}",
-                   "{op: ann_topk, cols: [event_id, value], where: \"event_id = 0\"}")) {
+    // the dedup gates stream WITH state_path (L10); stateless they are
+    // rejected with the pointer to it, the rest stay batch-only outright
+    for ((op, msg) <- Seq(
+      ("{op: tfidf, cols: [event_id, props]}", "batch-only"),
+      ("{op: minhash_dedup, cols: [event_id, props]}", "state_path"),
+      ("{op: ann_topk, cols: [event_id, value], where: \"event_id = 0\"}", "batch-only"))) {
       val e = intercept[IllegalArgumentException](PipelineRunner.run(spark,
         s"""name: s_llm
            |mode: streaming
@@ -907,7 +910,7 @@ class ConfigPipelineSpec extends SparkSpecBase {
            |transforms:
            |  - $op
            |""".stripMargin))
-      e.getMessage should include("batch-only")
+      e.getMessage should include(msg)
     }
   }
 
@@ -1172,14 +1175,15 @@ class ConfigPipelineSpec extends SparkSpecBase {
       .getMessage should include("(-1, 1]")
     bad("{op: semdedup, cols: [vid], threshold: 0.9}")
       .getMessage should include("cols")
-    // corpus-wide op: rejected in streaming mode like minhash_dedup
+    // stateless in streaming mode: rejected with the pointer to the
+    // state_path composition (the L10 gate), like minhash_dedup
     intercept[IllegalArgumentException](PipelineRunner.run(spark,
       s"""name: sd_stream
          |mode: streaming
          |source: {format: parquet, path: "$dir/vecs"}
          |transforms:
          |  - {op: semdedup, cols: [vid, emb], threshold: 0.9}
-         |""".stripMargin)).getMessage should include("batch-only")
+         |""".stripMargin)).getMessage should include("state_path")
   }
 
   test("semdedup state_path: cross-run incremental semantic dedup") {

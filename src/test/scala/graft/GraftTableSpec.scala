@@ -186,4 +186,69 @@ class GraftTableSpec extends SparkSpecBase {
          |       clusterBy: [id]}
          |""".stripMargin)).getMessage should include("owns its layout")
   }
+
+  test("appendBatch: a replayed (appId, batchId) no-ops; a new appId appends") {
+    val root = freshRoot("txn")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    GraftTable.appendBatch(spark, df, root, "app1", 0L) shouldBe Some(1L)
+    // replay of batch 0 (crash between table commit and checkpoint advance)
+    GraftTable.appendBatch(spark, df, root, "app1", 0L) shouldBe None
+    GraftTable.latestVersion(root) shouldBe Some(1L)
+    GraftTable.read(spark, root).count() shouldBe 2L
+    // next batch of the same stream appends
+    GraftTable.appendBatch(spark, Seq((3L, "c")).toDF("id", "v"),
+      root, "app1", 1L) shouldBe Some(2L)
+    // a stale batchId from the same app also no-ops (monotone contract)
+    GraftTable.appendBatch(spark, df, root, "app1", 0L) shouldBe None
+    // a DIFFERENT writer's batch 0 is a different transaction
+    GraftTable.appendBatch(spark, Seq((4L, "d")).toDF("id", "v"),
+      root, "app2", 0L) shouldBe Some(3L)
+    GraftTable.read(spark, root).count() shouldBe 4L
+    GraftTable.lastTxn(root, "app1") shouldBe Some(1L)
+    GraftTable.lastTxn(root, "app2") shouldBe Some(0L)
+  }
+
+  test("streaming graft_table sink: one ACID commit per micro-batch, exactly-once") {
+    import java.nio.file.attribute.FileTime
+    val root = freshRoot("stream_sink")
+    val base = "/tmp/graft_io/acid_stream_src"
+    graft.streaming.StreamOps.rmrf(base)
+    Files.createDirectories(Paths.get(base))
+    Seq(("c1", Seq((1L, "x"), (2L, "y"))), ("c2", Seq((3L, "z")))).zipWithIndex
+      .foreach { case ((n, rows), i) =>
+        val tmp = s"$base/tmp_$n"
+        rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = scala.util.Using.resource(Files.list(Paths.get(tmp)))(
+          _.iterator().asScala.find(_.toString.endsWith(".parquet")).get)
+        val dst = Paths.get(base, s"chunk_$n.parquet")
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+    PipelineRunner.run(spark,
+      s"""name: acid_stream
+         |mode: streaming
+         |source: {format: parquet, path: "$base/chunk_*", schema: auto, options: {maxFilesPerTrigger: "1"}}
+         |transforms:
+         |  - {op: derive, name: v2, expr: "upper(v)"}
+         |sink: {format: graft_table, path: "$root", mode: append}
+         |""".stripMargin)
+    // two micro-batches -> two versions, each carrying one txn action
+    GraftTable.latestVersion(root) shouldBe Some(2L)
+    GraftTable.read(spark, root).orderBy($"id")
+      .select($"id", $"v2").as[(Long, String)].collect() shouldBe
+      Array((1L, "X"), (2L, "Y"), (3L, "Z"))
+    val logLines = (1L to 2L).flatMap(v => Files.readAllLines(
+      Paths.get(root, "_graft_log", f"$v%020d.json")).asScala)
+    logLines.count(_.contains("\"txn\"")) shouldBe 2
+    // version 1 is the first batch alone — per-batch commits, not one blob
+    GraftTable.read(spark, root, asOf = Some(1L)).count() shouldBe 2L
+    // streaming merge mode is rejected at run start
+    intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: acid_stream_bad
+         |mode: streaming
+         |source: {format: parquet, path: "$base/chunk_*", schema: auto}
+         |transforms: []
+         |sink: {format: graft_table, path: "$root", mode: merge, options: {on: "id"}}
+         |""".stripMargin)).getMessage should include("per-micro-batch")
+  }
 }

@@ -225,6 +225,53 @@ class StreamingOpsSpec extends SparkSpecBase {
       .collect().sorted shouldBe Array(1L, 3L, 6L)
   }
 
+  test("L10: streaming semdedup replay equals the batch incremental result") {
+    import java.nio.file.attribute.FileTime
+    val base = "/tmp/graft_stream_test/l10_sem"
+    StreamOps.rmrf(base)
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    // chunk 2: 4 is semantically 1, 5 is semantically 3, 6 is fresh
+    val chunk1 = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.999, 0.01)), (3L, Array(0.0, 1.0)))
+    val chunk2 = Seq((4L, Array(0.998, 0.02)), (5L, Array(0.01, 0.999)), (6L, Array(0.707, 0.707)))
+    Seq(("c1", chunk1), ("c2", chunk2)).zipWithIndex.foreach { case ((n, rows), i) =>
+      val tmp = s"$base/tmp_$n"
+      rows.toDF("vec_id", "emb").coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val part = scala.util.Using.resource(Files.list(Paths.get(tmp)))(
+        _.iterator().asScala.find(_.toString.endsWith(".parquet")).get)
+      val dst = Paths.get(in, s"chunk_$n.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+
+    def yamlOf(streaming: Boolean, path: String, state: String): String = {
+      val head =
+        if (streaming)
+          s"""name: l10_sem_stream
+             |mode: streaming
+             |source: {format: parquet, path: "$path", schema: auto, options: {maxFilesPerTrigger: "1"}}""".stripMargin
+        else
+          s"""name: l10_sem_batch
+             |source: {format: parquet, path: "$path"}""".stripMargin
+      s"""$head
+         |transforms:
+         |  - {op: semdedup, cols: [vec_id, emb], threshold: 0.95, k: 1, state_path: "$state"}
+         |""".stripMargin
+    }
+
+    val streamed = graft.pipeline.PipelineRunner
+      .run(spark, yamlOf(streaming = true, in, s"$base/state_s")).passed
+      .select("vec_id").as[Long].collect().sorted
+    val batched = Seq("chunk_c1.parquet", "chunk_c2.parquet").flatMap { f =>
+      graft.pipeline.PipelineRunner
+        .run(spark, yamlOf(streaming = false, s"$in/$f", s"$base/state_b")).passed
+        .select("vec_id").as[Long].collect()
+    }.sorted
+    streamed shouldBe batched
+    streamed shouldBe Array(1L, 3L, 6L)
+  }
+
   test("L10: streaming minhash_dedup without state_path is rejected") {
     val base = "/tmp/graft_stream_test/l10_guard"
     StreamOps.rmrf(base)
