@@ -54,4 +54,42 @@ object ZOrder {
     * coordinates, which is exactly why per-file z-ranges bound both). */
   def deinterleave(z: Long, parity: Int, bits: Int): Long =
     (0 until bits).map(i => ((z >> (2 * i + parity)) & 1L) << i).sum
+
+  /** Z-order LAYOUT: range-repartition + sort by the Morton code of the
+    * two linearly-quantized NUMERIC columns, then drop the key (a
+    * projection keeps row order, no exchange). Quantization bounds come
+    * from ONE column-pruned min/max aggregate — the same cost class as
+    * surrogate_key's bound probe, paid once at write time. NULL dims land
+    * in cell 0 (they sort first, like a range layout's null ordering).
+    * Shared by the `clusterBy: zorder(..)` sink and graft_table OPTIMIZE.
+    * `parts`: explicit output partition count (OPTIMIZE's file target);
+    * None uses the session shuffle partitioning (+AQE coalescing). */
+  def zLayout(df: org.apache.spark.sql.DataFrame, x: String, y: String,
+      bits: Int, parts: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    Seq(x, y).foreach { c =>
+      require(df.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"zorder layout: column '$c' is ${df.schema(c).dataType.sql} — " +
+          "z-order needs numeric dimensions (quantization is linear min->max)")
+    }
+    val st = df.agg(
+      min(col(x).cast("double")), max(col(x).cast("double")),
+      min(col(y).cast("double")), max(col(y).cast("double"))).head()
+    if (st.anyNull) return df // empty (or all-null) input: no layout
+    val cells = (1L << bits).toDouble
+    def quant(c: String, lo: Double, hi: Double) = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
+      least(greatest(
+        floor((coalesce(col(c).cast("double"), lit(lo)) - lit(lo))
+          / lit(span) * lit(cells)).cast("bigint"),
+        lit(0L)), lit((1L << bits) - 1L))
+    }
+    val keyed = df.withColumn("__graft_zkey",
+      interleave(quant(x, st.getDouble(0), st.getDouble(1)),
+        quant(y, st.getDouble(2), st.getDouble(3)), bits))
+    parts.fold(keyed.repartitionByRange(col("__graft_zkey")))(
+        n => keyed.repartitionByRange(n, col("__graft_zkey")))
+      .sortWithinPartitions(col("__graft_zkey"))
+      .drop("__graft_zkey")
+  }
 }

@@ -1524,37 +1524,8 @@ object PipelineRunner {
         // surrogate_key's bound probe, paid once at write time.
         val clustered = s.clusterBy match {
           case Seq(PipelineSpec.ZOrderClusterKey(x, y, bitsStr)) =>
-            val bits = Option(bitsStr).map(_.toInt).getOrElse(12)
-            Seq(x, y).foreach { c =>
-              require(evolvedOut.schema(c).dataType
-                  .isInstanceOf[org.apache.spark.sql.types.NumericType],
-                s"clusterBy zorder: column '$c' is " +
-                  s"${evolvedOut.schema(c).dataType.sql} — z-order layout " +
-                  "needs numeric dimensions (quantization is linear min→max)")
-            }
-            val st = evolvedOut.agg(
-              min(col(x).cast("double")), max(col(x).cast("double")),
-              min(col(y).cast("double")), max(col(y).cast("double"))).head()
-            if (st.anyNull) evolvedOut // empty (or all-null) input: no layout
-            else {
-              val cells = (1L << bits).toDouble
-              def quant(c: String, lo: Double, hi: Double) = {
-                val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
-                // NULL dims land in cell 0 (they sort first, like a range
-                // layout's null ordering); clamp keeps hi exactly in range
-                least(greatest(
-                  floor((coalesce(col(c).cast("double"), lit(lo)) - lit(lo))
-                    / lit(span) * lit(cells)).cast("bigint"),
-                  lit(0L)), lit((1L << bits) - 1L))
-              }
-              evolvedOut.withColumn("__graft_zkey",
-                  graft.ext.ZOrder.interleave(
-                    quant(x, st.getDouble(0), st.getDouble(1)),
-                    quant(y, st.getDouble(2), st.getDouble(3)), bits))
-                .repartitionByRange(col("__graft_zkey"))
-                .sortWithinPartitions(col("__graft_zkey"))
-                .drop("__graft_zkey") // projection keeps order, no exchange
-            }
+            graft.ext.ZOrder.zLayout(evolvedOut, x, y,
+              Option(bitsStr).map(_.toInt).getOrElse(12))
           case Seq() => evolvedOut
           case cols => evolvedOut.repartitionByRange(cols.map(col): _*)
             .sortWithinPartitions(cols.map(col): _*)

@@ -1205,8 +1205,36 @@ object Sources extends QueryPack {
       .orderBy(col("version"), col("o_orderkey"))
   }
 
+  /** EP21 — graft_table OPTIMIZE: bin-pack a fragmented ingest table
+    * (per-batch ACID appends leave one small file set per batch — the
+    * 100 TB metadata/open() storm) into few Z-ORDERED files as one
+    * layout-only version. The oracle proves content invariance — the
+    * optimized table reads back exactly the source rows — while
+    * GraftTableSpec pins the physical claims (file count, both-dimension
+    * per-file bounds, old-version time travel intact). */
+  val ep21: QueryDef = m(
+    "ep21_graft_optimize",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val root = s"$ioDir/acid_opt"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(rootPath, true)
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // fragment like a micro-batched ingest: four ACID appends
+    (0 until 4).foreach { i =>
+      graft.tables.GraftTable.write(spark,
+        base.where(col("o_orderkey") % 4 === i), root,
+        if (i == 0) "overwrite" else "append")
+    }
+    graft.tables.GraftTable.optimize(spark, root, targetFiles = 4,
+      zorderBy = Seq("o_custkey", "o_totalprice"))
+    graft.tables.GraftTable.read(spark, root).orderBy(col("o_orderkey"))
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a3c, a4, a4b, a4c, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3,
       ep3b, ep4, ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13,
-      ep14, ep15, ep16, ep17, ep18, ep19, ep20)
+      ep14, ep15, ep16, ep17, ep18, ep19, ep20, ep21)
 }

@@ -348,6 +348,38 @@ object GraftTable {
     commit(root, snap.version, touchedRel.map(removeAction) ++ adds)
   }
 
+  /** OPTIMIZE: rewrite the current snapshot into `targetFiles` bin-packed
+    * data files — optionally Z-ORDERED on two numeric dimensions — as one
+    * new version. Layout-only: content is bit-identical, so readers of
+    * the new version see the same rows faster (fewer, bigger files; with
+    * zorder, min/max footer stats bound BOTH dimensions per file) and
+    * time travel to any older version still reads the old layout. The
+    * small-file problem this exists for: per-micro-batch streaming ACID
+    * commits (appendBatch) add one small file set per batch — at 100 TB
+    * an un-optimized ingest table becomes a metadata + open() storm.
+    * A commit race aborts like merge (the rewrite was computed against a
+    * snapshot another writer replaced); re-run against the fresh one.
+    * Without zorder the pack is a shuffle-free coalesce read of the old
+    * files; with it, one range shuffle on the Morton key. */
+  def optimize(spark: SparkSession, root: String, targetFiles: Int,
+      zorderBy: Seq[String] = Nil, zorderBits: Int = 12): Long = {
+    require(targetFiles > 0, s"optimize: targetFiles must be > 0, got $targetFiles")
+    require(zorderBy.isEmpty || zorderBy.length == 2,
+      s"optimize: zorderBy needs exactly two columns, got ${zorderBy.mkString(",")}")
+    val snap = snapshot(root)
+    if (snap.files.isEmpty) return snap.version // nothing to lay out
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val base = spark.read.schema(schema)
+      .parquet(snap.files.map(f => Paths.get(root).resolve(f).toString): _*)
+    val laid = zorderBy match {
+      case Seq(x, y) => graft.ext.ZOrder.zLayout(base, x, y, zorderBits,
+        parts = Some(targetFiles))
+      case _ => base.coalesce(targetFiles)
+    }
+    val adds = stageDataFiles(laid, root)
+    commit(root, snap.version, snap.files.map(removeAction) ++ adds)
+  }
+
   /** Reclaim data files no log version references and dead staging/tmp
     * debris — the cleanup half of crash safety. Retention of historical
     * versions is the caller's policy: vacuum keeps every file any

@@ -187,6 +187,48 @@ class GraftTableSpec extends SparkSpecBase {
          |""".stripMargin)).getMessage should include("owns its layout")
   }
 
+  test("optimize: bin-packs to the target file count, content-identical, history intact") {
+    val root = freshRoot("opt")
+    val rows = (1L to 400L).map(i => (i, s"v$i"))
+    // fragment: 8 appends, >= 8 data files
+    rows.grouped(50).zipWithIndex.foreach { case (g, i) =>
+      GraftTable.write(spark, g.toDF("id", "v").repartition(2), root,
+        if (i == 0) "overwrite" else "append")
+    }
+    val preSnap = GraftTable.snapshot(root)
+    preSnap.files.size should be >= 8
+    val v = GraftTable.optimize(spark, root, targetFiles = 2)
+    v shouldBe preSnap.version + 1
+    val postSnap = GraftTable.snapshot(root)
+    postSnap.files.size should be <= 2
+    // layout-only: exactly the same rows
+    GraftTable.read(spark, root).as[(Long, String)].collect().sorted shouldBe
+      rows.toArray
+    // time travel to the fragmented version still works, old layout intact
+    GraftTable.snapshot(root, Some(preSnap.version)).files shouldBe preSnap.files
+    GraftTable.read(spark, root, Some(preSnap.version)).count() shouldBe 400L
+    // vacuum keeps both layouts (every version still references its files)
+    GraftTable.vacuum(root)
+    GraftTable.read(spark, root, Some(preSnap.version)).count() shouldBe 400L
+  }
+
+  test("optimize zorderBy: written files bound BOTH dimensions") {
+    val root = freshRoot("optz")
+    val grid = (for (x <- 0 until 128; y <- 0 until 128) yield (x, y))
+    GraftTable.write(spark, grid.toDF("x", "y").repartition(8), root, "overwrite")
+    GraftTable.optimize(spark, root, targetFiles = 16,
+      zorderBy = Seq("x", "y"), zorderBits = 7)
+    val snap = GraftTable.snapshot(root)
+    snap.files.size should be <= 16
+    val spans = GraftTable.read(spark, root)
+      .groupBy(input_file_name()).agg(min($"y"), max($"y"), min($"x"), max($"x"))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val n = spans.length
+    // second dimension: only the bottom band of z-squares intersects y<16
+    spans.count { case (ylo, yhi, _, _) => ylo <= 15 && yhi >= 0 } should be <= n / 2
+    spans.count { case (_, _, xlo, xhi) => xlo <= 15 && xhi >= 0 } should be <= n / 2
+  }
+
   test("appendBatch: a replayed (appId, batchId) no-ops; a new appId appends") {
     val root = freshRoot("txn")
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
