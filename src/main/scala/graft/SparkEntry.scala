@@ -27,7 +27,8 @@ object SparkEntry {
     Sources,      // §2.A3/A4/A7/A8 + EP1 config pipeline
     Streaming,    // §2.L structured streaming (AvailableNow → batch check)
     MultimodalQ,  // NS multimodal binary columns + mapPartitions extract
-    TextOps2)     // NS n-gram Jaccard, lang-ID, SimHash, SRP-LSH ANN
+    TextOps2,     // NS n-gram Jaccard, lang-ID, SimHash, SRP-LSH ANN
+    Tpch)         // composite TPC-H join/agg shapes (Q3/Q5/Q6/Q10/Q14/Q18)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = packs.flatMap(_.defs)

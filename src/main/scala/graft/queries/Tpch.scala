@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Det._
+import graft.core.Tables
+
+/** Composite analytic workloads — the classic TPC-H join/agg shapes
+  * (Q3/Q5/Q6/Q10/Q14/Q18, adapted to the driver's column subset: no
+  * partsupp table, no commit/receipt dates, no comments) over the same
+  * parquet tables, oracle = the identical SQL in DuckDB.
+  *
+  * Why they're here: every single §2 operator is covered by its own
+  * focused query, but a 100 TB warehouse lives on multi-join pipelines
+  * where Catalyst's join ORDER, broadcast choices, and partial
+  * aggregation placement decide the runtime. These six pin the canonical
+  * shapes end-to-end: dim-filter → fact join → group → top-k (Q3/Q10),
+  * the 6-table snowflake with a cross-filter (Q5 — c_nationkey must
+  * equal s_nationkey ACROSS the two fact arms), pure pushdown scans
+  * (Q6), a ratio-of-conditional-aggregates (Q14), and a
+  * having-subquery semi-join (Q18).
+  *
+  * Determinism: all money math in exact DECIMAL via the Det helpers
+  * (identical SQL fragments on both engines), all top-k orderings carry
+  * a unique tiebreak column, dates compared as NTZ timestamp literals
+  * (both engines UTC). l_quantity sums are integral doubles < 2^53 —
+  * order-independent by exactness.
+  *
+  * Scale notes (the plans Catalyst picks here are the 100 TB ones):
+  * nation/region broadcast everywhere; customer-orders and
+  * orders-lineitem are the big shuffles and AQE sizes them; Q18's
+  * having-subquery is ONE extra aggregate over lineitem feeding a
+  * shuffle semi-join, never a driver-side IN-list; the top-k queries end
+  * in TakeOrderedAndProject, not a global sort. */
+object Tpch extends QueryPack {
+  import QueryDef._
+
+  private val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+    "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+  private def revC = dec2(col("l_extendedprice")) * (one - rate(col("l_discount")))
+
+  /** TPC-H Q3 — shipping priority: unshipped high-value orders of one
+    * segment. Plan: segment filter prunes customer BEFORE the join,
+    * date filters push to both fact scans, final top-10 is
+    * TakeOrderedAndProject. */
+  val tq3: QueryDef = m(
+    "tq3_shipping_priority",
+    s"""SELECT l_orderkey, ${oMoney(s"SUM($rev)")} AS revenue, o_orderdate
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, dir)
+        .where(col("o_orderdate") < Tables.tsLit("1998-03-15 00:00:00")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .where(col("l_shipdate") > Tables.tsLit("1998-03-15 00:00:00")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(money(sum(revC)).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+  }
+
+  /** TPC-H Q5 — local supplier volume: the 6-table snowflake whose
+    * defining predicate is CROSS-ARM (c_nationkey = s_nationkey joins
+    * the customer arm to the supplier arm). region/nation broadcast;
+    * the fact-fact equi-joins shuffle. */
+  val tq5: QueryDef = m(
+    "tq5_local_supplier_volume",
+    s"""SELECT n_name, ${oMoney(s"SUM($rev)")} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .where(col("o_orderdate") >= Tables.tsLit("1996-01-01 00:00:00") &&
+          col("o_orderdate") < Tables.tsLit("1997-01-01 00:00:00")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(money(sum(revC)).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6 — forecast revenue change: the pure-pushdown scan (every
+    * predicate reaches the parquet reader; PlanSpec pins PushedFilters
+    * for the same shape on b4). Discounts are exact 2-dp doubles, so the
+    * BETWEEN endpoints hit exactly on both engines. */
+  val tq6: QueryDef = m(
+    "tq6_revenue_forecast",
+    s"""SELECT ${oMoney(s"SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)))")} AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= Tables.tsLit("1996-01-01 00:00:00") &&
+        col("l_shipdate") < Tables.tsLit("1997-01-01 00:00:00") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(money(sum(dec2(col("l_extendedprice")) * rate(col("l_discount"))))
+        .as("revenue"))
+  }
+
+  /** TPC-H Q10 — returned items: which customers returned the most value
+    * in a quarter. Customer attributes ride the aggregation key (exact
+    * passthrough doubles); top-20 with the unique custkey tiebreak. */
+  val tq10: QueryDef = m(
+    "tq10_returned_items",
+    s"""SELECT c_custkey, c_name, ${oMoney(s"SUM($rev)")} AS revenue, c_acctbal, n_name
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .where(col("o_orderdate") >= Tables.tsLit("1996-10-01 00:00:00") &&
+          col("o_orderdate") < Tables.tsLit("1997-01-01 00:00:00")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).where(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(money(sum(revC)).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+  }
+
+  /** TPC-H Q14 — promo revenue share: ratio of two conditional decimal
+    * sums. Both sums are exact decimals; the single final division runs
+    * on doubles cast from them — one IEEE op, identical on both engines.
+    * CASE has no ELSE (sum skips nulls) on both sides alike. */
+  val tq14: QueryDef = m(
+    "tq14_promo_effect",
+    s"""SELECT CAST(${oMoney(s"SUM(CASE WHEN p_type = 'PROMO' THEN $rev END)")} * 100.0
+       |  / ${oMoney(s"SUM($rev)")} AS DOUBLE) AS promo_share
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= Tables.tsLit("1996-09-01 00:00:00") &&
+        col("l_shipdate") < Tables.tsLit("1996-10-01 00:00:00"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .agg((money(sum(when(col("p_type") === "PROMO", revC))) * 100.0
+        / money(sum(revC))).cast("double").as("promo_share"))
+  }
+
+  /** TPC-H Q18 — large-volume customers: the HAVING-subquery shape. The
+    * qualifying-order set is ONE aggregate over lineitem feeding a
+    * shuffle semi-join (never a collected IN-list); quantities are
+    * integral doubles, so the > 300 cut is exact. */
+  val tq18: QueryDef = m(
+    "tq18_large_volume_customer",
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+      |  SUM(l_quantity) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(l_quantity) > 300)
+      |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    val big = li.groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("__q"))
+      .where(col("__q") > 300).select(col("l_orderkey").as("__bk"))
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(big, col("o_orderkey") === col("__bk"), "left_semi")
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+  }
+
+  override def defs: Seq[QueryDef] = Seq(tq3, tq5, tq6, tq10, tq14, tq18)
+}

@@ -449,4 +449,24 @@ class PlanSpec extends SparkSpecBase {
       (p.contains("WholeStageCodegen") || p.contains("*(")) shouldBe true
     }
   }
+
+  test("tq3/tq18: composite joins — top-k without global sort, dates pushed, no cartesian") {
+    val p3 = plan(Tpch.tq3.build(spark, sf))
+    withClue(p3) {
+      p3 should include("TakeOrderedAndProject")
+      // the date cuts reach both fact scans
+      p3 should include regex "PushedFilters: \\[.*o_orderdate.*\\]"
+      p3 should include regex "PushedFilters: \\[.*l_shipdate.*\\]"
+      p3 should not include "CartesianProduct"
+    }
+    val p18 = plan(Tpch.tq18.build(spark, sf))
+    withClue(p18) {
+      p18 should include("TakeOrderedAndProject")
+      // the HAVING subquery runs as a semi-join, never a driver IN-list
+      p18 should include("LeftSemi")
+      p18 should not include "CartesianProduct"
+    }
+    // Q5's snowflake: region/nation ride broadcasts
+    plan(Tpch.tq5.build(spark, sf)) should include("BroadcastHashJoin")
+  }
 }
