@@ -499,6 +499,20 @@ object PipelineSpec {
       s.options.get("versionAsOf").foreach(v => require(
         scala.util.Try(v.toLong).isSuccess,
         s"$at.options.versionAsOf: must be a version number, got '$v'"))
+      // change feed: changesFrom (exclusive) [+ changesTo] — incremental
+      // rows-added read; mutually exclusive with time travel (one is a
+      // snapshot, the other a delta between snapshots)
+      Seq("changesFrom", "changesTo").foreach(k =>
+        s.options.get(k).foreach(v => require(
+          scala.util.Try(v.toLong).isSuccess,
+          s"$at.options.$k: must be a version number, got '$v'")))
+      require(s.options.get("changesTo").isEmpty ||
+        s.options.get("changesFrom").isDefined,
+        s"$at: changesTo needs changesFrom (the feed is a version range)")
+      require(!(s.options.contains("versionAsOf") &&
+        s.options.contains("changesFrom")),
+        s"$at: versionAsOf (snapshot) and changesFrom (change feed) are " +
+          "mutually exclusive")
     }
     if (fmt == "binaryfile") {
       // whole-blob ingest: the connector's record schema is fixed (path,

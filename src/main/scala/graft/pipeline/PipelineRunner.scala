@@ -217,7 +217,13 @@ object PipelineRunner {
     // streaming application); whole-corpus ops stay ahead of the gate or
     // in another pipeline.
     val gateOpSet = Set("minhash_dedup", "semdedup")
-    val gateIdx = streamable.indexWhere(t => gateOpSet(t.op))
+    // decontaminate also runs per-batch, but STATELESS-exactly: the
+    // verdict is per-DOC against a static broadcast benchmark, and a doc
+    // is one row, so per-batch application IS the batch answer — it just
+    // isn't expressible as a pure stream transform (explode + distinct +
+    // join-back on the stream side)
+    val perBatchEligible = gateOpSet + "decontaminate"
+    val gateIdx = streamable.indexWhere(t => perBatchEligible(t.op))
     val (streamPrefix, perBatchOps) =
       if (gateIdx < 0) (streamable, Nil) else streamable.splitAt(gateIdx)
     perBatchOps.filter(t => gateOpSet(t.op)).foreach { g =>
@@ -232,11 +238,12 @@ object PipelineRunner {
     }
     val rowLocal = Set("select", "rename", "drop", "derive", "filter",
       "cast", "flatten", "tokenize", "redact", "quality_filter")
-    perBatchOps.drop(1).foreach(t => require(rowLocal(t.op) || gateOpSet(t.op),
-      s"streaming mode: '${t.op}' cannot follow a dedup gate — " +
-        "downstream of the gate runs per micro-batch, so only row-local " +
-        s"ops (${rowLocal.toSeq.sorted.mkString(", ")}) or a further " +
-        "stateful gate keep streaming semantics; move it ahead of the gate"))
+    perBatchOps.drop(1).foreach(t =>
+      require(rowLocal(t.op) || perBatchEligible(t.op),
+        s"streaming mode: '${t.op}' cannot follow a dedup gate — " +
+          "downstream of the gate runs per micro-batch, so only row-local " +
+          s"ops (${rowLocal.toSeq.sorted.mkString(", ")}) or a further " +
+          "per-batch gate keep streaming semantics; move it ahead of the gate"))
     streamPrefix.foreach(t => require(
       !Set("tfidf", "minhash_dedup", "semdedup", "ann_topk", "decontaminate",
         "mix")(t.op),
@@ -440,11 +447,19 @@ object PipelineRunner {
         s.schema.map(ddl => r.schema(StructType.fromDDL(ddl))).getOrElse(r)
           .format("xml").load(path)
       case "graft_table" => // ACID commit-log table: snapshot-isolated
-        // read of the latest version, or options.versionAsOf for time
-        // travel. Schema comes from the log (parse-time validation
-        // rejected a declared one).
-        graft.tables.GraftTable.read(spark, path,
-          s.options.get("versionAsOf").map(_.toLong))
+        // read of the latest version, options.versionAsOf for time
+        // travel, or options.changesFrom (exclusive; + changesTo) for the
+        // incremental change feed — rows added after that version,
+        // stamped _commit_version, OPTIMIZE rewrites skipped. Schema
+        // comes from the log (parse-time validation rejected a declared
+        // one). changesFrom composes with `incremental` on the
+        // _commit_version column for cross-run catch-up.
+        s.options.get("changesFrom") match {
+          case Some(cf) => graft.tables.GraftTable.changes(spark, path,
+            cf.toLong, s.options.get("changesTo").map(_.toLong))
+          case None => graft.tables.GraftTable.read(spark, path,
+            s.options.get("versionAsOf").map(_.toLong))
+        }
       case "jdbc" => // §2.A5: options pass through verbatim — url/dbtable/
         // driver, plus partitionColumn/lowerBound/upperBound/numPartitions
         // for the parallel scan a cluster-scale read requires (one

@@ -1233,8 +1233,47 @@ object Sources extends QueryPack {
     graft.tables.GraftTable.read(spark, root).orderBy(col("o_orderkey"))
   }
 
+  /** EP22 — graft_table CHANGE FEED: incremental rows-added reads across
+    * versions (`options.changesFrom/changesTo`), each row stamped with
+    * `_commit_version`. The decisive property the oracle pins: an
+    * OPTIMIZE between two feed reads is INVISIBLE — its adds carry
+    * `dataChange: false` and are skipped, so compaction cannot
+    * re-deliver the whole table to downstream consumers. Composes with
+    * the ep9 persisted-watermark machinery (persist the last-read
+    * version, pass it back as changesFrom next run) for exactly-once
+    * downstream ingest without a streaming runtime. */
+  val ep22: QueryDef = m(
+    "ep22_graft_change_feed",
+    """SELECT o_orderkey, o_totalprice, version FROM (
+      |  SELECT o_orderkey, o_totalprice, CAST(2 AS BIGINT) AS version
+      |  FROM orders WHERE o_orderkey % 3 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, CAST(4 AS BIGINT) AS version
+      |  FROM orders WHERE o_orderkey % 3 = 2)
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val root = s"$ioDir/acid_feed"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(rootPath, true)
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    def slice(r: Int) = base.where(col("o_orderkey") % 3 === r)
+    graft.tables.GraftTable.write(spark, slice(0), root, "overwrite") // v1
+    graft.tables.GraftTable.write(spark, slice(1), root, "append")    // v2
+    graft.tables.GraftTable.optimize(spark, root, targetFiles = 2)    // v3: layout-only
+    graft.tables.GraftTable.write(spark, slice(2), root, "append")    // v4
+    PipelineRunner.run(spark,
+      s"""name: ep22_feed
+         |source: {format: graft_table, path: "$root", options: {changesFrom: "1"}}
+         |transforms:
+         |  - {op: derive, name: version, expr: "CAST(_commit_version AS BIGINT)"}
+         |  - {op: select, cols: [o_orderkey, o_totalprice, version]}
+         |  - {op: sort, cols: [o_orderkey]}
+         |""".stripMargin).passed
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a3c, a4, a4b, a4c, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3,
       ep3b, ep4, ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13,
-      ep14, ep15, ep16, ep17, ep18, ep19, ep20, ep21)
+      ep14, ep15, ep16, ep17, ep18, ep19, ep20, ep21, ep22)
 }

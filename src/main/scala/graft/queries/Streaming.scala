@@ -369,5 +369,59 @@ object Streaming extends QueryPack {
     graft.tables.GraftTable.read(spark, table).orderBy(col("event_id"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11)
+  /** §2.J12-ext — streaming decontamination: the benchmark-overlap gate
+    * running per micro-batch against the static broadcast shingle set.
+    * Unlike the dedup gates this needs NO state: the verdict is per-DOC
+    * and a doc is one row, so per-batch application IS the batch answer
+    * (the op just isn't a pure stream transform — explode + distinct +
+    * join-back). Mirrors ep13's batch curation chain; same oracle
+    * construction as j12 (docs sharing any 5-shingle with the doc_id<20
+    * benchmark are dropped). */
+  val l12: QueryDef = m(
+    "l12_streaming_decontaminate",
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 5 + 2),
+      |  i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS g
+      |  FROM d WHERE len(toks) >= 5),
+      |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 20),
+      |bad AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.g = b.g)
+      |SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val base = "/tmp/graft_io/l12_decon"
+    StreamOps.rmrf(base)
+    val src = s"$base/src"
+    Files.createDirectories(Paths.get(src))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val step = (hi - lo) / 3 + 1
+    (0 until 3).foreach { i =>
+      val tmp = s"$base/tmp_$i"
+      docs.where(col("doc_id") >= lo + i * step &&
+          col("doc_id") < lo + (i + 1) * step)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = scala.util.Using.resource(Files.list(Paths.get(tmp)))(
+        _.iterator().asScala.find(_.toString.endsWith(".parquet")).get)
+      val dst = Paths.get(src, f"chunk_$i%02d.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    graft.pipeline.PipelineRunner.run(spark,
+      s"""name: l12_decon
+         |mode: streaming
+         |source: {format: parquet, path: "$src", schema: auto, options: {maxFilesPerTrigger: "1"}}
+         |transforms:
+         |  - {op: filter, expr: "doc_id >= 20"}
+         |  - {op: tokenize, cols: [text], name: toks}
+         |  - {op: decontaminate, cols: [doc_id, toks], k: 5, where: "doc_id < 20", table: {format: parquet, path: "$dir/documents.parquet"}}
+         |  - {op: select, cols: [doc_id, lang, source, n_chars]}
+         |  - {op: sort, cols: [doc_id]}
+         |""".stripMargin).passed
+  }
+
+  override def defs: Seq[QueryDef] = Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12)
 }

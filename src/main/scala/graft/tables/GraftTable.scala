@@ -117,6 +117,41 @@ object GraftTable {
         .parquet(s.files.map(f => Paths.get(root).resolve(f).toString): _*)
   }
 
+  /** Incremental change feed: the rows ADDED in versions
+    * (fromExclusive, toInclusive], each stamped with `_commit_version`.
+    * Skips `dataChange: false` adds (OPTIMIZE's layout-only rewrites), so
+    * compacting a table between two feed reads cannot re-deliver the
+    * whole table. Contract: an APPEND-ONLY change feed — removes are not
+    * retracted (merge/delete/overwrite between reads need a full CDF with
+    * pre/post images, which this format does not record); consumers of
+    * mutable tables should read snapshots instead. Composes with the ep9
+    * incremental-watermark machinery: persist the last-read version,
+    * pass it back as `changesFrom` on the next run. */
+  def changes(spark: SparkSession, root: String, fromExclusive: Long,
+      toInclusive: Option[Long] = None): DataFrame = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"not a graft_table: $root"))
+    val to = toInclusive.getOrElse(latest)
+    require(fromExclusive >= 0 && to <= latest && fromExclusive <= to,
+      s"graft_table $root: changes range ($fromExclusive, $to] out of [0, $latest]")
+    val schema = StructType.fromDDL(snapshot(root, Some(to)).schemaDdl)
+    val versioned = ((fromExclusive + 1) to to).flatMap { ver =>
+      val adds = Files.readAllLines(verFile(root, ver)).asScala
+        .filter(_.nonEmpty).map(json.readTree)
+        .filter(n => n.has("add") &&
+          !(n.get("add").has("dataChange") &&
+            !n.get("add").get("dataChange").asBoolean(true)))
+        .map(n => n.get("add").get("path").asText())
+      if (adds.isEmpty) None
+      else Some(spark.read.schema(schema)
+        .parquet(adds.map(f => Paths.get(root).resolve(f).toString).toSeq: _*)
+        .withColumn("_commit_version", lit(ver)))
+    }
+    versioned.reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        schema.add("_commit_version", "bigint")))
+  }
+
   // -- commit machinery -------------------------------------------------------
 
   private def metaAction(schemaDdl: String): ObjectNode = {
@@ -124,10 +159,12 @@ object GraftTable {
     n.putObject("meta").put("schemaDdl", schemaDdl)
     n
   }
-  private def addAction(path: String, numRecords: Long): ObjectNode = {
+  private def addAction(path: String, numRecords: Long,
+      dataChange: Boolean = true): ObjectNode = {
     val n = json.createObjectNode()
     val a = n.putObject("add")
     a.put("path", path); a.put("numRecords", numRecords)
+    if (!dataChange) a.put("dataChange", false) // layout-only rewrite (OPTIMIZE)
     n
   }
   private def removeAction(path: String): ObjectNode = {
@@ -220,7 +257,8 @@ object GraftTable {
     * their (relative path, rows) adds. The files are INVISIBLE to readers
     * until a commit references them — a crash here leaves only orphans
     * for `vacuum`, never a torn table. */
-  private def stageDataFiles(df: DataFrame, root: String): Seq[ObjectNode] = {
+  private def stageDataFiles(df: DataFrame, root: String,
+      dataChange: Boolean = true): Seq[ObjectNode] = {
     val stamp = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val staging = Paths.get(root, s"_staging_$stamp")
     df.write.mode("overwrite").parquet(staging.toString)
@@ -248,7 +286,7 @@ object GraftTable {
       val cnt = footerCount(p)
       Files.move(p, Paths.get(root).resolve(rel),
         StandardCopyOption.ATOMIC_MOVE)
-      addAction(rel, cnt)
+      addAction(rel, cnt, dataChange)
     }
     // staging dir now holds only _SUCCESS etc. — remove it
     val leftovers = Files.walk(staging)
@@ -376,7 +414,10 @@ object GraftTable {
         parts = Some(targetFiles))
       case _ => base.coalesce(targetFiles)
     }
-    val adds = stageDataFiles(laid, root)
+    // dataChange=false: a layout-only rewrite is NOT new data — the
+    // change feed (`changes`) skips these adds, so an OPTIMIZE between
+    // two feed reads cannot re-deliver the whole table
+    val adds = stageDataFiles(laid, root, dataChange = false)
     commit(root, snap.version, snap.files.map(removeAction) ++ adds)
   }
 

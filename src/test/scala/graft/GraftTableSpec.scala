@@ -229,6 +229,37 @@ class GraftTableSpec extends SparkSpecBase {
     spans.count { case (_, _, xlo, xhi) => xlo <= 15 && xhi >= 0 } should be <= n / 2
   }
 
+  test("changes: rows-added feed skips OPTIMIZE rewrites, stamps versions, bounds ranges") {
+    val root = freshRoot("feed")
+    GraftTable.write(spark, Seq((1L, "a")).toDF("id", "v"), root, "overwrite") // v1
+    GraftTable.write(spark, Seq((2L, "b")).toDF("id", "v"), root, "append")    // v2
+    GraftTable.optimize(spark, root, targetFiles = 1)                          // v3
+    GraftTable.write(spark, Seq((3L, "c")).toDF("id", "v"), root, "append")    // v4
+    // full feed from the beginning: every row exactly once, despite the
+    // optimize having re-added rows 1 and 2 in its rewrite
+    GraftTable.changes(spark, root, 0L).select($"id", $"_commit_version")
+      .as[(Long, Long)].collect().sorted shouldBe
+      Array((1L, 1L), (2L, 2L), (3L, 4L))
+    // incremental catch-up from version 2: only v4's append arrives
+    GraftTable.changes(spark, root, 2L).select($"id").as[Long]
+      .collect() shouldBe Array(3L)
+    // bounded range (from, to]
+    GraftTable.changes(spark, root, 1L, Some(2L)).select($"id").as[Long]
+      .collect() shouldBe Array(2L)
+    // caught-up feed is empty but typed
+    val empty = GraftTable.changes(spark, root, 4L)
+    empty.count() shouldBe 0L
+    empty.columns should contain("_commit_version")
+    intercept[IllegalArgumentException](GraftTable.changes(spark, root, 5L))
+    // config-surface guards
+    intercept[IllegalArgumentException](graft.config.PipelineSpec.parse(
+      s"""name: bad
+         |source: {format: graft_table, path: "$root",
+         |         options: {versionAsOf: "2", changesFrom: "1"}}
+         |transforms: []
+         |""".stripMargin)).getMessage should include("mutually exclusive")
+  }
+
   test("appendBatch: a replayed (appId, batchId) no-ops; a new appId appends") {
     val root = freshRoot("txn")
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")

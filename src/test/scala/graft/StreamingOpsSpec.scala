@@ -272,6 +272,54 @@ class StreamingOpsSpec extends SparkSpecBase {
     streamed shouldBe Array(1L, 3L, 6L)
   }
 
+  test("L12: streaming decontaminate equals the batch result (per-doc, stateless)") {
+    import java.nio.file.attribute.FileTime
+    val base = "/tmp/graft_stream_test/l12"
+    StreamOps.rmrf(base)
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    // benchmark: one doc; corpus: 10 is a verbatim leak of it, 11 shares a
+    // 3-shingle mid-sentence, 12 is clean, 13 is too short to shingle
+    Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$base/bench")
+    val chunk1 = Seq((10L, "the quick brown fox jumps over the lazy dog"),
+      (12L, "completely novel content nothing shared here at all"))
+    val chunk2 = Seq((11L, "we saw the quick brown fox yesterday evening outside"),
+      (13L, "too short"))
+    Seq(("c1", chunk1), ("c2", chunk2)).zipWithIndex.foreach { case ((n, rows), i) =>
+      val tmp = s"$base/tmp_$n"
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val part = scala.util.Using.resource(Files.list(Paths.get(tmp)))(
+        _.iterator().asScala.find(_.toString.endsWith(".parquet")).get)
+      val dst = Paths.get(in, s"chunk_$n.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    def yamlOf(streaming: Boolean): String = {
+      val head =
+        if (streaming)
+          s"""name: l12_spec_stream
+             |mode: streaming
+             |source: {format: parquet, path: "$in", schema: auto, options: {maxFilesPerTrigger: "1"}}""".stripMargin
+        else
+          s"""name: l12_spec_batch
+             |source: {format: parquet, path: "$in"}""".stripMargin
+      s"""$head
+         |transforms:
+         |  - {op: tokenize, cols: [text], name: toks}
+         |  - {op: decontaminate, cols: [doc_id, toks], k: 3, table: {format: parquet, path: "$base/bench"}}
+         |  - {op: select, cols: [doc_id]}
+         |""".stripMargin
+    }
+    val streamed = graft.pipeline.PipelineRunner.run(spark, yamlOf(true))
+      .passed.as[Long].collect().sorted
+    val batched = graft.pipeline.PipelineRunner.run(spark, yamlOf(false))
+      .passed.as[Long].collect().sorted
+    streamed shouldBe batched
+    streamed shouldBe Array(12L, 13L) // leaks 10 and 11 dropped
+  }
+
   test("L10: streaming minhash_dedup without state_path is rejected") {
     val base = "/tmp/graft_stream_test/l10_guard"
     StreamOps.rmrf(base)
