@@ -101,21 +101,24 @@ class ConfigPipelineSpec extends SparkSpecBase {
          |     table: {format: parquet, path: "$sf/documents.parquet"}}
          |""".stripMargin).passed
     cleaned.count() shouldBe flagged.where(!col("hit")).count()
-    // decontaminate is batch-only; quality_filter streams fine (map-only)
-    val e = intercept[IllegalArgumentException] {
-      PipelineRunner.run(spark,
-        s"""name: decon_stream
-           |mode: streaming
-           |source: {format: parquet, path: "$sf",
-           |         options: {pathGlobFilter: "documents.parquet"},
-           |         schema: "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"}
-           |transforms:
-           |  - {op: tokenize, cols: [text], name: toks}
-           |  - {op: decontaminate, cols: [doc_id, toks],
-           |     table: {format: parquet, path: "$sf/documents.parquet"}}
-           |""".stripMargin)
-    }
-    e.getMessage should include("batch-only")
+    // decontaminate streams per micro-batch since round 16 (stateless-
+    // exact: per-doc verdict, one doc per row) — the streaming route must
+    // reproduce the batch drop count (StreamingOpsSpec covers multi-batch
+    // equality; this pins the config posture end-to-end)
+    val deconStreamed = PipelineRunner.run(spark,
+      s"""name: decon_stream
+         |mode: streaming
+         |source: {format: parquet, path: "$sf",
+         |         options: {pathGlobFilter: "documents.parquet"},
+         |         schema: "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"}
+         |transforms:
+         |  - {op: filter, expr: "doc_id >= 20"}
+         |  - {op: tokenize, cols: [text], name: toks}
+         |  - {op: decontaminate, cols: [doc_id, toks], k: 5,
+         |     where: "doc_id < 20",
+         |     table: {format: parquet, path: "$sf/documents.parquet"}}
+         |""".stripMargin).passed
+    deconStreamed.count() shouldBe cleaned.count()
     val streamed = PipelineRunner.run(spark,
       s"""name: qf_stream
          |mode: streaming
