@@ -627,8 +627,17 @@ object PipelineSpec {
     s.evolve.foreach { e =>
       require(Set("add_nulls", "fail")(e), s"$at.evolve: unknown '$e' " +
         "(add_nulls | fail)")
-      require(fmt == "parquet",
-        s"$at.evolve: schema evolution needs a self-describing format (parquet)")
+      require(fmt == "parquet" || fmt == "graft_table",
+        s"$at.evolve: schema evolution needs a self-describing format " +
+          "(parquet or graft_table)")
+      if (fmt == "graft_table") {
+        require(e == "add_nulls",
+          s"$at.evolve: graft_table evolution is add_nulls (fail IS the " +
+            "default — plain append already rejects schema drift)")
+        require(s.mode == "append",
+          s"$at.evolve: graft_table evolution applies to appends (an " +
+            "overwrite replaces the schema outright; merge conforms to it)")
+      }
       // a config key must FAIL, not silently no-op: the bucketed branch
       // writes through saveAsTable (schema owned by the catalog table)
       // and never applies evolution, so accepting both would drop the
@@ -657,10 +666,11 @@ object PipelineSpec {
         require(s.options.get("on").exists(_.trim.nonEmpty),
           s"$at: graft_table mode=${s.mode} needs options.on (key columns)")
       require(s.partitionBy.isEmpty && s.buckets.isEmpty &&
-        s.clusterBy.isEmpty && s.files.isEmpty && s.evolve.isEmpty &&
+        s.clusterBy.isEmpty && s.files.isEmpty &&
         s.table.isEmpty,
         s"$at: graft_table owns its layout — partitionBy/buckets/" +
-          "clusterBy/files/evolve/table do not apply")
+          "clusterBy/files/table do not apply (evolve: add_nulls is the " +
+          "one policy knob — schema evolution on append)")
     }
     s
   }

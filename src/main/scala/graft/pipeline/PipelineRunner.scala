@@ -1504,6 +1504,8 @@ object PipelineRunner {
           val how = if (s.mode == "merge")
             s.options.getOrElse("how", "upsert") else "delete"
           graft.tables.GraftTable.merge(df.sparkSession, s.path, df, on, how)
+        case "append" if s.evolve.contains("add_nulls") =>
+          graft.tables.GraftTable.writeEvolve(df.sparkSession, df, s.path)
         case m => graft.tables.GraftTable.write(df.sparkSession, df, s.path, m)
       }
       return

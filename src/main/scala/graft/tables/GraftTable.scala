@@ -333,6 +333,52 @@ object GraftTable {
     -1L // unreachable
   }
 
+  /** Append with schema EVOLUTION — the path sinks' `evolve: add_nulls`
+    * policy on the table format: genuinely new columns extend the table
+    * schema (a meta action in the SAME commit, so schema + data change
+    * atomically); columns the table has but the write lacks are appended
+    * as typed nulls (old readers keep every column they know — parquet
+    * fills missing columns as null under the log schema, so old FILES
+    * need no rewrite); type conflicts always fail. A racing writer that
+    * changed the SCHEMA aborts this append (the conformed rows were
+    * computed against a stale shape — merge's rule); a racing same-shape
+    * append retries through. */
+  def writeEvolve(spark: SparkSession, df: DataFrame, root: String,
+      maxRetries: Int = 10): Long = {
+    if (latestVersion(root).isEmpty) return write(spark, df, root, "append")
+    val snap = snapshot(root)
+    val table = StructType.fromDDL(snap.schemaDdl)
+    df.schema.fields.foreach { f =>
+      table.find(_.name == f.name).foreach(t => require(t.dataType == f.dataType,
+        s"graft_table $root: evolve type conflict on '${f.name}' — table " +
+          s"has ${t.dataType.sql}, write has ${f.dataType.sql} (cast first; " +
+          "evolution only ADDS columns, it never changes a type)"))
+    }
+    val newCols = df.schema.fields.filter(f => !table.exists(_.name == f.name))
+    val union = StructType(table.fields ++ newCols)
+    val conformed = df.select(union.fields.toSeq.map(f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
+    val adds = stageDataFiles(conformed, root)
+    val actions =
+      if (newCols.nonEmpty) metaAction(union.toDDL) +: adds else adds
+    var attempt = 0
+    while (true) {
+      val cur = latestVersion(root).getOrElse(0L)
+      if (cur != snap.version && snapshot(root).schemaDdl != snap.schemaDdl)
+        throw new ConcurrentWriteException(
+          s"graft_table $root: schema changed concurrently — re-run the " +
+            "evolving append against the fresh snapshot")
+      try return commit(root, cur, actions)
+      catch {
+        case e: ConcurrentWriteException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Upsert/delete that rewrites ONLY the files containing matched keys.
     *
     * Protocol: resolve the snapshot, find touched files via a

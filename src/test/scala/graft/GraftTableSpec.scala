@@ -229,6 +229,47 @@ class GraftTableSpec extends SparkSpecBase {
     spans.count { case (_, _, xlo, xhi) => xlo <= 15 && xhi >= 0 } should be <= n / 2
   }
 
+  test("writeEvolve: new columns extend the schema atomically, old files read as nulls") {
+    val root = freshRoot("evolve")
+    GraftTable.write(spark, Seq((1L, "a")).toDF("id", "v"), root, "overwrite")
+    // plain append still rejects drift (fail IS the default)
+    intercept[IllegalArgumentException](GraftTable.write(spark,
+      Seq((2L, "b", 0.5)).toDF("id", "v", "score"), root, "append"))
+      .getMessage should include("schema mismatch")
+    // evolving append: score joins the schema, old rows read score = null
+    GraftTable.writeEvolve(spark,
+      Seq((2L, "b", 0.5)).toDF("id", "v", "score"), root)
+    val rows = GraftTable.read(spark, root).orderBy($"id")
+      .as[(Long, String, Option[Double])].collect()
+    rows shouldBe Array((1L, "a", None), (2L, "b", Some(0.5)))
+    // a narrower evolving append back-fills ITS missing column as null
+    GraftTable.writeEvolve(spark, Seq((3L, "c")).toDF("id", "v"), root)
+    GraftTable.read(spark, root).where($"id" === 3).select($"score")
+      .head().isNullAt(0) shouldBe true
+    // type conflicts always fail
+    intercept[IllegalArgumentException](GraftTable.writeEvolve(spark,
+      Seq((4L, "d", "high")).toDF("id", "v", "score"), root))
+      .getMessage should include("type conflict")
+    // config surface: evolve rides the graft_table sink on append only
+    Seq((5L, "e", 0.9, true)).toDF("id", "v", "score", "ok")
+      .write.mode("overwrite").parquet(s"$root/../evolve_src")
+    PipelineRunner.run(spark,
+      s"""name: tbl_evolve
+         |source: {format: parquet, path: "$root/../evolve_src"}
+         |transforms: []
+         |sink: {format: graft_table, path: "$root", mode: append, evolve: add_nulls}
+         |""".stripMargin)
+    GraftTable.read(spark, root).columns shouldBe
+      Array("id", "v", "score", "ok")
+    GraftTable.read(spark, root).count() shouldBe 4L
+    intercept[IllegalArgumentException](graft.config.PipelineSpec.parse(
+      s"""name: bad
+         |source: {format: parquet, path: "/x"}
+         |transforms: []
+         |sink: {format: graft_table, path: "/y", mode: overwrite, evolve: add_nulls}
+         |""".stripMargin)).getMessage should include("append")
+  }
+
   test("changes: rows-added feed skips OPTIMIZE rewrites, stamps versions, bounds ranges") {
     val root = freshRoot("feed")
     GraftTable.write(spark, Seq((1L, "a")).toDF("id", "v"), root, "overwrite") // v1
