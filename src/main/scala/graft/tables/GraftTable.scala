@@ -152,6 +152,44 @@ object GraftTable {
         schema.add("_commit_version", "bigint")))
   }
 
+  /** DESCRIBE HISTORY: one row per version — operation kind (inferred
+    * from the action mix, the log stores no operation names), add/remove
+    * file counts, rows added, schema-change and txn markers. Pure log
+    * metadata: O(versions), never touches data files. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"not a graft_table: $root"))
+    val rows = (1L to latest).map { ver =>
+      var (adds, removes, rowsAdded) = (0, 0, 0L)
+      var meta = false; var dataChange = false; var txn: Option[String] = None
+      Files.readAllLines(verFile(root, ver)).asScala
+        .filter(_.nonEmpty).foreach { line =>
+          val n = json.readTree(line)
+          if (n.has("meta")) meta = true
+          else if (n.has("add")) {
+            adds += 1
+            rowsAdded += n.get("add").get("numRecords").asLong()
+            if (!n.get("add").has("dataChange") ||
+              n.get("add").get("dataChange").asBoolean(true)) dataChange = true
+          }
+          else if (n.has("remove")) removes += 1
+          else if (n.has("txn")) txn = Some(
+            n.get("txn").get("appId").asText() + "#" +
+              n.get("txn").get("batchId").asLong())
+        }
+      val op =
+        if (adds > 0 && removes > 0 && !dataChange) "OPTIMIZE"
+        else if (ver == 1L || (meta && removes > 0)) "OVERWRITE"
+        else if (removes > 0) "MERGE"
+        else if (txn.isDefined) "STREAMING APPEND"
+        else "APPEND"
+      (ver, op, adds, removes, rowsAdded, meta, txn.orNull)
+    }
+    import spark.implicits._
+    rows.toDF("version", "operation", "n_added_files", "n_removed_files",
+      "rows_added", "schema_changed", "txn")
+  }
+
   // -- commit machinery -------------------------------------------------------
 
   private def metaAction(schemaDdl: String): ObjectNode = {

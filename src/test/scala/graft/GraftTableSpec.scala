@@ -229,6 +229,23 @@ class GraftTableSpec extends SparkSpecBase {
     spans.count { case (_, _, xlo, xhi) => xlo <= 15 && xhi >= 0 } should be <= n / 2
   }
 
+  test("history: one metadata row per version with the inferred operation") {
+    val root = freshRoot("hist")
+    GraftTable.write(spark, Seq((1L, "a")).toDF("id", "v"), root, "overwrite")  // v1
+    GraftTable.write(spark, Seq((2L, "b")).toDF("id", "v"), root, "append")     // v2
+    GraftTable.appendBatch(spark, Seq((3L, "c")).toDF("id", "v"), root, "app", 0L) // v3
+    GraftTable.merge(spark, root, Seq((1L, "A")).toDF("id", "v"), Seq("id"))    // v4
+    GraftTable.optimize(spark, root, targetFiles = 1)                           // v5
+    val h = GraftTable.history(spark, root).orderBy($"version")
+      .select($"version", $"operation", $"rows_added", $"txn").collect()
+    h.map(r => (r.getLong(0), r.getString(1))) shouldBe Array(
+      (1L, "OVERWRITE"), (2L, "APPEND"), (3L, "STREAMING APPEND"),
+      (4L, "MERGE"), (5L, "OPTIMIZE"))
+    h(2).getString(3) shouldBe "app#0"
+    // merge touched only id=1's file: its rewrite re-adds exactly 1 row
+    h.map(_.getLong(2)).take(4) shouldBe Array(1L, 1L, 1L, 1L)
+  }
+
   test("writeEvolve: new columns extend the schema atomically, old files read as nulls") {
     val root = freshRoot("evolve")
     GraftTable.write(spark, Seq((1L, "a")).toDF("id", "v"), root, "overwrite")
