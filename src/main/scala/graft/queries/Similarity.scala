@@ -214,20 +214,10 @@ object Similarity extends QueryPack {
     val sigs = docs.select(
       col("doc_id"), size(col("ts")).as("__sz"),
       expr(s"graft_minhash_sig(ts, $nHashes)").as("sig"))
-    // bucket key = ONE 8-byte xxhash64 of (band_id, band_sig), not the
-    // (int, array<long>) pair: the stats groupBy and the pair self-join
-    // below both shuffle and hash-compare on this key, and a fixed-width
-    // long keys both cheaper than array equality. A hash collision can
-    // only MERGE two buckets — extra candidates that the exact-Jaccard
-    // verify kills (or, for k6's candidate output, a ⊇ recall change at
-    // ~buckets²/2^64 probability) — and xxhash64 is deterministic, so
-    // outputs stay run-stable.
     val bands = Checkpoints.eager(sigs.select(col("doc_id"), col("__sz"),
       posexplode(expr(s"transform(sequence(0, ${nHashes / rowsPerBand - 1}), " +
         s"b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))")))
-      .toDF("doc_id", "__sz", "band_id", "band_sig")
-      .select(col("doc_id"), col("__sz"),
-        xxhash64(col("band_id"), col("band_sig")).as("__bk")))
+      .toDF("doc_id", "__sz", "band_id", "band_sig"))
     ccStage("cand_bands", tBands)
     // ^ eager-checkpointed: four consumers below (stats, both self-join
     // sides, star pairs) — without it the 12-minhash signature computation
@@ -239,22 +229,23 @@ object Similarity extends QueryPack {
     // later query in the session).
     // occupancy stats: one groupBy (map-side combined) on the same key the
     // self-join shuffles on
-    val stats = bands.groupBy(col("__bk"))
+    val stats = bands.groupBy(col("band_id"), col("band_sig"))
       .agg(count(lit(1)).as("__n"), min(col("doc_id")).as("__anchor"),
         min_by(col("__sz"), col("doc_id")).as("__anchor_sz"))
       .where(col("__n") >= 2)
-    val sized = bands.join(stats, Seq("__bk"))
+    val sized = bands.join(stats, Seq("band_id", "band_sig"))
     // full pairwise candidates for in-cap buckets, via a shuffle hash
-    // self-join on the bucket key: stays codegen'd and distributed —
+    // self-join on (band, signature): stays codegen'd and distributed —
     // the collect_list-per-bucket form materializes C(n,2) structs in one
     // task per bucket and collapses on dense corpora (measured 2x slower
     // at sf0.1)
     val pruned = sized.where(col("__n") <= bucketCap)
-      .select(col("__bk"), col("doc_id"), col("__sz"))
-    val a = pruned.toDF("bk_a", "id_a", "sz_a")
-    val b = pruned.toDF("bk_b", "id_b", "sz_b")
+      .select(col("band_id"), col("band_sig"), col("doc_id"), col("__sz"))
+    val a = pruned.toDF("band_a", "sig_a", "id_a", "sz_a")
+    val b = pruned.toDF("band_b", "sig_b", "id_b", "sz_b")
     val fullPairs = a.join(b,
-      col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
+      col("band_a") === col("band_b") && col("sig_a") === col("sig_b")
+        && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
     // linear star for over-cap buckets: anchor = bucket min, so
     // id_a < id_b holds by construction
