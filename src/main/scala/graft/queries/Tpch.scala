@@ -200,5 +200,96 @@ object Tpch extends QueryPack {
       .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
   }
 
-  override def defs: Seq[QueryDef] = Seq(tq3, tq5, tq6, tq10, tq14, tq18)
+  /** TPC-H Q7 — cross-nation shipping volume: the DIMENSION-ALIAS shape
+    * (nation joined twice under different roles, supplier-side and
+    * customer-side), with the symmetric two-country predicate spanning
+    * both aliases. Both nation copies broadcast; year extraction is
+    * engine-identical on NTZ timestamps. */
+  val tq7: QueryDef = m(
+    "tq7_volume_shipping",
+    s"""SELECT supp_nation, cust_nation, l_year, ${oMoney("SUM(volume)")} AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year, $rev AS volume
+       |  FROM supplier
+       |  JOIN lineitem ON s_suppkey = l_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+       |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') sq
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (spark, dir) =>
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    Tables.supplier(spark, dir)
+      .join(Tables.lineitem(spark, dir)
+        .where(col("l_shipdate") >= Tables.tsLit("1996-01-01 00:00:00") &&
+          col("l_shipdate") < Tables.tsLit("1998-01-01 00:00:00")),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(money(sum(revC)).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 — national market share: a nation's fraction of a region's
+    * part-type volume per year — the ratio-of-conditional-aggregates over
+    * a 7-table join (part + both fact tables + both dimension arms +
+    * nation twice + region). Decimal sums exact; one final double
+    * division per year (tq14's determinism discipline). */
+  val tq8: QueryDef = m(
+    "tq8_market_share",
+    s"""SELECT o_year,
+       |  CAST(${oMoney("SUM(CASE WHEN nation = 'NATION_2' THEN volume END)")}
+       |    / ${oMoney("SUM(volume)")} AS DOUBLE) AS mkt_share
+       |FROM (
+       |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       |    $rev AS volume, n2.n_name AS nation
+       |  FROM part
+       |  JOIN lineitem ON p_partkey = l_partkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN region ON n1.n_regionkey = r_regionkey
+       |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') sq
+       |GROUP BY o_year ORDER BY o_year""".stripMargin) { (spark, dir) =>
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_rkey"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("nation"))
+    Tables.part(spark, dir).where(col("p_type") === "STANDARD")
+      .join(Tables.lineitem(spark, dir), col("p_partkey") === col("l_partkey"))
+      .join(Tables.supplier(spark, dir), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(spark, dir)
+        .where(col("o_orderdate") >= Tables.tsLit("1996-01-01 00:00:00") &&
+          col("o_orderdate") < Tables.tsLit("1998-01-01 00:00:00")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+      .join(broadcast(Tables.region(spark, dir).where(col("r_name") === "ASIA")),
+        col("n1_rkey") === col("r_regionkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg((money(sum(when(col("nation") === "NATION_2", revC)))
+        / money(sum(revC))).cast("double").as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(tq3, tq5, tq6, tq7, tq8, tq10, tq14, tq18)
 }
