@@ -6,18 +6,23 @@ import graft.core.Det._
 import graft.core.Tables
 
 /** Composite analytic workloads — the classic TPC-H join/agg shapes
-  * (Q3/Q5/Q6/Q10/Q14/Q18, adapted to the driver's column subset: no
-  * partsupp table, no commit/receipt dates, no comments) over the same
-  * parquet tables, oracle = the identical SQL in DuckDB.
+  * (Q3/Q5/Q6/Q7/Q8/Q10/Q13/Q14/Q15/Q17/Q18 — every query expressible
+  * over the driver's column subset: no partsupp table, no commit/receipt
+  * dates, no comments) over the same parquet tables, oracle = the
+  * identical SQL in DuckDB.
   *
   * Why they're here: every single §2 operator is covered by its own
   * focused query, but a 100 TB warehouse lives on multi-join pipelines
   * where Catalyst's join ORDER, broadcast choices, and partial
-  * aggregation placement decide the runtime. These six pin the canonical
+  * aggregation placement decide the runtime. These pin the canonical
   * shapes end-to-end: dim-filter → fact join → group → top-k (Q3/Q10),
   * the 6-table snowflake with a cross-filter (Q5 — c_nationkey must
   * equal s_nationkey ACROSS the two fact arms), pure pushdown scans
-  * (Q6), a ratio-of-conditional-aggregates (Q14), and a
+  * (Q6), dimension-alias self-reference (Q7 — nation twice under two
+  * roles), the 7-table conditional market-share ratio (Q8), the
+  * LEFT-join histogram (Q13 — zero-count groups preserved), a
+  * ratio-of-conditional-aggregates (Q14), the scalar-subquery max
+  * (Q15), the decorrelated per-group average (Q17), and a
   * having-subquery semi-join (Q18).
   *
   * Determinism: all money math in exact DECIMAL via the Det helpers
@@ -291,5 +296,82 @@ object Tpch extends QueryPack {
       .orderBy(col("o_year"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(tq3, tq5, tq6, tq7, tq8, tq10, tq14, tq18)
+  /** TPC-H Q13 — customer order distribution: the LEFT-join histogram
+    * shape. The outer join PRESERVES order-less customers (count = 0 must
+    * appear in the histogram — an inner join would silently drop the most
+    * interesting bucket), then a second aggregation over the first's
+    * output. (The reference query's o_comment NOT LIKE filter drops out —
+    * the synthetic orders carry no comment column.) */
+  val tq13: QueryDef = m(
+    "tq13_customer_distribution",
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) sq
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15 — top supplier: the SCALAR-SUBQUERY-max shape (revenue
+    * view → suppliers whose total equals the global max). Spark plans the
+    * scalar subquery as a 1-row broadcast against the re-used aggregate;
+    * ties all surface (the classic query's semantics), made deterministic
+    * by the suppkey sort. */
+  val tq15: QueryDef = m(
+    "tq15_top_supplier",
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no, ${oMoney(s"SUM($rev)")} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin) { (spark, dir) =>
+    val revenue = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= Tables.tsLit("1996-01-01 00:00:00") &&
+        col("l_shipdate") < Tables.tsLit("1996-04-01 00:00:00"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(money(sum(revC)).as("total_revenue"))
+    val top = revenue.agg(max(col("total_revenue")).as("__max"))
+    Tables.supplier(spark, dir)
+      .join(revenue, col("s_suppkey") === col("supplier_no"))
+      .join(broadcast(top), col("total_revenue") === col("__max"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17 — small-quantity-order revenue: the CORRELATED per-group
+    * scalar aggregate (each row compared to ITS part's average quantity),
+    * decorrelated the standard way — one aggregate over lineitem keyed by
+    * part, joined back. The avg threshold is money()-rounded identically
+    * on both engines so the < cut lands on the same rows. */
+  val tq17: QueryDef = m(
+    "tq17_small_qty_revenue",
+    s"""SELECT ${oMoney("SUM(CAST(l_extendedprice AS DECIMAL(12,2)))")} / 7.0 AS avg_yearly
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |JOIN (
+       |  SELECT l_partkey AS agg_pk,
+       |    ${oMoney("0.2 * AVG(CAST(l_quantity AS DECIMAL(12,2)))")} AS qty_cut
+       |  FROM lineitem GROUP BY l_partkey) agg ON p_partkey = agg_pk
+       |WHERE p_brand = 'Brand#1' AND l_quantity < qty_cut""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    val cut = li.groupBy(col("l_partkey").as("agg_pk"))
+      .agg(money(lit(BigDecimal("0.2")) * avg(dec2(col("l_quantity")))).as("qty_cut"))
+    li.join(Tables.part(spark, dir).where(col("p_brand") === "Brand#1"),
+        col("p_partkey") === col("l_partkey"))
+      .join(cut, col("p_partkey") === col("agg_pk"))
+      .where(col("l_quantity") < col("qty_cut"))
+      .agg((money(sum(dec2(col("l_extendedprice")))) / 7.0).as("avg_yearly"))
+  }
+
+  override def defs: Seq[QueryDef] =
+    Seq(tq3, tq5, tq6, tq7, tq8, tq10, tq13, tq14, tq15, tq17, tq18)
 }
