@@ -280,6 +280,15 @@ object PipelineRunner {
       "streaming mode: graft_table sink is per-micro-batch ACID append " +
         s"(txn-idempotent); mode '${s.mode}' is batch-only — merge/delete " +
         "recompute file rewrites against a snapshot and belong in a batch run"))
+    // a `limit` tail applies to the CAPTURED result after the stream ends,
+    // but the table committed every micro-batch before it — the same YAML
+    // in batch mode would write only the limited rows. Divergence must be
+    // loud, not silent (a `sort` tail is harmless: tables are unordered).
+    tableSink.foreach(_ => require(!tail.exists(_.op == "limit"),
+      "streaming mode: a `limit` tail is incompatible with a graft_table " +
+        "sink — the table commits every micro-batch before the tail " +
+        "applies, so it would receive ALL rows while batch mode writes " +
+        "only the limited ones; drop the limit or run in batch mode"))
     // appId is stable across replays WITHIN this run and fresh across
     // runs (a rerun is a new job whose batch 0 must append, not be
     // skipped as last run's). Production runs with a durable checkpoint
@@ -305,7 +314,8 @@ object PipelineRunner {
       (oc, () => {
         deferred.foreach(_())
         tableSink.foreach(s =>
-          graft.tables.GraftTable.appendBatch(bs, oc, s.path, txnAppId, id))
+          graft.tables.GraftTable.appendBatch(bs, oc, s.path, txnAppId, id,
+            evolve = s.evolve.contains("add_nulls")))
         if (tableSink.isDefined) oc.unpersist()
       })
     }

@@ -177,9 +177,11 @@ object GraftTable {
             n.get("txn").get("appId").asText() + "#" +
               n.get("txn").get("batchId").asLong())
         }
-      val op =
-        if (adds > 0 && removes > 0 && !dataChange) "OPTIMIZE"
-        else if (ver == 1L || (meta && removes > 0)) "OVERWRITE"
+      val op = // evidence-driven: v1 is always the CREATE, whatever wrote
+        // it (write, appendBatch — its txn still shows in the txn column)
+        if (ver == 1L) "CREATE"
+        else if (adds > 0 && removes > 0 && !dataChange) "OPTIMIZE"
+        else if (meta && removes > 0) "OVERWRITE"
         else if (removes > 0) "MERGE"
         else if (txn.isDefined) "STREAMING APPEND"
         else "APPEND"
@@ -247,16 +249,39 @@ object GraftTable {
     * Races with other writers retry like `write` (an append is valid
     * against any snapshot). */
   def appendBatch(spark: SparkSession, df: DataFrame, root: String,
-      appId: String, batchId: Long, maxRetries: Int = 10): Option[Long] = {
+      appId: String, batchId: Long, evolve: Boolean = false,
+      maxRetries: Int = 10): Option[Long] = {
     if (lastTxn(root, appId).exists(_ >= batchId)) return None // replay
-    val adds = stageDataFiles(df, root)
+    // evolve: the batch sink's `evolve: add_nulls` applied per micro-batch
+    // — a RE-RUN of a pipeline whose source grew a column appends against
+    // the existing table by widening it (meta + data in one txn-stamped
+    // commit) instead of failing mid-stream. Conform against the snapshot
+    // resolved HERE; a concurrent schema change aborts below (same rule
+    // as writeEvolve — the conformed rows were computed against a stale
+    // shape).
+    val snap0 = latestVersion(root).map(_ => snapshot(root))
+    val (out, metaDdl) = snap0 match {
+      case Some(sn) if evolve =>
+        val (conformed, union, newCols) = conformEvolved(spark, df, sn, root)
+        (conformed, if (newCols.nonEmpty) Some(union.toDDL) else None)
+      case _ => (df, None)
+    }
+    val adds = stageDataFiles(out, root)
     var attempt = 0
     while (true) {
       val cur = latestVersion(root)
       val snap = cur.map(_ => snapshot(root))
-      snap.foreach(requireSchemaMatch(df, _, root))
+      if (evolve)
+        snap0.zip(snap).foreach { case (s0, s) =>
+          if (s.schemaDdl != s0.schemaDdl)
+            throw new ConcurrentWriteException(
+              s"graft_table $root: schema changed concurrently — re-run " +
+                "the evolving append against the fresh snapshot")
+        }
+      else snap.foreach(requireSchemaMatch(out, _, root))
       val actions = txnAction(appId, batchId) +:
-        (if (snap.isDefined) adds else metaAction(df.schema.toDDL) +: adds)
+        (metaDdl.map(metaAction).toSeq ++
+          (if (snap.isDefined) adds else metaAction(out.schema.toDDL) +: adds))
       try return Some(commit(root, cur.getOrElse(0L), actions))
       catch {
         case e: ConcurrentWriteException =>
@@ -385,18 +410,7 @@ object GraftTable {
       maxRetries: Int = 10): Long = {
     if (latestVersion(root).isEmpty) return write(spark, df, root, "append")
     val snap = snapshot(root)
-    val table = StructType.fromDDL(snap.schemaDdl)
-    df.schema.fields.foreach { f =>
-      table.find(_.name == f.name).foreach(t => require(t.dataType == f.dataType,
-        s"graft_table $root: evolve type conflict on '${f.name}' — table " +
-          s"has ${t.dataType.sql}, write has ${f.dataType.sql} (cast first; " +
-          "evolution only ADDS columns, it never changes a type)"))
-    }
-    val newCols = df.schema.fields.filter(f => !table.exists(_.name == f.name))
-    val union = StructType(table.fields ++ newCols)
-    val conformed = df.select(union.fields.toSeq.map(f =>
-      if (df.columns.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)): _*)
+    val (conformed, union, newCols) = conformEvolved(spark, df, snap, root)
     val adds = stageDataFiles(conformed, root)
     val actions =
       if (newCols.nonEmpty) metaAction(union.toDDL) +: adds else adds
@@ -415,6 +429,35 @@ object GraftTable {
       }
     }
     -1L // unreachable
+  }
+
+  /** Shared evolve conformance: resolve `df` against the snapshot schema
+    * with the SESSION's resolver — Spark analysis is case-insensitive by
+    * default, so a write column `ID` against a table column `id` is the
+    * SAME column (type-checked, selected under the table's spelling),
+    * never a second add-only column that later reads would reject as
+    * ambiguous. Returns (conformed rows under the union schema, union
+    * schema, genuinely-new fields). */
+  private def conformEvolved(spark: SparkSession, df: DataFrame,
+      snap: Snapshot, root: String): (DataFrame, StructType, Array[org.apache.spark.sql.types.StructField]) = {
+    val resolver = spark.sessionState.conf.resolver
+    val table = StructType.fromDDL(snap.schemaDdl)
+    df.schema.fields.foreach { f =>
+      table.find(t => resolver(t.name, f.name)).foreach(t =>
+        require(t.dataType == f.dataType,
+          s"graft_table $root: evolve type conflict on '${f.name}' — table " +
+            s"has ${t.dataType.sql}, write has ${f.dataType.sql} (cast first; " +
+            "evolution only ADDS columns, it never changes a type)"))
+    }
+    val newCols = df.schema.fields.filter(f =>
+      !table.exists(t => resolver(t.name, f.name)))
+    val union = StructType(table.fields ++ newCols)
+    val conformed = df.select(union.fields.toSeq.map(f =>
+      df.columns.find(resolver(_, f.name)) match {
+        case Some(c) => col(c).as(f.name) // table's spelling wins
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }): _*)
+    (conformed, union, newCols)
   }
 
   /** Upsert/delete that rewrites ONLY the files containing matched keys.

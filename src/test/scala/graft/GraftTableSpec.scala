@@ -239,11 +239,18 @@ class GraftTableSpec extends SparkSpecBase {
     val h = GraftTable.history(spark, root).orderBy($"version")
       .select($"version", $"operation", $"rows_added", $"txn").collect()
     h.map(r => (r.getLong(0), r.getString(1))) shouldBe Array(
-      (1L, "OVERWRITE"), (2L, "APPEND"), (3L, "STREAMING APPEND"),
+      (1L, "CREATE"), (2L, "APPEND"), (3L, "STREAMING APPEND"),
       (4L, "MERGE"), (5L, "OPTIMIZE"))
     h(2).getString(3) shouldBe "app#0"
     // merge touched only id=1's file: its rewrite re-adds exactly 1 row
     h.map(_.getLong(2)).take(4) shouldBe Array(1L, 1L, 1L, 1L)
+    // v1 is CREATE whatever wrote it — an appendBatch-created table is not
+    // misreported as OVERWRITE, and its txn evidence still surfaces
+    val root2 = freshRoot("hist2")
+    GraftTable.appendBatch(spark, Seq((1L, "a")).toDF("id", "v"), root2, "s", 0L)
+    val h2 = GraftTable.history(spark, root2).select($"operation", $"txn").head()
+    h2.getString(0) shouldBe "CREATE"
+    h2.getString(1) shouldBe "s#0"
   }
 
   test("writeEvolve: new columns extend the schema atomically, old files read as nulls") {
@@ -285,6 +292,49 @@ class GraftTableSpec extends SparkSpecBase {
          |transforms: []
          |sink: {format: graft_table, path: "/y", mode: overwrite, evolve: add_nulls}
          |""".stripMargin)).getMessage should include("append")
+  }
+
+  test("writeEvolve: column resolution follows the session resolver (case-insensitive)") {
+    val root = freshRoot("evolve_ci")
+    GraftTable.write(spark, Seq((1L, "a")).toDF("id", "v"), root, "overwrite")
+    // `ID` IS `id` under default case-insensitive analysis: no second
+    // column joins the schema, and the append lands under the table's
+    // spelling — not a schema with both `id` and `ID` that later reads
+    // would reject as ambiguous
+    GraftTable.writeEvolve(spark, Seq((2L, "b")).toDF("ID", "V"), root)
+    GraftTable.read(spark, root).columns shouldBe Array("id", "v")
+    GraftTable.read(spark, root).orderBy($"id").as[(Long, String)]
+      .collect() shouldBe Array((1L, "a"), (2L, "b"))
+    // and the type-conflict check cannot be dodged by re-casing the name
+    intercept[IllegalArgumentException](GraftTable.writeEvolve(spark,
+      Seq((3, "c")).toDF("ID", "v"), root)) // Int vs the table's Long
+      .getMessage should include("type conflict")
+  }
+
+  test("appendBatch evolve: per-batch widening with txn idempotence intact") {
+    val root = freshRoot("txn_evolve")
+    GraftTable.appendBatch(spark, Seq((1L, "a")).toDF("id", "v"),
+      root, "s1", 0L) shouldBe Some(1L)
+    // strict append (evolve off) still rejects drift mid-stream
+    intercept[IllegalArgumentException](GraftTable.appendBatch(spark,
+      Seq((9L, "x", 0.1)).toDF("id", "v", "score"), root, "strict", 0L))
+      .getMessage should include("schema mismatch")
+    // a re-run whose source grew a column widens the table in one
+    // txn-stamped commit: meta + data change atomically
+    GraftTable.appendBatch(spark, Seq((2L, "b", 0.5)).toDF("id", "v", "score"),
+      root, "s2", 0L, evolve = true) shouldBe Some(2L)
+    GraftTable.read(spark, root).orderBy($"id")
+      .as[(Long, String, Option[Double])].collect() shouldBe
+      Array((1L, "a", None), (2L, "b", Some(0.5)))
+    // the replay protocol survives evolution: same (appId, batchId) no-ops
+    GraftTable.appendBatch(spark, Seq((2L, "b", 0.5)).toDF("id", "v", "score"),
+      root, "s2", 0L, evolve = true) shouldBe None
+    GraftTable.latestVersion(root) shouldBe Some(2L)
+    // a narrower evolving batch back-fills its missing column as null
+    GraftTable.appendBatch(spark, Seq((3L, "c")).toDF("id", "v"),
+      root, "s2", 1L, evolve = true) shouldBe Some(3L)
+    GraftTable.read(spark, root).where($"id" === 3).select($"score")
+      .head().isNullAt(0) shouldBe true
   }
 
   test("changes: rows-added feed skips OPTIMIZE rewrites, stamps versions, bounds ranges") {
@@ -381,5 +431,44 @@ class GraftTableSpec extends SparkSpecBase {
          |transforms: []
          |sink: {format: graft_table, path: "$root", mode: merge, options: {on: "id"}}
          |""".stripMargin)).getMessage should include("per-micro-batch")
+    // a `limit` tail + table sink is loud: the table commits per batch
+    // BEFORE the tail, so it would silently diverge from batch mode
+    intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: acid_stream_lim
+         |mode: streaming
+         |source: {format: parquet, path: "$base/chunk_*", schema: auto}
+         |transforms:
+         |  - {op: limit, max_rows: 1}
+         |sink: {format: graft_table, path: "$root", mode: append}
+         |""".stripMargin)).getMessage should include("limit")
+  }
+
+  test("streaming graft_table sink honors evolve: add_nulls per micro-batch") {
+    val root = freshRoot("stream_evolve")
+    // run 1 created the table with (id, v)
+    GraftTable.write(spark, Seq((1L, "a")).toDF("id", "v"), root, "overwrite")
+    // run 2's source grew a column — with evolve: add_nulls the stream
+    // widens the table on its first batch instead of failing mid-stream
+    // (batch-mode parity: the same YAML in batch mode calls writeEvolve)
+    val src = "/tmp/graft_io/acid_evolve_src"
+    graft.streaming.StreamOps.rmrf(src)
+    Seq((2L, "b", 0.5)).toDF("id", "v", "score")
+      .write.mode("overwrite").parquet(src)
+    PipelineRunner.run(spark,
+      s"""name: acid_stream_evolve
+         |mode: streaming
+         |source: {format: parquet, path: "$src", schema: auto}
+         |transforms: []
+         |sink: {format: graft_table, path: "$root", mode: append, evolve: add_nulls}
+         |""".stripMargin)
+    GraftTable.read(spark, root).columns shouldBe Array("id", "v", "score")
+    GraftTable.read(spark, root).orderBy($"id")
+      .as[(Long, String, Option[Double])].collect() shouldBe
+      Array((1L, "a", None), (2L, "b", Some(0.5)))
+    // the widening commit is still txn-stamped (exactly-once protocol)
+    val v2 = Files.readAllLines(
+      Paths.get(root, "_graft_log", f"${2L}%020d.json")).asScala
+    v2.count(_.contains("\"txn\"")) shouldBe 1
+    v2.count(_.contains("\"meta\"")) shouldBe 1
   }
 }
