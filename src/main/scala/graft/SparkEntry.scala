@@ -28,7 +28,8 @@ object SparkEntry {
     Streaming,    // §2.L structured streaming (AvailableNow → batch check)
     MultimodalQ,  // NS multimodal binary columns + mapPartitions extract
     TextOps2,     // NS n-gram Jaccard, lang-ID, SimHash, SRP-LSH ANN
-    Tpch)         // composite TPC-H join/agg shapes (Q3/Q5/Q6/Q10/Q14/Q18)
+    Tpch,         // composite TPC-H join/agg shapes (Q3/Q5/Q6/Q10/Q14/Q18)
+    Events)       // event analytics: sessionize, funnel, retention, paths
 
   private lazy val all: Seq[QueryDef] = {
     val ds = packs.flatMap(_.defs)
