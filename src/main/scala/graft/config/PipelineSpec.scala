@@ -562,7 +562,7 @@ object PipelineSpec {
       "flatten", "pivot", "unpivot", "surrogate_key", "merge", "diff",
       "tokenize", "tfidf", "minhash_dedup", "semdedup", "ann_topk",
       "sample", "mix", "pack", "quality_filter", "decontaminate", "redact",
-      "bpe_train", "bpe_tokenize")(op),
+      "bpe_train", "bpe_tokenize", "sessionize")(op),
       s"$at.op: unknown '$op'")
     TransformSpec(op,
       cols = strArr(n, "cols"), name = optStr(n, "name"),

@@ -197,11 +197,13 @@ object PipelineRunner {
       "streaming mode: 'asof_join' is batch-only (use a stream-stream " +
         "interval join for streaming time alignment)"))
     streamable.foreach(t => require(!Set("pivot", "surrogate_key", "merge",
-      "shuffle", "diff")(t.op),
+      "shuffle", "diff", "sessionize")(t.op),
       s"streaming mode: '${t.op}' is batch-only (pivot needs a finished " +
         "group; a global row_number window has no streaming equivalent; " +
         "merge anti-joins the full base; shuffle is a global sort; diff " +
-        "full-outer-joins two complete snapshots)"))
+        "full-outer-joins two complete snapshots; sessionize's running " +
+        "window has no streaming equivalent — use session_window on the " +
+        "stream instead)"))
     // §2.L10 — streaming incremental dedup gates: `minhash_dedup` and
     // `semdedup` WITH `state_path` are allowed in streaming mode,
     // executed PER MICRO-BATCH against the published survivor state
@@ -836,6 +838,38 @@ object PipelineRunner {
         import org.apache.spark.sql.expressions.Window
         df.withColumn(t.name.getOrElse("sk"),
           row_number().over(Window.orderBy(t.orderBy.map(sortExpr): _*)).cast("bigint"))
+      case "sessionize" => // gap-based sessionization (ev1 through the
+        // config surface): stamp each row with a per-key session sequence
+        // — a new session starts at the key's first row or after a gap
+        // > `threshold` in the TIME column's own unit. `cols.head` must be
+        // numeric (epoch micros/nanos via a prior `derive` — integer gap
+        // math is exact and engine-portable; a raw timestamp would drag
+        // zone semantics into the compare); remaining cols break ties.
+        // Scale: ONE shuffle on `on` shared by both windows (lag + running
+        // sum ride the same sort), and a downstream aggregate on
+        // (on..., session) reuses the partitioning — see ev1's plan.
+        require(t.on.nonEmpty, "sessionize needs `on` (the session key)")
+        require(t.cols.nonEmpty,
+          "sessionize needs `cols`: [time_col, tiebreak...] — time_col is " +
+            "the numeric ordering column the gap compares")
+        val gap = t.threshold.getOrElse(throw new IllegalArgumentException(
+          "sessionize needs `threshold`: the max in-session gap, in the " +
+            "time column's own unit"))
+        require(gap > 0, s"sessionize threshold must be > 0, got $gap")
+        require(df.schema(t.cols.head).dataType.isInstanceOf[
+          org.apache.spark.sql.types.NumericType],
+          s"sessionize: time column '${t.cols.head}' must be numeric " +
+            "(derive epoch micros/nanos first) — got " +
+            df.schema(t.cols.head).dataType.sql)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(t.on.map(col): _*)
+          .orderBy(t.cols.map(col): _*)
+        val tc = col(t.cols.head)
+        val isStart = when(lag(tc, 1).over(w).isNull
+          || tc - lag(tc, 1).over(w) > lit(gap), 1).otherwise(0)
+        df.withColumn(t.name.getOrElse("session_seq"),
+          sum(isStart).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       case "diff" => // CDC snapshot diff (d10 through the config surface):
         // df is the OLD snapshot, `table` the NEW one. Emits ONLY the
         // changed rows — the new values for insert/update, the key with

@@ -1272,8 +1272,52 @@ object Sources extends QueryPack {
          |""".stripMargin).passed
   }
 
+  /** EP23 — gap-based sessionization from YAML (the ev1 shape as a
+    * declared transform): derive exact epoch-micros, `sessionize` stamps
+    * the per-user session sequence, the rollup summarizes each session.
+    * The window pair + rollup share one exchange on user_id (ev1's plan).
+    * Oracle replays the identical lag → flag → running-sum election. */
+  val ep23: QueryDef = m(
+    "ep23_config_sessionize",
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tsn,
+      |    CASE WHEN epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000) OVER
+      |           (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)
+      |         IS NULL THEN 1
+      |         WHEN epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000) OVER
+      |           (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)
+      |           > 1800000000 THEN 1 ELSE 0 END AS is_start
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, tsn, CAST(SUM(is_start) OVER (PARTITION BY user_id
+      |    ORDER BY tsn, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS session_seq
+      |  FROM g
+      |)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |  (max(tsn) - min(tsn)) // 1000 AS duration_ms
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin) { (spark, dir) =>
+    val tsn = // exact epoch micros under either physical ts type
+      if (Tables.eventsTsIsLong(spark, dir)) "ts div 1000"
+      else "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    PipelineRunner.run(spark,
+      s"""name: ep23_sessionize
+         |source: {format: parquet, path: "$dir/events.parquet"}
+         |transforms:
+         |  - {op: derive, name: tsn, expr: "$tsn"}
+         |  - {op: sessionize, on: [user_id], cols: [tsn, event_id],
+         |     threshold: 1800000000, name: session_seq}
+         |  - {op: aggregate, cols: [user_id, session_seq],
+         |     aggs: ["COUNT(*) AS n_events",
+         |            "(MAX(tsn) - MIN(tsn)) div 1000 AS duration_ms"]}
+         |  - {op: sort, cols: [user_id, session_seq]}
+         |""".stripMargin).passed
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a3c, a4, a4b, a4c, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3,
       ep3b, ep4, ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13,
-      ep14, ep15, ep16, ep17, ep18, ep19, ep20, ep21, ep22)
+      ep14, ep15, ep16, ep17, ep18, ep19, ep20, ep21, ep22, ep23)
 }

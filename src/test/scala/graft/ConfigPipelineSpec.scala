@@ -1955,4 +1955,53 @@ class ConfigPipelineSpec extends SparkSpecBase {
     out.columns should contain("region_name")
     out.schema("r_regionkey").dataType.typeName shouldBe "string"
   }
+
+  test("sessionize: gap election matches hand-computed sessions; guards fail loud") {
+    import spark.implicits._
+    val dir = "/tmp/graft_io/sessionize_src"
+    // user 1: gaps 5, 100 (split), 5 → sessions 1,1,2,2; user 2: one event
+    Seq((1L, 0L, 10L), (1L, 5L, 11L), (1L, 105L, 12L), (1L, 110L, 13L),
+      (2L, 0L, 14L))
+      .toDF("uid", "t", "eid").write.mode("overwrite").parquet(dir)
+    val out = PipelineRunner.run(spark,
+      s"""name: sess
+         |source: {format: parquet, path: "$dir"}
+         |transforms:
+         |  - {op: sessionize, on: [uid], cols: [t, eid], threshold: 50}
+         |  - {op: sort, cols: [uid, t]}
+         |""".stripMargin).passed
+      .select($"uid", $"t", $"session_seq").as[(Long, Long, Long)].collect()
+    out shouldBe Array((1L, 0L, 1L), (1L, 5L, 1L), (1L, 105L, 2L),
+      (1L, 110L, 2L), (2L, 0L, 1L))
+    // a gap EXACTLY at the threshold stays in-session (strict >)
+    val edge = PipelineRunner.run(spark,
+      s"""name: sess_edge
+         |source: {format: parquet, path: "$dir"}
+         |transforms:
+         |  - {op: sessionize, on: [uid], cols: [t, eid], threshold: 100}
+         |""".stripMargin).passed
+    edge.where($"uid" === 1)
+      .select(org.apache.spark.sql.functions.max($"session_seq"))
+      .head.getLong(0) shouldBe 1L
+    // guards: missing threshold, non-numeric time column, streaming mode
+    intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: sess_bad1
+         |source: {format: parquet, path: "$dir"}
+         |transforms:
+         |  - {op: sessionize, on: [uid], cols: [t]}
+         |""".stripMargin)).getMessage should include("threshold")
+    intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: sess_bad2
+         |source: {format: parquet, path: "$sf/region.parquet"}
+         |transforms:
+         |  - {op: sessionize, on: [r_regionkey], cols: [r_name], threshold: 1}
+         |""".stripMargin)).getMessage should include("numeric")
+    intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: sess_bad3
+         |mode: streaming
+         |source: {format: parquet, path: "$dir", schema: "uid BIGINT, t BIGINT, eid BIGINT"}
+         |transforms:
+         |  - {op: sessionize, on: [uid], cols: [t, eid], threshold: 50}
+         |""".stripMargin)).getMessage should include("batch-only")
+  }
 }
