@@ -1316,8 +1316,59 @@ object Sources extends QueryPack {
          |""".stripMargin).passed
   }
 
+  /** EP24 — incrementally-maintained materialized aggregate over the
+    * ACID table's change feed (tables/MaterializedView): the MV advances
+    * through create → incremental merge (append-only delta, O(|MV|+|Δ|))
+    * → automatic full recompute (a base MERGE rewrote rows the feed
+    * cannot retract) → incremental again, its consumed-base-version
+    * cursor riding each MV commit as a txn action (exactly-once). The
+    * oracle replays the FINAL base state's aggregate from scratch — so
+    * the checked claim is "four maintenance paths land on exactly the
+    * full-recompute answer". */
+  val ep24: QueryDef = m(
+    "ep24_graft_mv_refresh",
+    """WITH b AS (
+      |  SELECT o_orderstatus, o_totalprice * 2 AS p
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice AS p
+      |  FROM orders WHERE o_orderkey % 3 <> 0)
+      |SELECT o_orderstatus, count(*) AS n,
+      |  CAST(SUM(CAST(p AS DECIMAL(12,2))) AS DOUBLE) AS sum_v
+      |FROM b GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+    import graft.tables.{GraftTable, MaterializedView}
+    val base = s"$ioDir/mv_base_q"; val mv = s"$ioDir/mv_agg_q"
+    Seq(base, mv).foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(r)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+    val keys = Seq("o_orderstatus")
+    val aggs = Seq(
+      MaterializedView.AggSpec("count", "o_orderkey", "n"),
+      MaterializedView.AggSpec("sum",
+        "CAST(o_totalprice AS DECIMAL(12,2))", "sum_v"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    def slice(r: Int) = o.where(col("o_orderkey") % 3 === r)
+    GraftTable.write(spark, slice(0), base, "overwrite")              // v1
+    MaterializedView.refresh(spark, base, mv, keys, aggs)             // create
+    GraftTable.write(spark, slice(1), base, "append")                 // v2
+    MaterializedView.refresh(spark, base, mv, keys, aggs)             // incr
+    GraftTable.merge(spark, base,                                     // v3:
+      slice(0).withColumn("o_totalprice", col("o_totalprice") * 2),   // rewrite
+      Seq("o_orderkey"))
+    MaterializedView.refresh(spark, base, mv, keys, aggs)             // full
+    GraftTable.write(spark, slice(2), base, "append")                 // v4
+    MaterializedView.refresh(spark, base, mv, keys, aggs)             // incr
+    GraftTable.read(spark, mv)
+      .select(col("o_orderstatus"), col("n"),
+        col("sum_v").cast("double").as("sum_v"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a3c, a4, a4b, a4c, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3,
       ep3b, ep4, ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13,
-      ep14, ep15, ep16, ep17, ep18, ep19, ep20, ep21, ep22, ep23)
+      ep14, ep15, ep16, ep17, ep18, ep19, ep20, ep21, ep22, ep23, ep24)
 }

@@ -152,6 +152,31 @@ object GraftTable {
         schema.add("_commit_version", "bigint")))
   }
 
+  /** True iff every version in (fromExclusive, toInclusive] only ADDED
+    * rows — i.e. the change feed over that range is complete. OPTIMIZE
+    * (removes + all-layout-only adds) qualifies: `changes` skips its
+    * rewrites. merge/delete/overwrite do not: they removed or replaced
+    * rows the feed cannot retract. O(versions) log metadata, no data IO. */
+  def appendOnlySince(root: String, fromExclusive: Long,
+      toInclusive: Long): Boolean =
+    ((fromExclusive + 1) to toInclusive).forall { ver =>
+      var removes = 0; var dataAdds = 0; var layoutAdds = 0
+      Files.readAllLines(verFile(root, ver)).asScala
+        .filter(_.nonEmpty).foreach { line =>
+          val n = json.readTree(line)
+          if (n.has("remove")) removes += 1
+          else if (n.has("add")) {
+            if (!n.get("add").has("dataChange") ||
+              n.get("add").get("dataChange").asBoolean(true)) dataAdds += 1
+            else layoutAdds += 1
+          }
+        }
+      // pure append, or OPTIMIZE's layout-only swap; a version that
+      // removed files WITHOUT re-adding them as layout (merge, delete,
+      // overwrite) destroyed rows the feed cannot retract
+      removes == 0 || (layoutAdds > 0 && dataAdds == 0)
+    }
+
   /** DESCRIBE HISTORY: one row per version — operation kind (inferred
     * from the action mix, the log stores no operation names), add/remove
     * file counts, rows added, schema-change and txn markers. Pure log
@@ -361,7 +386,11 @@ object GraftTable {
 
   private def requireSchemaMatch(df: DataFrame, snap: Snapshot, root: String): Unit = {
     val want = StructType.fromDDL(snap.schemaDdl)
-    require(df.schema == want,
+    // names + types only: nullability is PLAN metadata (an aggregate's
+    // output flips nullable across equivalent plans), not a data shape —
+    // parquet files carry the actual values either way
+    def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+    require(shape(df.schema) == shape(want),
       s"graft_table $root: schema mismatch on append/merge — table is " +
         s"[${want.toDDL}], write is [${df.schema.toDDL}] (conform with " +
         "select/cast, or overwrite to replace the schema)")
@@ -371,7 +400,7 @@ object GraftTable {
     * valid against any snapshot); overwrites recompute their removes per
     * attempt so the swap is against the snapshot they actually beat. */
   def write(spark: SparkSession, df: DataFrame, root: String, mode: String,
-            maxRetries: Int = 10): Long = {
+            maxRetries: Int = 10, txn: Option[(String, Long)] = None): Long = {
     require(Set("append", "overwrite")(mode),
       s"graft_table: write mode must be append|overwrite, got '$mode'")
     val adds = stageDataFiles(df, root)
@@ -380,12 +409,12 @@ object GraftTable {
       val cur = latestVersion(root)
       val snap = cur.map(_ => snapshot(root))
       if (mode == "append") snap.foreach(requireSchemaMatch(df, _, root))
-      val actions = mode match {
+      val actions = txn.map(t => txnAction(t._1, t._2)).toSeq ++ (mode match {
         case "append" if snap.isDefined => adds
         case _ => // first-ever commit, or overwrite: (re)declare schema
           metaAction(df.schema.toDDL) +:
             (snap.toSeq.flatMap(_.files.map(removeAction)) ++ adds)
-      }
+      })
       try return commit(root, cur.getOrElse(0L), actions)
       catch {
         case e: ConcurrentWriteException =>
@@ -475,7 +504,8 @@ object GraftTable {
     * retrying the commit blind would resurrect their deleted rows.
     * Callers re-run the whole merge against the fresh snapshot. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
-            on: Seq[String], how: String = "upsert"): Long = {
+            on: Seq[String], how: String = "upsert",
+            txn: Option[(String, Long)] = None): Long = {
     require(on.nonEmpty, "graft_table merge needs `on` key columns")
     require(Set("upsert", "delete")(how),
       s"graft_table merge: how must be upsert|delete, got '$how'")
@@ -510,7 +540,8 @@ object GraftTable {
       case "delete" => rewritten
     }
     val adds = stageDataFiles(newData, root)
-    commit(root, snap.version, touchedRel.map(removeAction) ++ adds)
+    commit(root, snap.version, txn.map(t => txnAction(t._1, t._2)).toSeq ++
+      touchedRel.map(removeAction) ++ adds)
   }
 
   /** OPTIMIZE: rewrite the current snapshot into `targetFiles` bin-packed

@@ -443,6 +443,56 @@ class GraftTableSpec extends SparkSpecBase {
          |""".stripMargin)).getMessage should include("limit")
   }
 
+  test("materialized view: incremental refresh == full recompute, exactly-once cursor") {
+    import graft.tables.MaterializedView
+    import graft.tables.MaterializedView.AggSpec
+    val base = freshRoot("mv_base"); val mv = freshRoot("mv_agg")
+    val keys = Seq("k")
+    val aggs = Seq(AggSpec("count", "v", "n"), AggSpec("sum", "v", "sum_v"),
+      AggSpec("min", "v", "min_v"), AggSpec("max", "v", "max_v"))
+    def recompute() = GraftTable.read(spark, base).groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sum_v"),
+        min($"v").as("min_v"), max($"v").as("max_v"))
+      .orderBy($"k").collect().map(_.toSeq).toSeq
+    def mvRows() = GraftTable.read(spark, mv)
+      .orderBy($"k").collect().map(_.toSeq).toSeq
+
+    GraftTable.write(spark,
+      Seq(("a", 1L), ("a", 3L), ("b", 5L)).toDF("k", "v"), base, "overwrite")
+    MaterializedView.refresh(spark, base, mv, keys, aggs) shouldBe Some(1L)
+    mvRows() shouldBe recompute() // first materialization (full)
+
+    // append-only delta -> INCREMENTAL path (the MV version is a MERGE)
+    GraftTable.write(spark,
+      Seq(("a", 2L), ("c", 7L)).toDF("k", "v"), base, "append")
+    MaterializedView.refresh(spark, base, mv, keys, aggs) shouldBe Some(2L)
+    mvRows() shouldBe recompute()
+    GraftTable.history(spark, mv).where($"version" === 2)
+      .head.getAs[String]("operation") shouldBe "MERGE"
+
+    // already current -> no-op (also the crash-replay behavior)
+    MaterializedView.refresh(spark, base, mv, keys, aggs) shouldBe None
+
+    // OPTIMIZE is layout-only: the refresh consumes the version but the
+    // MV content is unchanged
+    GraftTable.optimize(spark, base, targetFiles = 1)
+    MaterializedView.refresh(spark, base, mv, keys, aggs)
+    mvRows() shouldBe recompute()
+
+    // a base MERGE rewrote rows -> automatic FULL recompute (OVERWRITE)
+    GraftTable.merge(spark, base, Seq(("a", 100L)).toDF("k", "v"), Seq("k"))
+    MaterializedView.refresh(spark, base, mv, keys, aggs).isDefined shouldBe true
+    mvRows() shouldBe recompute()
+    val lastOp = GraftTable.history(spark, mv)
+      .orderBy($"version".desc).head.getAs[String]("operation")
+    lastOp shouldBe "OVERWRITE"
+
+    // and back to incremental afterwards
+    GraftTable.write(spark, Seq(("b", 0L)).toDF("k", "v"), base, "append")
+    MaterializedView.refresh(spark, base, mv, keys, aggs)
+    mvRows() shouldBe recompute()
+  }
+
   test("streaming graft_table sink honors evolve: add_nulls per micro-batch") {
     val root = freshRoot("stream_evolve")
     // run 1 created the table with (id, v)
