@@ -72,35 +72,144 @@ object GraftTable {
   def latestVersion(root: String): Option[Long] =
     if (!isTable(root)) None
     else {
+      // checkpoint versions count too: a fully-truncated history (all
+      // logs ≤ the seal dropped) is still a readable table at the seal
       val s = Files.list(logDir(root))
       try s.iterator().asScala
         .map(_.getFileName.toString)
         .filter(_.endsWith(".json"))
-        .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+        .flatMap(n => scala.util.Try(
+          n.stripSuffix(".json").stripSuffix(".checkpoint").toLong).toOption)
         .maxOption
       finally s.close()
     }
 
-  /** Replay logs 1..asOf (default: latest). Files come back in first-add
-    * order; removes drop them. */
+  // -- log checkpoints ---------------------------------------------------------
+  //
+  // Replaying logs 1..V is O(versions) per snapshot — fine for hundreds,
+  // a metadata storm for a streaming table with one commit per micro-batch
+  // (exactly the Delta _last_checkpoint problem). A CHECKPOINT file at
+  // version C materializes the full replayed state (live files + schema +
+  // per-writer txn high-water marks); any state resolution at V ≥ C loads
+  // the checkpoint and replays only (C, V]. Checkpoints are deterministic
+  // for their version, so concurrent writers racing one produce identical
+  // bytes — the losing hard-link is simply dropped.
+
+  private def ckptFile(root: String, v: Long): Path =
+    logDir(root).resolve(f"$v%020d.checkpoint.json")
+
+  /** Full replayed state at one version (internal). */
+  private final class LogState {
+    val files = scala.collection.mutable.LinkedHashSet.empty[String]
+    var schemaDdl = ""
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def applyLine(n: com.fasterxml.jackson.databind.JsonNode): Unit =
+      if (n.has("meta")) schemaDdl = n.get("meta").get("schemaDdl").asText()
+      else if (n.has("add")) files += n.get("add").get("path").asText()
+      else if (n.has("remove")) files -= n.get("remove").get("path").asText()
+      else if (n.has("txn")) {
+        val t = n.get("txn"); val app = t.get("appId").asText()
+        val b = t.get("batchId").asLong()
+        if (txns.getOrElse(app, Long.MinValue) < b) txns(app) = b
+      }
+  }
+
+  /** Latest checkpoint at or below `v`, if any. */
+  private def checkpointAtOrBefore(root: String, v: Long): Option[Long] = {
+    if (!isTable(root)) return None
+    val s = Files.list(logDir(root))
+    try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".checkpoint.json"))
+      .flatMap(n => scala.util.Try(
+        n.stripSuffix(".checkpoint.json").toLong).toOption)
+      .filter(_ <= v)
+      .maxOption
+    finally s.close()
+  }
+
+  /** State at `v`: nearest checkpoint ≤ v as the base, then replay only
+    * the remaining log suffix. A missing log file in the suffix means the
+    * history was truncated past any covering checkpoint — fail loud. */
+  private def replayState(root: String, v: Long): LogState = {
+    val st = new LogState
+    val base = checkpointAtOrBefore(root, v)
+    base.foreach { c =>
+      val n = json.readTree(Files.readString(ckptFile(root, c)))
+      st.schemaDdl = n.get("schemaDdl").asText()
+      n.get("files").elements().asScala.foreach(f => st.files += f.asText())
+      val t = n.get("txns")
+      t.fieldNames().asScala.foreach(app => st.txns(app) = t.get(app).asLong())
+    }
+    ((base.getOrElse(0L) + 1) to v).foreach { ver =>
+      val f = verFile(root, ver)
+      if (!Files.exists(f)) throw new IllegalArgumentException(
+        s"graft_table $root: version $ver is unreadable — its log was " +
+          s"truncated and no checkpoint ≤ $v covers it (earliest " +
+          "resolvable state is the oldest retained checkpoint)")
+      Files.readAllLines(f).asScala.filter(_.nonEmpty)
+        .foreach(line => st.applyLine(json.readTree(line)))
+    }
+    st
+  }
+
+  /** Write a checkpoint at the current latest version. Idempotent and
+    * race-safe (deterministic content + atomic hard-link publish).
+    * Returns the checkpointed version. Policy is the caller's: a
+    * streaming ingest checkpoints every N batches; `truncateHistory`
+    * checkpoints before dropping old logs. */
+  def checkpoint(root: String): Long = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"not a graft_table: $root"))
+    writeCheckpoint(root, latest)
+    latest
+  }
+
+  private def writeCheckpoint(root: String, v: Long): Unit = {
+    val target = ckptFile(root, v)
+    if (Files.exists(target)) return // idempotent
+    val st = replayState(root, v)
+    val n = json.createObjectNode()
+    n.put("version", v)
+    n.put("schemaDdl", st.schemaDdl)
+    val fa = n.putArray("files"); st.files.foreach(fa.add)
+    val ta = n.putObject("txns"); st.txns.foreach { case (k, b) => ta.put(k, b) }
+    val tmp = Files.createTempFile(logDir(root), ".ckpt", ".tmp")
+    Files.writeString(tmp, json.writeValueAsString(n))
+    try Files.createLink(target, tmp)
+    catch { case _: FileAlreadyExistsException => () } // identical racer won
+    Files.deleteIfExists(tmp)
+  }
+
+  /** Retention: drop log versions ≤ `upToInclusive`, first sealing their
+    * state into a checkpoint at that version. Snapshots of later versions
+    * replay from the checkpoint; snapshots of dropped versions fail with
+    * the truncation error; `vacuum` afterwards reclaims data files only
+    * the dropped versions referenced. The lakehouse retention lifecycle:
+    * checkpoint → truncate → vacuum. */
+  def truncateHistory(root: String, upToInclusive: Long): Unit = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"not a graft_table: $root"))
+    require(upToInclusive >= 1 && upToInclusive <= latest,
+      s"graft_table $root: truncate version $upToInclusive out of [1, $latest]")
+    // seal: materialize the state AT upTo so later replays never need the
+    // dropped files, THEN drop them — a crash in between only leaves an
+    // extra checkpoint
+    writeCheckpoint(root, upToInclusive)
+    (1L to upToInclusive).foreach(v => Files.deleteIfExists(verFile(root, v)))
+  }
+
+  /** Replay logs 1..asOf (default: latest) — from the nearest checkpoint
+    * when one exists. Files come back in first-add order; removes drop
+    * them. */
   def snapshot(root: String, asOf: Option[Long] = None): Snapshot = {
     val latest = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"not a graft_table: $root"))
     val v = asOf.getOrElse(latest)
     require(v >= 1 && v <= latest,
       s"graft_table $root: version $v out of range [1, $latest]")
-    val files = scala.collection.mutable.LinkedHashSet.empty[String]
-    var schemaDdl = ""
-    (1L to v).foreach { ver =>
-      Files.readAllLines(verFile(root, ver)).asScala
-        .filter(_.nonEmpty).foreach { line =>
-          val n = json.readTree(line)
-          if (n.has("meta")) schemaDdl = n.get("meta").get("schemaDdl").asText()
-          else if (n.has("add")) files += n.get("add").get("path").asText()
-          else if (n.has("remove")) files -= n.get("remove").get("path").asText()
-        }
-    }
-    Snapshot(v, files.toSeq, schemaDdl)
+    val st = replayState(root, v)
+    Snapshot(v, st.files.toSeq, st.schemaDdl)
   }
 
   /** Snapshot-isolated read of `asOf` (default latest). The schema comes
@@ -136,6 +245,10 @@ object GraftTable {
       s"graft_table $root: changes range ($fromExclusive, $to] out of [0, $latest]")
     val schema = StructType.fromDDL(snapshot(root, Some(to)).schemaDdl)
     val versioned = ((fromExclusive + 1) to to).flatMap { ver =>
+      require(Files.exists(verFile(root, ver)),
+        s"graft_table $root: change feed needs version $ver's log, which " +
+          "was truncated — catch up from a snapshot instead (read the " +
+          "current version and reset the feed cursor)")
       val adds = Files.readAllLines(verFile(root, ver)).asScala
         .filter(_.nonEmpty).map(json.readTree)
         .filter(n => n.has("add") &&
@@ -160,6 +273,9 @@ object GraftTable {
   def appendOnlySince(root: String, fromExclusive: Long,
       toInclusive: Long): Boolean =
     ((fromExclusive + 1) to toInclusive).forall { ver =>
+      // a truncated version can't be proven append-only — report false so
+      // feed consumers (the MV) fall back to a full recompute
+      if (!Files.exists(verFile(root, ver))) return false
       var removes = 0; var dataAdds = 0; var layoutAdds = 0
       Files.readAllLines(verFile(root, ver)).asScala
         .filter(_.nonEmpty).foreach { line =>
@@ -184,7 +300,9 @@ object GraftTable {
   def history(spark: SparkSession, root: String): DataFrame = {
     val latest = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"not a graft_table: $root"))
-    val rows = (1L to latest).map { ver =>
+    val rows = (1L to latest)
+      .filter(ver => Files.exists(verFile(root, ver))) // truncated = no rows
+      .map { ver =>
       var (adds, removes, rowsAdded) = (0, 0, 0L)
       var meta = false; var dataChange = false; var txn: Option[String] = None
       Files.readAllLines(verFile(root, ver)).asScala
@@ -244,24 +362,13 @@ object GraftTable {
     n
   }
 
-  /** Highest batchId this writer (`appId`) has committed, or None. Replays
-    * the log — bounded by version count, not data; a production-scale log
-    * snapshots this map in checkpoints exactly like file lists. */
+  /** Highest batchId this writer (`appId`) has committed, or None. Resolved
+    * through `replayState`: the nearest checkpoint carries the full txn
+    * high-water map, so only the log suffix past it is replayed. */
   def lastTxn(root: String, appId: String): Option[Long] = {
     if (!isTable(root)) return None
     val top = latestVersion(root).getOrElse(return None)
-    var best = Option.empty[Long]
-    (1L to top).foreach { ver =>
-      Files.readAllLines(verFile(root, ver)).asScala
-        .filter(_.nonEmpty).foreach { line =>
-          val n = json.readTree(line)
-          if (n.has("txn") && n.get("txn").get("appId").asText() == appId) {
-            val b = n.get("txn").get("batchId").asLong()
-            if (best.forall(_ < b)) best = Some(b)
-          }
-        }
-    }
-    best
+    replayState(root, top).txns.get(appId) // checkpoint carries the map
   }
 
   /** Exactly-once streaming ingest: append a micro-batch, stamped with
@@ -588,12 +695,26 @@ object GraftTable {
     val latest = latestVersion(root).getOrElse(return Nil)
     val referenced = scala.collection.mutable.HashSet.empty[String]
     (1L to latest).foreach { ver =>
-      Files.readAllLines(verFile(root, ver)).asScala
-        .filter(_.nonEmpty).foreach { line =>
-          val n = json.readTree(line)
-          if (n.has("add")) referenced += n.get("add").get("path").asText()
-        }
+      val f = verFile(root, ver)
+      // truncated versions are gone from the log — exactly the point:
+      // files only THEY referenced become unreferenced and reclaimable
+      // (their sealed live set survives via the checkpoint scan below)
+      if (Files.exists(f))
+        Files.readAllLines(f).asScala
+          .filter(_.nonEmpty).foreach { line =>
+            val n = json.readTree(line)
+            if (n.has("add")) referenced += n.get("add").get("path").asText()
+          }
     }
+    // every checkpoint's live set stays readable (incl. the truncation seal)
+    val ls = Files.list(logDir(root))
+    try ls.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".checkpoint.json"))
+      .foreach { p =>
+        json.readTree(Files.readString(p)).get("files")
+          .elements().asScala.foreach(f => referenced += f.asText())
+      }
+    finally ls.close()
     val removed = scala.collection.mutable.ArrayBuffer.empty[String]
     if (Files.isDirectory(dataDir(root))) {
       val s = Files.list(dataDir(root))

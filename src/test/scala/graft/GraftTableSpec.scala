@@ -443,6 +443,60 @@ class GraftTableSpec extends SparkSpecBase {
          |""".stripMargin)).getMessage should include("limit")
   }
 
+  test("checkpoint + truncateHistory: sealed state replays, dropped versions reclaim") {
+    val root = freshRoot("ckpt")
+    GraftTable.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      root, "overwrite")                                                // v1
+    GraftTable.write(spark, Seq((3L, "c")).toDF("id", "v"), root, "append") // v2
+    GraftTable.merge(spark, root, Seq((1L, "A")).toDF("id", "v"), Seq("id")) // v3
+    GraftTable.appendBatch(spark, Seq((4L, "d")).toDF("id", "v"),
+      root, "stream", 7L)                                               // v4
+    val before = GraftTable.read(spark, root).orderBy($"id")
+      .as[(Long, String)].collect()
+
+    // checkpoint at latest: same snapshot, resolved from the seal
+    GraftTable.checkpoint(root) shouldBe 4L
+    Files.exists(Paths.get(root, "_graft_log",
+      f"${4L}%020d.checkpoint.json")) shouldBe true
+    GraftTable.read(spark, root).orderBy($"id")
+      .as[(Long, String)].collect() shouldBe before
+
+    // retention: drop v1–v3's logs; latest still resolves, dropped
+    // versions fail loud, the txn map survives through the seal
+    GraftTable.truncateHistory(root, 3L)
+    (1L to 3L).foreach(v => Files.exists(
+      Paths.get(root, "_graft_log", f"$v%020d.json")) shouldBe false)
+    GraftTable.read(spark, root).orderBy($"id")
+      .as[(Long, String)].collect() shouldBe before
+    intercept[IllegalArgumentException](
+      GraftTable.read(spark, root, asOf = Some(2L)))
+      .getMessage should include("truncated")
+    GraftTable.lastTxn(root, "stream") shouldBe Some(7L)
+    // a replayed micro-batch still no-ops off the checkpointed txn map
+    GraftTable.appendBatch(spark, Seq((4L, "d")).toDF("id", "v"),
+      root, "stream", 7L) shouldBe None
+
+    // vacuum reclaims the files ONLY dropped versions referenced (v3's
+    // merge rewrote id=1's file: the pre-merge original is now orphaned)
+    val reclaimed = GraftTable.vacuum(root)
+    reclaimed should not be empty
+    GraftTable.read(spark, root).orderBy($"id")
+      .as[(Long, String)].collect() shouldBe before
+
+    // the table keeps working past the seal: appends, feed, snapshots
+    GraftTable.write(spark, Seq((5L, "e")).toDF("id", "v"), root, "append") // v5
+    GraftTable.read(spark, root).count() shouldBe 5L
+    GraftTable.changes(spark, root, 4L).select($"id").as[Long]
+      .collect() shouldBe Array(5L)
+    intercept[IllegalArgumentException](
+      GraftTable.changes(spark, root, 2L))
+      .getMessage should include("truncated")
+    // a truncated range can't prove append-only → MV-style consumers
+    // fall back to a full recompute instead of silently double-counting
+    GraftTable.appendOnlySince(root, 1L, 5L) shouldBe false
+    GraftTable.appendOnlySince(root, 3L, 5L) shouldBe true
+  }
+
   test("materialized view: incremental refresh == full recompute, exactly-once cursor") {
     import graft.tables.MaterializedView
     import graft.tables.MaterializedView.AggSpec
