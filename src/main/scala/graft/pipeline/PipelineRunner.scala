@@ -298,6 +298,18 @@ object PipelineRunner {
     // dedupes against the previous process's commits.
     val txnAppId = tableSink.flatMap(_.options.get("txn_app_id"))
       .getOrElse(java.util.UUID.randomUUID().toString)
+    // per-micro-batch commits grow the log one version per batch — seal a
+    // checkpoint every N batches so snapshot/lastTxn replay stays O(N)
+    // instead of O(stream lifetime). 10 is Delta's cadence.
+    val ckptEvery = tableSink.flatMap(_.options.get("checkpoint_interval"))
+      .map { v =>
+        val n = scala.util.Try(v.toInt).getOrElse(throw
+          new IllegalArgumentException(
+            s"sink.options.checkpoint_interval: must be an integer, got '$v'"))
+        require(n > 0,
+          s"sink.options.checkpoint_interval: must be > 0, got $n")
+        n
+      }.getOrElse(10)
 
     // The gate + its row-local suffix run inside foreachBatch; each batch
     // publishes its state advance (and its ACID table commit) only AFTER
@@ -315,9 +327,12 @@ object PipelineRunner {
       val oc = if (tableSink.isDefined) o.persist() else o
       (oc, () => {
         deferred.foreach(_())
-        tableSink.foreach(s =>
+        tableSink.foreach { s =>
           graft.tables.GraftTable.appendBatch(bs, oc, s.path, txnAppId, id,
-            evolve = s.evolve.contains("add_nulls")))
+            evolve = s.evolve.contains("add_nulls"))
+          if ((id + 1) % ckptEvery == 0)
+            graft.tables.GraftTable.checkpoint(s.path)
+        }
         if (tableSink.isDefined) oc.unpersist()
       })
     }

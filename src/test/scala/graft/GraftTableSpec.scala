@@ -411,10 +411,14 @@ class GraftTableSpec extends SparkSpecBase {
          |source: {format: parquet, path: "$base/chunk_*", schema: auto, options: {maxFilesPerTrigger: "1"}}
          |transforms:
          |  - {op: derive, name: v2, expr: "upper(v)"}
-         |sink: {format: graft_table, path: "$root", mode: append}
+         |sink: {format: graft_table, path: "$root", mode: append,
+         |  options: {checkpoint_interval: "2"}}
          |""".stripMargin)
     // two micro-batches -> two versions, each carrying one txn action
     GraftTable.latestVersion(root) shouldBe Some(2L)
+    // batch 2 crossed the checkpoint cadence: the log is sealed at v2
+    Files.exists(Paths.get(root, "_graft_log",
+      f"${2L}%020d.checkpoint.json")) shouldBe true
     GraftTable.read(spark, root).orderBy($"id")
       .select($"id", $"v2").as[(Long, String)].collect() shouldBe
       Array((1L, "X"), (2L, "Y"), (3L, "Z"))
