@@ -469,4 +469,30 @@ class PlanSpec extends SparkSpecBase {
     // Q5's snowflake: region/nation ride broadcasts
     plan(Tpch.tq5.build(spark, sf)) should include("BroadcastHashJoin")
   }
+
+  test("ev1: both session windows AND the rollup share one user_id exchange") {
+    val p = plan(Events.ev1.build(spark, sf))
+    withClue(p) {
+      // exactly two exchanges total: hashpartitioning(user_id) feeding the
+      // lag + running-sum windows AND the (user_id, session_seq) aggregate
+      // (a hash partitioning on a SUBSET of the grouping keys satisfies
+      // the clustering), plus the rangepartitioning of the final order-by
+      "\\) Exchange".r.findAllIn(p).size shouldBe 2
+      // formatted mode prints the Exchange's partitioning on its
+      // Arguments line — exactly one hash exchange, keyed by user_id
+      "hashpartitioning\\(user_id".r.findAllIn(p).size shouldBe 1
+      (p should not).include("SinglePartition")
+    }
+  }
+
+  test("ev2: funnel stages aggregate BEFORE their joins (no raw-event window)") {
+    val p = plan(Events.ev2.build(spark, sf))
+    withClue(p) {
+      // each stage is a partial-combined HashAggregate; no Window node at
+      // all — the funnel never sorts the raw event stream per user
+      (p should not).include("Window")
+      p should include("HashAggregate")
+      p should not include "CartesianProduct"
+    }
+  }
 }
