@@ -101,13 +101,20 @@ object GraftTable {
   /** Full replayed state at one version (internal). */
   private final class LogState {
     val files = scala.collection.mutable.LinkedHashSet.empty[String]
+    val fileStats = scala.collection.mutable.LinkedHashMap
+      .empty[String, com.fasterxml.jackson.databind.JsonNode]
     var schemaDdl = ""
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def applyLine(n: com.fasterxml.jackson.databind.JsonNode): Unit =
       if (n.has("meta")) schemaDdl = n.get("meta").get("schemaDdl").asText()
-      else if (n.has("add")) files += n.get("add").get("path").asText()
-      else if (n.has("remove")) files -= n.get("remove").get("path").asText()
-      else if (n.has("txn")) {
+      else if (n.has("add")) {
+        val a = n.get("add"); val p = a.get("path").asText()
+        files += p
+        if (a.has("stats")) fileStats(p) = a.get("stats")
+      } else if (n.has("remove")) {
+        val p = n.get("remove").get("path").asText()
+        files -= p; fileStats -= p
+      } else if (n.has("txn")) {
         val t = n.get("txn"); val app = t.get("appId").asText()
         val b = t.get("batchId").asLong()
         if (txns.getOrElse(app, Long.MinValue) < b) txns(app) = b
@@ -138,6 +145,10 @@ object GraftTable {
       val n = json.readTree(Files.readString(ckptFile(root, c)))
       st.schemaDdl = n.get("schemaDdl").asText()
       n.get("files").elements().asScala.foreach(f => st.files += f.asText())
+      if (n.has("fileStats")) {
+        val fs = n.get("fileStats")
+        fs.fieldNames().asScala.foreach(p => st.fileStats(p) = fs.get(p))
+      }
       val t = n.get("txns")
       t.fieldNames().asScala.foreach(app => st.txns(app) = t.get(app).asLong())
     }
@@ -173,6 +184,8 @@ object GraftTable {
     n.put("version", v)
     n.put("schemaDdl", st.schemaDdl)
     val fa = n.putArray("files"); st.files.foreach(fa.add)
+    val fs = n.putObject("fileStats")
+    st.fileStats.foreach { case (p, s) => fs.set[ObjectNode](p, s) }
     val ta = n.putObject("txns"); st.txns.foreach { case (k, b) => ta.put(k, b) }
     val tmp = Files.createTempFile(logDir(root), ".ckpt", ".tmp")
     Files.writeString(tmp, json.writeValueAsString(n))
@@ -224,6 +237,59 @@ object GraftTable {
     else
       spark.read.schema(schema)
         .parquet(s.files.map(f => Paths.get(root).resolve(f).toString): _*)
+  }
+
+  /** Log-level data skipping: which live files at `asOf` can contain a
+    * `column BETWEEN lo AND hi` row, decided from the min/max recorded in
+    * their add actions — NO footer is opened, no file listed. Files with
+    * no logged stats for the column are kept (no stats = no skipping,
+    * never a wrong skip). Returns (candidate files, all live files). */
+  def filesInRange(root: String, column: String, lo: Any, hi: Any,
+      asOf: Option[Long] = None): (Seq[String], Seq[String]) = {
+    def big(x: Any): java.math.BigDecimal = x match {
+      case n: java.math.BigDecimal => n
+      case n: BigDecimal => n.bigDecimal
+      case n: Number => new java.math.BigDecimal(n.toString)
+      case other => throw new IllegalArgumentException(
+        s"filesInRange: numeric bound expected, got $other")
+    }
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"not a graft_table: $root"))
+    val st = replayState(root, asOf.getOrElse(latest))
+    val kept = st.files.toSeq.filter { f =>
+      st.fileStats.get(f).flatMap(s => Option(s.get(column))) match {
+        case None => true // conservative
+        case Some(cs) =>
+          val (mn, mx) = (cs.get("min"), cs.get("max"))
+          if (mn.isTextual) { // string order: bounds must be strings
+            val (l, h) = (lo.toString, hi.toString)
+            !(h.compareTo(mn.asText()) < 0 || l.compareTo(mx.asText()) > 0)
+          } else { // exact decimal compare — no double rounding ever
+            // causes a wrong skip on 64-bit extremes
+            val (l, h) = (big(lo), big(hi))
+            !(h.compareTo(mn.decimalValue()) < 0 ||
+              l.compareTo(mx.decimalValue()) > 0)
+          }
+      }
+    }
+    (kept, st.files.toSeq)
+  }
+
+  /** Snapshot read of `column BETWEEN lo AND hi`, scanning ONLY the files
+    * whose logged min/max can match (plus the residual row filter). With
+    * a range/z-order layout most files drop before Spark ever lists them
+    * — the lakehouse pruning that makes OPTIMIZE's layouts pay off. */
+  def readRange(spark: SparkSession, root: String, column: String,
+      lo: Any, hi: Any, asOf: Option[Long] = None): DataFrame = {
+    val s = snapshot(root, asOf)
+    val schema = StructType.fromDDL(s.schemaDdl)
+    val (kept, _) = filesInRange(root, column, lo, hi, asOf)
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+      else spark.read.schema(schema)
+        .parquet(kept.map(f => Paths.get(root).resolve(f).toString): _*)
+    base.where(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
   /** Incremental change feed: the rows ADDED in versions
@@ -343,11 +409,13 @@ object GraftTable {
     n
   }
   private def addAction(path: String, numRecords: Long,
-      dataChange: Boolean = true): ObjectNode = {
+      dataChange: Boolean = true,
+      stats: Option[ObjectNode] = None): ObjectNode = {
     val n = json.createObjectNode()
     val a = n.putObject("add")
     a.put("path", path); a.put("numRecords", numRecords)
     if (!dataChange) a.put("dataChange", false) // layout-only rewrite (OPTIMIZE)
+    stats.foreach(a.set[ObjectNode]("stats", _)) // per-column min/max
     n
   }
   private def removeAction(path: String): ObjectNode = {
@@ -465,23 +533,27 @@ object GraftTable {
         .toSeq.sortBy(_.getFileName.toString)
       finally s.close()
     }
-    // numRecords from the parquet FOOTER (pure metadata IO) — a count job
-    // over the staged output would re-scan everything just written, which
-    // at 100 TB doubles the write cost for a statistic the file already
-    // carries
+    // numRecords AND per-column min/max from the parquet FOOTER (pure
+    // metadata IO) — a count/stats job over the staged output would
+    // re-scan everything just written, which at 100 TB doubles the write
+    // cost for statistics the file already carries. The min/max land in
+    // the add action so `readRange` can skip whole FILES from the log
+    // alone — never opening a footer, the data-skipping half of the
+    // z-order/range layouts.
     val hconf = df.sparkSession.sessionState.newHadoopConf()
-    def footerCount(p: Path): Long = {
+    def footerInfo(p: Path): (Long, Option[ObjectNode]) = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new org.apache.hadoop.fs.Path(p.toUri), hconf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
+      try (r.getRecordCount, footerStats(r.getFooter))
+      finally r.close()
     }
     val adds = parts.zipWithIndex.map { case (p, i) =>
       val rel = s"data/${stamp}_part$i.parquet"
-      val cnt = footerCount(p)
+      val (cnt, stats) = footerInfo(p)
       Files.move(p, Paths.get(root).resolve(rel),
         StandardCopyOption.ATOMIC_MOVE)
-      addAction(rel, cnt, dataChange)
+      addAction(rel, cnt, dataChange, stats)
     }
     // staging dir now holds only _SUCCESS etc. — remove it
     val leftovers = Files.walk(staging)
@@ -489,6 +561,68 @@ object GraftTable {
       .iterator().asScala.foreach(Files.deleteIfExists(_))
     finally leftovers.close()
     adds
+  }
+
+  /** Merge row-group statistics into one per-file {col: {min, max}} node
+    * for TOP-LEVEL primitive columns whose stats order matches Spark's
+    * (signed ints/floats; UTF8 strings — parquet's unsigned-lexicographic
+    * binary order IS UTF8String's byte order). A column missing valid
+    * stats in ANY row group is dropped from the node — conservative: no
+    * stats means no skipping, never a wrong skip. */
+  private def footerStats(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata): Option[ObjectNode] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val blocks = footer.getBlocks.asScala
+    if (blocks.isEmpty) return None
+    val out = json.createObjectNode()
+    footer.getFileMetaData.getSchema.getFields.asScala
+      .filter(_.isPrimitive).map(_.asPrimitiveType).foreach { pt =>
+        val name = pt.getName
+        val perBlock = blocks.map(_.getColumns.asScala
+          .find(c => c.getPath.size() == 1 && c.getPath.toDotString == name))
+        val stats = perBlock.flatten.map(_.getStatistics)
+        val ok = perBlock.forall(_.isDefined) && stats.nonEmpty &&
+          stats.forall(s => s != null && s.hasNonNullValue)
+        if (ok) {
+          val isStr = pt.getLogicalTypeAnnotation != null &&
+            pt.getLogicalTypeAnnotation.isInstanceOf[
+              LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+          pt.getPrimitiveTypeName match {
+            case INT32 =>
+              val mins = stats.map(_.genericGetMin.asInstanceOf[Integer].toLong)
+              val maxs = stats.map(_.genericGetMax.asInstanceOf[Integer].toLong)
+              val o = out.putObject(name)
+              o.put("min", mins.min); o.put("max", maxs.max)
+            case INT64 if pt.getLogicalTypeAnnotation == null ||
+                pt.getLogicalTypeAnnotation.isInstanceOf[
+                  LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+              val mins = stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].toLong)
+              val maxs = stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].toLong)
+              val o = out.putObject(name)
+              o.put("min", mins.min); o.put("max", maxs.max)
+            case DOUBLE =>
+              val mins = stats.map(_.genericGetMin.asInstanceOf[java.lang.Double].toDouble)
+              val maxs = stats.map(_.genericGetMax.asInstanceOf[java.lang.Double].toDouble)
+              val o = out.putObject(name)
+              o.put("min", mins.min); o.put("max", maxs.max)
+            case FLOAT =>
+              val mins = stats.map(_.genericGetMin.asInstanceOf[java.lang.Float].toDouble)
+              val maxs = stats.map(_.genericGetMax.asInstanceOf[java.lang.Float].toDouble)
+              val o = out.putObject(name)
+              o.put("min", mins.min); o.put("max", maxs.max)
+            case BINARY if isStr =>
+              val mins = stats.map(_.genericGetMin.asInstanceOf[
+                org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+              val maxs = stats.map(_.genericGetMax.asInstanceOf[
+                org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+              val o = out.putObject(name)
+              o.put("min", mins.min); o.put("max", maxs.max)
+            case _ => () // timestamps/decimals/etc.: no skip stats (yet)
+          }
+        }
+      }
+    if (out.isEmpty) None else Some(out)
   }
 
   private def requireSchemaMatch(df: DataFrame, snap: Snapshot, root: String): Unit = {

@@ -501,6 +501,37 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.appendOnlySince(root, 3L, 5L) shouldBe true
   }
 
+  test("file skipping: logged min/max prune files with no footer opened") {
+    import org.apache.spark.sql.functions.{concat, lit => flit, lpad}
+    val root = freshRoot("skip")
+    val df = spark.range(0, 1000).select($"id",
+      concat(flit("u"), lpad($"id".cast("string"), 4, "0")).as("s"))
+    // 4 range-partitioned files -> disjoint id spans per file
+    GraftTable.write(spark, df.repartitionByRange(4, $"id"), root, "overwrite")
+    val (kept, all) = GraftTable.filesInRange(root, "id", 100, 120)
+    all should have size 4
+    kept should have size 1
+    // readRange scans ONLY the surviving file and still answers exactly
+    val out = GraftTable.readRange(spark, root, "id", 100L, 120L)
+    out.count() shouldBe 21L
+    out.inputFiles should have size 1
+    // string stats skip too (parquet binary order == UTF8String order)
+    GraftTable.filesInRange(root, "s", "u0100", "u0120")._1 should have size 1
+    // stats ride the checkpoint seal: pruning survives truncation
+    GraftTable.write(spark,
+      spark.range(2000, 2010).select($"id",
+        concat(flit("u"), lpad($"id".cast("string"), 4, "0")).as("s"))
+        .coalesce(1),
+      root, "append")
+    GraftTable.truncateHistory(root, 1L)
+    val (kept2, all2) = GraftTable.filesInRange(root, "id", 100, 120)
+    all2 should have size 5
+    kept2 should have size 1
+    GraftTable.readRange(spark, root, "id", 100L, 120L).count() shouldBe 21L
+    // an unknown-stats column keeps every file (never a wrong skip)
+    GraftTable.filesInRange(root, "nope", 0, 1)._1 should have size 5
+  }
+
   test("materialized view: incremental refresh == full recompute, exactly-once cursor") {
     import graft.tables.MaterializedView
     import graft.tables.MaterializedView.AggSpec
