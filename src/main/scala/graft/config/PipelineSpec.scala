@@ -513,6 +513,16 @@ object PipelineSpec {
         s.options.contains("changesFrom")),
         s"$at: versionAsOf (snapshot) and changesFrom (change feed) are " +
           "mutually exclusive")
+      // rangeCol/rangeLo/rangeHi: log-level file skipping on a snapshot
+      // read — all three together, and never on a change feed (the feed
+      // reads version deltas, not the pruned live set)
+      val rangeKeys = Seq("rangeCol", "rangeLo", "rangeHi")
+        .filter(s.options.contains)
+      require(rangeKeys.isEmpty || rangeKeys.size == 3,
+        s"$at: range pruning needs all of rangeCol, rangeLo, rangeHi — " +
+          s"got [${rangeKeys.mkString(", ")}]")
+      require(rangeKeys.isEmpty || !s.options.contains("changesFrom"),
+        s"$at: rangeCol applies to snapshot reads, not the change feed")
     }
     if (fmt == "binaryfile") {
       // whole-blob ingest: the connector's record schema is fixed (path,

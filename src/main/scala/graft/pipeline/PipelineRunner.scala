@@ -481,10 +481,22 @@ object PipelineRunner {
         // comes from the log (parse-time validation rejected a declared
         // one). changesFrom composes with `incremental` on the
         // _commit_version column for cross-run catch-up.
-        s.options.get("changesFrom") match {
-          case Some(cf) => graft.tables.GraftTable.changes(spark, path,
+        // rangeCol+rangeLo+rangeHi: log-level file skipping — only files
+        // whose logged min/max can hold a matching row are ever listed
+        // (readRange also applies the residual row filter)
+        (s.options.get("changesFrom"), s.options.get("rangeCol")) match {
+          case (Some(cf), _) => graft.tables.GraftTable.changes(spark, path,
             cf.toLong, s.options.get("changesTo").map(_.toLong))
-          case None => graft.tables.GraftTable.read(spark, path,
+          case (None, Some(rc)) =>
+            def bound(k: String): Any = {
+              val v = s.options(k)
+              scala.util.Try(v.toLong).getOrElse(
+                scala.util.Try(v.toDouble).getOrElse(v: Any))
+            }
+            graft.tables.GraftTable.readRange(spark, path, rc,
+              bound("rangeLo"), bound("rangeHi"),
+              s.options.get("versionAsOf").map(_.toLong))
+          case _ => graft.tables.GraftTable.read(spark, path,
             s.options.get("versionAsOf").map(_.toLong))
         }
       case "jdbc" => // §2.A5: options pass through verbatim — url/dbtable/

@@ -1367,8 +1367,41 @@ object Sources extends QueryPack {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** EP25 — log-level file skipping through the config surface: the
+    * table is OPTIMIZE'd into a z-ordered layout (each file a small
+    * square of the (o_orderkey, o_totalprice) grid), its add actions
+    * carry footer min/max, and the `rangeCol` source options prune files
+    * from the LOG alone — no footer opened, no listing — before the
+    * residual row filter. The oracle replays the plain WHERE; the
+    * pruning itself is pinned in GraftTableSpec (candidate-file counts)
+    * and the layout bounds in ZOrderSpec. */
+  val ep25: QueryDef = m(
+    "ep25_graft_skipping",
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 4000 AND 6000
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import graft.tables.GraftTable
+    val root = s"$ioDir/skip_q"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(rootPath, true)
+    GraftTable.write(spark,
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice")),
+      root, "overwrite")
+    GraftTable.optimize(spark, root, targetFiles = 16,
+      zorderBy = Seq("o_orderkey", "o_totalprice"))
+    PipelineRunner.run(spark,
+      s"""name: ep25_skip
+         |source: {format: graft_table, path: "$root",
+         |  options: {rangeCol: o_orderkey, rangeLo: "4000", rangeHi: "6000"}}
+         |transforms:
+         |  - {op: sort, cols: [o_orderkey]}
+         |""".stripMargin).passed
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a3c, a4, a4b, a4c, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3,
       ep3b, ep4, ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13,
-      ep14, ep15, ep16, ep17, ep18, ep19, ep20, ep21, ep22, ep23, ep24)
+      ep14, ep15, ep16, ep17, ep18, ep19, ep20, ep21, ep22, ep23, ep24, ep25)
 }

@@ -530,6 +530,25 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.readRange(spark, root, "id", 100L, 120L).count() shouldBe 21L
     // an unknown-stats column keeps every file (never a wrong skip)
     GraftTable.filesInRange(root, "nope", 0, 1)._1 should have size 5
+    // config surface: the pruned read answers like the plain read
+    PipelineRunner.run(spark,
+      s"""name: skip_cfg
+         |source: {format: graft_table, path: "$root",
+         |  options: {rangeCol: id, rangeLo: "100", rangeHi: "120"}}
+         |transforms: []
+         |""".stripMargin).passed.count() shouldBe 21L
+    // parse guards: partial range spec, range on a change feed
+    intercept[IllegalArgumentException](graft.config.PipelineSpec.parse(
+      s"""name: bad
+         |source: {format: graft_table, path: "$root", options: {rangeCol: id}}
+         |transforms: []
+         |""".stripMargin)).getMessage should include("rangeLo")
+    intercept[IllegalArgumentException](graft.config.PipelineSpec.parse(
+      s"""name: bad2
+         |source: {format: graft_table, path: "$root",
+         |  options: {rangeCol: id, rangeLo: "1", rangeHi: "2", changesFrom: "1"}}
+         |transforms: []
+         |""".stripMargin)).getMessage should include("snapshot reads")
   }
 
   test("materialized view: incremental refresh == full recompute, exactly-once cursor") {
