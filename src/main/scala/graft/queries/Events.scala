@@ -191,5 +191,43 @@ object Events extends QueryPack {
       .orderBy("src", "dst")
   }
 
-  def defs: Seq[QueryDef] = Seq(ev1, ev2, ev3, ev4)
+  /** ev5 — time-series gap fill (dimension densification): per-user
+    * daily counts with missing days ZERO-FILLED across each user's own
+    * active span — the resample step reporting and feature pipelines
+    * need before any rolling computation. The day dimension comes from
+    * `sequence()` per user (bounded by the span, never a global
+    * calendar cross join); the left join back runs at user-day
+    * granularity. */
+  val ev5: QueryDef = m(
+    "ev5_gapfill",
+    """WITH a AS (
+      |  SELECT user_id,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+      |    count(*) AS n
+      |  FROM events GROUP BY user_id, d
+      |), span AS (
+      |  SELECT user_id, min(d) AS lo, max(d) AS hi FROM a GROUP BY user_id
+      |), days AS (
+      |  SELECT user_id, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+      |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+      |  FROM span
+      |)
+      |SELECT days.user_id, days.d, COALESCE(a.n, 0) AS n
+      |FROM days LEFT JOIN a ON days.user_id = a.user_id AND days.d = a.d
+      |ORDER BY days.user_id, days.d""".stripMargin) { (spark, dir) =>
+    val a = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_trunc("day", col("event_ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val days = a.groupBy("user_id")
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"))).as("d"))
+    days.join(a, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("user_id"), col("d"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(ev1, ev2, ev3, ev4, ev5)
 }
