@@ -372,6 +372,81 @@ object Tpch extends QueryPack {
       .agg((money(sum(dec2(col("l_extendedprice")))) / 7.0).as("avg_yearly"))
   }
 
+  /** TPC-H Q19 (adapted: p_container/l_shipmode absent — the brand/size/
+    * quantity disjunction carries the shape) — discounted revenue under
+    * an OR of cross-table conjunctions. The plan shape this pins: the
+    * disjunction references BOTH sides, so no single branch pushes
+    * whole; Catalyst's CNF conversion still extracts the per-side
+    * residue (p_brand IN ... on the part scan) and the join itself stays
+    * an equi-join, never a cartesian with a post-filter. */
+  val tq19: QueryDef = m(
+    "tq19_disjunctive_revenue",
+    s"""SELECT ${oMoney(s"SUM($rev)")} AS revenue
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       |       AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       |       AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin) { (spark, dir) =>
+    def arm(brand: String, szHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand && col("p_size").between(1, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .where(arm("Brand#12", 5, 1, 11) || arm("Brand#23", 10, 10, 20) ||
+        arm("Brand#34", 15, 20, 30))
+      .agg(money(sum(revC)).as("revenue"))
+  }
+
+  /** TPC-H Q22 (adapted: c_phone absent — the country code is the last
+    * two digits of c_name, same two-char-prefix algebra; and the driver's
+    * generator gives EVERY customer orders, so the "no orders" arm
+    * becomes "no single large order" — the anti-join shape is identical,
+    * its probe side just filtered) — customers above the positive-balance
+    * average without a 400k+ order. The shapes this pins: a scalar
+    * aggregate as a broadcast single-row cross join (both engines divide
+    * the SAME exact decimal sum by the same count — the cut lands
+    * identically), and NOT EXISTS as a left-anti join, never a
+    * driver-side list. */
+  val tq22: QueryDef = m(
+    "tq22_sales_opportunity",
+    s"""WITH cust AS (
+       |  SELECT substring(c_name, 17, 2) AS code, c_custkey, c_acctbal
+       |  FROM customer
+       |  WHERE substring(c_name, 17, 2) IN ('06','09','12','18','23','31','55')
+       |), a AS (
+       |  SELECT ${oMoney("SUM(CAST(c_acctbal AS DECIMAL(12,2)))")} AS s,
+       |    COUNT(*) AS c
+       |  FROM cust WHERE c_acctbal > 0.0
+       |)
+       |SELECT code, COUNT(*) AS numcust,
+       |  ${oMoney("SUM(CAST(c_acctbal AS DECIMAL(12,2)))")} AS totacctbal
+       |FROM cust, a
+       |WHERE c_acctbal > s / c
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey
+       |                    AND o_totalprice > 400000.0)
+       |GROUP BY code ORDER BY code""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.broadcast
+    val cust = Tables.customer(spark, dir)
+      .withColumn("code", substring(col("c_name"), 17, 2))
+      .where(col("code").isin("06", "09", "12", "18", "23", "31", "55"))
+    val cut = cust.where(col("c_acctbal") > 0.0)
+      .agg(money(sum(dec2(col("c_acctbal")))).as("s"),
+        count(lit(1)).as("c"))
+    cust.crossJoin(broadcast(cut))
+      .where(col("c_acctbal") > col("s") / col("c"))
+      .join(Tables.orders(spark, dir)
+        .where(col("o_totalprice") > 400000.0).select(col("o_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy(col("code"))
+      .agg(count(lit(1)).as("numcust"),
+        money(sum(dec2(col("c_acctbal")))).as("totacctbal"))
+      .orderBy(col("code"))
+  }
+
   override def defs: Seq[QueryDef] =
-    Seq(tq3, tq5, tq6, tq7, tq8, tq10, tq13, tq14, tq15, tq17, tq18)
+    Seq(tq3, tq5, tq6, tq7, tq8, tq10, tq13, tq14, tq15, tq17, tq18,
+      tq19, tq22)
 }
