@@ -470,6 +470,26 @@ class PlanSpec extends SparkSpecBase {
     plan(Tpch.tq5.build(spark, sf)) should include("BroadcastHashJoin")
   }
 
+  test("tq19/tq22: disjunctive join stays equi; scalar cut broadcasts; anti-join, no IN-list") {
+    val p19 = plan(Tpch.tq19.build(spark, sf))
+    withClue(p19) {
+      // the cross-table OR must NOT degrade the equi-join to a cartesian
+      p19 should not include "CartesianProduct"
+      p19 should not include "BroadcastNestedLoopJoin"
+      // CNF extraction: each side's disjunctive residue reaches ITS scan
+      // as a pushed filter even though no single OR-arm pushes whole
+      p19 should include regex "PushedFilters: \\[[^\\n]*p_brand"
+      p19 should include regex "PushedFilters: \\[[^\\n]*l_quantity"
+    }
+    val p22 = plan(Tpch.tq22.build(spark, sf))
+    withClue(p22) {
+      p22 should include("LeftAnti") // NOT EXISTS, never a driver IN-list
+      p22 should include("BroadcastExchange") // the single-row scalar cut
+      // the probe-side filter prunes orders before the anti join
+      p22 should include regex "PushedFilters: \\[[^\\n]*o_totalprice"
+    }
+  }
+
   test("ev1: both session windows AND the rollup share one user_id exchange") {
     val p = plan(Events.ev1.build(spark, sf))
     withClue(p) {
