@@ -212,6 +212,21 @@ object GraftTable {
     (1L to upToInclusive).foreach(v => Files.deleteIfExists(verFile(root, v)))
   }
 
+  /** Age-based retention: truncate at the newest version whose log file
+    * landed before `cutoffMillis` (commit time ≈ the log's mtime — the
+    * same proxy Delta's retention uses). The LATEST version always
+    * survives. Returns the truncation point, if any version qualified. */
+  def truncateOlderThan(root: String, cutoffMillis: Long): Option[Long] = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"not a graft_table: $root"))
+    val cut = (1L until latest).filter { v =>
+      val f = verFile(root, v)
+      Files.exists(f) && Files.getLastModifiedTime(f).toMillis < cutoffMillis
+    }.maxOption
+    cut.foreach(truncateHistory(root, _))
+    cut
+  }
+
   /** Replay logs 1..asOf (default: latest) — from the nearest checkpoint
     * when one exists. Files come back in first-add order; removes drop
     * them. */

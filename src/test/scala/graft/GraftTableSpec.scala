@@ -499,6 +499,17 @@ class GraftTableSpec extends SparkSpecBase {
     // fall back to a full recompute instead of silently double-counting
     GraftTable.appendOnlySince(root, 1L, 5L) shouldBe false
     GraftTable.appendOnlySince(root, 3L, 5L) shouldBe true
+
+    // age-based retention: backdate v4's log, cutoff now → truncates at 4
+    // (latest v5 always survives), and the table still reads correctly
+    import java.nio.file.attribute.FileTime
+    Files.setLastModifiedTime(
+      Paths.get(root, "_graft_log", f"${4L}%020d.json"),
+      FileTime.fromMillis(1700000000000L))
+    GraftTable.truncateOlderThan(root, System.currentTimeMillis())
+      .shouldBe(Some(4L))
+    GraftTable.read(spark, root).count() shouldBe 5L
+    Files.exists(Paths.get(root, "_graft_log", f"${5L}%020d.json")) shouldBe true
   }
 
   test("file skipping: logged min/max prune files with no footer opened") {
@@ -599,6 +610,42 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.write(spark, Seq(("b", 0L)).toDF("k", "v"), base, "append")
     MaterializedView.refresh(spark, base, mv, keys, aggs)
     mvRows() shouldBe recompute()
+  }
+
+  test("materialized view: refresh == recompute under randomized op sequences") {
+    import graft.tables.MaterializedView
+    import graft.tables.MaterializedView.AggSpec
+    val aggs = Seq(AggSpec("count", "v", "n"), AggSpec("sum", "v", "sum_v"),
+      AggSpec("min", "v", "min_v"), AggSpec("max", "v", "max_v"))
+    // ops: 0=append new keys, 1=merge-upsert an existing key (forces the
+    // full-recompute path on the next refresh), 2=optimize (layout-only,
+    // must NOT break incrementality), 3=refresh mid-sequence
+    forSamples(org.scalacheck.Gen.listOfN(6,
+      org.scalacheck.Gen.chooseNum(0, 3)), n = 4) { ops =>
+      val tag = Math.abs(ops.hashCode()).toString
+      val base = freshRoot(s"mvp_b$tag"); val mv = freshRoot(s"mvp_m$tag")
+      var next = 100L
+      def rows(n: Int) = {
+        val r = (0 until n).map(i => (s"k${(next + i) % 7}", next + i))
+        next += n; r.toDF("k", "v")
+      }
+      GraftTable.write(spark, rows(5), base, "overwrite")
+      ops.foreach {
+        case 0 => GraftTable.write(spark, rows(3), base, "append")
+        case 1 => GraftTable.merge(spark, base,
+          Seq((s"k${next % 7}", next * 10)).toDF("k", "v"), Seq("k"))
+        case 2 => GraftTable.optimize(spark, base, targetFiles = 1)
+        case 3 => MaterializedView.refresh(spark, base, mv, Seq("k"), aggs)
+      }
+      MaterializedView.refresh(spark, base, mv, Seq("k"), aggs)
+      val got = GraftTable.read(spark, mv).orderBy($"k")
+        .collect().map(_.toSeq).toSeq
+      val want = GraftTable.read(spark, base).groupBy($"k")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sum_v"),
+          min($"v").as("min_v"), max($"v").as("max_v"))
+        .orderBy($"k").collect().map(_.toSeq).toSeq
+      got shouldBe want
+    }
   }
 
   test("streaming graft_table sink honors evolve: add_nulls per micro-batch") {
