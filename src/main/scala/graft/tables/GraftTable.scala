@@ -265,6 +265,9 @@ object GraftTable {
       case n: java.math.BigDecimal => n
       case n: BigDecimal => n.bigDecimal
       case n: Number => new java.math.BigDecimal(n.toString)
+      case s: String => // a timestamp bound against INT64-micros stats:
+        // parse naive "yyyy-MM-dd[ HH:mm:ss[.SSSSSS]]" to epoch micros
+        new java.math.BigDecimal(tsMicros(s))
       case other => throw new IllegalArgumentException(
         s"filesInRange: numeric bound expected, got $other")
     }
@@ -290,10 +293,21 @@ object GraftTable {
     (kept, st.files.toSeq)
   }
 
+  /** Naive timestamp string → epoch micros (date-only allowed). */
+  private def tsMicros(s: String): Long = {
+    val t = if (s.contains(" ") || s.contains("T"))
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+    else java.time.LocalDate.parse(s).atStartOfDay()
+    t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+  }
+
   /** Snapshot read of `column BETWEEN lo AND hi`, scanning ONLY the files
     * whose logged min/max can match (plus the residual row filter). With
     * a range/z-order layout most files drop before Spark ever lists them
-    * — the lakehouse pruning that makes OPTIMIZE's layouts pay off. */
+    * — the lakehouse pruning that makes OPTIMIZE's layouts pay off.
+    * Timestamp columns take string bounds ("2024-01-05 00:00:00"); the
+    * stats compare in epoch micros and the row filter casts to the
+    * column's own type. */
   def readRange(spark: SparkSession, root: String, column: String,
       lo: Any, hi: Any, asOf: Option[Long] = None): DataFrame = {
     val s = snapshot(root, asOf)
@@ -304,7 +318,8 @@ object GraftTable {
         spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
       else spark.read.schema(schema)
         .parquet(kept.map(f => Paths.get(root).resolve(f).toString): _*)
-    base.where(col(column) >= lit(lo) && col(column) <= lit(hi))
+    val dt = schema(column).dataType
+    base.where(col(column) >= lit(lo).cast(dt) && col(column) <= lit(hi).cast(dt))
   }
 
   /** Incremental change feed: the rows ADDED in versions
@@ -611,7 +626,15 @@ object GraftTable {
               o.put("min", mins.min); o.put("max", maxs.max)
             case INT64 if pt.getLogicalTypeAnnotation == null ||
                 pt.getLogicalTypeAnnotation.isInstanceOf[
-                  LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+                  LogicalTypeAnnotation.IntLogicalTypeAnnotation] ||
+                (pt.getLogicalTypeAnnotation.isInstanceOf[
+                   LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] &&
+                 pt.getLogicalTypeAnnotation.asInstanceOf[
+                   LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+                   .getUnit == LogicalTypeAnnotation.TimeUnit.MICROS) =>
+              // plain longs, and Spark's timestamps (INT64 epoch-MICROS —
+              // the log stores the raw micros; readers interpret via the
+              // table schema)
               val mins = stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].toLong)
               val maxs = stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].toLong)
               val o = out.putObject(name)

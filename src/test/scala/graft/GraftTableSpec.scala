@@ -541,6 +541,19 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.readRange(spark, root, "id", 100L, 120L).count() shouldBe 21L
     // an unknown-stats column keeps every file (never a wrong skip)
     GraftTable.filesInRange(root, "nope", 0, 1)._1 should have size 5
+    // timestamp stats: INT64-micros min/max in the log, string bounds
+    val troot = freshRoot("skip_ts")
+    val tdf = spark.range(0, 96).select($"id",
+      org.apache.spark.sql.functions.expr(
+        "timestampadd(HOUR, CAST(id AS INT), TIMESTAMP_NTZ '2024-01-01 00:00:00')")
+        .as("event_ts"))
+    GraftTable.write(spark, tdf.repartitionByRange(4, $"event_ts"), troot, "overwrite")
+    val (tk, ta) = GraftTable.filesInRange(troot, "event_ts",
+      "2024-01-02 00:00:00", "2024-01-02 06:00:00")
+    ta should have size 4
+    tk should have size 1
+    GraftTable.readRange(spark, troot, "event_ts",
+      "2024-01-02 00:00:00", "2024-01-02 06:00:00").count() shouldBe 7L
     // config surface: the pruned read answers like the plain read
     PipelineRunner.run(spark,
       s"""name: skip_cfg
