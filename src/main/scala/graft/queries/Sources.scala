@@ -1400,8 +1400,55 @@ object Sources extends QueryPack {
          |""".stripMargin).passed
   }
 
+  /** EP26 — version-to-version CDC by COMPOSITION: the `diff` transform
+    * over two time-traveled reads of ONE graft_table (versionAsOf 1 vs
+    * 3). This recovers a full insert/update/delete change stream between
+    * any two versions — something the append-only change feed (ep22)
+    * deliberately does not offer — from pieces that already exist: time
+    * travel + the snapshot-diff join. One full-outer shuffle on the key;
+    * at 100 TB you diff the two snapshots you actually need, not the log. */
+  val ep26: QueryDef = m(
+    "ep26_config_version_diff",
+    """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+      |SELECT * FROM (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+      |    'update' AS change FROM o WHERE o_orderkey % 100 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice,
+      |    'insert' FROM o WHERE o_orderkey % 100 = 50
+      |  UNION ALL
+      |  SELECT o_orderkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+      |    'delete' FROM o WHERE o_orderkey % 100 = 1)
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import graft.tables.GraftTable
+    val root = s"$ioDir/vdiff_q"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(rootPath, true)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    GraftTable.write(spark, o, root, "overwrite")                       // v1
+    val changes = o.where(col("o_orderkey") % 100 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(o.where(col("o_orderkey") % 100 === 50)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+    GraftTable.merge(spark, root, changes, Seq("o_orderkey"))           // v2
+    GraftTable.merge(spark, root,
+      o.where(col("o_orderkey") % 100 === 1), Seq("o_orderkey"), "delete") // v3
+    PipelineRunner.run(spark,
+      s"""name: ep26_vdiff
+         |source: {format: graft_table, path: "$root", options: {versionAsOf: "1"}}
+         |transforms:
+         |  - op: diff
+         |    on: [o_orderkey]
+         |    table: {format: graft_table, path: "$root", options: {versionAsOf: "3"}}
+         |  - {op: sort, cols: [o_orderkey]}
+         |""".stripMargin).passed
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a3c, a4, a4b, a4c, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3,
       ep3b, ep4, ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13,
-      ep14, ep15, ep16, ep17, ep18, ep19, ep20, ep21, ep22, ep23, ep24, ep25)
+      ep14, ep15, ep16, ep17, ep18, ep19, ep20, ep21, ep22, ep23, ep24, ep25,
+      ep26)
 }
