@@ -1574,7 +1574,8 @@ object PipelineRunner {
           val on = s.options("on").split(",").map(_.trim).filter(_.nonEmpty).toSeq
           val how = if (s.mode == "merge")
             s.options.getOrElse("how", "upsert") else "delete"
-          graft.tables.GraftTable.merge(df.sparkSession, s.path, df, on, how)
+          graft.tables.GraftTable.merge(df.sparkSession, s.path, df, on, how,
+            condition = s.options.get("condition"))
         case "append" if s.evolve.contains("add_nulls") =>
           graft.tables.GraftTable.writeEvolve(df.sparkSession, df, s.path)
         case m => graft.tables.GraftTable.write(df.sparkSession, df, s.path, m)

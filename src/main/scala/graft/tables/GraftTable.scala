@@ -784,10 +784,15 @@ object GraftTable {
     * Callers re-run the whole merge against the fresh snapshot. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
             on: Seq[String], how: String = "upsert",
-            txn: Option[(String, Long)] = None): Long = {
+            txn: Option[(String, Long)] = None,
+            condition: Option[String] = None): Long = {
     require(on.nonEmpty, "graft_table merge needs `on` key columns")
     require(Set("upsert", "delete")(how),
       s"graft_table merge: how must be upsert|delete, got '$how'")
+    require(condition.isEmpty || how == "upsert",
+      "graft_table merge: `condition` applies to upsert (WHEN MATCHED AND " +
+        "cond THEN UPDATE) — a conditional delete is a filter on the " +
+        "delete set itself")
     val snap = snapshot(root)
     if (how == "upsert") {
       requireSchemaMatch(updates, snap, root)
@@ -807,16 +812,35 @@ object GraftTable {
       .collect().map(_.getString(0)).toSet
     val touchedRel = snap.files.filter(rel =>
       touchedAbs.exists(_.endsWith("/" + Paths.get(rel).getFileName.toString)))
-    val rewritten =
+    val touchedRows =
       if (touchedRel.isEmpty)
         spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
       else base
         .where(col("__file").isin(touchedAbs.toSeq: _*))
-        .join(broadcast(keys), on, "left_anti")
         .drop("__file")
-    val newData = how match {
-      case "upsert" => rewritten.unionByName(updates)
-      case "delete" => rewritten
+    val rewritten = touchedRows.join(broadcast(keys), on, "left_anti")
+    val newData = (how, condition) match {
+      case ("delete", _) => rewritten
+      case ("upsert", None) => rewritten.unionByName(updates)
+      case ("upsert", Some(cond)) =>
+        // WHEN MATCHED AND cond THEN UPDATE, WHEN NOT MATCHED THEN INSERT
+        // (the last-writer-wins / newer-timestamp CDC clause): matched
+        // pairs judge `cond` over `t.`-(target) and `s.`-(source)
+        // prefixed columns — source replaces the row iff cond holds,
+        // stale sources are DROPPED, unmatched sources insert. All three
+        // joins run over the touched subset only.
+        val t = touchedRows.as("t"); val s = updates.as("s")
+        val onExpr = on.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+        val pairs = t.join(s, onExpr, "inner")
+        val tCols = schema.fields.toSeq.map(f => col(s"t.${f.name}").as(f.name))
+        val sCols = schema.fields.toSeq.map(f => col(s"s.${f.name}").as(f.name))
+        val srcWins = pairs.where(expr(cond)).select(sCols: _*)
+        val tgtWins = pairs.where(!coalesce(expr(cond), lit(false)))
+          .select(tCols: _*)
+        val inserts = s.join(t.select(on.map(k => col(s"t.$k").as(k)): _*),
+          on, "left_anti").select(schema.fields.toSeq.map(f => col(f.name)): _*)
+        rewritten.unionByName(srcWins).unionByName(tgtWins)
+          .unionByName(inserts)
     }
     val adds = stageDataFiles(newData, root)
     commit(root, snap.version, txn.map(t => txnAction(t._1, t._2)).toSeq ++

@@ -625,6 +625,51 @@ class GraftTableSpec extends SparkSpecBase {
     mvRows() shouldBe recompute()
   }
 
+  test("conditional merge: WHEN MATCHED AND cond THEN UPDATE (last-writer-wins)") {
+    val root = freshRoot("cmerge")
+    GraftTable.write(spark,
+      Seq(("a", 1L, 10L), ("b", 5L, 20L), ("c", 3L, 30L))
+        .toDF("k", "ver", "v"), root, "overwrite")
+    // source: a newer (wins), b staler (dropped — target survives),
+    // d unmatched (inserts)
+    GraftTable.merge(spark, root,
+      Seq(("a", 2L, 11L), ("b", 4L, 21L), ("d", 1L, 40L))
+        .toDF("k", "ver", "v"),
+      Seq("k"), condition = Some("s.ver > t.ver"))
+    GraftTable.read(spark, root).orderBy($"k")
+      .as[(String, Long, Long)].collect() shouldBe Array(
+      ("a", 2L, 11L), ("b", 5L, 20L), ("c", 3L, 30L), ("d", 1L, 40L))
+    // rerun-idempotent: replaying the SAME change set changes nothing
+    // (a's ver is no longer greater, b still stale, d now matches-stale)
+    GraftTable.merge(spark, root,
+      Seq(("a", 2L, 11L), ("b", 4L, 21L), ("d", 1L, 40L))
+        .toDF("k", "ver", "v"),
+      Seq("k"), condition = Some("s.ver > t.ver"))
+    GraftTable.read(spark, root).count() shouldBe 4L
+    GraftTable.read(spark, root).where($"k" === "a").head.getLong(2) shouldBe 11L
+    // a NULL condition keeps the target (SQL MERGE's unknown = no update)
+    GraftTable.merge(spark, root,
+      Seq(("a", 99L, 99L)).toDF("k", "ver", "v"),
+      Seq("k"), condition = Some("CAST(NULL AS BOOLEAN)"))
+    GraftTable.read(spark, root).where($"k" === "a").head.getLong(2) shouldBe 11L
+    // condition on delete is rejected
+    intercept[IllegalArgumentException](GraftTable.merge(spark, root,
+      Seq(("a", 1L, 1L)).toDF("k", "ver", "v"), Seq("k"), "delete",
+      condition = Some("s.ver > t.ver")))
+      .getMessage should include("upsert")
+    // config surface: options.condition rides the merge sink
+    Seq(("a", 100L, 12L)).toDF("k", "ver", "v")
+      .write.mode("overwrite").parquet(s"$root/../cmerge_src")
+    PipelineRunner.run(spark,
+      s"""name: cmerge_cfg
+         |source: {format: parquet, path: "$root/../cmerge_src"}
+         |transforms: []
+         |sink: {format: graft_table, path: "$root", mode: merge,
+         |  options: {on: "k", condition: "s.ver > t.ver"}}
+         |""".stripMargin)
+    GraftTable.read(spark, root).where($"k" === "a").head.getLong(2) shouldBe 12L
+  }
+
   test("materialized view: refresh == recompute under randomized op sequences") {
     import graft.tables.MaterializedView
     import graft.tables.MaterializedView.AggSpec
