@@ -1446,9 +1446,44 @@ object Sources extends QueryPack {
          |""".stripMargin).passed
   }
 
+  /** EP27 — conditional MERGE through the config surface: the change set
+    * doubles even keys' price and halves odd keys', but the
+    * `s.o_totalprice > t.o_totalprice` clause lets only the RAISES
+    * through — the lakehouse last-writer-wins CDC pattern (stale source
+    * rows drop, the target survives). Oracle replays the election. */
+  val ep27: QueryDef = m(
+    "ep27_config_cdc_upsert",
+    """SELECT o_orderkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import graft.tables.GraftTable
+    val root = s"$ioDir/cdc_q"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(rootPath, true)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    GraftTable.write(spark, o, root, "overwrite")
+    o.withColumn("o_totalprice",
+      when(col("o_orderkey") % 2 === 0, col("o_totalprice") * 2)
+        .otherwise(col("o_totalprice") * 0.5))
+      .write.mode("overwrite").parquet(s"$ioDir/cdc_changes")
+    PipelineRunner.run(spark,
+      s"""name: ep27_cdc
+         |source: {format: parquet, path: "$ioDir/cdc_changes"}
+         |transforms: []
+         |sink: {format: graft_table, path: "$root", mode: merge,
+         |  options: {on: "o_orderkey",
+         |            condition: "s.o_totalprice > t.o_totalprice"}}
+         |""".stripMargin)
+    GraftTable.read(spark, root).orderBy(col("o_orderkey"))
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a3c, a4, a4b, a4c, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3,
       ep3b, ep4, ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13,
       ep14, ep15, ep16, ep17, ep18, ep19, ep20, ep21, ep22, ep23, ep24, ep25,
-      ep26)
+      ep26, ep27)
 }
