@@ -103,6 +103,7 @@ object GraftTable {
     val files = scala.collection.mutable.LinkedHashSet.empty[String]
     val fileStats = scala.collection.mutable.LinkedHashMap
       .empty[String, com.fasterxml.jackson.databind.JsonNode]
+    val fileCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var schemaDdl = ""
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def applyLine(n: com.fasterxml.jackson.databind.JsonNode): Unit =
@@ -110,10 +111,11 @@ object GraftTable {
       else if (n.has("add")) {
         val a = n.get("add"); val p = a.get("path").asText()
         files += p
+        fileCounts(p) = a.get("numRecords").asLong()
         if (a.has("stats")) fileStats(p) = a.get("stats")
       } else if (n.has("remove")) {
         val p = n.get("remove").get("path").asText()
-        files -= p; fileStats -= p
+        files -= p; fileStats -= p; fileCounts -= p
       } else if (n.has("txn")) {
         val t = n.get("txn"); val app = t.get("appId").asText()
         val b = t.get("batchId").asLong()
@@ -148,6 +150,10 @@ object GraftTable {
       if (n.has("fileStats")) {
         val fs = n.get("fileStats")
         fs.fieldNames().asScala.foreach(p => st.fileStats(p) = fs.get(p))
+      }
+      if (n.has("fileCounts")) {
+        val fc = n.get("fileCounts")
+        fc.fieldNames().asScala.foreach(p => st.fileCounts(p) = fc.get(p).asLong())
       }
       val t = n.get("txns")
       t.fieldNames().asScala.foreach(app => st.txns(app) = t.get(app).asLong())
@@ -186,6 +192,8 @@ object GraftTable {
     val fa = n.putArray("files"); st.files.foreach(fa.add)
     val fs = n.putObject("fileStats")
     st.fileStats.foreach { case (p, s) => fs.set[ObjectNode](p, s) }
+    val fc = n.putObject("fileCounts")
+    st.fileCounts.foreach { case (p, c) => fc.put(p, c) }
     val ta = n.putObject("txns"); st.txns.foreach { case (k, b) => ta.put(k, b) }
     val tmp = Files.createTempFile(logDir(root), ".ckpt", ".tmp")
     Files.writeString(tmp, json.writeValueAsString(n))
@@ -291,6 +299,40 @@ object GraftTable {
       }
     }
     (kept, st.files.toSeq)
+  }
+
+  /** Metadata-only COUNT(*): the sum of live files' logged numRecords —
+    * zero data IO at any scale (every add action carries its footer
+    * count; merges re-log rewritten files with fresh counts). */
+  def rowCount(root: String, asOf: Option[Long] = None): Long = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"not a graft_table: $root"))
+    val v = asOf.getOrElse(latest)
+    val st = replayState(root, v)
+    st.files.iterator.map(f => st.fileCounts.getOrElse(f, 0L)).sum
+  }
+
+  /** Metadata-only MIN/MAX of a column across the live files' logged
+    * stats — None when any live file lacks stats for it (a partial
+    * answer would be silently wrong). Zero data IO. */
+  def columnRange(root: String, column: String,
+      asOf: Option[Long] = None): Option[(Any, Any)] = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"not a graft_table: $root"))
+    val st = replayState(root, asOf.getOrElse(latest))
+    val per = st.files.toSeq.map(f =>
+      st.fileStats.get(f).flatMap(s => Option(s.get(column))))
+    if (per.isEmpty || per.exists(_.isEmpty)) return None
+    val nodes = per.flatten
+    if (nodes.head.get("min").isTextual) {
+      val mins = nodes.map(_.get("min").asText())
+      val maxs = nodes.map(_.get("max").asText())
+      Some((mins.min, maxs.max))
+    } else {
+      val mins = nodes.map(_.get("min").decimalValue())
+      val maxs = nodes.map(_.get("max").decimalValue())
+      Some((mins.min, maxs.max))
+    }
   }
 
   /** Naive timestamp string → epoch micros (date-only allowed). */
@@ -578,12 +620,15 @@ object GraftTable {
       try (r.getRecordCount, footerStats(r.getFooter))
       finally r.close()
     }
-    val adds = parts.zipWithIndex.map { case (p, i) =>
+    val adds = parts.zipWithIndex.flatMap { case (p, i) =>
       val rel = s"data/${stamp}_part$i.parquet"
       val (cnt, stats) = footerInfo(p)
-      Files.move(p, Paths.get(root).resolve(rel),
-        StandardCopyOption.ATOMIC_MOVE)
-      addAction(rel, cnt, dataChange, stats)
+      if (cnt == 0L) None // an empty part adds no rows, only metadata
+      else {
+        Files.move(p, Paths.get(root).resolve(rel),
+          StandardCopyOption.ATOMIC_MOVE)
+        Some(addAction(rel, cnt, dataChange, stats))
+      }
     }
     // staging dir now holds only _SUCCESS etc. — remove it
     val leftovers = Files.walk(staging)

@@ -625,6 +625,30 @@ class GraftTableSpec extends SparkSpecBase {
     mvRows() shouldBe recompute()
   }
 
+  test("metadata-only aggregates: rowCount and columnRange answer from the log") {
+    val root = freshRoot("meta_agg")
+    GraftTable.write(spark, spark.range(0, 100).select($"id",
+      ($"id" % 10).as("m")).repartitionByRange(3, $"id"), root, "overwrite")
+    GraftTable.write(spark, spark.range(100, 150).select($"id",
+      ($"id" % 10).as("m")).coalesce(1), root, "append")
+    GraftTable.rowCount(root) shouldBe 150L
+    GraftTable.rowCount(root, asOf = Some(1L)) shouldBe 100L
+    GraftTable.columnRange(root, "id").map { case (lo, hi) =>
+      (lo.toString.toDouble.toLong, hi.toString.toDouble.toLong)
+    } shouldBe Some((0L, 149L))
+    // merge keeps the metadata exact (rewritten files re-log counts)
+    GraftTable.merge(spark, root,
+      Seq((5L, 99L)).toDF("id", "m"), Seq("id"))
+    GraftTable.rowCount(root) shouldBe 150L
+    // a MISSING-stats column answers None, not a partial range
+    GraftTable.columnRange(root, "nope") shouldBe None
+    // both survive the checkpoint seal
+    GraftTable.checkpoint(root)
+    GraftTable.truncateHistory(root, 2L)
+    GraftTable.rowCount(root) shouldBe 150L
+    GraftTable.columnRange(root, "id").isDefined shouldBe true
+  }
+
   test("conditional merge: WHEN MATCHED AND cond THEN UPDATE (last-writer-wins)") {
     val root = freshRoot("cmerge")
     GraftTable.write(spark,
