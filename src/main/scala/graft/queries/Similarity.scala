@@ -1053,6 +1053,42 @@ object Similarity extends QueryPack {
         .orderBy(col("idx"))
   }
 
+  /** K14 — blocked fuzzy string join (entity resolution): corrupted
+    * names (4th char dropped — a deterministic typo model) match their
+    * sources under edit distance ≤ 2, but only WITHIN blocks of
+    * (3-char prefix, ±2 length band) — the classic ER blocking that
+    * keeps the candidate space linear-ish instead of the all-pairs
+    * quadratic levenshtein no one can afford at 100 TB. Same algebra as
+    * the LSH families: cheap blocking key → equi-join → exact verify,
+    * all engine built-ins (levenshtein is codegen'd). Exact integer
+    * distances, so the oracle replays bit-identically. */
+  val k14: QueryDef = m(
+    "k14_fuzzy_blocked_join",
+    """WITH corr AS (
+      |  SELECT c_custkey AS q_id,
+      |    substring(c_name, 1, 3) || substring(c_name, 5) AS q_name
+      |  FROM customer WHERE c_custkey % 10 = 0)
+      |SELECT corr.q_id, c.c_custkey AS match_id,
+      |  CAST(levenshtein(corr.q_name, c.c_name) AS INTEGER) AS dist
+      |FROM corr JOIN customer c
+      |  ON substring(corr.q_name, 1, 3) = substring(c.c_name, 1, 3)
+      | AND abs(length(corr.q_name) - length(c.c_name)) <= 2
+      | AND levenshtein(corr.q_name, c.c_name) <= 2
+      |ORDER BY q_id, match_id""".stripMargin) { (spark, dir) =>
+    val cust = Tables.customer(spark, dir)
+    val corr = cust.where(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("q_id"),
+        concat(substring(col("c_name"), 1, 3), expr("substring(c_name, 5)"))
+          .as("q_name"))
+    corr.join(cust,
+        substring(col("q_name"), 1, 3) === substring(col("c_name"), 1, 3)
+          && abs(length(col("q_name")) - length(col("c_name"))) <= 2
+          && levenshtein(col("q_name"), col("c_name")) <= 2)
+      .select(col("q_id"), col("c_custkey").as("match_id"),
+        levenshtein(col("q_name"), col("c_name")).as("dist"))
+      .orderBy(col("q_id"), col("match_id"))
+  }
+
   override def defs: Seq[QueryDef] =
-    Seq(k1, k2, k3, k4, k5, k6, k7, k10, k11, k12, k12b, k13)
+    Seq(k1, k2, k3, k4, k5, k6, k7, k10, k11, k12, k12b, k13, k14)
 }
