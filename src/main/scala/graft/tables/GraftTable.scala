@@ -104,6 +104,7 @@ object GraftTable {
     val fileStats = scala.collection.mutable.LinkedHashMap
       .empty[String, com.fasterxml.jackson.databind.JsonNode]
     val fileCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val fileSizes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var schemaDdl = ""
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def applyLine(n: com.fasterxml.jackson.databind.JsonNode): Unit =
@@ -112,10 +113,11 @@ object GraftTable {
         val a = n.get("add"); val p = a.get("path").asText()
         files += p
         fileCounts(p) = a.get("numRecords").asLong()
+        if (a.has("size")) fileSizes(p) = a.get("size").asLong()
         if (a.has("stats")) fileStats(p) = a.get("stats")
       } else if (n.has("remove")) {
         val p = n.get("remove").get("path").asText()
-        files -= p; fileStats -= p; fileCounts -= p
+        files -= p; fileStats -= p; fileCounts -= p; fileSizes -= p
       } else if (n.has("txn")) {
         val t = n.get("txn"); val app = t.get("appId").asText()
         val b = t.get("batchId").asLong()
@@ -154,6 +156,10 @@ object GraftTable {
       if (n.has("fileCounts")) {
         val fc = n.get("fileCounts")
         fc.fieldNames().asScala.foreach(p => st.fileCounts(p) = fc.get(p).asLong())
+      }
+      if (n.has("fileSizes")) {
+        val fz = n.get("fileSizes")
+        fz.fieldNames().asScala.foreach(p => st.fileSizes(p) = fz.get(p).asLong())
       }
       val t = n.get("txns")
       t.fieldNames().asScala.foreach(app => st.txns(app) = t.get(app).asLong())
@@ -194,6 +200,8 @@ object GraftTable {
     st.fileStats.foreach { case (p, s) => fs.set[ObjectNode](p, s) }
     val fc = n.putObject("fileCounts")
     st.fileCounts.foreach { case (p, c) => fc.put(p, c) }
+    val fz = n.putObject("fileSizes")
+    st.fileSizes.foreach { case (p, b) => fz.put(p, b) }
     val ta = n.putObject("txns"); st.txns.foreach { case (k, b) => ta.put(k, b) }
     val tmp = Files.createTempFile(logDir(root), ".ckpt", ".tmp")
     Files.writeString(tmp, json.writeValueAsString(n))
@@ -482,12 +490,14 @@ object GraftTable {
   }
   private def addAction(path: String, numRecords: Long,
       dataChange: Boolean = true,
-      stats: Option[ObjectNode] = None): ObjectNode = {
+      stats: Option[ObjectNode] = None,
+      sizeBytes: Long = -1L): ObjectNode = {
     val n = json.createObjectNode()
     val a = n.putObject("add")
     a.put("path", path); a.put("numRecords", numRecords)
     if (!dataChange) a.put("dataChange", false) // layout-only rewrite (OPTIMIZE)
     stats.foreach(a.set[ObjectNode]("stats", _)) // per-column min/max
+    if (sizeBytes >= 0) a.put("size", sizeBytes)
     n
   }
   private def removeAction(path: String): ObjectNode = {
@@ -625,9 +635,10 @@ object GraftTable {
       val (cnt, stats) = footerInfo(p)
       if (cnt == 0L) None // an empty part adds no rows, only metadata
       else {
+        val bytes = Files.size(p)
         Files.move(p, Paths.get(root).resolve(rel),
           StandardCopyOption.ATOMIC_MOVE)
-        Some(addAction(rel, cnt, dataChange, stats))
+        Some(addAction(rel, cnt, dataChange, stats, bytes))
       }
     }
     // staging dir now holds only _SUCCESS etc. — remove it
@@ -925,6 +936,26 @@ object GraftTable {
     // two feed reads cannot re-deliver the whole table
     val adds = stageDataFiles(laid, root, dataChange = false)
     commit(root, snap.version, snap.files.map(removeAction) ++ adds)
+  }
+
+  /** Policy-driven compaction: OPTIMIZE only when the live layout has at
+    * least `minSmall` files under `smallBytes` (decided from the log's
+    * recorded sizes — zero IO when the answer is "no"). The target file
+    * count sizes survivors near `targetBytes` each. This is what a
+    * streaming ingest calls after its micro-batch commits: cheap check
+    * every batch, real rewrite only when sprawl accumulated. Returns the
+    * OPTIMIZE version, or None when the layout is already healthy. */
+  def autoCompact(spark: SparkSession, root: String,
+      smallBytes: Long = 32L * 1024 * 1024, minSmall: Int = 8,
+      targetBytes: Long = 256L * 1024 * 1024): Option[Long] = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"not a graft_table: $root"))
+    val st = replayState(root, latest)
+    val sizes = st.files.toSeq.map(f => st.fileSizes.getOrElse(f, 0L))
+    val small = sizes.count(_ < smallBytes)
+    if (small < minSmall) return None
+    val target = math.max(1, math.ceil(sizes.sum.toDouble / targetBytes).toInt)
+    Some(optimize(spark, root, target))
   }
 
   /** Reclaim data files no log version references and dead staging/tmp

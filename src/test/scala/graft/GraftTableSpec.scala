@@ -649,6 +649,28 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.columnRange(root, "id").isDefined shouldBe true
   }
 
+  test("autoCompact: fires only past the small-file threshold, from log sizes alone") {
+    val root = freshRoot("autoc")
+    // 6 tiny single-row commits -> 6 small files: below minSmall=8, no-op
+    (0 until 6).foreach(i => GraftTable.write(spark,
+      Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), root,
+      if (i == 0) "overwrite" else "append"))
+    GraftTable.autoCompact(spark, root, smallBytes = 1024 * 1024,
+      minSmall = 8) shouldBe None
+    GraftTable.snapshot(root).files should have size 6
+    // two more: threshold crossed, one layout-only OPTIMIZE version lands
+    (6 until 8).foreach(i => GraftTable.write(spark,
+      Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), root, "append"))
+    val v = GraftTable.autoCompact(spark, root, smallBytes = 1024 * 1024,
+      minSmall = 8)
+    v shouldBe Some(9L) // 8 writes + the optimize
+    GraftTable.snapshot(root).files should have size 1
+    GraftTable.read(spark, root).count() shouldBe 8L
+    // healthy layout: immediately idempotent
+    GraftTable.autoCompact(spark, root, smallBytes = 1024 * 1024,
+      minSmall = 8) shouldBe None
+  }
+
   test("conditional merge: WHEN MATCHED AND cond THEN UPDATE (last-writer-wins)") {
     val root = freshRoot("cmerge")
     GraftTable.write(spark,
