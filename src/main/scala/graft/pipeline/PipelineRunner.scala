@@ -332,6 +332,10 @@ object PipelineRunner {
             evolve = s.evolve.contains("add_nulls"))
           if ((id + 1) % ckptEvery == 0)
             graft.tables.GraftTable.checkpoint(s.path)
+          // the per-batch small-file check is log metadata only; the
+          // rewrite itself fires only past the sprawl threshold
+          if (s.options.get("auto_compact").contains("true"))
+            graft.tables.GraftTable.autoCompact(bs, s.path)
         }
         if (tableSink.isDefined) oc.unpersist()
       })
