@@ -938,6 +938,24 @@ object GraftTable {
     commit(root, snap.version, snap.files.map(removeAction) ++ adds)
   }
 
+  /** DESCRIBE DETAIL parity: one-row table summary from log metadata
+    * only — version, live file count/bytes/rows, schema, checkpoint
+    * coverage. Zero data IO. */
+  def describe(spark: SparkSession, root: String): DataFrame = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"not a graft_table: $root"))
+    val st = replayState(root, latest)
+    import spark.implicits._
+    Seq((latest,
+      st.files.size.toLong,
+      st.files.iterator.map(f => st.fileSizes.getOrElse(f, 0L)).sum,
+      st.files.iterator.map(f => st.fileCounts.getOrElse(f, 0L)).sum,
+      st.schemaDdl,
+      checkpointAtOrBefore(root, latest).getOrElse(0L)))
+      .toDF("version", "n_files", "size_bytes", "n_rows", "schema",
+        "checkpoint_version")
+  }
+
   /** Policy-driven compaction: OPTIMIZE only when the live layout has at
     * least `minSmall` files under `smallBytes` (decided from the log's
     * recorded sizes — zero IO when the answer is "no"). The target file

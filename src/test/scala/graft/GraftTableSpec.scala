@@ -649,6 +649,42 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.columnRange(root, "id").isDefined shouldBe true
   }
 
+  test("soak: 30 txn commits + checkpoint cadence + truncation keep every contract") {
+    val root = freshRoot("soak")
+    // a long-running ingest: 30 micro-batch commits, sealing every 10
+    (0 until 30).foreach { b =>
+      GraftTable.appendBatch(spark,
+        Seq((b.toLong, s"row$b")).toDF("id", "v").coalesce(1),
+        root, "stream", b.toLong)
+      if ((b + 1) % 10 == 0) GraftTable.checkpoint(root)
+    }
+    GraftTable.latestVersion(root) shouldBe Some(30L)
+    GraftTable.rowCount(root) shouldBe 30L
+    GraftTable.lastTxn(root, "stream") shouldBe Some(29L)
+    // retention to version 20: reads, counts, txn map, and the feed past
+    // the seal all intact; time travel to 20 (the seal) works, 19 fails
+    GraftTable.truncateHistory(root, 20L)
+    GraftTable.read(spark, root).count() shouldBe 30L
+    GraftTable.rowCount(root, asOf = Some(20L)) shouldBe 20L
+    GraftTable.lastTxn(root, "stream") shouldBe Some(29L)
+    GraftTable.changes(spark, root, 20L).count() shouldBe 10L
+    intercept[IllegalArgumentException](GraftTable.snapshot(root, Some(19L)))
+    // a replayed early batch STILL no-ops off the sealed txn map
+    GraftTable.appendBatch(spark, Seq((0L, "row0")).toDF("id", "v"),
+      root, "stream", 0L) shouldBe None
+    // compaction after the soak: 30 tiny files -> 1, content intact
+    GraftTable.autoCompact(spark, root, smallBytes = 1024 * 1024,
+      minSmall = 8).isDefined shouldBe true
+    GraftTable.snapshot(root).files should have size 1
+    GraftTable.read(spark, root).count() shouldBe 30L
+    val d = GraftTable.describe(spark, root).head()
+    d.getAs[Long]("n_files") shouldBe 1L
+    d.getAs[Long]("n_rows") shouldBe 30L
+    d.getAs[Long]("checkpoint_version") should be >= 20L
+    GraftTable.vacuum(root)
+    GraftTable.read(spark, root).count() shouldBe 30L
+  }
+
   test("autoCompact: fires only past the small-file threshold, from log sizes alone") {
     val root = freshRoot("autoc")
     // 6 tiny single-row commits -> 6 small files: below minSmall=8, no-op
