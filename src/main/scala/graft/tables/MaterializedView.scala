@@ -34,11 +34,17 @@ import org.apache.spark.sql.types.StructType
   */
 object MaterializedView {
 
-  /** One maintained aggregate: `fn` over SQL expression `expr` AS `out`. */
+  /** One maintained aggregate: `fn` over SQL expression `expr` AS `out`.
+    * `approx_distinct` stores a mergeable HLL SKETCH (binary) — read it
+    * through [[estimated]] or `hll_sketch_estimate` — the only way a
+    * distinct count can be maintained incrementally at all (the exact
+    * version is not decomposable; this is the 100 TB trade every
+    * warehouse MV makes). */
   final case class AggSpec(fn: String, expr: String, out: String) {
-    require(Set("count", "sum", "min", "max")(fn),
+    require(Set("count", "sum", "min", "max", "approx_distinct")(fn),
       s"materialized view: aggregate '$fn' is not decomposable — " +
-        "supported: count | sum | min | max (avg = sum + count)")
+        "supported: count | sum | min | max | approx_distinct (HLL " +
+        "sketch; avg = sum + count)")
   }
 
   private def mvAppId(base: String): String =
@@ -46,14 +52,25 @@ object MaterializedView {
 
   private def aggCols(aggs: Seq[AggSpec]): Seq[Column] = aggs.map {
     case AggSpec("count", _, out) => count(lit(1)).as(out)
+    case AggSpec("approx_distinct", e, out) =>
+      expr(s"hll_sketch_agg($e)").as(out)
     case AggSpec(fn, e, out) => expr(s"$fn($e)").as(out)
   }
 
-  /** Merge functions over the MV's own columns (count becomes sum). */
+  /** Merge functions over the MV's own columns (count becomes sum,
+    * sketches union). */
   private def mergeCols(aggs: Seq[AggSpec]): Seq[Column] = aggs.map {
     case AggSpec("count", _, out) => sum(col(out)).as(out)
+    case AggSpec("approx_distinct", _, out) =>
+      expr(s"hll_union_agg(`$out`)").as(out)
     case AggSpec(fn, _, out) => expr(s"$fn(`$out`)").as(out)
   }
+
+  /** Read helper: replace each approx_distinct SKETCH column with its
+    * estimate (bigint), leaving everything else as stored. */
+  def estimated(mv: DataFrame, aggs: Seq[AggSpec]): DataFrame =
+    aggs.filter(_.fn == "approx_distinct").foldLeft(mv)((df, a) =>
+      df.withColumn(a.out, expr(s"hll_sketch_estimate(`${a.out}`)")))
 
   /** Aggregate-output TYPES drift across refreshes (a re-merged DECIMAL
     * sum widens its precision) — pin every refresh to the MV's logged

@@ -752,6 +752,33 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.read(spark, root).where($"k" === "a").head.getLong(2) shouldBe 12L
   }
 
+  test("materialized view: approx_distinct maintains a mergeable HLL sketch") {
+    import graft.tables.MaterializedView
+    import graft.tables.MaterializedView.AggSpec
+    val base = freshRoot("mv_hll_b"); val mv = freshRoot("mv_hll_m")
+    val aggs = Seq(AggSpec("count", "u", "n"),
+      AggSpec("approx_distinct", "u", "n_users"))
+    def est() = MaterializedView.estimated(
+      GraftTable.read(spark, mv), aggs)
+      .orderBy($"k").select($"k", $"n_users").as[(String, Long)].collect()
+    // create: k=a sees users 1,2 (2 distinct); k=b sees 1
+    GraftTable.write(spark,
+      Seq(("a", 1L), ("a", 2L), ("a", 1L), ("b", 1L)).toDF("k", "u"),
+      base, "overwrite")
+    MaterializedView.refresh(spark, base, mv, Seq("k"), aggs)
+    est() shouldBe Array(("a", 2L), ("b", 1L))
+    // incremental: a sees user 2 AGAIN (sketch must not double-count)
+    // and user 3 (new); c appears
+    GraftTable.write(spark,
+      Seq(("a", 2L), ("a", 3L), ("c", 9L)).toDF("k", "u"), base, "append")
+    MaterializedView.refresh(spark, base, mv, Seq("k"), aggs)
+    est() shouldBe Array(("a", 3L), ("b", 1L), ("c", 1L))
+    // a base rewrite (merge) forces the full path; the estimate follows
+    GraftTable.merge(spark, base, Seq(("b", 7L)).toDF("k", "u"), Seq("k"))
+    MaterializedView.refresh(spark, base, mv, Seq("k"), aggs)
+    est().toMap.apply("a") shouldBe 3L
+  }
+
   test("materialized view: refresh == recompute under randomized op sequences") {
     import graft.tables.MaterializedView
     import graft.tables.MaterializedView.AggSpec
