@@ -49,7 +49,7 @@ import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
   * deployment picks the caching. */
 final case class PipelineSpec(
     name: String,
-    mode: String,                 // batch | streaming
+    mode: String,                 // batch | streaming | mv_refresh
     outputMode: Option[String],   // streaming only: append | update | complete
     source: SourceSpec,
     checks: Seq[CheckSpec],
@@ -58,7 +58,17 @@ final case class PipelineSpec(
     quarantine: Option[SinkSpec],
     metricsSink: Option[SinkSpec],
     assertions: Seq[String],
-    branches: Seq[BranchSpec])
+    branches: Seq[BranchSpec],
+    mv: Option[MvSpec] = None)    // mode: mv_refresh only
+
+/** Declared incremental materialized view (`mode: mv_refresh`): maintain
+  * `keys × aggs` over the graft_table `source`, stored at `path`. Agg
+  * strings are `fn(expr) AS out` with fn ∈ count|sum|min|max|
+  * approx_distinct (the decomposable set MaterializedView supports). */
+final case class MvSpec(
+    path: String,
+    keys: Seq[String],
+    aggs: Seq[(String, String, String)]) // (fn, expr, out)
 
 /** One forked side flow: transforms applied to the post-check frame,
   * result written to the branch's sink. */
@@ -398,14 +408,47 @@ object PipelineSpec {
     val root = mapper.readTree(yaml)
     fields(root, "pipeline", Set("name", "mode", "output_mode", "source",
       "checks", "transforms", "sink", "quarantine", "metrics_sink", "assertions",
-      "branches"))
+      "branches", "mv"))
     val mode = optStr(root, "mode").getOrElse("batch")
-    require(Set("batch", "streaming")(mode), s"pipeline.mode: unknown '$mode'")
+    require(Set("batch", "streaming", "mv_refresh")(mode),
+      s"pipeline.mode: unknown '$mode'")
     val src = source(req(root, "source", "pipeline"), "source")
     require(src.format != "kafka" || mode == "streaming",
       "source.format kafka requires `mode: streaming` (batch kafka scans " +
         "re-read the topic from scratch; declare offsets explicitly if you " +
         "truly want that, via a streaming run with startingOffsets)")
+    val mvSpec = opt(root, "mv").map { n =>
+      fields(n, "mv", Set("path", "keys", "aggs"))
+      val aggRe = """(?i)^\s*(count|sum|min|max|approx_distinct)\s*\((.*)\)\s+AS\s+(\w+)\s*$""".r
+      val aggs = strArr(n, "aggs").zipWithIndex.map {
+        case (s, i) => s match {
+          case aggRe(fn, e, out) => (fn.toLowerCase, e.trim, out)
+          case other => throw new IllegalArgumentException(
+            s"mv.aggs[$i]: '$other' — expected `fn(expr) AS name` with fn " +
+              "in count|sum|min|max|approx_distinct")
+        }
+      }
+      require(aggs.nonEmpty, "mv.aggs: at least one aggregate")
+      MvSpec(reqStr(n, "path", "mv"), strArr(n, "keys"), aggs)
+    }
+    require((mode == "mv_refresh") == mvSpec.isDefined,
+      "mode: mv_refresh and the `mv` block go together (an MV declaration " +
+        "without the mode, or the mode without a declaration, is a typo)")
+    if (mode == "mv_refresh") {
+      require(src.format == "graft_table",
+        "mode: mv_refresh maintains the view from a graft_table source's " +
+          "change feed — other sources have no version cursor")
+      require(src.options.isEmpty,
+        "mode: mv_refresh drives its own version cursor — time " +
+          "travel/feed/range options on the source do not apply")
+      Seq("checks", "transforms", "sink", "quarantine", "metrics_sink",
+        "branches", "assertions", "output_mode").foreach { k =>
+        require(!root.has(k),
+          s"mode: mv_refresh takes no `$k` — the view IS the declared " +
+            "keys × aggs; reshape the base table in its own pipeline")
+      }
+      require(mvSpec.get.keys.nonEmpty, "mv.keys: at least one group key")
+    }
     PipelineSpec(
       name = reqStr(root, "name", "pipeline"),
       mode = mode,
@@ -417,6 +460,7 @@ object PipelineSpec {
       quarantine = opt(root, "quarantine").map(sink(_, "quarantine")),
       metricsSink = opt(root, "metrics_sink").map(sink(_, "metrics_sink")),
       assertions = strArr(root, "assertions"),
+      mv = mvSpec,
       branches = {
         val bs = arr(root, "branches").zipWithIndex.map { case (n, i) =>
           val at = s"branches[$i]"

@@ -42,6 +42,20 @@ object PipelineRunner {
     val spec = PipelineSpec.parse(yaml)
     GraftFunctions.register(spark) // M1 UDFs usable in derive/filter exprs
     if (spec.mode == "streaming") return runStreaming(spark, spec)
+    if (spec.mode == "mv_refresh") {
+      // declared incremental materialized view: advance it to the base's
+      // latest version (incremental over the feed when the log allows,
+      // full recompute when it doesn't — see MaterializedView), then
+      // return the CURRENT view with sketch columns estimated
+      val mv = spec.mv.get
+      val aggs = mv.aggs.map { case (fn, e, out) =>
+        graft.tables.MaterializedView.AggSpec(fn, e, out) }
+      graft.tables.MaterializedView.refresh(
+        spark, spec.source.path.get, mv.path, mv.keys, aggs)
+      val out = graft.tables.MaterializedView.estimated(
+        graft.tables.GraftTable.read(spark, mv.path), aggs)
+      return RunResult(spec, out, out.limit(0), Nil)
+    }
     val src = read(spark, spec.source)
 
     val (passed0, quarantined, metricsOf) = validate(spark, src, spec.checks)

@@ -752,6 +752,56 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.read(spark, root).where($"k" === "a").head.getLong(2) shouldBe 12L
   }
 
+  test("mode mv_refresh: a declared MV maintains incrementally through YAML") {
+    val base = freshRoot("mv_yaml_b"); val mv = freshRoot("mv_yaml_m")
+    GraftTable.write(spark,
+      Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("k", "v"), base, "overwrite")
+    val yaml =
+      s"""name: spend_mv
+         |mode: mv_refresh
+         |source: {format: graft_table, path: "$base"}
+         |mv:
+         |  path: "$mv"
+         |  keys: [k]
+         |  aggs: ["count() AS n", "sum(v) AS s", "approx_distinct(v) AS nd"]
+         |""".stripMargin
+    def run() = PipelineRunner.run(spark, yaml).passed.orderBy($"k")
+      .select($"k", $"n", $"s", $"nd").as[(String, Long, Long, Long)].collect()
+    run() shouldBe Array(("a", 2L, 3L, 2L), ("b", 1L, 5L, 1L))
+    // append-only advance -> the second run is the INCREMENTAL path
+    GraftTable.write(spark,
+      Seq(("a", 2L), ("c", 7L)).toDF("k", "v"), base, "append")
+    run() shouldBe Array(("a", 3L, 5L, 2L), ("b", 1L, 5L, 1L), ("c", 1L, 7L, 1L))
+    GraftTable.history(spark, mv).orderBy($"version".desc)
+      .head.getAs[String]("operation") shouldBe "MERGE"
+    // already current -> a no-op run still returns the view
+    run().length shouldBe 3
+    // parse guards: mode without the block, transforms present, bad agg,
+    // non-table source
+    intercept[IllegalArgumentException](graft.config.PipelineSpec.parse(
+      s"name: x\nmode: mv_refresh\nsource: {format: graft_table, path: \"$base\"}\n"))
+      .getMessage should include("mv")
+    intercept[IllegalArgumentException](graft.config.PipelineSpec.parse(
+      s"""name: x
+         |mode: mv_refresh
+         |source: {format: graft_table, path: "$base"}
+         |transforms: [{op: limit, max_rows: 1}]
+         |mv: {path: "$mv", keys: [k], aggs: ["count() AS n"]}
+         |""".stripMargin)).getMessage should include("transforms")
+    intercept[IllegalArgumentException](graft.config.PipelineSpec.parse(
+      s"""name: x
+         |mode: mv_refresh
+         |source: {format: graft_table, path: "$base"}
+         |mv: {path: "$mv", keys: [k], aggs: ["median(v) AS m"]}
+         |""".stripMargin)).getMessage should include("count|sum|min|max")
+    intercept[IllegalArgumentException](graft.config.PipelineSpec.parse(
+      s"""name: x
+         |mode: mv_refresh
+         |source: {format: parquet, path: "/tmp/x"}
+         |mv: {path: "$mv", keys: [k], aggs: ["count() AS n"]}
+         |""".stripMargin)).getMessage should include("graft_table")
+  }
+
   test("materialized view: approx_distinct maintains a mergeable HLL sketch") {
     import graft.tables.MaterializedView
     import graft.tables.MaterializedView.AggSpec
