@@ -649,6 +649,32 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.columnRange(root, "id").isDefined shouldBe true
   }
 
+  test("file skipping: readRange == full filter on randomized layouts and bounds") {
+    val root = freshRoot("skip_prop")
+    // a mixed layout: one range-clustered commit (disjoint spans), one
+    // hash-partitioned commit (overlapping spans), one tiny append
+    val d1 = spark.range(0, 400).select($"id",
+      (($"id" * 2654435761L) % 1000).as("x"))
+    GraftTable.write(spark, d1.repartitionByRange(4, $"x"), root, "overwrite")
+    GraftTable.write(spark, spark.range(400, 700).select($"id",
+      (($"id" * 97L) % 1000).as("x")).repartition(3), root, "append")
+    GraftTable.write(spark, spark.range(700, 710).select($"id",
+      lit(500L).as("x")).coalesce(1), root, "append")
+    val full = GraftTable.read(spark, root)
+    forSamples(for {
+      a <- org.scalacheck.Gen.chooseNum(-100L, 1100L)
+      b <- org.scalacheck.Gen.chooseNum(-100L, 1100L)
+    } yield (math.min(a, b), math.max(a, b)), n = 10) { case (lo, hi) =>
+      val pruned = GraftTable.readRange(spark, root, "x", lo, hi)
+        .orderBy($"id").as[(Long, Long)].collect()
+      val exact = full.where($"x" >= lo && $"x" <= hi)
+        .orderBy($"id").as[(Long, Long)].collect()
+      pruned shouldBe exact // whatever was skipped could not have matched
+      val (kept, all) = GraftTable.filesInRange(root, "x", lo, hi)
+      kept.size should be <= all.size
+    }
+  }
+
   test("soak: 30 txn commits + checkpoint cadence + truncation keep every contract") {
     val root = freshRoot("soak")
     // a long-running ingest: 30 micro-batch commits, sealing every 10
@@ -827,6 +853,29 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.merge(spark, base, Seq(("b", 7L)).toDF("k", "u"), Seq("k"))
     MaterializedView.refresh(spark, base, mv, Seq("k"), aggs)
     est().toMap.apply("a") shouldBe 3L
+  }
+
+  test("conditional merge == an independent reference on randomized change sets") {
+    forSamples(org.scalacheck.Gen.chooseNum(1, 1000000), n = 5) { seed =>
+      def h(i: Long) = (seed * 31L + i * 2654435761L) & 0x7fffffffL
+      val root = freshRoot(s"cmerge_prop_$seed")
+      val baseRows = (0L until 10L).map(k => (s"k$k", h(k) % 100, h(k + 50)))
+      GraftTable.write(spark, baseRows.toDF("k", "ver", "v"), root, "overwrite")
+      val updRows = (0L until 13L).filter(k => h(k + 100) % 3 != 0)
+        .map(k => (s"k$k", h(k + 200) % 100, h(k + 300)))
+      GraftTable.merge(spark, root, updRows.toDF("k", "ver", "v"),
+        Seq("k"), condition = Some("s.ver > t.ver"))
+      // reference: plain Scala map algebra, no Spark
+      val ref = updRows.foldLeft(baseRows.map(r => r._1 -> r).toMap) {
+        case (m, u) => m.get(u._1) match {
+          case Some(t) if u._2 > t._2 => m + (u._1 -> u)
+          case Some(_) => m // stale source drops
+          case None => m + (u._1 -> u) // unmatched inserts
+        }
+      }.values.toSeq.sorted
+      GraftTable.read(spark, root).orderBy($"k")
+        .as[(String, Long, Long)].collect().toSeq.sorted shouldBe ref
+    }
   }
 
   test("materialized view: refresh == recompute under randomized op sequences") {
