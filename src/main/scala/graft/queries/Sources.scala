@@ -1481,9 +1481,54 @@ object Sources extends QueryPack {
     GraftTable.read(spark, root).orderBy(col("o_orderkey"))
   }
 
+  /** EP28 — the DECLARED materialized view (`mode: mv_refresh` + an
+    * `mv:` block): the same YAML runs twice — create, then an
+    * incremental advance after the base appended — and the second run's
+    * returned view must equal the from-scratch aggregate. The library
+    * path is ep24; this pins the config surface end-to-end. */
+  val ep28: QueryDef = m(
+    "ep28_config_declared_mv",
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+      |    AS DECIMAL(18,2)) AS DOUBLE) AS sum_v,
+      |  min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+    import graft.tables.GraftTable
+    val base = s"$ioDir/dmv_base"; val mv = s"$ioDir/dmv_view"
+    Seq(base, mv).foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(r)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val yaml =
+      s"""name: ep28_mv
+         |mode: mv_refresh
+         |source: {format: graft_table, path: "$base"}
+         |mv:
+         |  path: "$mv"
+         |  keys: [o_orderstatus]
+         |  aggs: ["count() AS n",
+         |         "sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_v",
+         |         "min(o_orderkey) AS first_key",
+         |         "max(o_orderkey) AS last_key"]
+         |""".stripMargin
+    GraftTable.write(spark, o.where(col("o_orderkey") % 2 === 0),
+      base, "overwrite")
+    PipelineRunner.run(spark, yaml) // create
+    GraftTable.write(spark, o.where(col("o_orderkey") % 2 === 1),
+      base, "append")
+    PipelineRunner.run(spark, yaml).passed // incremental advance
+      .select(col("o_orderstatus"), col("n"),
+        col("sum_v").cast("double").as("sum_v"),
+        col("first_key"), col("last_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a3c, a4, a4b, a4c, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3,
       ep3b, ep4, ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13,
       ep14, ep15, ep16, ep17, ep18, ep19, ep20, ep21, ep22, ep23, ep24, ep25,
-      ep26, ep27)
+      ep26, ep27, ep28)
 }
