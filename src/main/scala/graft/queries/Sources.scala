@@ -1526,9 +1526,90 @@ object Sources extends QueryPack {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** EP29 — graft_table DELETE WHERE: predicate delete as copy-on-write
+    * (the GDPR/TTL workhorse). The oracle pins row-level semantics (the
+    * surviving set is exactly `NOT pred`); GraftTableSpec pins the
+    * physical claims that make it a 100 TB operation — untouched files
+    * survive by reference (no rewrite), all-match files drop by pure
+    * metadata remove, only boundary files are rewritten. */
+  val ep29: QueryDef = m(
+    "ep29_delete_where",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+      |FROM lineitem
+      |WHERE l_quantity <= 30 OR l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate""".stripMargin) { (spark, dir) =>
+    import graft.tables.GraftTable
+    val root = s"$ioDir/acid_delw"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(rootPath, true)
+    GraftTable.write(spark, Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_shipdate")), root, "overwrite")
+    GraftTable.deleteWhere(spark, root,
+      "l_quantity > 30 AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'")
+    GraftTable.read(spark, root)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_shipdate"))
+  }
+
+  /** EP30 — graft_table UPDATE WHERE: predicate update as copy-on-write.
+    * Assignments evaluate against the ORIGINAL row (SQL UPDATE
+    * semantics — the predicate and every SET expression see pre-update
+    * values) and only files containing a matching row are rewritten.
+    * The oracle is the equivalent CASE WHEN projection over the source. */
+  val ep30: QueryDef = m(
+    "ep30_update_where",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+      |       THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+      |       THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import graft.tables.GraftTable
+    val root = s"$ioDir/acid_updw"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(rootPath, true)
+    GraftTable.write(spark, Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      root, "overwrite")
+    GraftTable.updateWhere(spark, root,
+      "o_orderstatus = 'F' AND o_orderkey % 7 = 0",
+      Map("o_orderstatus" -> "'X'",
+          "o_totalprice" -> "o_totalprice + 100.0"))
+    GraftTable.read(spark, root).orderBy(col("o_orderkey"))
+  }
+
+  /** EP31 — graft_table RESTORE: roll back a bad write as a new commit,
+    * pure log metadata (no data file read or written — the physical
+    * claim GraftTableSpec pins). Here: publish v1, append v2, fat-finger
+    * a predicate delete (v3), restore to v2 (v4) — the read-back is
+    * exactly the pre-delete content, while v3 stays time-travelable. */
+  val ep31: QueryDef = m(
+    "ep31_restore",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import graft.tables.GraftTable
+    val root = s"$ioDir/acid_restore"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(rootPath, true)
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    GraftTable.write(spark, base.where(col("o_orderkey") % 3 === 0),
+      root, "overwrite")                                   // v1
+    GraftTable.write(spark, base.where(col("o_orderkey") % 3 === 1),
+      root, "append")                                      // v2
+    GraftTable.deleteWhere(spark, root, "o_totalprice < 150000.0") // v3: oops
+    GraftTable.restore(spark, root, 2L)                    // v4 == v2 content
+    GraftTable.read(spark, root).orderBy(col("o_orderkey"))
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a3c, a4, a4b, a4c, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3,
       ep3b, ep4, ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13,
       ep14, ep15, ep16, ep17, ep18, ep19, ep20, ep21, ep22, ep23, ep24, ep25,
-      ep26, ep27, ep28)
+      ep26, ep27, ep28, ep29, ep30, ep31)
 }

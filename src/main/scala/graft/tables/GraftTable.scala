@@ -903,6 +903,141 @@ object GraftTable {
       touchedRel.map(removeAction) ++ adds)
   }
 
+  /** Per-file match counts for `pred` over the live snapshot — the probe
+    * behind predicate DELETE/UPDATE. One column-pruned, predicate-pushed
+    * scan: parquet row-group stats prune IO inside each file, and only
+    * matching rows surface (the count aggregate is partial/map-side).
+    * Returns (relative touched files → matched row count, absolute-path
+    * map used to re-read exactly those files). */
+  private def probeMatches(spark: SparkSession, root: String,
+      snap: Snapshot, pred: org.apache.spark.sql.Column)
+      : (Map[String, Long], Map[String, String]) = {
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val absOf = snap.files.map(f =>
+      f -> Paths.get(root).resolve(f).toString).toMap
+    val base = spark.read.schema(schema).parquet(absOf.values.toSeq: _*)
+      .withColumn("__file", input_file_name())
+    val perAbs = base.where(pred).groupBy(col("__file")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val perRel = snap.files.flatMap { rel =>
+      val name = "/" + Paths.get(rel).getFileName.toString
+      perAbs.collectFirst { case (abs, n) if abs.endsWith(name) => rel -> n }
+    }.toMap
+    (perRel, absOf)
+  }
+
+  /** DELETE WHERE — predicate delete as copy-on-write, the GDPR/TTL
+    * workhorse. Three file classes from one pushdown probe scan:
+    * untouched files (no matching row) survive AS-IS — no rewrite, no
+    * new version reference churn; files where EVERY row matches are
+    * dropped by a pure metadata remove (a TTL delete aligned with an
+    * ingest-date layout reclaims whole files without reading a byte of
+    * them past the probe's pruned scan); only PARTIAL files are
+    * rewritten, keeping rows where the predicate is false or null (SQL
+    * DELETE removes rows where it is TRUE only). At 100 TB with a
+    * date-clustered layout the rewrite set is the one boundary file per
+    * partition edge, not the table. Commit races abort like merge's. */
+  def deleteWhere(spark: SparkSession, root: String, predicate: String,
+      txn: Option[(String, Long)] = None): Long = {
+    require(predicate.trim.nonEmpty, "deleteWhere: empty predicate — an " +
+      "unconditional delete is `write(emptyDf, mode=overwrite)`, say it")
+    val snap = snapshot(root)
+    if (snap.files.isEmpty) return snap.version
+    val pred = expr(predicate)
+    val (matched, absOf) = probeMatches(spark, root, snap, pred)
+    if (matched.isEmpty) return snap.version // no-op: no row matches
+    val counts = replayState(root, snap.version).fileCounts
+    val (fullMatch, partial) =
+      matched.keys.toSeq.partition(f => matched(f) == counts.getOrElse(f, -1L))
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val adds =
+      if (partial.isEmpty) Nil
+      else stageDataFiles(
+        spark.read.schema(schema).parquet(partial.map(absOf): _*)
+          .where(!coalesce(pred, lit(false))), root)
+    commit(root, snap.version, txn.map(t => txnAction(t._1, t._2)).toSeq ++
+      (fullMatch ++ partial).sorted.map(removeAction) ++ adds)
+  }
+
+  /** UPDATE WHERE — predicate update as copy-on-write. Same probe and
+    * file triage as [[deleteWhere]]: only files containing a matching
+    * row are rewritten, applying each assignment `col := exprStr` to
+    * matching rows (predicate TRUE; null keeps the old value, per SQL
+    * UPDATE) and passing every other row and column through bit-exact.
+    * Assignments are resolved against the TABLE schema with the
+    * session's resolver and cast back to the declared column type — an
+    * update can never drift a column's type, and assigning a column the
+    * table does not have fails loud. */
+  def updateWhere(spark: SparkSession, root: String, predicate: String,
+      set: Map[String, String], txn: Option[(String, Long)] = None): Long = {
+    require(predicate.trim.nonEmpty,
+      "updateWhere: empty predicate — to rewrite every row use overwrite")
+    require(set.nonEmpty, "updateWhere: empty SET clause")
+    val snap = snapshot(root)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val resolver = spark.sessionState.conf.resolver
+    val assign = set.map { case (name, e) =>
+      val f = schema.fields.find(t => resolver(t.name, name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"updateWhere: SET column '$name' is not in the table schema " +
+            s"(${schema.fieldNames.mkString(", ")})"))
+      f.name -> (e, f.dataType)
+    }
+    if (snap.files.isEmpty) return snap.version
+    val pred = expr(predicate)
+    val (matched, absOf) = probeMatches(spark, root, snap, pred)
+    if (matched.isEmpty) return snap.version
+    val touched = matched.keys.toSeq.sorted
+    val rewritten = spark.read.schema(schema).parquet(touched.map(absOf): _*)
+      .select(schema.fields.toSeq.map { f =>
+        assign.get(f.name) match {
+          case Some((e, dt)) =>
+            when(pred, expr(e).cast(dt)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    val adds = stageDataFiles(rewritten, root)
+    commit(root, snap.version, txn.map(t => txnAction(t._1, t._2)).toSeq ++
+      touched.map(removeAction) ++ adds)
+  }
+
+  /** RESTORE — roll the table back to `toVersion` as a NEW commit, pure
+    * log metadata: re-reference that version's files (with their logged
+    * stats/counts, so skipping and metadata-only counts keep working),
+    * de-reference files it lacks, and re-declare its schema if it
+    * differed. No data file is read, written, or moved — at 100 TB a
+    * restore is O(changed files) log lines, same as any commit — and
+    * history is preserved: the bad versions stay time-travelable until
+    * truncated, and the change feed sees the restore as a normal
+    * remove+add version (feed consumers must resync, which
+    * [[appendOnlySince]] correctly reports). Fails loud if the target
+    * version's files were already vacuumed or its log truncated. */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
+    val cur = snapshot(root)
+    if (toVersion == cur.version) return cur.version
+    val tgt = snapshot(root, Some(toVersion)) // validates range; throws on
+    // a truncated log past every covering checkpoint
+    val missing = tgt.files.filterNot(f =>
+      Files.exists(Paths.get(root).resolve(f)))
+    require(missing.isEmpty,
+      s"restore: version $toVersion references ${missing.size} data " +
+        s"file(s) already vacuumed (e.g. ${missing.head}) — unrecoverable; " +
+        "raise the vacuum/retention horizon before depending on restore")
+    val tgtState = replayState(root, toVersion)
+    val curSet = cur.files.toSet; val tgtSet = tgt.files.toSet
+    val removes = cur.files.filterNot(tgtSet).sorted.map(removeAction)
+    val adds = tgt.files.filterNot(curSet).sorted.map { f =>
+      addAction(f, tgtState.fileCounts.getOrElse(f, 0L),
+        stats = tgtState.fileStats.get(f).collect {
+          case o: ObjectNode => o.deepCopy(): ObjectNode },
+        sizeBytes = tgtState.fileSizes.getOrElse(f, -1L))
+    }
+    val meta = if (tgt.schemaDdl != cur.schemaDdl)
+      Seq(metaAction(tgt.schemaDdl)) else Nil
+    if (removes.isEmpty && adds.isEmpty && meta.isEmpty) return cur.version
+    commit(root, cur.version, meta ++ removes ++ adds)
+  }
+
   /** OPTIMIZE: rewrite the current snapshot into `targetFiles` bin-packed
     * data files — optionally Z-ORDERED on two numeric dimensions — as one
     * new version. Layout-only: content is bit-identical, so readers of

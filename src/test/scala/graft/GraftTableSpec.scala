@@ -91,6 +91,120 @@ class GraftTableSpec extends SparkSpecBase {
       .getMessage should include("duplicate")
   }
 
+  test("deleteWhere: untouched files by reference, all-match files metadata-drop, " +
+    "boundary files rewrite") {
+    val root = freshRoot("delw")
+    // three single-file commits with disjoint id ranges — the file triage
+    // a predicate delete must perform is fully deterministic
+    GraftTable.write(spark,
+      Seq((1L, "keep"), (2L, "keep")).toDF("id", "v").repartition(1),
+      root, "overwrite")                                      // no match
+    GraftTable.write(spark,
+      Seq((10L, "dead"), (11L, "dead")).toDF("id", "v").repartition(1),
+      root, "append")                                         // all match
+    GraftTable.write(spark,
+      Seq((20L, "dead"), (21L, "keep")).toDF("id", "v").repartition(1),
+      root, "append")                                         // boundary
+    val before = GraftTable.snapshot(root)
+    before.files.size shouldBe 3
+    val v = GraftTable.deleteWhere(spark, root, "v = 'dead'")
+    v shouldBe 4L
+    val after = GraftTable.snapshot(root)
+    // the no-match file survives by REFERENCE (same path, no rewrite)
+    val survivors = before.files.filter(after.files.contains)
+    survivors.size shouldBe 1
+    spark.read.parquet(s"$root/${survivors.head}")
+      .as[(Long, String)].collect().toSet shouldBe
+      Set((1L, "keep"), (2L, "keep"))
+    // one rewritten boundary file, nothing staged for the all-match drop
+    (after.files.toSet -- before.files).size shouldBe 1
+    GraftTable.read(spark, root).as[(Long, String)].collect().sorted shouldBe
+      Array((1L, "keep"), (2L, "keep"), (21L, "keep"))
+    // DELETE removes rows where pred is TRUE only: null predicate keeps
+    GraftTable.write(spark,
+      Seq((30L, null.asInstanceOf[String])).toDF("id", "v"), root, "append")
+    GraftTable.deleteWhere(spark, root, "v = 'keep'")
+    GraftTable.read(spark, root).select("id").as[Long].collect() shouldBe
+      Array(30L)
+    // a no-match delete is a no-op: no new version
+    val top = GraftTable.latestVersion(root).get
+    GraftTable.deleteWhere(spark, root, "v = 'absent'") shouldBe top
+    GraftTable.latestVersion(root).get shouldBe top
+  }
+
+  test("updateWhere: only matching files rewrite; SET sees pre-update values; " +
+    "types hold") {
+    val root = freshRoot("updw")
+    GraftTable.write(spark,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "x")
+        .repartition(1), root, "overwrite")
+    GraftTable.write(spark,
+      Seq((10L, "a", 30.0), (11L, "c", 40.0)).toDF("id", "v", "x")
+        .repartition(1), root, "append")
+    val before = GraftTable.snapshot(root)
+    // swap-style assignment: both SET expressions read the ORIGINAL row
+    GraftTable.updateWhere(spark, root, "id >= 10 AND v = 'a'",
+      Map("v" -> "concat(v, '!')", "x" -> "x + id"))
+    val after = GraftTable.snapshot(root)
+    // the file with no matching row survives by reference
+    before.files.filter(after.files.contains).size shouldBe 1
+    GraftTable.read(spark, root).as[(Long, String, Double)]
+      .collect().sorted shouldBe Array(
+      (1L, "a", 10.0), (2L, "b", 20.0), (10L, "a!", 40.0), (11L, "c", 40.0))
+    // assignment casts back to the DECLARED type: x stays double
+    GraftTable.updateWhere(spark, root, "id = 1", Map("x" -> "CAST(7 AS INT)"))
+    GraftTable.read(spark, root).schema("x").dataType.typeName shouldBe "double"
+    // assigning a column the table lacks fails loud; resolver is
+    // case-insensitive like Spark analysis
+    (the[IllegalArgumentException] thrownBy GraftTable.updateWhere(
+      spark, root, "id = 1", Map("nope" -> "1")))
+      .getMessage should include("not in the table schema")
+    GraftTable.updateWhere(spark, root, "id = 2", Map("X" -> "99.0"))
+    GraftTable.read(spark, root).where(col("id") === 2)
+      .select("x").as[Double].head() shouldBe 99.0
+  }
+
+  test("restore: pure log metadata — no data file staged, schema returns, " +
+    "vacuumed target fails loud") {
+    val root = freshRoot("restore")
+    def dataFiles(): Set[String] = {
+      val s = Files.list(Paths.get(root, "data"))
+      try s.iterator().asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    GraftTable.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      root, "overwrite")                                       // v1
+    GraftTable.write(spark, Seq((3L, "c")).toDF("id", "v"), root, "append") // v2
+    GraftTable.write(spark, Seq((9L, 1.5)).toDF("id", "other"),
+      root, "overwrite")                                       // v3: bad push
+    val physBefore = dataFiles()
+    GraftTable.restore(spark, root, 2L) shouldBe 4L
+    // METADATA-ONLY: not one data file appeared on disk
+    dataFiles() shouldBe physBefore
+    GraftTable.snapshot(root).files.toSet shouldBe
+      GraftTable.snapshot(root, Some(2L)).files.toSet
+    // content AND schema are v2's; the bad v3 stays time-travelable
+    GraftTable.read(spark, root).as[(Long, String)].collect().sorted shouldBe
+      Array((1L, "a"), (2L, "b"), (3L, "c"))
+    GraftTable.read(spark, root, Some(3L)).columns shouldBe Array("id", "other")
+    // metadata-only counts/stats survive the restore (re-logged adds)
+    GraftTable.rowCount(root) shouldBe 3L
+    GraftTable.columnRange(root, "id").map(_.toString) shouldBe
+      Some("(1,3)")
+    // restoring to the current version is a no-op
+    GraftTable.restore(spark, root, 4L) shouldBe 4L
+    // a restore whose target files are physically gone (an aggressive
+    // external cleaner — vacuum itself keeps files any RETAINED version
+    // references) must fail loud, not read half a version
+    val v3only = GraftTable.snapshot(root, Some(3L)).files.toSet --
+      GraftTable.snapshot(root).files.toSet
+    v3only should not be empty
+    v3only.foreach(f => Files.delete(Paths.get(root).resolve(f)))
+    (the[IllegalArgumentException] thrownBy
+      GraftTable.restore(spark, root, 3L))
+      .getMessage should include("vacuumed")
+  }
+
   test("optimistic concurrency: a raced commit slot throws; appends retry past it") {
     val root = freshRoot("occ")
     GraftTable.write(spark, Seq((1L, "a")).toDF("id", "v"), root, "overwrite")
