@@ -59,7 +59,25 @@ final case class PipelineSpec(
     metricsSink: Option[SinkSpec],
     assertions: Seq[String],
     branches: Seq[BranchSpec],
-    mv: Option[MvSpec] = None)    // mode: mv_refresh only
+    mv: Option[MvSpec] = None,    // mode: mv_refresh only
+    maintenance: Option[MaintenanceSpec] = None) // mode: maintenance only
+
+/** Declared ACID-table maintenance (`mode: maintenance`): the DML/layout
+  * operations a deployed table needs on a schedule — predicate delete
+  * (GDPR/TTL), predicate update, version rollback, bin-pack/Z-order
+  * compaction, orphan-file reclamation — as one-op pipelines, so the
+  * same YAML surface that declares ingest also declares retention.
+  * Exactly one op per pipeline; each op's foreign knobs are rejected at
+  * parse (a config key must FAIL, not silently no-op). */
+final case class MaintenanceSpec(
+    op: String,                   // delete_where | update_where | restore | optimize | vacuum
+    path: String,                 // the graft_table root
+    where: Option[String],        // delete_where / update_where
+    set: Map[String, String],     // update_where: col -> SQL expr
+    toVersion: Option[Long],      // restore
+    targetFiles: Option[Int],     // optimize
+    zorderBy: Seq[String],        // optimize (exactly two, optional)
+    zorderBits: Option[Int])      // optimize
 
 /** Declared incremental materialized view (`mode: mv_refresh`): maintain
   * `keys × aggs` over the graft_table `source`, stored at `path`. Agg
@@ -408,11 +426,75 @@ object PipelineSpec {
     val root = mapper.readTree(yaml)
     fields(root, "pipeline", Set("name", "mode", "output_mode", "source",
       "checks", "transforms", "sink", "quarantine", "metrics_sink", "assertions",
-      "branches", "mv"))
+      "branches", "mv", "maintenance"))
     val mode = optStr(root, "mode").getOrElse("batch")
-    require(Set("batch", "streaming", "mv_refresh")(mode),
+    require(Set("batch", "streaming", "mv_refresh", "maintenance")(mode),
       s"pipeline.mode: unknown '$mode'")
-    val src = source(req(root, "source", "pipeline"), "source")
+    val maintSpec = opt(root, "maintenance").map { n =>
+      fields(n, "maintenance", Set("op", "path", "where", "set",
+        "to_version", "target_files", "zorder_by", "zorder_bits"))
+      val op = reqStr(n, "op", "maintenance")
+      require(Set("delete_where", "update_where", "restore", "optimize",
+        "vacuum")(op), s"maintenance.op: unknown '$op' (delete_where|" +
+        "update_where|restore|optimize|vacuum)")
+      def intOpt(f: String): Option[Int] = optStr(n, f).map(s =>
+        s.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"maintenance.$f: integer expected, got '$s'")))
+      val m = MaintenanceSpec(op, reqStr(n, "path", "maintenance"),
+        optStr(n, "where"), strMap(n, "set"),
+        optStr(n, "to_version").map(s => s.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"maintenance.to_version: integer expected, got '$s'"))),
+        intOpt("target_files"), strArr(n, "zorder_by"), intOpt("zorder_bits"))
+      // one-op contract: required knobs present, every foreign knob
+      // rejected — a key that doesn't apply must FAIL, not no-op
+      def need(cond: Boolean, msg: String): Unit =
+        require(cond, s"maintenance($op): $msg")
+      op match {
+        case "delete_where" | "update_where" =>
+          need(m.where.exists(_.trim.nonEmpty), "needs `where` (SQL predicate)")
+          need(m.toVersion.isEmpty && m.targetFiles.isEmpty &&
+            m.zorderBy.isEmpty && m.zorderBits.isEmpty,
+            "takes `where`" + (if (op == "update_where") " + `set`" else "") +
+              " only")
+          if (op == "update_where")
+            need(m.set.nonEmpty, "needs `set` ({column: SQL expr})")
+          else need(m.set.isEmpty, "takes no `set` — that is update_where")
+        case "restore" =>
+          need(m.toVersion.isDefined, "needs `to_version`")
+          need(m.where.isEmpty && m.set.isEmpty && m.targetFiles.isEmpty &&
+            m.zorderBy.isEmpty && m.zorderBits.isEmpty,
+            "takes `to_version` only")
+        case "optimize" =>
+          need(m.targetFiles.exists(_ > 0), "needs `target_files` > 0")
+          need(m.zorderBy.isEmpty || m.zorderBy.length == 2,
+            "`zorder_by` needs exactly two columns")
+          need(m.where.isEmpty && m.set.isEmpty && m.toVersion.isEmpty,
+            "takes target_files/zorder_by/zorder_bits only")
+        case "vacuum" =>
+          need(m.where.isEmpty && m.set.isEmpty && m.toVersion.isEmpty &&
+            m.targetFiles.isEmpty && m.zorderBy.isEmpty && m.zorderBits.isEmpty,
+            "takes no knobs — it reclaims every unreferenced file")
+      }
+      m
+    }
+    require((mode == "maintenance") == maintSpec.isDefined,
+      "mode: maintenance and the `maintenance` block go together (the " +
+        "block without the mode, or the mode without the block, is a typo)")
+    if (mode == "maintenance")
+      Seq("source", "checks", "transforms", "sink", "quarantine",
+        "metrics_sink", "branches", "assertions", "output_mode", "mv")
+        .foreach { k =>
+          require(!root.has(k), s"mode: maintenance takes no `$k` — the " +
+            "maintenance block names its target table and op; reshape data " +
+            "in a batch pipeline")
+        }
+    val src =
+      if (mode == "maintenance") // the op acts on (and the result reads
+        // back) the named table — the source is implied, not declared
+        SourceSpec("graft_table", Some(maintSpec.get.path), None, None,
+          Map.empty, None, None)
+      else source(req(root, "source", "pipeline"), "source")
     require(src.format != "kafka" || mode == "streaming",
       "source.format kafka requires `mode: streaming` (batch kafka scans " +
         "re-read the topic from scratch; declare offsets explicitly if you " +
@@ -461,6 +543,7 @@ object PipelineSpec {
       metricsSink = opt(root, "metrics_sink").map(sink(_, "metrics_sink")),
       assertions = strArr(root, "assertions"),
       mv = mvSpec,
+      maintenance = maintSpec,
       branches = {
         val bs = arr(root, "branches").zipWithIndex.map { case (n, i) =>
           val at = s"branches[$i]"

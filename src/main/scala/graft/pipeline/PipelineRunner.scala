@@ -56,6 +56,25 @@ object PipelineRunner {
         graft.tables.GraftTable.read(spark, mv.path), aggs)
       return RunResult(spec, out, out.limit(0), Nil)
     }
+    if (spec.mode == "maintenance") {
+      // declared ACID-table maintenance: run the one op, return the
+      // post-op table as the result (vacuum changes no version — the
+      // read-back is simply the current snapshot). Parse already
+      // enforced the one-op contract and knob hygiene.
+      val m = spec.maintenance.get
+      import graft.tables.GraftTable
+      m.op match {
+        case "delete_where" => GraftTable.deleteWhere(spark, m.path, m.where.get)
+        case "update_where" =>
+          GraftTable.updateWhere(spark, m.path, m.where.get, m.set)
+        case "restore" => GraftTable.restore(spark, m.path, m.toVersion.get)
+        case "optimize" => GraftTable.optimize(spark, m.path,
+          m.targetFiles.get, m.zorderBy, m.zorderBits.getOrElse(12))
+        case "vacuum" => GraftTable.vacuum(m.path)
+      }
+      val out = GraftTable.read(spark, m.path)
+      return RunResult(spec, out, out.limit(0), Nil)
+    }
     val src = read(spark, spec.source)
 
     val (passed0, quarantined, metricsOf) = validate(spark, src, spec.checks)

@@ -1526,8 +1526,9 @@ object Sources extends QueryPack {
       .orderBy(col("o_orderstatus"))
   }
 
-  /** EP29 — graft_table DELETE WHERE: predicate delete as copy-on-write
-    * (the GDPR/TTL workhorse). The oracle pins row-level semantics (the
+  /** EP29 — declared DELETE WHERE (`mode: maintenance`): predicate
+    * delete as copy-on-write (the GDPR/TTL workhorse), driven through
+    * the YAML surface. The oracle pins row-level semantics (the
     * surviving set is exactly `NOT pred`); GraftTableSpec pins the
     * physical claims that make it a 100 TB operation — untouched files
     * survive by reference (no rewrite), all-match files drop by pure
@@ -1546,14 +1547,20 @@ object Sources extends QueryPack {
     GraftTable.write(spark, Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_shipdate")), root, "overwrite")
-    GraftTable.deleteWhere(spark, root,
-      "l_quantity > 30 AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'")
-    GraftTable.read(spark, root)
+    PipelineRunner.run(spark,
+      s"""name: ep29_ttl
+         |mode: maintenance
+         |maintenance:
+         |  op: delete_where
+         |  path: "$root"
+         |  where: "l_quantity > 30 AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"
+         |""".stripMargin).passed
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_shipdate"))
   }
 
-  /** EP30 — graft_table UPDATE WHERE: predicate update as copy-on-write.
+  /** EP30 — declared UPDATE WHERE (`mode: maintenance`): predicate
+    * update as copy-on-write through the YAML surface.
     * Assignments evaluate against the ORIGINAL row (SQL UPDATE
     * semantics — the predicate and every SET expression see pre-update
     * values) and only files containing a matching row are rewritten.
@@ -1574,14 +1581,19 @@ object Sources extends QueryPack {
     GraftTable.write(spark, Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
       root, "overwrite")
-    GraftTable.updateWhere(spark, root,
-      "o_orderstatus = 'F' AND o_orderkey % 7 = 0",
-      Map("o_orderstatus" -> "'X'",
-          "o_totalprice" -> "o_totalprice + 100.0"))
-    GraftTable.read(spark, root).orderBy(col("o_orderkey"))
+    PipelineRunner.run(spark,
+      s"""name: ep30_correction
+         |mode: maintenance
+         |maintenance:
+         |  op: update_where
+         |  path: "$root"
+         |  where: "o_orderstatus = 'F' AND o_orderkey % 7 = 0"
+         |  set: {o_orderstatus: "'X'", o_totalprice: "o_totalprice + 100.0"}
+         |""".stripMargin).passed.orderBy(col("o_orderkey"))
   }
 
-  /** EP31 — graft_table RESTORE: roll back a bad write as a new commit,
+  /** EP31 — declared RESTORE (`mode: maintenance`): roll back a bad
+    * write as a new commit,
     * pure log metadata (no data file read or written — the physical
     * claim GraftTableSpec pins). Here: publish v1, append v2, fat-finger
     * a predicate delete (v3), restore to v2 (v4) — the read-back is
@@ -1603,8 +1615,11 @@ object Sources extends QueryPack {
     GraftTable.write(spark, base.where(col("o_orderkey") % 3 === 1),
       root, "append")                                      // v2
     GraftTable.deleteWhere(spark, root, "o_totalprice < 150000.0") // v3: oops
-    GraftTable.restore(spark, root, 2L)                    // v4 == v2 content
-    GraftTable.read(spark, root).orderBy(col("o_orderkey"))
+    PipelineRunner.run(spark,
+      s"""name: ep31_rollback
+         |mode: maintenance
+         |maintenance: {op: restore, path: "$root", to_version: 2}
+         |""".stripMargin).passed.orderBy(col("o_orderkey"))  // v4 == v2
   }
 
   override def defs: Seq[QueryDef] =

@@ -2004,4 +2004,84 @@ class ConfigPipelineSpec extends SparkSpecBase {
          |  - {op: sessionize, on: [uid], cols: [t, eid], threshold: 50}
          |""".stripMargin)).getMessage should include("batch-only")
   }
+
+  test("mode maintenance: declared table ops run through YAML; knob hygiene fails loud") {
+    import org.apache.spark.sql.functions.col
+    import graft.tables.GraftTable
+    import spark.implicits._
+    val root = "/tmp/graft_io/acid_maint_cfg"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(rootPath, true)
+    // fragment a table (4 single-file appends), then drive optimize +
+    // delete_where + vacuum purely from YAML
+    (0 until 4).foreach { i =>
+      GraftTable.write(spark,
+        Seq((i.toLong * 2, s"v$i"), (i.toLong * 2 + 1, s"v$i"))
+          .toDF("id", "v").repartition(1), root,
+        if (i == 0) "overwrite" else "append")
+    }
+    PipelineRunner.run(spark,
+      s"""name: m_opt
+         |mode: maintenance
+         |maintenance: {op: optimize, path: "$root", target_files: 1}
+         |""".stripMargin).passed.count() shouldBe 8L
+    GraftTable.snapshot(root).files.size shouldBe 1
+    val afterDelete = PipelineRunner.run(spark,
+      s"""name: m_del
+         |mode: maintenance
+         |maintenance:
+         |  op: delete_where
+         |  path: "$root"
+         |  where: "id >= 6"
+         |""".stripMargin).passed
+    afterDelete.select(col("id")).as[Long].collect().sorted shouldBe
+      Array(0L, 1L, 2L, 3L, 4L, 5L)
+    PipelineRunner.run(spark,
+      s"""name: m_vac
+         |mode: maintenance
+         |maintenance: {op: vacuum, path: "$root"}
+         |""".stripMargin).passed.count() shouldBe 6L
+    // knob hygiene: foreign keys, missing requirements, stray pipeline
+    // sections all fail at parse — never a silent no-op
+    def bad(yaml: String, frag: String): Unit =
+      intercept[IllegalArgumentException](
+        PipelineSpec.parse(yaml)).getMessage should include(frag)
+    bad(s"""name: b1
+           |mode: maintenance
+           |maintenance: {op: vacuum, path: "$root", where: "id > 1"}
+           |""".stripMargin, "takes no knobs")
+    bad(s"""name: b2
+           |mode: maintenance
+           |maintenance: {op: delete_where, path: "$root"}
+           |""".stripMargin, "needs `where`")
+    bad(s"""name: b3
+           |mode: maintenance
+           |maintenance: {op: update_where, path: "$root", where: "id = 1"}
+           |""".stripMargin, "needs `set`")
+    bad(s"""name: b4
+           |mode: maintenance
+           |maintenance: {op: restore, path: "$root", to_version: 2, where: "x"}
+           |""".stripMargin, "takes `to_version` only")
+    bad(s"""name: b5
+           |mode: maintenance
+           |maintenance: {op: optimize, path: "$root"}
+           |""".stripMargin, "target_files")
+    bad(s"""name: b6
+           |mode: maintenance
+           |maintenance: {op: compact, path: "$root"}
+           |""".stripMargin, "unknown 'compact'")
+    bad(s"""name: b7
+           |mode: maintenance
+           |source: {format: parquet, path: "/tmp/x"}
+           |maintenance: {op: vacuum, path: "$root"}
+           |""".stripMargin, "takes no `source`")
+    bad(s"""name: b8
+           |maintenance: {op: vacuum, path: "$root"}
+           |""".stripMargin, "go together")
+    bad(s"""name: b9
+           |mode: maintenance
+           |maintenance: {op: restore, path: "$root", to_version: "two"}
+           |""".stripMargin, "integer expected")
+  }
 }
