@@ -992,6 +992,35 @@ class GraftTableSpec extends SparkSpecBase {
     }
   }
 
+  test("deleteWhere/updateWhere/restore == plain-algebra references on " +
+    "randomized multi-file tables") {
+    forSamples(org.scalacheck.Gen.chooseNum(1, 1000000), n = 5) { seed =>
+      def h(i: Long) = (seed * 31L + i * 2654435761L) & 0x7fffffffL
+      val root = freshRoot(s"dml_prop_$seed")
+      val rows = (0L until 24L).map(k => (k, h(k) % 50, s"s${h(k + 7) % 5}"))
+      rows.grouped(8).zipWithIndex.foreach { case (g, i) =>
+        GraftTable.write(spark, g.toSeq.toDF("id", "n", "s").repartition(1),
+          root, if (i == 0) "overwrite" else "append")
+      }
+      def readAll() = GraftTable.read(spark, root)
+        .as[(Long, Long, String)].collect().toSeq.sorted
+      val cut = h(1000) % 50
+      val preDelete = GraftTable.latestVersion(root).get
+      GraftTable.deleteWhere(spark, root, s"n < $cut")
+      val afterDel = rows.filterNot(_._2 < cut)
+      readAll() shouldBe afterDel.sorted
+      GraftTable.updateWhere(spark, root, "s = 's1'",
+        Map("n" -> "n * 2 + id"))
+      val afterUpd = afterDel.map(r =>
+        if (r._3 == "s1") (r._1, r._2 * 2 + r._1, r._3) else r)
+      readAll() shouldBe afterUpd.sorted
+      // restore undoes both DML versions; metadata-only count agrees
+      GraftTable.restore(spark, root, preDelete)
+      readAll() shouldBe rows.sorted
+      GraftTable.rowCount(root) shouldBe 24L
+    }
+  }
+
   test("materialized view: refresh == recompute under randomized op sequences") {
     import graft.tables.MaterializedView
     import graft.tables.MaterializedView.AggSpec
