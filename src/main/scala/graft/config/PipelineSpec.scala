@@ -640,6 +640,14 @@ object PipelineSpec {
         s.options.contains("changesFrom")),
         s"$at: versionAsOf (snapshot) and changesFrom (change feed) are " +
           "mutually exclusive")
+      // timestampAsOf: timestamp time travel — "yyyy-MM-dd[ HH:mm:ss]"
+      // (UTC, like every timestamp literal here) or epoch millis; resolves
+      // to the newest commit at or before it. One snapshot selector at a
+      // time, and never on the change feed.
+      require(!(s.options.contains("timestampAsOf") &&
+        (s.options.contains("versionAsOf") || s.options.contains("changesFrom"))),
+        s"$at: timestampAsOf is mutually exclusive with versionAsOf and " +
+          "changesFrom (one snapshot/delta selector per read)")
       // rangeCol/rangeLo/rangeHi: log-level file skipping on a snapshot
       // read — all three together, and never on a change feed (the feed
       // reads version deltas, not the pruned live set)

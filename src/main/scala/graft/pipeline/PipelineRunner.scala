@@ -521,6 +521,24 @@ object PipelineRunner {
         // rangeCol+rangeLo+rangeHi: log-level file skipping — only files
         // whose logged min/max can hold a matching row are ever listed
         // (readRange also applies the residual row filter)
+        // one resolved snapshot selector: versionAsOf directly, or
+        // timestampAsOf → the newest commit at or before it (naive
+        // timestamp = UTC, the convention every literal here follows;
+        // all-digits = epoch millis). Parse-time validation enforced
+        // mutual exclusion.
+        val asOfVer: Option[Long] = s.options.get("versionAsOf").map(_.toLong)
+          .orElse(s.options.get("timestampAsOf").map { t =>
+            val ms =
+              if (t.forall(_.isDigit)) t.toLong
+              else {
+                val ldt =
+                  if (t.contains(" ") || t.contains("T"))
+                    java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+                  else java.time.LocalDate.parse(t).atStartOfDay()
+                ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+              }
+            graft.tables.GraftTable.versionAtTimestamp(path, ms)
+          })
         (s.options.get("changesFrom"), s.options.get("rangeCol")) match {
           case (Some(cf), _) => graft.tables.GraftTable.changes(spark, path,
             cf.toLong, s.options.get("changesTo").map(_.toLong))
@@ -531,10 +549,8 @@ object PipelineRunner {
                 scala.util.Try(v.toDouble).getOrElse(v: Any))
             }
             graft.tables.GraftTable.readRange(spark, path, rc,
-              bound("rangeLo"), bound("rangeHi"),
-              s.options.get("versionAsOf").map(_.toLong))
-          case _ => graft.tables.GraftTable.read(spark, path,
-            s.options.get("versionAsOf").map(_.toLong))
+              bound("rangeLo"), bound("rangeHi"), asOfVer)
+          case _ => graft.tables.GraftTable.read(spark, path, asOfVer)
         }
       case "jdbc" => // §2.A5: options pass through verbatim — url/dbtable/
         // driver, plus partitionColumn/lowerBound/upperBound/numPartitions

@@ -256,6 +256,36 @@ object GraftTable {
     Snapshot(v, st.files.toSeq, st.schemaDdl)
   }
 
+  /** Commit wall-clock of one version in epoch millis: the logged
+    * commit-ts line when present, the log file's mtime for logs written
+    * before timestamps were recorded. O(1) metadata. */
+  def commitTimestamp(root: String, v: Long): Long = {
+    val f = verFile(root, v)
+    require(Files.exists(f),
+      s"graft_table $root: version $v's log was truncated")
+    Files.readAllLines(f).asScala.filter(_.nonEmpty)
+      .map(json.readTree).collectFirst {
+        case n if n.has("commit") => n.get("commit").get("ts").asLong()
+      }.getOrElse(Files.getLastModifiedTime(f).toMillis)
+  }
+
+  /** Timestamp time travel: the NEWEST version committed at or before
+    * `tsMillis` — Delta's `timestampAsOf` resolution, O(retained
+    * versions) log metadata. A timestamp older than the earliest
+    * retained commit fails loud (the state at that time is unknowable
+    * after truncation, not silently the earliest snapshot). */
+  def versionAtTimestamp(root: String, tsMillis: Long): Long = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"not a graft_table: $root"))
+    val retained = (1L to latest).filter(v => Files.exists(verFile(root, v)))
+    val at = retained.filter(v => commitTimestamp(root, v) <= tsMillis)
+    require(at.nonEmpty,
+      s"graft_table $root: no commit at or before ts=$tsMillis — earliest " +
+        s"retained commit is version ${retained.headOption.getOrElse(-1L)} " +
+        s"at ts=${retained.headOption.map(commitTimestamp(root, _)).getOrElse(-1L)}")
+    at.max
+  }
+
   /** Snapshot-isolated read of `asOf` (default latest). The schema comes
     * from the log, not file inference — an empty version (everything
     * deleted) still reads as a typed empty frame, and all-file reads
@@ -585,7 +615,13 @@ object GraftTable {
     Files.createDirectories(logDir(root))
     val target = verFile(root, expected + 1)
     val tmp = Files.createTempFile(logDir(root), ".commit", ".tmp")
-    Files.writeString(tmp, actions.map(json.writeValueAsString).mkString("\n"))
+    // commit wall-clock as the FIRST log line (Delta's commitInfo):
+    // `timestampAsOf` resolves against it. Replay ignores unknown action
+    // kinds, so pre-existing logs without it stay readable (resolution
+    // falls back to the log file's mtime for those versions).
+    val ts = json.createObjectNode()
+    ts.putObject("commit").put("ts", System.currentTimeMillis())
+    Files.writeString(tmp, (ts +: actions).map(json.writeValueAsString).mkString("\n"))
     try Files.createLink(target, tmp)
     catch {
       case _: FileAlreadyExistsException =>

@@ -205,6 +205,38 @@ class GraftTableSpec extends SparkSpecBase {
       .getMessage should include("vacuumed")
   }
 
+  test("timestampAsOf: commit-ts time travel resolves the newest commit at or " +
+    "before the timestamp") {
+    val root = freshRoot("tsasof")
+    GraftTable.write(spark, Seq((1L, "a")).toDF("id", "v"), root, "overwrite")
+    Thread.sleep(20)
+    val betweenV1V2 = System.currentTimeMillis()
+    Thread.sleep(20)
+    GraftTable.write(spark, Seq((2L, "b")).toDF("id", "v"), root, "append")
+    Thread.sleep(20)
+    GraftTable.write(spark, Seq((3L, "c")).toDF("id", "v"), root, "append")
+    // logged commit timestamps are monotone and resolvable
+    (1L to 3L).map(GraftTable.commitTimestamp(root, _)) shouldBe sorted
+    GraftTable.versionAtTimestamp(root, betweenV1V2) shouldBe 1L
+    GraftTable.versionAtTimestamp(root, System.currentTimeMillis()) shouldBe 3L
+    // before the earliest commit: unknowable, fail loud
+    (the[IllegalArgumentException] thrownBy GraftTable.versionAtTimestamp(
+      root, GraftTable.commitTimestamp(root, 1L) - 1000))
+      .getMessage should include("no commit at or before")
+    // config surface: epoch-millis form reads the resolved snapshot
+    PipelineRunner.run(spark,
+      s"""name: ts_travel
+         |source: {format: graft_table, path: "$root",
+         |         options: {timestampAsOf: "$betweenV1V2"}}
+         |""".stripMargin).passed.count() shouldBe 1L
+    // one snapshot selector at a time
+    intercept[IllegalArgumentException](graft.config.PipelineSpec.parse(
+      s"""name: ts_bad
+         |source: {format: graft_table, path: "$root",
+         |         options: {timestampAsOf: "$betweenV1V2", versionAsOf: "2"}}
+         |""".stripMargin)).getMessage should include("mutually exclusive")
+  }
+
   test("optimistic concurrency: a raced commit slot throws; appends retry past it") {
     val root = freshRoot("occ")
     GraftTable.write(spark, Seq((1L, "a")).toDF("id", "v"), root, "overwrite")
