@@ -70,14 +70,18 @@ final case class PipelineSpec(
   * Exactly one op per pipeline; each op's foreign knobs are rejected at
   * parse (a config key must FAIL, not silently no-op). */
 final case class MaintenanceSpec(
-    op: String,                   // delete_where | update_where | restore | optimize | vacuum
+    op: String,                   // delete_where | update_where | restore |
+                                  // optimize | vacuum | add_constraint |
+                                  // drop_constraint
     path: String,                 // the graft_table root
     where: Option[String],        // delete_where / update_where
     set: Map[String, String],     // update_where: col -> SQL expr
     toVersion: Option[Long],      // restore
     targetFiles: Option[Int],     // optimize
     zorderBy: Seq[String],        // optimize (exactly two, optional)
-    zorderBits: Option[Int])      // optimize
+    zorderBits: Option[Int],      // optimize
+    constraintName: Option[String] = None, // add_constraint / drop_constraint
+    check: Option[String] = None)          // add_constraint
 
 /** Declared incremental materialized view (`mode: mv_refresh`): maintain
   * `keys × aggs` over the graft_table `source`, stored at `path`. Agg
@@ -432,11 +436,13 @@ object PipelineSpec {
       s"pipeline.mode: unknown '$mode'")
     val maintSpec = opt(root, "maintenance").map { n =>
       fields(n, "maintenance", Set("op", "path", "where", "set",
-        "to_version", "target_files", "zorder_by", "zorder_bits"))
+        "to_version", "target_files", "zorder_by", "zorder_bits",
+        "constraint_name", "check"))
       val op = reqStr(n, "op", "maintenance")
       require(Set("delete_where", "update_where", "restore", "optimize",
-        "vacuum")(op), s"maintenance.op: unknown '$op' (delete_where|" +
-        "update_where|restore|optimize|vacuum)")
+        "vacuum", "add_constraint", "drop_constraint")(op),
+        s"maintenance.op: unknown '$op' (delete_where|" +
+        "update_where|restore|optimize|vacuum|add_constraint|drop_constraint)")
       def intOpt(f: String): Option[Int] = optStr(n, f).map(s =>
         s.toIntOption.getOrElse(throw new IllegalArgumentException(
           s"maintenance.$f: integer expected, got '$s'")))
@@ -445,12 +451,30 @@ object PipelineSpec {
         optStr(n, "to_version").map(s => s.toLongOption.getOrElse(
           throw new IllegalArgumentException(
             s"maintenance.to_version: integer expected, got '$s'"))),
-        intOpt("target_files"), strArr(n, "zorder_by"), intOpt("zorder_bits"))
+        intOpt("target_files"), strArr(n, "zorder_by"), intOpt("zorder_bits"),
+        optStr(n, "constraint_name"), optStr(n, "check"))
       // one-op contract: required knobs present, every foreign knob
       // rejected — a key that doesn't apply must FAIL, not no-op
       def need(cond: Boolean, msg: String): Unit =
         require(cond, s"maintenance($op): $msg")
+      if (!Set("add_constraint", "drop_constraint")(op))
+        need(m.constraintName.isEmpty && m.check.isEmpty,
+          "constraint_name/check belong to add_constraint/drop_constraint")
       op match {
+        case "add_constraint" =>
+          need(m.constraintName.exists(_.trim.nonEmpty) &&
+            m.check.exists(_.trim.nonEmpty),
+            "needs `constraint_name` + `check` (SQL predicate)")
+          need(m.where.isEmpty && m.set.isEmpty && m.toVersion.isEmpty &&
+            m.targetFiles.isEmpty && m.zorderBy.isEmpty && m.zorderBits.isEmpty,
+            "takes constraint_name + check only")
+        case "drop_constraint" =>
+          need(m.constraintName.exists(_.trim.nonEmpty),
+            "needs `constraint_name`")
+          need(m.check.isEmpty && m.where.isEmpty && m.set.isEmpty &&
+            m.toVersion.isEmpty && m.targetFiles.isEmpty &&
+            m.zorderBy.isEmpty && m.zorderBits.isEmpty,
+            "takes constraint_name only")
         case "delete_where" | "update_where" =>
           need(m.where.exists(_.trim.nonEmpty), "needs `where` (SQL predicate)")
           need(m.toVersion.isEmpty && m.targetFiles.isEmpty &&

@@ -71,6 +71,10 @@ object PipelineRunner {
         case "optimize" => GraftTable.optimize(spark, m.path,
           m.targetFiles.get, m.zorderBy, m.zorderBits.getOrElse(12))
         case "vacuum" => GraftTable.vacuum(m.path)
+        case "add_constraint" => GraftTable.addConstraint(spark, m.path,
+          m.constraintName.get, m.check.get)
+        case "drop_constraint" =>
+          GraftTable.dropConstraint(m.path, m.constraintName.get)
       }
       val out = GraftTable.read(spark, m.path)
       return RunResult(spec, out, out.limit(0), Nil)

@@ -1622,9 +1622,49 @@ object Sources extends QueryPack {
          |""".stripMargin).passed.orderBy(col("o_orderkey"))  // v4 == v2
   }
 
+  /** EP32 — declared CHECK constraint (`mode: maintenance` op
+    * add_constraint): the write-side data contract. Adding validates ALL
+    * live data first (one short-circuit probe); every later write
+    * enforces on its delta only — here a config-surface append commits
+    * through the constraint gate. Rejection paths (violating appends /
+    * updates / merges abort naming the constraint, nothing commits) are
+    * pinned in GraftTableSpec; the oracle pins that the guarded pipeline
+    * lands exactly the source rows. */
+  val ep32: QueryDef = m(
+    "ep32_config_constraint",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import graft.tables.GraftTable
+    val root = s"$ioDir/acid_cons"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(rootPath, true)
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    GraftTable.write(spark, base.where(col("o_orderkey") % 2 === 0),
+      root, "overwrite")
+    PipelineRunner.run(spark,
+      s"""name: ep32_contract
+         |mode: maintenance
+         |maintenance:
+         |  op: add_constraint
+         |  path: "$root"
+         |  constraint_name: price_pos
+         |  check: "o_totalprice > 0.0"
+         |""".stripMargin)
+    base.where(col("o_orderkey") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$ioDir/acid_cons_src")
+    PipelineRunner.run(spark, // append THROUGH the constraint gate
+      s"""name: ep32_guarded_append
+         |source: {format: parquet, path: "$ioDir/acid_cons_src"}
+         |sink: {format: graft_table, path: "$root", mode: append}
+         |""".stripMargin)
+    GraftTable.read(spark, root).orderBy(col("o_orderkey"))
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a3c, a4, a4b, a4c, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3,
       ep3b, ep4, ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13,
       ep14, ep15, ep16, ep17, ep18, ep19, ep20, ep21, ep22, ep23, ep24, ep25,
-      ep26, ep27, ep28, ep29, ep30, ep31)
+      ep26, ep27, ep28, ep29, ep30, ep31, ep32)
 }

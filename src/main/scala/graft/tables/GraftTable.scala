@@ -107,6 +107,7 @@ object GraftTable {
     val fileSizes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var schemaDdl = ""
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val constraints = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def applyLine(n: com.fasterxml.jackson.databind.JsonNode): Unit =
       if (n.has("meta")) schemaDdl = n.get("meta").get("schemaDdl").asText()
       else if (n.has("add")) {
@@ -122,6 +123,11 @@ object GraftTable {
         val t = n.get("txn"); val app = t.get("appId").asText()
         val b = t.get("batchId").asLong()
         if (txns.getOrElse(app, Long.MinValue) < b) txns(app) = b
+      } else if (n.has("constraint")) {
+        val c = n.get("constraint")
+        constraints(c.get("name").asText()) = c.get("expr").asText()
+      } else if (n.has("dropConstraint")) {
+        constraints -= n.get("dropConstraint").get("name").asText()
       }
   }
 
@@ -163,6 +169,10 @@ object GraftTable {
       }
       val t = n.get("txns")
       t.fieldNames().asScala.foreach(app => st.txns(app) = t.get(app).asLong())
+      if (n.has("constraints")) {
+        val cs = n.get("constraints")
+        cs.fieldNames().asScala.foreach(c => st.constraints(c) = cs.get(c).asText())
+      }
     }
     ((base.getOrElse(0L) + 1) to v).foreach { ver =>
       val f = verFile(root, ver)
@@ -203,6 +213,8 @@ object GraftTable {
     val fz = n.putObject("fileSizes")
     st.fileSizes.foreach { case (p, b) => fz.put(p, b) }
     val ta = n.putObject("txns"); st.txns.foreach { case (k, b) => ta.put(k, b) }
+    val ca = n.putObject("constraints")
+    st.constraints.foreach { case (k, e) => ca.put(k, e) }
     val tmp = Files.createTempFile(logDir(root), ".ckpt", ".tmp")
     Files.writeString(tmp, json.writeValueAsString(n))
     try Files.createLink(target, tmp)
@@ -481,10 +493,13 @@ object GraftTable {
       .map { ver =>
       var (adds, removes, rowsAdded) = (0, 0, 0L)
       var meta = false; var dataChange = false; var txn: Option[String] = None
+      var alterCons = false
       Files.readAllLines(verFile(root, ver)).asScala
         .filter(_.nonEmpty).foreach { line =>
           val n = json.readTree(line)
           if (n.has("meta")) meta = true
+          else if (n.has("constraint") || n.has("dropConstraint"))
+            alterCons = true
           else if (n.has("add")) {
             adds += 1
             rowsAdded += n.get("add").get("numRecords").asLong()
@@ -499,6 +514,7 @@ object GraftTable {
       val op = // evidence-driven: v1 is always the CREATE, whatever wrote
         // it (write, appendBatch — its txn still shows in the txn column)
         if (ver == 1L) "CREATE"
+        else if (alterCons) "ALTER CONSTRAINT"
         else if (adds > 0 && removes > 0 && !dataChange) "OPTIMIZE"
         else if (meta && removes > 0) "OVERWRITE"
         else if (removes > 0) "MERGE"
@@ -594,6 +610,8 @@ object GraftTable {
       val actions = txnAction(appId, batchId) +:
         (metaDdl.map(metaAction).toSeq ++
           (if (snap.isDefined) adds else metaAction(out.schema.toDDL) +: adds))
+      enforceConstraints(spark, root, adds, cur.getOrElse(0L),
+        s"streaming batch $batchId")
       try return Some(commit(root, cur.getOrElse(0L), actions))
       catch {
         case e: ConcurrentWriteException =>
@@ -786,6 +804,7 @@ object GraftTable {
           metaAction(df.schema.toDDL) +:
             (snap.toSeq.flatMap(_.files.map(removeAction)) ++ adds)
       })
+      enforceConstraints(spark, root, adds, cur.getOrElse(0L), s"$mode")
       try return commit(root, cur.getOrElse(0L), actions)
       catch {
         case e: ConcurrentWriteException =>
@@ -821,6 +840,7 @@ object GraftTable {
         throw new ConcurrentWriteException(
           s"graft_table $root: schema changed concurrently — re-run the " +
             "evolving append against the fresh snapshot")
+      enforceConstraints(spark, root, adds, cur, "evolving append")
       try return commit(root, cur, actions)
       catch {
         case e: ConcurrentWriteException =>
@@ -935,6 +955,7 @@ object GraftTable {
           .unionByName(inserts)
     }
     val adds = stageDataFiles(newData, root)
+    enforceConstraints(spark, root, adds, snap.version, s"merge ($how)")
     commit(root, snap.version, txn.map(t => txnAction(t._1, t._2)).toSeq ++
       touchedRel.map(removeAction) ++ adds)
   }
@@ -1033,6 +1054,7 @@ object GraftTable {
         }
       }: _*)
     val adds = stageDataFiles(rewritten, root)
+    enforceConstraints(spark, root, adds, snap.version, "updateWhere")
     commit(root, snap.version, txn.map(t => txnAction(t._1, t._2)).toSeq ++
       touched.map(removeAction) ++ adds)
   }
@@ -1072,6 +1094,128 @@ object GraftTable {
       Seq(metaAction(tgt.schemaDdl)) else Nil
     if (removes.isEmpty && adds.isEmpty && meta.isEmpty) return cur.version
     commit(root, cur.version, meta ++ removes ++ adds)
+  }
+
+  // -- CHECK constraints -------------------------------------------------------
+
+  /** The named CHECK constraints live at `asOf` (default latest):
+    * name → SQL predicate. Constraints ride the log (constraint /
+    * dropConstraint actions, checkpointed like every other state), so
+    * they survive overwrite, truncation, and restore. */
+  def constraints(root: String, asOf: Option[Long] = None): Map[String, String] = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"not a graft_table: $root"))
+    replayState(root, asOf.getOrElse(latest)).constraints.toMap
+  }
+
+  /** ADD CONSTRAINT `name` CHECK (`check`) — validated against ALL live
+    * data first (one short-circuit probe per live file set; at 100 TB
+    * this one-time scan is the price of a guarantee every later write
+    * enforces on its delta only), then committed as one log action.
+    * SQL CHECK semantics: a row passes when the predicate is TRUE or
+    * NULL; it fails only on FALSE. A racing commit aborts (the
+    * validation was against a stale snapshot — rerun). */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+      check: String): Long = {
+    require(name.trim.nonEmpty && check.trim.nonEmpty,
+      "addConstraint: name and check predicate are both required")
+    val snap = snapshot(root)
+    val existing = replayState(root, snap.version).constraints
+    require(!existing.contains(name),
+      s"graft_table $root: constraint '$name' already exists " +
+        s"(${existing(name)}) — drop it first to redefine")
+    violationProbe(spark, root, snap.files, snap.schemaDdl, name, check)
+      .foreach { bad =>
+        throw new IllegalArgumentException(
+          s"graft_table $root: cannot add CHECK constraint '$name' " +
+            s"($check) — existing data violates it, e.g. $bad")
+      }
+    val n = json.createObjectNode()
+    val c = n.putObject("constraint")
+    c.put("name", name); c.put("expr", check)
+    commit(root, snap.version, Seq(n))
+  }
+
+  /** DROP CONSTRAINT — unknown names fail loud (a typo must not
+    * silently leave the real constraint in force). */
+  def dropConstraint(root: String, name: String): Long = {
+    val snap = snapshot(root)
+    val existing = replayState(root, snap.version).constraints
+    require(existing.contains(name),
+      s"graft_table $root: no constraint '$name' to drop " +
+        s"(have: ${if (existing.isEmpty) "none" else existing.keys.mkString(", ")})")
+    val n = json.createObjectNode()
+    n.putObject("dropConstraint").put("name", name)
+    commit(root, snap.version, Seq(n))
+  }
+
+  /** Full-table constraint audit: violation count per constraint (0 =
+    * healthy). The one consumer that scans everything — run it after a
+    * RESTORE (which is metadata-only and deliberately does NOT
+    * re-validate resurrected files) or to certify externally-produced
+    * data. One pass, all constraints counted together. */
+  def verifyConstraints(spark: SparkSession, root: String): Map[String, Long] = {
+    val snap = snapshot(root)
+    val cons = replayState(root, snap.version).constraints.toMap
+    if (cons.isEmpty) return Map.empty
+    if (snap.files.isEmpty) return cons.map { case (k, _) => k -> 0L }
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val df = spark.read.schema(schema)
+      .parquet(snap.files.map(f => Paths.get(root).resolve(f).toString): _*)
+    val aggs = cons.toSeq.map { case (name, e) =>
+      count_if(!coalesce(expr(e).cast("boolean"), lit(true))).as(name)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cons.keys.zipWithIndex.map { case (k, i) => k -> row.getLong(i) }.toMap
+  }
+
+  /** First violating row of `check` over `files`, if any — a
+    * short-circuit limit(1) probe (stops at the first bad row; parquet
+    * row-group stats prune inside files). None = clean. */
+  private def violationProbe(spark: SparkSession, root: String,
+      files: Seq[String], schemaDdl: String, name: String,
+      check: String): Option[Row] = {
+    if (files.isEmpty) return None
+    val schema = StructType.fromDDL(schemaDdl)
+    val df = spark.read.schema(schema)
+      .parquet(files.map(f => Paths.get(root).resolve(f).toString): _*)
+    val pred = try !coalesce(expr(check).cast("boolean"), lit(true))
+    catch { case e: Exception => throw new IllegalArgumentException(
+      s"graft_table $root: CHECK constraint '$name' ($check) does not " +
+        s"parse: ${e.getMessage}") }
+    try df.where(pred).limit(1).collect().headOption
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw new IllegalArgumentException(
+        s"graft_table $root: CHECK constraint '$name' ($check) does not " +
+          s"resolve against the written schema (${schema.toDDL}) — drop " +
+          s"the constraint or keep the column: ${e.getMessage}") }
+  }
+
+  /** Enforce every live constraint on a commit's STAGED add files — the
+    * write-side CHECK gate. Probes only the delta (the files this commit
+    * is adding), so an append of 1k rows into a 100 TB table validates
+    * 1k rows; the first violating row aborts with the constraint name
+    * and the row. Called by every data-adding path (write, writeEvolve,
+    * appendBatch, merge, updateWhere); deleteWhere only shrinks row sets
+    * and restore is metadata-only by contract (see verifyConstraints). */
+  private def enforceConstraints(spark: SparkSession, root: String,
+      adds: Seq[ObjectNode], atVersion: Long, ctx: String): Unit = {
+    if (adds.isEmpty || atVersion < 1) return
+    val cons = replayState(root, atVersion).constraints
+    if (cons.isEmpty) return
+    val files = adds.map(_.get("add").get("path").asText())
+    // the staged files' OWN schema (self-describing; an evolving write's
+    // files already carry the widened shape)
+    val schemaDdl = spark.read
+      .parquet(files.map(f => Paths.get(root).resolve(f).toString): _*)
+      .schema.toDDL
+    cons.foreach { case (name, check) =>
+      violationProbe(spark, root, files, schemaDdl, name, check).foreach {
+        bad => throw new IllegalArgumentException(
+          s"graft_table $root: $ctx rejected — CHECK constraint '$name' " +
+            s"($check) violated, e.g. $bad")
+      }
+    }
   }
 
   /** OPTIMIZE: rewrite the current snapshot into `targetFiles` bin-packed

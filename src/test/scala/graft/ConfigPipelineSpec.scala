@@ -2083,5 +2083,28 @@ class ConfigPipelineSpec extends SparkSpecBase {
            |mode: maintenance
            |maintenance: {op: restore, path: "$root", to_version: "two"}
            |""".stripMargin, "integer expected")
+    bad(s"""name: b10
+           |mode: maintenance
+           |maintenance: {op: add_constraint, path: "$root", constraint_name: c1}
+           |""".stripMargin, "needs `constraint_name` + `check`")
+    bad(s"""name: b11
+           |mode: maintenance
+           |maintenance: {op: vacuum, path: "$root", constraint_name: c1}
+           |""".stripMargin, "belong to add_constraint")
+    // constraint lifecycle through YAML: add over clean data, drop again
+    PipelineRunner.run(spark,
+      s"""name: m_cons
+         |mode: maintenance
+         |maintenance: {op: add_constraint, path: "$root",
+         |              constraint_name: id_small, check: "id < 100"}
+         |""".stripMargin)
+    GraftTable.constraints(root) shouldBe Map("id_small" -> "id < 100")
+    PipelineRunner.run(spark,
+      s"""name: m_cons_drop
+         |mode: maintenance
+         |maintenance: {op: drop_constraint, path: "$root",
+         |              constraint_name: id_small}
+         |""".stripMargin)
+    GraftTable.constraints(root) shouldBe Map.empty
   }
 }

@@ -205,6 +205,66 @@ class GraftTableSpec extends SparkSpecBase {
       .getMessage should include("vacuumed")
   }
 
+  test("CHECK constraints: add validates all live data; every write path " +
+    "enforces on its delta; restore is audit-only") {
+    val root = freshRoot("cons")
+    GraftTable.write(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"),
+      root, "overwrite")                                            // v1
+    // a constraint existing data violates cannot be added
+    (the[IllegalArgumentException] thrownBy GraftTable.addConstraint(
+      spark, root, "x_big", "x > 15"))
+      .getMessage should include("existing data violates")
+    GraftTable.addConstraint(spark, root, "x_pos", "x > 0")         // v2
+    GraftTable.constraints(root) shouldBe Map("x_pos" -> "x > 0")
+    (the[IllegalArgumentException] thrownBy GraftTable.addConstraint(
+      spark, root, "x_pos", "x > 1"))
+      .getMessage should include("already exists")
+    // a violating append aborts naming the constraint; nothing commits
+    val top = GraftTable.latestVersion(root).get
+    (the[IllegalArgumentException] thrownBy GraftTable.write(spark,
+      Seq((3L, -1.0)).toDF("id", "x"), root, "append"))
+      .getMessage should include("x_pos")
+    GraftTable.latestVersion(root).get shouldBe top
+    // valid append passes; NULL passes (SQL CHECK: fail only on FALSE)
+    GraftTable.write(spark, Seq((3L, 5.0)).toDF("id", "x"), root, "append") // v3
+    GraftTable.write(spark, spark.sql(
+      "SELECT CAST(4 AS BIGINT) AS id, CAST(NULL AS DOUBLE) AS x"),
+      root, "append")                                               // v4
+    // updateWhere and merge enforce too (they can introduce violations)
+    (the[IllegalArgumentException] thrownBy GraftTable.updateWhere(
+      spark, root, "id = 1", Map("x" -> "-5.0")))
+      .getMessage should include("x_pos")
+    (the[IllegalArgumentException] thrownBy GraftTable.merge(spark, root,
+      Seq((1L, -9.0)).toDF("id", "x"), Seq("id")))
+      .getMessage should include("x_pos")
+    // an overwrite whose schema drops the checked column fails loud
+    (the[IllegalArgumentException] thrownBy GraftTable.write(spark,
+      Seq((9L, "s")).toDF("id", "v"), root, "overwrite"))
+      .getMessage should include("does not resolve")
+    // history labels the constraint version; state survives a checkpoint
+    GraftTable.history(spark, root)
+      .where($"operation" === "ALTER CONSTRAINT").count() shouldBe 1L
+    GraftTable.checkpoint(root)
+    GraftTable.constraints(root) shouldBe Map("x_pos" -> "x > 0")
+    // drop (typos fail loud), then the once-rejected row appends fine
+    (the[IllegalArgumentException] thrownBy
+      GraftTable.dropConstraint(root, "nope"))
+      .getMessage should include("no constraint")
+    GraftTable.dropConstraint(root, "x_pos")                        // v5
+    GraftTable.write(spark, Seq((5L, -2.0)).toDF("id", "x"), root, "append") // v6
+    // re-adding is blocked by the live violation; delete it, re-add
+    (the[IllegalArgumentException] thrownBy GraftTable.addConstraint(
+      spark, root, "x_pos", "x > 0"))
+      .getMessage should include("existing data violates")
+    GraftTable.deleteWhere(spark, root, "x < 0")                    // v7
+    GraftTable.addConstraint(spark, root, "x_pos", "x > 0")         // v8
+    // restore is metadata-only and resurrects the violating file; the
+    // audit (verifyConstraints) is how operators certify after one
+    GraftTable.restore(spark, root, 6L)                             // v9
+    GraftTable.constraints(root) shouldBe Map("x_pos" -> "x > 0")
+    GraftTable.verifyConstraints(spark, root) shouldBe Map("x_pos" -> 1L)
+  }
+
   test("timestampAsOf: commit-ts time travel resolves the newest commit at or " +
     "before the timestamp") {
     val root = freshRoot("tsasof")
