@@ -440,9 +440,11 @@ object PipelineSpec {
         "constraint_name", "check"))
       val op = reqStr(n, "op", "maintenance")
       require(Set("delete_where", "update_where", "restore", "optimize",
-        "vacuum", "add_constraint", "drop_constraint")(op),
+        "vacuum", "add_constraint", "drop_constraint",
+        "verify_constraints")(op),
         s"maintenance.op: unknown '$op' (delete_where|" +
-        "update_where|restore|optimize|vacuum|add_constraint|drop_constraint)")
+        "update_where|restore|optimize|vacuum|add_constraint|" +
+        "drop_constraint|verify_constraints)")
       def intOpt(f: String): Option[Int] = optStr(n, f).map(s =>
         s.toIntOption.getOrElse(throw new IllegalArgumentException(
           s"maintenance.$f: integer expected, got '$s'")))
@@ -495,10 +497,12 @@ object PipelineSpec {
             "`zorder_by` needs exactly two columns")
           need(m.where.isEmpty && m.set.isEmpty && m.toVersion.isEmpty,
             "takes target_files/zorder_by/zorder_bits only")
-        case "vacuum" =>
+        case "vacuum" | "verify_constraints" =>
           need(m.where.isEmpty && m.set.isEmpty && m.toVersion.isEmpty &&
             m.targetFiles.isEmpty && m.zorderBy.isEmpty && m.zorderBits.isEmpty,
-            "takes no knobs — it reclaims every unreferenced file")
+            "takes no knobs" + (if (op == "vacuum")
+              " — it reclaims every unreferenced file"
+            else " — it audits every constraint over the whole table"))
       }
       m
     }

@@ -63,6 +63,15 @@ object PipelineRunner {
       // enforced the one-op contract and knob hygiene.
       val m = spec.maintenance.get
       import graft.tables.GraftTable
+      if (m.op == "verify_constraints") {
+        // audit, not mutation: the RESULT is the per-constraint violation
+        // count (the one full-scan consumer — run after a restore or over
+        // externally-produced files), not the table itself
+        import spark.implicits._
+        val out = GraftTable.verifyConstraints(spark, m.path).toSeq.sorted
+          .toDF("constraint", "violations")
+        return RunResult(spec, out, out.limit(0), Nil)
+      }
       m.op match {
         case "delete_where" => GraftTable.deleteWhere(spark, m.path, m.where.get)
         case "update_where" =>

@@ -2106,5 +2106,14 @@ class ConfigPipelineSpec extends SparkSpecBase {
          |              constraint_name: id_small}
          |""".stripMargin)
     GraftTable.constraints(root) shouldBe Map.empty
+    // verify_constraints: the audit op returns violation counts, not data
+    GraftTable.addConstraint(spark, root, "id_pos", "id >= 0")
+    val audit = PipelineRunner.run(spark,
+      s"""name: m_audit
+         |mode: maintenance
+         |maintenance: {op: verify_constraints, path: "$root"}
+         |""".stripMargin).passed
+    audit.columns shouldBe Array("constraint", "violations")
+    audit.as[(String, Long)].collect() shouldBe Array(("id_pos", 0L))
   }
 }
