@@ -541,6 +541,17 @@ object PipelineSpec {
       require(aggs.nonEmpty, "mv.aggs: at least one aggregate")
       MvSpec(reqStr(n, "path", "mv"), strArr(n, "keys"), aggs)
     }
+    if (mode == "streaming" && src.format == "graft_table") {
+      // the streaming table source admits ONLY its own knobs — a batch
+      // selector (versionAsOf/changesFrom/rangeCol) here must fail, not
+      // silently drive a different read
+      val ok = Set("startingversion", "skipchangecommits")
+      src.options.keys.find(k => !ok(k.toLowerCase)).foreach(k =>
+        throw new IllegalArgumentException(
+          s"source.options.$k: a STREAMING graft_table source takes " +
+            "startingVersion ('0'|'latest'|N) and skipChangeCommits " +
+            "only — version selection lives in the query checkpoint"))
+    }
     require((mode == "mv_refresh") == mvSpec.isDefined,
       "mode: mv_refresh and the `mv` block go together (an MV declaration " +
         "without the mode, or the mode without a declaration, is a typo)")

@@ -432,6 +432,16 @@ object PipelineRunner {
               "itself is validated and translated correctly", e)
       }
     }
+    if (s.format == "graft_table") {
+      // the table as a STREAMING source (GraftTableStreamSource): offsets
+      // are commit versions, schema comes from the log, options
+      // startingVersion / skipChangeCommits pass through. The query
+      // checkpoint + commit log give exactly-once table-to-table
+      // pipelines — the streaming dual of the changesFrom batch feed.
+      return spark.readStream
+        .format("graft.tables.GraftTableStreamSource")
+        .options(s.options).option("path", s.path.get).load()
+    }
     val path = s.path.orElse(s.table.map(t => s"${t}.parquet")).getOrElse(
       throw new IllegalArgumentException("source needs path or table"))
     val ddl = s.schema.getOrElse(throw new IllegalArgumentException(

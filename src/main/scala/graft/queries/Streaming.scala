@@ -423,5 +423,40 @@ object Streaming extends QueryPack {
          |""".stripMargin).passed
   }
 
-  override def defs: Seq[QueryDef] = Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12)
+  /** §2.L13 — the ACID table as a STREAMING SOURCE (the dual of l11's
+    * streaming sink): commit versions are the offsets, so the query
+    * checkpoint + the commit log give exactly-once table-to-table
+    * incremental pipelines with no extra bookkeeping. Planning is log
+    * metadata only (never a data-dir listing); each delivered row is
+    * stamped with its commit version. The fail-loud change-commit rule,
+    * OPTIMIZE invisibility, and checkpoint resume are pinned in
+    * GraftTableSpec; the oracle pins delivered content + version stamps. */
+  val l13: QueryDef = m(
+    "l13_streaming_table_source",
+    """SELECT o_orderkey, o_totalprice, version FROM (
+      |  SELECT o_orderkey, o_totalprice, CAST(1 AS BIGINT) AS version
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, CAST(2 AS BIGINT) AS version
+      |  FROM orders WHERE o_orderkey % 3 = 1)
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val root = "/tmp/graft_io/acid_stream_src"
+    StreamOps.rmrf(root)
+    val base = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    graft.tables.GraftTable.write(spark,
+      base.where(col("o_orderkey") % 3 === 0), root, "overwrite") // v1
+    graft.tables.GraftTable.write(spark,
+      base.where(col("o_orderkey") % 3 === 1), root, "append")    // v2
+    graft.pipeline.PipelineRunner.run(spark,
+      s"""name: l13_table_source
+         |mode: streaming
+         |source: {format: graft_table, path: "$root"}
+         |transforms:
+         |  - {op: rename, cols: ["_commit_version:version"]}
+         |  - {op: sort, cols: [o_orderkey]}
+         |""".stripMargin).passed
+  }
+
+  override def defs: Seq[QueryDef] = Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13)
 }

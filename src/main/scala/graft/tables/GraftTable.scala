@@ -453,6 +453,38 @@ object GraftTable {
         schema.add("_commit_version", "bigint")))
   }
 
+  /** Streaming-source metadata for (fromExclusive, toInclusive]: per
+    * version, its data-changing added files and whether the version
+    * CHANGED existing data (removed files without being a pure
+    * layout-only OPTIMIZE swap — merge/delete/overwrite/restore).
+    * O(versions) log metadata, no data IO; a truncated version in the
+    * range fails loud (the delta is unknowable — restart the consumer
+    * from a snapshot). */
+  private[graft] def versionDeltas(root: String, fromExclusive: Long,
+      toInclusive: Long): Seq[(Long, Seq[String], Boolean)] =
+    ((fromExclusive + 1) to toInclusive).map { ver =>
+      val f = verFile(root, ver)
+      require(Files.exists(f),
+        s"graft_table $root: version $ver's log was truncated — the " +
+          "change stream cannot replay it; restart from a snapshot read")
+      var removes = 0; var layoutAdds = 0
+      val dataAdds = Seq.newBuilder[String]
+      Files.readAllLines(f).asScala.filter(_.nonEmpty).foreach { line =>
+        val n = json.readTree(line)
+        if (n.has("remove")) removes += 1
+        else if (n.has("add")) {
+          val a = n.get("add")
+          if (!a.has("dataChange") || a.get("dataChange").asBoolean(true))
+            dataAdds += a.get("path").asText()
+          else layoutAdds += 1
+        }
+      }
+      val adds = dataAdds.result()
+      val changedExisting =
+        removes > 0 && !(layoutAdds > 0 && adds.isEmpty) // pure OPTIMIZE ok
+      (ver, adds, changedExisting)
+    }
+
   /** True iff every version in (fromExclusive, toInclusive] only ADDED
     * rows — i.e. the change feed over that range is complete. OPTIMIZE
     * (removes + all-layout-only adds) qualifies: `changes` skips its

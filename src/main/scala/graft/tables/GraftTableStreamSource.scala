@@ -1,0 +1,249 @@
+package graft.tables
+
+import java.nio.file.Paths
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft_table` as a STRUCTURED STREAMING SOURCE (DataSource V2):
+  * offsets ARE commit versions, so the query checkpoint + the commit log
+  * give exactly-once table-to-table pipelines with no extra bookkeeping —
+  * the streaming dual of `changes()`.
+  *
+  * {{{
+  *   spark.readStream
+  *     .format("graft.tables.GraftTableStreamSource")
+  *     .option("path", root)                 // the table root
+  *     .option("startingVersion", "0")       // 0 = everything (default);
+  *     .load()                               //   "latest" = new commits only
+  * }}}
+  *
+  * Semantics (Delta's streaming-source contract, deliberately):
+  *  - Each micro-batch is the data-changing files ADDED in a version
+  *    range (start, end], each row stamped `_commit_version`. OPTIMIZE
+  *    versions (layout-only adds) deliver nothing.
+  *  - A version that CHANGED existing rows (merge/delete/overwrite/
+  *    restore — removes that are not a pure layout swap) FAILS the
+  *    stream: an append-only consumer cannot retract. Opt out with
+  *    `skipChangeCommits=true`, which skips such versions' adds entirely.
+  *  - A truncated version in the replay range fails loud (restart the
+  *    consumer from a snapshot read + fresh checkpoint).
+  *
+  * 100 TB shape: planning is O(versions in range) LOG metadata on the
+  * driver — never a data-path listing; one input partition per added
+  * file, read executor-side straight from the parquet footer schema.
+  * The reader is parquet-mr's Group API over the FLAT primitive types
+  * this table format stages (long/int/double/float/boolean/string/
+  * binary/timestamp-micros/date); nested or unknown types fail loud at
+  * stream construction, not mid-batch. Files written before a schema
+  * evolution simply lack the new columns — those read as typed nulls,
+  * same as the batch path.
+  */
+class GraftTableStreamSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftTableStreamSource.streamSchema(GraftTableStreamSource.root(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftStreamTable(properties.get("path"), schema)
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object GraftTableStreamSource {
+  private[tables] def root(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft_table stream source needs option `path` (the table root)")
+    p
+  }
+
+  /** The table's schema + the `_commit_version` stamp; every column type
+    * must be reader-supported — checked HERE so an unsupported table
+    * fails at stream construction with the column named. */
+  private[tables] def streamSchema(root: String): StructType = {
+    val base = StructType.fromDDL(GraftTable.snapshot(root).schemaDdl)
+    base.fields.foreach { f =>
+      require(supported(f.dataType),
+        s"graft_table stream source: column '${f.name}' has type " +
+          s"${f.dataType.sql} — the streaming reader handles flat " +
+          "primitives only (long/int/short/byte/double/float/boolean/" +
+          "string/binary/timestamp/timestamp_ntz/date); project it away " +
+          "in a batch view first")
+    }
+    base.add("_commit_version", LongType, nullable = false)
+  }
+
+  private def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+         FloatType | BooleanType | StringType | BinaryType |
+         TimestampType | TimestampNTZType | DateType => true
+    case _ => false
+  }
+}
+
+private[tables] class GraftStreamTable(root: String, schema: StructType)
+  extends Table with SupportsRead {
+  override def name(): String = s"graft_table `$root` (stream)"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftMicroBatchStream(root, schema,
+            Option(options.get("startingVersion")).getOrElse("0"),
+            options.getBoolean("skipChangeCommits", false))
+      }
+    }
+}
+
+/** One offset = one committed table version (fully processed up to and
+  * including it). */
+private[tables] case class GraftVersionOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+private[tables] class GraftMicroBatchStream(root: String, schema: StructType,
+    startingVersion: String, skipChangeCommits: Boolean)
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow: pin the end bound ONCE at query start so the
+  // run drains exactly the versions that existed then and stops.
+  @volatile private var availableNowBound: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(latestVersionNow())
+
+  private def latestVersionNow(): Long =
+    GraftTable.latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"not a graft_table: $root"))
+
+  override def initialOffset(): Offset = GraftVersionOffset(
+    startingVersion match {
+      case "latest" => latestVersionNow() // new commits only
+      case v => v.toLong // 0 = deliver everything from version 1
+    })
+
+  override def latestOffset(): Offset = {
+    val now = latestVersionNow()
+    GraftVersionOffset(availableNowBound.fold(now)(math.min(now, _)))
+  }
+
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): versions
+  // are the only admission unit — a rate limit below one version cannot
+  // be honored (a commit is atomic), so the limit is advisory here.
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+
+  override def deserializeOffset(json: String): Offset =
+    GraftVersionOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = () // progress lives in the
+  // query checkpoint; the log itself needs no consumer bookkeeping
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftVersionOffset].version
+    val to = end.asInstanceOf[GraftVersionOffset].version
+    GraftTable.versionDeltas(root, from, to).flatMap {
+      case (ver, adds, changedExisting) =>
+        if (changedExisting && !skipChangeCommits)
+          throw new IllegalStateException(
+            s"graft_table $root: version $ver changed existing rows " +
+              "(merge/delete/overwrite/restore) — an append-only stream " +
+              "cannot retract them. Set skipChangeCommits=true to skip " +
+              "such versions, or restart from a snapshot read")
+        if (changedExisting) Nil
+        else adds.map(f => GraftFilePartition(
+          Paths.get(root).resolve(f).toString, ver): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftFileReaderFactory(schema.json)
+}
+
+private[tables] case class GraftFilePartition(absPath: String, version: Long)
+  extends InputPartition
+
+private[tables] class GraftFileReaderFactory(schemaJson: String)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftFilePartition]
+    new GraftFileReader(p.absPath, p.version,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType])
+  }
+}
+
+/** Executor-side reader: parquet-mr Group API over one immutable data
+  * file — no Spark-internal reader plumbing, just the footer schema and
+  * typed getters. Columns the file predates (schema evolution) read as
+  * nulls; `_commit_version` is the partition's constant. */
+private[tables] class GraftFileReader(absPath: String, version: Long,
+    schema: StructType) extends PartitionReader[InternalRow] {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+
+  private val reader: ParquetReader[Group] = ParquetReader
+    .builder(new GroupReadSupport(),
+      new org.apache.hadoop.fs.Path(absPath))
+    .withConf(new org.apache.hadoop.conf.Configuration())
+    .build()
+  private val dataFields = schema.fields.dropRight(1) // last = _commit_version
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val fileType = current.getType
+    val values = new Array[Any](schema.length)
+    var i = 0
+    while (i < dataFields.length) {
+      val f = dataFields(i)
+      values(i) =
+        if (!fileType.containsField(f.name)) null // pre-evolution file
+        else {
+          val fi = fileType.getFieldIndex(f.name)
+          if (current.getFieldRepetitionCount(fi) == 0) null
+          else f.dataType match {
+            case LongType | TimestampType | TimestampNTZType =>
+              current.getLong(fi, 0)
+            case IntegerType | DateType => current.getInteger(fi, 0)
+            case ShortType => current.getInteger(fi, 0).toShort
+            case ByteType => current.getInteger(fi, 0).toByte
+            case DoubleType => current.getDouble(fi, 0)
+            case FloatType => current.getFloat(fi, 0)
+            case BooleanType => current.getBoolean(fi, 0)
+            case StringType =>
+              UTF8String.fromBytes(current.getBinary(fi, 0).getBytes)
+            case BinaryType => current.getBinary(fi, 0).getBytes
+            case other => throw new IllegalStateException(
+              s"unreachable: schema check admits no ${other.sql}")
+          }
+        }
+      i += 1
+    }
+    values(schema.length - 1) = version
+    new GenericInternalRow(values)
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -297,6 +297,58 @@ class GraftTableSpec extends SparkSpecBase {
          |""".stripMargin)).getMessage should include("mutually exclusive")
   }
 
+  test("streaming source: versions are offsets, OPTIMIZE invisible, checkpoint " +
+    "resumes exactly-once, change commits fail loud unless skipped") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot("ssrc")
+    val base = freshRoot("ssrc_run")
+    GraftTable.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      root, "overwrite")                                          // v1
+    GraftTable.write(spark, Seq((3L, "c")).toDF("id", "v"), root, "append") // v2
+    GraftTable.optimize(spark, root, 1)                           // v3: invisible
+    GraftTable.write(spark, Seq((4L, "d")).toDF("id", "v"), root, "append") // v4
+    def drain(skipChanges: Boolean = false): Unit = {
+      val q = spark.readStream
+        .format("graft.tables.GraftTableStreamSource")
+        .option("path", root)
+        .option("skipChangeCommits", skipChanges.toString)
+        .load()
+        .writeStream
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$base/out/b$id"); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def readOut() = {
+      val dirs = scala.util.Using.resource(
+        Files.list(Paths.get(s"$base/out")))(
+        _.iterator().asScala.map(_.toString).toSeq.sorted)
+      spark.read.parquet(dirs: _*).as[(Long, String, Long)].collect().toSeq.sorted
+    }
+    drain()
+    // the OPTIMIZE version delivered nothing; adds carry their version
+    readOut() shouldBe Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L),
+      (4L, "d", 4L))
+    // resume from the query checkpoint: only the new commit arrives
+    GraftTable.write(spark, Seq((5L, "e")).toDF("id", "v"), root, "append") // v5
+    drain()
+    readOut() shouldBe Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L),
+      (4L, "d", 4L), (5L, "e", 5L))
+    // a change commit (predicate delete rewrote/removed rows) fails loud
+    GraftTable.deleteWhere(spark, root, "id = 1")                 // v6
+    GraftTable.write(spark, Seq((6L, "f")).toDF("id", "v"), root, "append") // v7
+    (the[org.apache.spark.sql.streaming.StreamingQueryException] thrownBy
+      drain()).getMessage should include("changed existing rows")
+    // skipChangeCommits: v6's rewrites are skipped, v7 delivers — each
+    // row still exactly once
+    drain(skipChanges = true)
+    readOut() shouldBe Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L),
+      (4L, "d", 4L), (5L, "e", 5L), (6L, "f", 7L))
+  }
+
   test("optimistic concurrency: a raced commit slot throws; appends retry past it") {
     val root = freshRoot("occ")
     GraftTable.write(spark, Seq((1L, "a")).toDF("id", "v"), root, "overwrite")
