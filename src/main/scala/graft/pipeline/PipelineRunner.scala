@@ -38,6 +38,24 @@ object PipelineRunner {
   def runFile(spark: SparkSession, yamlPath: String): RunResult =
     run(spark, Files.readString(Paths.get(yamlPath)))
 
+  /** Run a multi-document YAML (`---`-separated) as ONE declared chain of
+    * activities executed IN ORDER — ADF "pipeline with activities"
+    * parity, and the natural home of the maintenance lifecycle (ingest →
+    * delete_where → optimize → vacuum in one file). Each document is a
+    * complete pipeline spec; later documents read what earlier ones
+    * published. Fail-fast: the first failing activity aborts the chain —
+    * everything before it has published (each single pipeline's sink is
+    * atomic), nothing after it runs. Returns the LAST pipeline's result. */
+  def runAll(spark: SparkSession, yaml: String): RunResult = {
+    val docs = yaml.split("(?m)^---\\s*$").map(_.trim).filter(_.nonEmpty)
+    require(docs.nonEmpty, "runAll: no pipeline documents in the YAML")
+    docs.init.foreach(run(spark, _))
+    run(spark, docs.last)
+  }
+
+  def runAllFile(spark: SparkSession, yamlPath: String): RunResult =
+    runAll(spark, Files.readString(Paths.get(yamlPath)))
+
   def run(spark: SparkSession, yaml: String): RunResult = {
     val spec = PipelineSpec.parse(yaml)
     GraftFunctions.register(spark) // M1 UDFs usable in derive/filter exprs

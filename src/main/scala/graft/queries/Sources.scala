@@ -1662,9 +1662,46 @@ object Sources extends QueryPack {
     GraftTable.read(spark, root).orderBy(col("o_orderkey"))
   }
 
+  /** EP33 — multi-document YAML chain (`PipelineRunner.runAll`): one
+    * declared file runs publish → TTL delete → compaction → read as
+    * ordered activities (ADF "pipeline with activities" parity; the
+    * maintenance lifecycle's natural home). Fail-fast ordering is
+    * spec-tested; the oracle pins the end state: exactly the surviving
+    * rows, through the compacted layout. */
+  val ep33: QueryDef = m(
+    "ep33_config_chain",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice >= 50000.0 ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val root = s"$ioDir/acid_chain"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(rootPath, true)
+    Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$ioDir/chain_src")
+    PipelineRunner.runAll(spark,
+      s"""name: chain_publish
+         |source: {format: parquet, path: "$ioDir/chain_src"}
+         |sink: {format: graft_table, path: "$root", mode: overwrite}
+         |---
+         |name: chain_ttl
+         |mode: maintenance
+         |maintenance: {op: delete_where, path: "$root",
+         |              where: "o_totalprice < 50000.0"}
+         |---
+         |name: chain_compact
+         |mode: maintenance
+         |maintenance: {op: optimize, path: "$root", target_files: 2}
+         |---
+         |name: chain_read
+         |source: {format: graft_table, path: "$root"}
+         |transforms:
+         |  - {op: sort, cols: [o_orderkey]}
+         |""".stripMargin).passed
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a3c, a4, a4b, a4c, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3,
       ep3b, ep4, ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13,
       ep14, ep15, ep16, ep17, ep18, ep19, ep20, ep21, ep22, ep23, ep24, ep25,
-      ep26, ep27, ep28, ep29, ep30, ep31, ep32)
+      ep26, ep27, ep28, ep29, ep30, ep31, ep32, ep33)
 }

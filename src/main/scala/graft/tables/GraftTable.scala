@@ -128,6 +128,19 @@ object GraftTable {
         constraints(c.get("name").asText()) = c.get("expr").asText()
       } else if (n.has("dropConstraint")) {
         constraints -= n.get("dropConstraint").get("name").asText()
+      } else if (n.has("commit")) {
+        () // commit wall-clock (timestampAsOf); no replay state
+      } else {
+        // forward-compat guard: an UNKNOWN action kind means this log was
+        // written by a newer writer whose semantics we cannot replay —
+        // silently skipping it could drop rows or resurrect deleted data.
+        // Fail loud (Delta's protocol-version rule, by whitelist).
+        val kind = n.fieldNames().asScala.mkString(",")
+        throw new IllegalStateException(
+          s"graft_table log: unknown action kind '$kind' — this table was " +
+            "written by a newer engine version; upgrade the reader " +
+            "(known: meta, add, remove, txn, constraint, dropConstraint, " +
+            "commit)")
       }
   }
 

@@ -1668,7 +1668,11 @@ class ConfigPipelineSpec extends SparkSpecBase {
       _.iterator().asScala.map(_.getFileName.toString).toSeq.sorted)
     all should not be empty
     all.foreach { f =>
-      withClue(s"examples/$f: ")(PipelineSpec.parse(template(f)).name should not be empty)
+      // multi-document files (runAll chains) parse per document
+      template(f).split("(?m)^---\\s*$").map(_.trim).filter(_.nonEmpty)
+        .foreach { doc =>
+          withClue(s"examples/$f: ")(PipelineSpec.parse(doc).name should not be empty)
+        }
     }
     // the round-15 examples run end-to-end on the test data
     val dim = graft.core.Tables.nation(spark, sf)
@@ -2115,5 +2119,49 @@ class ConfigPipelineSpec extends SparkSpecBase {
          |""".stripMargin).passed
     audit.columns shouldBe Array("constraint", "violations")
     audit.as[(String, Long)].collect() shouldBe Array(("id_pos", 0L))
+  }
+
+  test("runAll: a multi-document YAML runs in order and fail-fast aborts the tail") {
+    import graft.tables.GraftTable
+    val root = "/tmp/graft_io/acid_chain_spec"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(rootPath, true)
+    spark.range(10).selectExpr("id", "CAST(id * 10 AS DOUBLE) AS x")
+      .write.mode("overwrite").parquet(s"${root}_src")
+    val chain =
+      s"""name: c_publish
+         |source: {format: parquet, path: "${root}_src"}
+         |sink: {format: graft_table, path: "$root", mode: overwrite}
+         |---
+         |name: c_ttl
+         |mode: maintenance
+         |maintenance: {op: delete_where, path: "$root", where: "id >= 7"}
+         |---
+         |name: c_read
+         |source: {format: graft_table, path: "$root"}
+         |""".stripMargin
+    PipelineRunner.runAll(spark, chain).passed.count() shouldBe 7L
+    // fail-fast: a failing middle activity aborts before the tail runs —
+    // the delete (doc 2 here) must NOT happen after doc 1 fails
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(rootPath, true)
+    PipelineRunner.run(spark,
+      s"""name: c_seed
+         |source: {format: parquet, path: "${root}_src"}
+         |sink: {format: graft_table, path: "$root", mode: overwrite}
+         |""".stripMargin)
+    intercept[IllegalArgumentException](PipelineRunner.runAll(spark,
+      s"""name: c_bad
+         |mode: maintenance
+         |maintenance: {op: delete_where, path: "$root"}
+         |---
+         |name: c_never
+         |mode: maintenance
+         |maintenance: {op: delete_where, path: "$root", where: "id >= 0"}
+         |""".stripMargin))
+    GraftTable.read(spark, root).count() shouldBe 10L // c_never never ran
+    intercept[IllegalArgumentException](
+      PipelineRunner.runAll(spark, "   ")).getMessage should include("no pipeline")
   }
 }

@@ -349,6 +349,22 @@ class GraftTableSpec extends SparkSpecBase {
       (4L, "d", 4L), (5L, "e", 5L), (6L, "f", 7L))
   }
 
+  test("replay fails loud on an unknown log action kind (forward-compat guard)") {
+    val root = freshRoot("unk")
+    GraftTable.write(spark, Seq((1L, "a")).toDF("id", "v"), root, "overwrite")
+    // a "newer writer" commits an action kind this reader cannot replay —
+    // skipping it could drop rows or resurrect deleted ones, so reads of
+    // that version (and beyond) must refuse, naming the kind
+    Files.writeString(
+      Paths.get(root, "_graft_log", f"${2L}%020d.json"),
+      """{"rewriteManifest":{"v":2}}""")
+    (the[IllegalStateException] thrownBy GraftTable.read(spark, root))
+      .getMessage should include("unknown action kind 'rewriteManifest'")
+    // older versions stay readable — the guard bites only when the
+    // unknown action is inside the replayed range
+    GraftTable.read(spark, root, Some(1L)).count() shouldBe 1L
+  }
+
   test("optimistic concurrency: a raced commit slot throws; appends retry past it") {
     val root = freshRoot("occ")
     GraftTable.write(spark, Seq((1L, "a")).toDF("id", "v"), root, "overwrite")
