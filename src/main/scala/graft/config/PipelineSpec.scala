@@ -545,12 +545,14 @@ object PipelineSpec {
       // the streaming table source admits ONLY its own knobs — a batch
       // selector (versionAsOf/changesFrom/rangeCol) here must fail, not
       // silently drive a different read
-      val ok = Set("startingversion", "skipchangecommits")
+      val ok = Set("startingversion", "skipchangecommits",
+        "maxversionspertrigger")
       src.options.keys.find(k => !ok(k.toLowerCase)).foreach(k =>
         throw new IllegalArgumentException(
           s"source.options.$k: a STREAMING graft_table source takes " +
-            "startingVersion ('0'|'latest'|N) and skipChangeCommits " +
-            "only — version selection lives in the query checkpoint"))
+            "startingVersion ('0'|'latest'|N), skipChangeCommits, and " +
+            "maxVersionsPerTrigger only — version selection lives in " +
+            "the query checkpoint"))
     }
     require((mode == "mv_refresh") == mvSpec.isDefined,
       "mode: mv_refresh and the `mv` block go together (an MV declaration " +

@@ -104,7 +104,8 @@ private[tables] class GraftStreamTable(root: String, schema: StructType)
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftMicroBatchStream(root, schema,
             Option(options.get("startingVersion")).getOrElse("0"),
-            options.getBoolean("skipChangeCommits", false))
+            options.getBoolean("skipChangeCommits", false),
+            options.getLong("maxVersionsPerTrigger", Long.MaxValue))
       }
     }
 }
@@ -116,8 +117,11 @@ private[tables] case class GraftVersionOffset(version: Long) extends Offset {
 }
 
 private[tables] class GraftMicroBatchStream(root: String, schema: StructType,
-    startingVersion: String, skipChangeCommits: Boolean)
+    startingVersion: String, skipChangeCommits: Boolean,
+    maxVersionsPerTrigger: Long)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
+  require(maxVersionsPerTrigger > 0,
+    s"maxVersionsPerTrigger must be > 0, got $maxVersionsPerTrigger")
 
   // Trigger.AvailableNow: pin the end bound ONCE at query start so the
   // run drains exactly the versions that existed then and stops.
@@ -142,11 +146,17 @@ private[tables] class GraftMicroBatchStream(root: String, schema: StructType,
   }
 
   // SupportsAdmissionControl (via SupportsTriggerAvailableNow): versions
-  // are the only admission unit — a rate limit below one version cannot
-  // be honored (a commit is atomic), so the limit is advisory here.
+  // are the admission unit (a commit is atomic — no finer split exists),
+  // so `maxVersionsPerTrigger` bounds each micro-batch to N versions.
+  // A backfill over a long history then proceeds in bounded batches —
+  // checkpointed progress after each — instead of one giant first batch.
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftVersionOffset].version
+    val cap = latestOffset().asInstanceOf[GraftVersionOffset].version
+    GraftVersionOffset(
+      math.min(cap, from + math.min(maxVersionsPerTrigger, cap - from)))
+  }
 
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.trim.toLong)

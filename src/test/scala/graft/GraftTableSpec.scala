@@ -347,6 +347,28 @@ class GraftTableSpec extends SparkSpecBase {
     drain(skipChanges = true)
     readOut() shouldBe Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L),
       (4L, "d", 4L), (5L, "e", 5L), (6L, "f", 7L))
+    // maxVersionsPerTrigger: a fresh backfill proceeds in bounded
+    // batches — one version per micro-batch here, with checkpointed
+    // progress after each — instead of one giant first batch
+    val base2 = freshRoot("ssrc_run2")
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = spark.readStream
+      .format("graft.tables.GraftTableStreamSource")
+      .option("path", root).option("skipChangeCommits", "true")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$base2/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val vs = b.select("_commit_version").distinct()
+          .collect().map(_.getLong(0))
+        vs.length should be <= 1
+        ids.synchronized { ids += id }; ()
+      }
+      .start()
+    q2.awaitTermination()
+    ids.size should be >= 4 // one batch per delivering version, not one big one
   }
 
   test("replay fails loud on an unknown log action kind (forward-compat guard)") {
@@ -379,6 +401,32 @@ class GraftTableSpec extends SparkSpecBase {
     Files.readString(stolen) shouldBe ""
     // a blind append re-resolves past the race and lands at version 3
     GraftTable.write(spark, Seq((2L, "c")).toDF("id", "v"), root, "append") shouldBe 3L
+  }
+
+  test("stress: 8 genuinely concurrent appenders all land exactly once " +
+    "through OCC retries") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val root = freshRoot("stress")
+    GraftTable.write(spark, Seq((0L, -1L)).toDF("w", "i"), root, "overwrite")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val writers = (1 to 8).map { w =>
+      Future {
+        (0 until 5).foreach { i =>
+          GraftTable.write(spark, Seq((w.toLong, i.toLong)).toDF("w", "i"),
+            root, "append", maxRetries = 200)
+        }
+      }
+    }
+    try Await.result(Future.sequence(writers), 180.seconds)
+    finally pool.shutdown()
+    // every append won exactly one contiguous commit slot; no write was
+    // lost, duplicated, or torn under real thread contention
+    GraftTable.latestVersion(root).get shouldBe 41L
+    val rows = GraftTable.read(spark, root).as[(Long, Long)].collect()
+    rows.length shouldBe 41
+    rows.toSet.size shouldBe 41
   }
 
   test("crash mid-write leaves readers on the old version; vacuum reclaims debris") {
