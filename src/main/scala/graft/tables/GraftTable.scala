@@ -967,8 +967,12 @@ object GraftTable {
     val touchedAbs = base.join(broadcast(keys), on, "left_semi")
       .select(col("__file")).distinct()
       .collect().map(_.getString(0)).toSet
-    val touchedRel = snap.files.filter(rel =>
-      touchedAbs.exists(_.endsWith("/" + Paths.get(rel).getFileName.toString)))
+    // O(live files) filename→rel map (data file names are UUID-unique)
+    val relOfName = snap.files.map(r =>
+      Paths.get(r).getFileName.toString -> r).toMap
+    val touchedRel = touchedAbs.toSeq
+      .flatMap(a => relOfName.get(Paths.get(a).getFileName.toString))
+      .distinct.sorted
     val touchedRows =
       if (touchedRel.isEmpty)
         spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
@@ -1005,26 +1009,148 @@ object GraftTable {
       touchedRel.map(removeAction) ++ adds)
   }
 
+  /** Conservative log-stats pruning for an arbitrary predicate: a file
+    * is dropped only when some UNDERSTOOD top-level conjunct (col
+    * {<,<=,>,>=,=,IN} literal, either operand order; BETWEEN arrives
+    * pre-split into two comparisons) PROVES no row in it can make the
+    * predicate TRUE from the logged min/max. Everything else —
+    * functions over columns, ORs, unknown shapes, missing stats —
+    * keeps the file (no stats = no skipping, never a wrong skip).
+    * NULL-sound: stats cover non-null values, and a NULL comparison is
+    * never TRUE, so a range-disjoint file truly has no matching row. */
+  private def pruneByStats(logSt: LogState, files: Seq[String],
+      predicate: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    // (column, test(min, max) => possibly-true) per understood conjunct;
+    // literals become BigDecimal (numerics, timestamp micros) or String
+    def bd(v: Any): Option[java.math.BigDecimal] = v match {
+      case n: java.lang.Number => Some(new java.math.BigDecimal(n.toString))
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+      case _ => None
+    }
+    sealed trait Lit; case class NumL(v: java.math.BigDecimal) extends Lit
+    case class StrL(v: String) extends Lit
+    def lit(l: Literal): Option[Lit] = l.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        Option(l.value).map(v => StrL(v.toString))
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        Option(l.value).flatMap(bd).map(NumL) // micros since epoch
+      case _: org.apache.spark.sql.types.NumericType =>
+        Option(l.value).flatMap(bd).map(NumL)
+      case _ => None
+    }
+    // cmp(statsNode, litValue): Some(-1|0|1) comparing a bound to the
+    // literal in the column's order, None when shapes mismatch
+    def cmpNode(n: com.fasterxml.jackson.databind.JsonNode, v: Lit): Option[Int] =
+      (n.isTextual, v) match {
+        case (true, StrL(x)) => Some(n.asText().compareTo(x).sign)
+        case (false, NumL(x)) if n.isNumber =>
+          Some(n.decimalValue().compareTo(x).sign)
+        case _ => None
+      }
+    type Test = (com.fasterxml.jackson.databind.JsonNode,
+      com.fasterxml.jackson.databind.JsonNode) => Boolean
+    def tests(e: Expression): Option[(String, Test)] = {
+      def col(x: Expression): Option[String] = x match {
+        case UnresolvedAttribute(Seq(n)) => Some(n)
+        case _ => None
+      }
+      def mk(name: String, t: Test) = Some((name, t))
+      e match {
+        case LessThan(c, l: Literal) => col(c).flatMap(n => lit(l).flatMap(v =>
+          mk(n, (mn, _) => cmpNode(mn, v).forall(_ < 0))))
+        case LessThanOrEqual(c, l: Literal) => col(c).flatMap(n => lit(l).flatMap(v =>
+          mk(n, (mn, _) => cmpNode(mn, v).forall(_ <= 0))))
+        case GreaterThan(c, l: Literal) => col(c).flatMap(n => lit(l).flatMap(v =>
+          mk(n, (_, mx) => cmpNode(mx, v).forall(_ > 0))))
+        case GreaterThanOrEqual(c, l: Literal) => col(c).flatMap(n => lit(l).flatMap(v =>
+          mk(n, (_, mx) => cmpNode(mx, v).forall(_ >= 0))))
+        case EqualTo(c, l: Literal) => col(c).flatMap(n => lit(l).flatMap(v =>
+          mk(n, (mn, mx) => cmpNode(mn, v).forall(_ <= 0) &&
+            cmpNode(mx, v).forall(_ >= 0))))
+        case In(c, ls) if ls.nonEmpty && ls.forall(_.isInstanceOf[Literal]) =>
+          col(c).flatMap { n =>
+            val vs = ls.map(l => lit(l.asInstanceOf[Literal]))
+            if (vs.exists(_.isEmpty)) None
+            else mk(n, (mn, mx) => vs.flatten.exists(v =>
+              cmpNode(mn, v).forall(_ <= 0) && cmpNode(mx, v).forall(_ >= 0)))
+          }
+        // literal-first order: swap into the canonical form
+        case LessThan(l: Literal, c) => tests(GreaterThan(c, l))
+        case LessThanOrEqual(l: Literal, c) => tests(GreaterThanOrEqual(c, l))
+        case GreaterThan(l: Literal, c) => tests(LessThan(c, l))
+        case GreaterThanOrEqual(l: Literal, c) => tests(LessThanOrEqual(c, l))
+        case EqualTo(l: Literal, c) => tests(EqualTo(c, l))
+        case _ => None
+      }
+    }
+    // parse with the catalyst parser directly: the Column API's expr()
+    // wraps the string lazily (SqlExpression) and only analysis unwraps
+    // it — the AST never reaches a Column-level inspection
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(predicate)
+    val understood = conjuncts(parsed).flatMap(tests(_))
+    if (understood.isEmpty) return files
+    files.filter { f =>
+      logSt.fileStats.get(f) match {
+        case None => true // no stats recorded = keep
+        case Some(stats) => understood.forall { case (name, possible) =>
+          val key = stats.fieldNames().asScala.find(_.equalsIgnoreCase(name))
+          key.forall { k =>
+            val cs = stats.get(k)
+            possible(cs.get("min"), cs.get("max"))
+          }
+        }
+      }
+    }
+  }
+
+  /** Test/ops visibility into the probe's log-stats pruning: (candidate
+    * files the predicate could match, all live files). Same contract as
+    * [[filesInRange]] but for an arbitrary predicate via its understood
+    * conjuncts. */
+  private[graft] def candidateFilesForPredicate(root: String,
+      predicate: String): (Seq[String], Seq[String]) = {
+    val snap = snapshot(root)
+    val st = replayState(root, snap.version)
+    (pruneByStats(st, snap.files, predicate), snap.files)
+  }
+
   /** Per-file match counts for `pred` over the live snapshot — the probe
-    * behind predicate DELETE/UPDATE. One column-pruned, predicate-pushed
-    * scan: parquet row-group stats prune IO inside each file, and only
-    * matching rows surface (the count aggregate is partial/map-side).
+    * behind predicate DELETE/UPDATE. Two pruning layers before any row
+    * is touched: (1) log-stats file pruning (`pruneByStats`) drops whole
+    * files the predicate provably cannot match — the TTL-delete shape
+    * (`ts < cutoff` on a time-clustered layout) probes only the boundary
+    * files from the LOG alone; (2) the scan over survivors is
+    * column-pruned and predicate-pushed, so parquet row-group stats
+    * prune IO inside each file and only matching rows surface.
     * Returns (relative touched files → matched row count, absolute-path
     * map used to re-read exactly those files). */
   private def probeMatches(spark: SparkSession, root: String,
-      snap: Snapshot, pred: org.apache.spark.sql.Column)
+      snap: Snapshot, pred: org.apache.spark.sql.Column,
+      state: LogState, predicate: String)
       : (Map[String, Long], Map[String, String]) = {
     val schema = StructType.fromDDL(snap.schemaDdl)
-    val absOf = snap.files.map(f =>
+    val candidates = pruneByStats(state, snap.files, predicate)
+    if (candidates.isEmpty) return (Map.empty, Map.empty)
+    val absOf = candidates.map(f =>
       f -> Paths.get(root).resolve(f).toString).toMap
     val base = spark.read.schema(schema).parquet(absOf.values.toSeq: _*)
       .withColumn("__file", input_file_name())
     val perAbs = base.where(pred).groupBy(col("__file")).count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    val perRel = snap.files.flatMap { rel =>
-      val name = "/" + Paths.get(rel).getFileName.toString
-      perAbs.collectFirst { case (abs, n) if abs.endsWith(name) => rel -> n }
-    }.toMap
+    // O(files) filename→rel map (data file names are UUID-unique)
+    val relOfName = candidates.map(r =>
+      Paths.get(r).getFileName.toString -> r).toMap
+    val perRel = perAbs.flatMap { case (abs, n) =>
+      relOfName.get(Paths.get(abs).getFileName.toString).map(_ -> n)
+    }
     (perRel, absOf)
   }
 
@@ -1046,9 +1172,10 @@ object GraftTable {
     val snap = snapshot(root)
     if (snap.files.isEmpty) return snap.version
     val pred = expr(predicate)
-    val (matched, absOf) = probeMatches(spark, root, snap, pred)
+    val state = replayState(root, snap.version)
+    val (matched, absOf) = probeMatches(spark, root, snap, pred, state, predicate)
     if (matched.isEmpty) return snap.version // no-op: no row matches
-    val counts = replayState(root, snap.version).fileCounts
+    val counts = state.fileCounts
     val (fullMatch, partial) =
       matched.keys.toSeq.partition(f => matched(f) == counts.getOrElse(f, -1L))
     val schema = StructType.fromDDL(snap.schemaDdl)
@@ -1087,7 +1214,8 @@ object GraftTable {
     }
     if (snap.files.isEmpty) return snap.version
     val pred = expr(predicate)
-    val (matched, absOf) = probeMatches(spark, root, snap, pred)
+    val state = replayState(root, snap.version)
+    val (matched, absOf) = probeMatches(spark, root, snap, pred, state, predicate)
     if (matched.isEmpty) return snap.version
     val touched = matched.keys.toSeq.sorted
     val rewritten = spark.read.schema(schema).parquet(touched.map(absOf): _*)

@@ -132,6 +132,40 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.latestVersion(root).get shouldBe top
   }
 
+  test("deleteWhere prunes whole files from LOG stats: a TTL delete never " +
+    "opens the untouched middle of the table") {
+    val root = freshRoot("delprune")
+    // time-clustered layout: three single-file commits with disjoint ts
+    // ranges — the canonical retention shape. TIMESTAMP_NTZ: Spark
+    // writes it as INT64 micros (stats land in the log); LTZ timestamps
+    // default to INT96 (no stats → conservative keep, still correct)
+    Seq(1 -> 5, 10 -> 15, 20 -> 25).zipWithIndex.foreach { case ((a, b), i) =>
+      GraftTable.write(spark,
+        Seq(a, b).map(_.toLong).toDF("id").selectExpr("id",
+          f"CAST(CONCAT('1997-01-', LPAD(CAST(id AS STRING), 2, '0')) " +
+            "AS TIMESTAMP_NTZ) AS ts")
+          .repartition(1), root, if (i == 0) "overwrite" else "append")
+    }
+    // the log alone bounds the candidate set for range predicates — on
+    // numeric, timestamp, and IN conjuncts; opaque predicates keep all
+    def cands(p: String) = GraftTable.candidateFilesForPredicate(root, p)
+    cands("ts < TIMESTAMP_NTZ '1997-01-08 00:00:00'")._1.size shouldBe 1
+    cands("id >= 12 AND id < 22")._1.size shouldBe 2
+    cands("id IN (11, 14)")._1.size shouldBe 1
+    cands("id < 0")._1.size shouldBe 0
+    cands("CAST(id AS STRING) = '1'")._1.size shouldBe 3 // opaque: keep all
+    val all = GraftTable.snapshot(root)
+    // the TTL delete: file 1 is a pure metadata drop, files 2 and 3 are
+    // NEVER part of the probe scan and survive by reference
+    GraftTable.deleteWhere(spark, root,
+      "ts < TIMESTAMP_NTZ '1997-01-08 00:00:00'")
+    val after = GraftTable.snapshot(root)
+    after.files.toSet shouldBe all.files.toSet.drop(0).excl(all.files.head)
+    after.files.size shouldBe 2
+    GraftTable.read(spark, root).select("id").as[Long].collect().sorted shouldBe
+      Array(10L, 15L, 20L, 25L)
+  }
+
   test("updateWhere: only matching files rewrite; SET sees pre-update values; " +
     "types hold") {
     val root = freshRoot("updw")
