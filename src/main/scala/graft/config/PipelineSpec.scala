@@ -81,7 +81,8 @@ final case class MaintenanceSpec(
     zorderBy: Seq[String],        // optimize (exactly two, optional)
     zorderBits: Option[Int],      // optimize
     constraintName: Option[String] = None, // add_constraint / drop_constraint
-    check: Option[String] = None)          // add_constraint
+    check: Option[String] = None,          // add_constraint
+    retentionHours: Option[Double] = None) // vacuum (default 168 = 7 days)
 
 /** Declared incremental materialized view (`mode: mv_refresh`): maintain
   * `keys × aggs` over the graft_table `source`, stored at `path`. Agg
@@ -437,7 +438,7 @@ object PipelineSpec {
     val maintSpec = opt(root, "maintenance").map { n =>
       fields(n, "maintenance", Set("op", "path", "where", "set",
         "to_version", "target_files", "zorder_by", "zorder_bits",
-        "constraint_name", "check"))
+        "constraint_name", "check", "retention_hours"))
       val op = reqStr(n, "op", "maintenance")
       require(Set("delete_where", "update_where", "restore", "optimize",
         "vacuum", "add_constraint", "drop_constraint",
@@ -454,7 +455,10 @@ object PipelineSpec {
           throw new IllegalArgumentException(
             s"maintenance.to_version: integer expected, got '$s'"))),
         intOpt("target_files"), strArr(n, "zorder_by"), intOpt("zorder_bits"),
-        optStr(n, "constraint_name"), optStr(n, "check"))
+        optStr(n, "constraint_name"), optStr(n, "check"),
+        optStr(n, "retention_hours").map(s => s.toDoubleOption
+          .filter(_ >= 0).getOrElse(throw new IllegalArgumentException(
+            s"maintenance.retention_hours: number >= 0 expected, got '$s'"))))
       // one-op contract: required knobs present, every foreign knob
       // rejected — a key that doesn't apply must FAIL, not no-op
       def need(cond: Boolean, msg: String): Unit =
@@ -462,6 +466,8 @@ object PipelineSpec {
       if (!Set("add_constraint", "drop_constraint")(op))
         need(m.constraintName.isEmpty && m.check.isEmpty,
           "constraint_name/check belong to add_constraint/drop_constraint")
+      if (op != "vacuum")
+        need(m.retentionHours.isEmpty, "retention_hours belongs to vacuum")
       op match {
         case "add_constraint" =>
           need(m.constraintName.exists(_.trim.nonEmpty) &&
@@ -500,9 +506,12 @@ object PipelineSpec {
         case "vacuum" | "verify_constraints" =>
           need(m.where.isEmpty && m.set.isEmpty && m.toVersion.isEmpty &&
             m.targetFiles.isEmpty && m.zorderBy.isEmpty && m.zorderBits.isEmpty,
-            "takes no knobs" + (if (op == "vacuum")
-              " — it reclaims every unreferenced file"
-            else " — it audits every constraint over the whole table"))
+            (if (op == "vacuum")
+              "takes `retention_hours` only — it reclaims unreferenced " +
+                "files older than the window (default 168h; 0 disables " +
+                "the in-flight-writer guard — offline use only)"
+            else "takes no knobs — it audits every constraint over the " +
+              "whole table"))
       }
       m
     }

@@ -97,7 +97,8 @@ object PipelineRunner {
         case "restore" => GraftTable.restore(spark, m.path, m.toVersion.get)
         case "optimize" => GraftTable.optimize(spark, m.path,
           m.targetFiles.get, m.zorderBy, m.zorderBits.getOrElse(12))
-        case "vacuum" => GraftTable.vacuum(m.path)
+        case "vacuum" => GraftTable.vacuum(m.path,
+          (m.retentionHours.getOrElse(168.0) * 3600 * 1000).toLong)
         case "add_constraint" => GraftTable.addConstraint(spark, m.path,
           m.constraintName.get, m.check.get)
         case "drop_constraint" =>

@@ -679,9 +679,11 @@ object GraftTable {
     val target = verFile(root, expected + 1)
     val tmp = Files.createTempFile(logDir(root), ".commit", ".tmp")
     // commit wall-clock as the FIRST log line (Delta's commitInfo):
-    // `timestampAsOf` resolves against it. Replay ignores unknown action
-    // kinds, so pre-existing logs without it stay readable (resolution
-    // falls back to the log file's mtime for those versions).
+    // `timestampAsOf` resolves against it. `commit` is a WHITELISTED
+    // no-op in LogState.applyLine (replay throws on genuinely unknown
+    // kinds); logs written before commit timestamps were recorded simply
+    // lack the line, and timestamp resolution falls back to the log
+    // file's mtime for those versions.
     val ts = json.createObjectNode()
     ts.putObject("commit").put("ts", System.currentTimeMillis())
     Files.writeString(tmp, (ts +: actions).map(json.writeValueAsString).mkString("\n"))
@@ -705,7 +707,16 @@ object GraftTable {
       dataChange: Boolean = true): Seq[ObjectNode] = {
     val stamp = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val staging = Paths.get(root, s"_staging_$stamp")
-    df.write.mode("overwrite").parquet(staging.toString)
+    // Staged files ALWAYS carry timestamps as INT64 epoch-micros, never
+    // Spark's INT96 default: the streaming file reader and the logged
+    // min/max skip stats both speak INT64-micros only (an INT96 column
+    // would fail the stream mid-batch and record no stats). Session conf
+    // is the only knob parquet exposes, so the write runs under a session
+    // CLONE with it pinned — the caller's conf is untouched and
+    // concurrent writers cannot race a shared set/restore.
+    org.apache.spark.sql.GraftSqlBridge.withConf(df,
+        "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+      .write.mode("overwrite").parquet(staging.toString)
     Files.createDirectories(dataDir(root))
     val parts = {
       val s = Files.list(staging)
@@ -1468,8 +1479,24 @@ object GraftTable {
     * debris — the cleanup half of crash safety. Retention of historical
     * versions is the caller's policy: vacuum keeps every file any
     * EXISTING log version references, so time travel keeps working; to
-    * truncate history, delete old log files first. */
-  def vacuum(root: String): Seq[String] = {
+    * truncate history, delete old log files first.
+    *
+    * `retentionMillis` is the in-flight-writer guard (Delta's mtime
+    * rule): only unreferenced files and staging dirs OLDER than the
+    * window are reclaimed. Without it, a vacuum racing a concurrent
+    * writer would delete files the writer has staged (or already moved
+    * into data/) whose commit has not landed yet — the commit then
+    * publishes references to deleted files, corrupting the table. The
+    * default (7 days) makes vacuum safe to run alongside any live
+    * ingest; `0` disables the guard (reclaim regardless of age —
+    * test/offline use ONLY, never while a writer may be in flight). */
+  def vacuum(root: String,
+      retentionMillis: Long = 7L * 24 * 60 * 60 * 1000): Seq[String] = {
+    require(retentionMillis >= 0,
+      s"vacuum: retentionMillis must be >= 0, got $retentionMillis")
+    val cutoff = System.currentTimeMillis() - retentionMillis
+    def oldEnough(p: Path): Boolean = retentionMillis == 0 ||
+      Files.getLastModifiedTime(p).toMillis < cutoff
     val latest = latestVersion(root).getOrElse(return Nil)
     val referenced = scala.collection.mutable.HashSet.empty[String]
     (1L to latest).foreach { ver =>
@@ -1498,13 +1525,18 @@ object GraftTable {
       val s = Files.list(dataDir(root))
       try s.iterator().asScala.foreach { p =>
         val rel = s"data/${p.getFileName}"
-        if (!referenced.contains(rel)) { Files.delete(p); removed += rel }
+        if (!referenced.contains(rel) && oldEnough(p)) {
+          Files.delete(p); removed += rel
+        }
       } finally s.close()
     }
-    // dead staging dirs (crashed writers) + orphaned log temp files
+    // dead staging dirs (crashed writers) + orphaned log temp files —
+    // same age guard: a YOUNG staging dir is a writer mid-flight, not
+    // debris
     val rs = Files.list(Paths.get(root))
     try rs.iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("_staging_"))
+      .filter(p => p.getFileName.toString.startsWith("_staging_") &&
+        oldEnough(p))
       .foreach { st =>
         val w = Files.walk(st)
         try w.sorted(java.util.Comparator.reverseOrder())
@@ -1516,7 +1548,7 @@ object GraftTable {
     if (Files.isDirectory(logDir(root))) {
       val ls = Files.list(logDir(root))
       try ls.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".tmp"))
+        .filter(p => p.getFileName.toString.endsWith(".tmp") && oldEnough(p))
         .foreach { p => Files.delete(p); removed += s"_graft_log/${p.getFileName}" }
       finally ls.close()
     }

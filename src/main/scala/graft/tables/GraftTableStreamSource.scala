@@ -154,6 +154,15 @@ private[tables] class GraftMicroBatchStream(root: String, schema: StructType,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftVersionOffset].version
     val cap = latestOffset().asInstanceOf[GraftVersionOffset].version
+    // A restored checkpoint AHEAD of the table's current latest version
+    // (history manipulated / table recreated under the same path) must
+    // fail loud like the truncated-version path — returning end < start
+    // would hand Spark a negative batch.
+    require(cap >= from,
+      s"graft_table $root: checkpoint offset $from is ahead of the " +
+        s"table's latest version $cap — the table history was rewritten " +
+        "under this stream; restart from a snapshot read with a fresh " +
+        "checkpoint")
     GraftVersionOffset(
       math.min(cap, from + math.min(maxVersionsPerTrigger, cap - from)))
   }

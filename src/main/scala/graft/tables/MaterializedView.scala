@@ -51,7 +51,13 @@ object MaterializedView {
     "mv:" + java.nio.file.Paths.get(base).toAbsolutePath.normalize.toString
 
   private def aggCols(aggs: Seq[AggSpec]): Seq[Column] = aggs.map {
-    case AggSpec("count", _, out) => count(lit(1)).as(out)
+    // SQL COUNT semantics, both forms: COUNT(*) for an empty/"*"/"1"
+    // expr, COUNT(expr) — nulls excluded — otherwise. Both are
+    // decomposable (merge = sum), so the distinction costs nothing.
+    case AggSpec("count", e, out)
+      if e == null || e.trim.isEmpty || e.trim == "*" || e.trim == "1" =>
+      count(lit(1)).as(out)
+    case AggSpec("count", e, out) => count(expr(e)).as(out)
     case AggSpec("approx_distinct", e, out) =>
       expr(s"hll_sketch_agg($e)").as(out)
     case AggSpec(fn, e, out) => expr(s"$fn($e)").as(out)

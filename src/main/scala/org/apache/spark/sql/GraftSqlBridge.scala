@@ -27,4 +27,17 @@ object GraftSqlBridge {
     * `private[sql]`) — used by AsOfJoinPlan to reject key/timestamp pairs
     * whose bytes would hash/order differently across the two sides. */
   def sameType(a: DataType, b: DataType): Boolean = a.sameType(b)
+
+  /** Re-plan `df` under a session CLONE with the given conf overrides
+    * (`cloneSession` is `private[sql]`). The clone shares catalog, temp
+    * views, and registered functions, but its SQLConf is an isolated
+    * copy — so a library write that needs a specific conf (graft_table
+    * staging pins parquet timestamps to INT64-micros) neither mutates
+    * the caller's session nor races concurrent writers the way a
+    * set/restore on the shared conf would. */
+  def withConf(df: DataFrame, kv: (String, String)*): DataFrame = {
+    val clone = df.sparkSession.asInstanceOf[classic.SparkSession].cloneSession()
+    kv.foreach { case (k, v) => clone.conf.set(k, v) }
+    classic.Dataset.ofRows(clone, df.queryExecution.logical)
+  }
 }

@@ -2044,7 +2044,7 @@ class ConfigPipelineSpec extends SparkSpecBase {
     PipelineRunner.run(spark,
       s"""name: m_vac
          |mode: maintenance
-         |maintenance: {op: vacuum, path: "$root"}
+         |maintenance: {op: vacuum, path: "$root", retention_hours: 0}
          |""".stripMargin).passed.count() shouldBe 6L
     // knob hygiene: foreign keys, missing requirements, stray pipeline
     // sections all fail at parse — never a silent no-op
@@ -2054,7 +2054,12 @@ class ConfigPipelineSpec extends SparkSpecBase {
     bad(s"""name: b1
            |mode: maintenance
            |maintenance: {op: vacuum, path: "$root", where: "id > 1"}
-           |""".stripMargin, "takes no knobs")
+           |""".stripMargin, "takes `retention_hours` only")
+    bad(s"""name: b1b
+           |mode: maintenance
+           |maintenance: {op: optimize, path: "$root", target_files: 1,
+           |              retention_hours: 0}
+           |""".stripMargin, "retention_hours belongs to vacuum")
     bad(s"""name: b2
            |mode: maintenance
            |maintenance: {op: delete_where, path: "$root"}

@@ -479,7 +479,7 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.read(spark, root).as[(Long, String)].collect() shouldBe
       Array((1L, "a"))
     // vacuum removes exactly the unreferenced debris
-    val removed = GraftTable.vacuum(root)
+    val removed = GraftTable.vacuum(root, 0L)
     removed should contain("data/deadbeef_part0.parquet")
     removed.exists(_.startsWith("_staging_")) shouldBe true
     removed.exists(_.endsWith(".tmp")) shouldBe true
@@ -487,7 +487,7 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.read(spark, root).count() shouldBe 1L
     // historical files are NOT vacuumed (time travel keeps working)
     GraftTable.write(spark, Seq((2L, "b")).toDF("id", "v"), root, "overwrite")
-    GraftTable.vacuum(root)
+    GraftTable.vacuum(root, 0L)
     GraftTable.read(spark, root, Some(1L)).as[(Long, String)]
       .collect() shouldBe Array((1L, "a"))
   }
@@ -564,7 +564,7 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.snapshot(root, Some(preSnap.version)).files shouldBe preSnap.files
     GraftTable.read(spark, root, Some(preSnap.version)).count() shouldBe 400L
     // vacuum keeps both layouts (every version still references its files)
-    GraftTable.vacuum(root)
+    GraftTable.vacuum(root, 0L)
     GraftTable.read(spark, root, Some(preSnap.version)).count() shouldBe 400L
   }
 
@@ -838,7 +838,7 @@ class GraftTableSpec extends SparkSpecBase {
 
     // vacuum reclaims the files ONLY dropped versions referenced (v3's
     // merge rewrote id=1's file: the pre-merge original is now orphaned)
-    val reclaimed = GraftTable.vacuum(root)
+    val reclaimed = GraftTable.vacuum(root, 0L)
     reclaimed should not be empty
     GraftTable.read(spark, root).orderBy($"id")
       .as[(Long, String)].collect() shouldBe before
@@ -1063,7 +1063,7 @@ class GraftTableSpec extends SparkSpecBase {
     d.getAs[Long]("n_files") shouldBe 1L
     d.getAs[Long]("n_rows") shouldBe 30L
     d.getAs[Long]("checkpoint_version") should be >= 20L
-    GraftTable.vacuum(root)
+    GraftTable.vacuum(root, 0L)
     GraftTable.read(spark, root).count() shouldBe 30L
   }
 
@@ -1326,5 +1326,136 @@ class GraftTableSpec extends SparkSpecBase {
       Paths.get(root, "_graft_log", f"${2L}%020d.json")).asScala
     v2.count(_.contains("\"txn\"")) shouldBe 1
     v2.count(_.contains("\"meta\"")) shouldBe 1
+  }
+
+  test("staged timestamps are INT64 micros (never the INT96 session default): " +
+    "the streaming reader and the skip stats both work on a timestamp column") {
+    val root = freshRoot("tsmicro")
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01.000001")),
+      (2L, java.sql.Timestamp.valueOf("2024-06-01 12:30:00")))
+    GraftTable.write(spark, rows.toDF("id", "ts"), root, "overwrite")
+    // the caller's session conf is untouched after staging (still the
+    // INT96 Spark default — the pin lives in a session clone)
+    spark.conf.get("spark.sql.parquet.outputTimestampType") shouldBe "INT96"
+    // physical check: the staged footer says INT64, not INT96
+    val dataFile = scala.util.Using.resource(
+      Files.list(Paths.get(root, "data")))(_.iterator().asScala.next())
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dataFile.toUri),
+        spark.sessionState.newHadoopConf()))
+    try {
+      val sch = rd.getFooter.getFileMetaData.getSchema
+      sch.getType(sch.getFieldIndex("ts"))
+        .asPrimitiveType().getPrimitiveTypeName.toString shouldBe "INT64"
+    }
+    finally rd.close()
+    // INT96 recorded no stats; micros do — metadata-only range now exists
+    GraftTable.columnRange(root, "ts").isDefined shouldBe true
+    // and the streaming file reader (getLong on the column) delivers the
+    // exact values instead of throwing mid-batch
+    val base = freshRoot("tsmicro_run")
+    val q = spark.readStream
+      .format("graft.tables.GraftTableStreamSource")
+      .option("path", root).load()
+      .writeStream
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$base/out/b$id"); ()
+      }
+      .start()
+    q.awaitTermination()
+    val dirs = scala.util.Using.resource(Files.list(Paths.get(s"$base/out")))(
+      _.iterator().asScala.map(_.toString).toSeq.sorted)
+    spark.read.parquet(dirs: _*).select($"id", $"ts")
+      .as[(Long, java.sql.Timestamp)].collect().toSeq.sortBy(_._1) shouldBe rows
+  }
+
+  test("vacuum retention guard: young unreferenced files survive (in-flight " +
+    "writer safety); aged debris reclaims; retention 0 disables the guard") {
+    val root = freshRoot("vacret")
+    GraftTable.write(spark, Seq((1L, "a")).toDF("id", "v"), root, "overwrite")
+    // a concurrent writer mid-flight: fresh staged-but-uncommitted debris
+    Seq((99L, "ghost")).toDF("id", "v").write
+      .parquet(s"$root/_staging_inflight/out")
+    Files.copy(
+      Paths.get(root, "data").toFile.listFiles().head.toPath,
+      Paths.get(root, "data", "inflight_part0.parquet"))
+    // default window (7 days): nothing is old enough — the racing
+    // writer's files are safe
+    GraftTable.vacuum(root) shouldBe empty
+    Files.exists(Paths.get(root, "data", "inflight_part0.parquet")) shouldBe true
+    // age ONLY the orphan data file past the window → reclaimed; the
+    // still-young staging dir continues to survive
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 8L * 24 * 3600 * 1000)
+    Files.setLastModifiedTime(Paths.get(root, "data", "inflight_part0.parquet"), old)
+    GraftTable.vacuum(root) shouldBe Seq("data/inflight_part0.parquet")
+    Files.exists(Paths.get(root, "_staging_inflight")) shouldBe true
+    // retention 0 = no guard (offline/test use): the staging dir goes too
+    GraftTable.vacuum(root, 0L) shouldBe Seq("_staging_inflight")
+    // referenced data was never touched
+    GraftTable.read(spark, root).as[(Long, String)].collect() shouldBe
+      Array((1L, "a"))
+  }
+
+  test("stream checkpoint ahead of the table's history fails loud, not end<start") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot("ckahead")
+    val base = freshRoot("ckahead_run")
+    GraftTable.write(spark, Seq((1L, "a")).toDF("id", "v"), root, "overwrite")
+    GraftTable.write(spark, Seq((2L, "b")).toDF("id", "v"), root, "append")
+    GraftTable.write(spark, Seq((3L, "c")).toDF("id", "v"), root, "append")
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft.tables.GraftTableStreamSource")
+        .option("path", root).load()
+        .writeStream
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      q.awaitTermination()
+    }
+    drain() // checkpoint now holds offset 3
+    // the table is recreated shorter under the same path (history rewrite)
+    val w = Files.walk(Paths.get(root))
+    try w.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally w.close()
+    GraftTable.write(spark, Seq((9L, "z")).toDF("id", "v"), root, "overwrite")
+    (the[org.apache.spark.sql.streaming.StreamingQueryException] thrownBy
+      drain()).getMessage should include("ahead of the table")
+  }
+
+  test("materialized view COUNT(expr) excludes nulls (SQL semantics), " +
+    "incrementally too; count()/count(*) stays COUNT(*)") {
+    import graft.tables.MaterializedView
+    import graft.tables.MaterializedView.AggSpec
+    val base = freshRoot("mvcount")
+    val mv = freshRoot("mvcount_mv")
+    val aggs = Seq(AggSpec("count", "", "n_rows"),
+      AggSpec("count", "x", "n_x"))
+    def df(rows: Seq[(String, Option[Long])]) = rows.toDF("k", "x")
+    GraftTable.write(spark,
+      df(Seq(("a", Some(1L)), ("a", None), ("b", Some(2L)))), base, "overwrite")
+    MaterializedView.refresh(spark, base, mv, Seq("k"), aggs)
+    GraftTable.read(spark, mv).orderBy($"k")
+      .as[(String, Long, Long)].collect() shouldBe
+      Array(("a", 2L, 1L), ("b", 1L, 1L))
+    // incremental: the delta's nulls stay excluded through the merge
+    GraftTable.write(spark, df(Seq(("a", None), ("b", Some(5L)))), base, "append")
+    MaterializedView.refresh(spark, base, mv, Seq("k"), aggs)
+    GraftTable.read(spark, mv).orderBy($"k")
+      .as[(String, Long, Long)].collect() shouldBe
+      Array(("a", 3L, 1L), ("b", 2L, 2L))
+    // matches the from-scratch SQL aggregate exactly
+    val want = GraftTable.read(spark, base).groupBy($"k")
+      .agg(count(lit(1)).as("n_rows"), count($"x").as("n_x"))
+      .orderBy($"k").as[(String, Long, Long)].collect()
+    GraftTable.read(spark, mv).orderBy($"k")
+      .as[(String, Long, Long)].collect() shouldBe want
   }
 }
