@@ -1367,14 +1367,17 @@ object Sources extends QueryPack {
       .orderBy(col("o_orderstatus"))
   }
 
-  /** EP25 — log-level file skipping through the config surface: the
-    * table is OPTIMIZE'd into a z-ordered layout (each file a small
-    * square of the (o_orderkey, o_totalprice) grid), its add actions
-    * carry footer min/max, and the `rangeCol` source options prune files
-    * from the LOG alone — no footer opened, no listing — before the
-    * residual row filter. The oracle replays the plain WHERE; the
-    * pruning itself is pinned in GraftTableSpec (candidate-file counts)
-    * and the layout bounds in ZOrderSpec. */
+  /** EP25 — AUTOMATIC log-level file skipping through the config
+    * surface: the table is OPTIMIZE'd into a z-ordered layout (each file
+    * a small square of the (o_orderkey, o_totalprice) grid), its add
+    * actions carry footer min/max, and a plain YAML `filter` prunes
+    * files from the LOG alone — the predicate pushes down into the
+    * GraftFileIndex behind every graft_table read, so NO `rangeCol`
+    * declaration exists anymore; the scan derives the skip from the
+    * query's own pushed filters (the Delta data-skipping contract). The
+    * oracle replays the plain WHERE; the pruning is pinned in
+    * GraftTableSpec (candidate-file counts via lastPrune) and the layout
+    * bounds in ZOrderSpec. */
   val ep25: QueryDef = m(
     "ep25_graft_skipping",
     """SELECT o_orderkey, o_totalprice
@@ -1393,9 +1396,9 @@ object Sources extends QueryPack {
       zorderBy = Seq("o_orderkey", "o_totalprice"))
     PipelineRunner.run(spark,
       s"""name: ep25_skip
-         |source: {format: graft_table, path: "$root",
-         |  options: {rangeCol: o_orderkey, rangeLo: "4000", rangeHi: "6000"}}
+         |source: {format: graft_table, path: "$root"}
          |transforms:
+         |  - {op: filter, expr: "o_orderkey BETWEEN 4000 AND 6000"}
          |  - {op: sort, cols: [o_orderkey]}
          |""".stripMargin).passed
   }

@@ -314,15 +314,53 @@ object GraftTable {
   /** Snapshot-isolated read of `asOf` (default latest). The schema comes
     * from the log, not file inference — an empty version (everything
     * deleted) still reads as a typed empty frame, and all-file reads
-    * skip per-file footer schema merging. */
-  def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
-    val s = snapshot(root, asOf)
-    val schema = StructType.fromDDL(s.schemaDdl)
-    if (s.files.isEmpty)
-      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-    else
-      spark.read.schema(schema)
-        .parquet(s.files.map(f => Paths.get(root).resolve(f).toString): _*)
+    * skip per-file footer schema merging.
+    *
+    * The scan is built over a [[GraftFileIndex]], so file discovery is
+    * the LOG (never a directory listing) and any filter the query pushes
+    * down prunes whole files against the logged per-column min/max
+    * before Spark opens a footer — `read(...).where("ts < X")` on a
+    * clustered layout reads only the boundary files, with no declaration
+    * needed. Execution is Spark's native vectorized parquet scan. */
+  def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame =
+    readIndexed(spark, root, asOf)._1
+
+  /** Spec/ops visibility: the file index behind the most recent
+    * [[read]] on this JVM (its `lastPrune` shows what the query's
+    * pushed filters kept of the live files). Diagnostic only. */
+  @volatile private[graft] var lastReadIndex: Option[GraftFileIndex] = None
+
+  /** [[read]] plus the live [[GraftFileIndex]] (None for an empty
+    * snapshot) — spec/ops visibility into what a query's pushed filters
+    * actually pruned. */
+  private[graft] def readIndexed(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): (DataFrame, Option[GraftFileIndex]) = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"not a graft_table: $root"))
+    val v = asOf.getOrElse(latest)
+    require(v >= 1 && v <= latest,
+      s"graft_table $root: version $v out of range [1, $latest]")
+    val st = replayState(root, v)
+    val schema = StructType.fromDDL(st.schemaDdl)
+    if (st.files.isEmpty)
+      (spark.createDataFrame(java.util.Collections.emptyList[Row](), schema),
+        None)
+    else {
+      val idx = new GraftFileIndex(root, st.files.toSeq,
+        st.fileStats.toMap, st.fileSizes.toMap)
+      lastReadIndex = Some(idx)
+      // nullable read schema, as DataFrameReader.schema forces: the
+      // vectorized reader must fill typed nulls for columns a
+      // pre-evolution file lacks, not refuse a "required" column
+      val readSchema = org.apache.spark.sql.GraftSqlBridge.asNullable(schema)
+      val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        idx, StructType(Nil), readSchema, None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+        Map.empty)(spark)
+      (org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        org.apache.spark.sql.execution.datasources.LogicalRelation(rel)),
+        Some(idx))
+    }
   }
 
   /** Log-level data skipping: which live files at `asOf` can contain a
@@ -415,15 +453,12 @@ object GraftTable {
     * column's own type. */
   def readRange(spark: SparkSession, root: String, column: String,
       lo: Any, hi: Any, asOf: Option[Long] = None): DataFrame = {
-    val s = snapshot(root, asOf)
-    val schema = StructType.fromDDL(s.schemaDdl)
-    val (kept, _) = filesInRange(root, column, lo, hi, asOf)
-    val base =
-      if (kept.isEmpty)
-        spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-      else spark.read.schema(schema)
-        .parquet(kept.map(f => Paths.get(root).resolve(f).toString): _*)
-    val dt = schema(column).dataType
+    // one code path with every other read: the BETWEEN filter pushes
+    // down into the GraftFileIndex scan, which prunes files from the
+    // logged stats — this method is now just the typed-bounds
+    // convenience face over read().where(...)
+    val base = read(spark, root, asOf)
+    val dt = base.schema(column).dataType
     base.where(col(column) >= lit(lo).cast(dt) && col(column) <= lit(hi).cast(dt))
   }
 
@@ -1020,22 +1055,43 @@ object GraftTable {
       touchedRel.map(removeAction) ++ adds)
   }
 
-  /** Conservative log-stats pruning for an arbitrary predicate: a file
-    * is dropped only when some UNDERSTOOD top-level conjunct (col
-    * {<,<=,>,>=,=,IN} literal, either operand order; BETWEEN arrives
-    * pre-split into two comparisons) PROVES no row in it can make the
-    * predicate TRUE from the logged min/max. Everything else —
-    * functions over columns, ORs, unknown shapes, missing stats —
-    * keeps the file (no stats = no skipping, never a wrong skip).
-    * NULL-sound: stats cover non-null values, and a NULL comparison is
-    * never TRUE, so a range-disjoint file truly has no matching row. */
-  private def pruneByStats(logSt: LogState, files: Seq[String],
-      predicate: String): Seq[String] = {
+  /** Conservative log-stats pruning for pushed/parsed predicate
+    * conjuncts: a file is dropped only when some UNDERSTOOD top-level
+    * conjunct (col {<,<=,>,>=,=,IN} literal, either operand order;
+    * BETWEEN arrives pre-split into two comparisons; exact numeric
+    * up-casts unwrapped) PROVES no row in it can make the predicate
+    * TRUE from the logged min/max. Everything else — functions over
+    * columns, ORs, unknown shapes, missing stats — keeps the file (no
+    * stats = no skipping, never a wrong skip). NULL-sound: stats cover
+    * non-null values, and a NULL comparison is never TRUE, so a
+    * range-disjoint file truly has no matching row.
+    *
+    * Columns arrive as UnresolvedAttribute (the string-predicate DML
+    * path) or AttributeReference (the [[GraftFileIndex]] pushdown path
+    * — `dataFilters` are resolved plan expressions). */
+  private[tables] def pruneByExprs(
+      statsOf: String => Option[com.fasterxml.jackson.databind.JsonNode],
+      files: Seq[String],
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[String] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(a, b) => conjuncts(a) ++ conjuncts(b)
       case other => Seq(other)
+    }
+    // a cast that loses no information keeps stats comparisons exact in
+    // decimal space; anything lossy (long→double, int→float, date↔ts
+    // rescales) must NOT prune
+    def exactCast(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (ByteType | ShortType, FloatType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
     }
     // (column, test(min, max) => possibly-true) per understood conjunct;
     // literals become BigDecimal (numerics, timestamp micros) or String
@@ -1047,12 +1103,13 @@ object GraftTable {
     sealed trait Lit; case class NumL(v: java.math.BigDecimal) extends Lit
     case class StrL(v: String) extends Lit
     def lit(l: Literal): Option[Lit] = l.dataType match {
-      case org.apache.spark.sql.types.StringType =>
+      case StringType =>
         Option(l.value).map(v => StrL(v.toString))
-      case org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType =>
+      case TimestampType | TimestampNTZType =>
         Option(l.value).flatMap(bd).map(NumL) // micros since epoch
-      case _: org.apache.spark.sql.types.NumericType =>
+      case DateType => // days since epoch — matches the INT32 stats
+        Option(l.value).flatMap(bd).map(NumL)
+      case _: NumericType =>
         Option(l.value).flatMap(bd).map(NumL)
       case _ => None
     }
@@ -1070,6 +1127,9 @@ object GraftTable {
     def tests(e: Expression): Option[(String, Test)] = {
       def col(x: Expression): Option[String] = x match {
         case UnresolvedAttribute(Seq(n)) => Some(n)
+        case a: AttributeReference => Some(a.name)
+        case c: Cast if c.child.resolved &&
+          exactCast(c.child.dataType, c.dataType) => col(c.child)
         case _ => None
       }
       def mk(name: String, t: Test) = Some((name, t))
@@ -1101,15 +1161,10 @@ object GraftTable {
         case _ => None
       }
     }
-    // parse with the catalyst parser directly: the Column API's expr()
-    // wraps the string lazily (SqlExpression) and only analysis unwraps
-    // it — the AST never reaches a Column-level inspection
-    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-      .parseExpression(predicate)
-    val understood = conjuncts(parsed).flatMap(tests(_))
+    val understood = filters.flatMap(conjuncts).flatMap(tests(_))
     if (understood.isEmpty) return files
     files.filter { f =>
-      logSt.fileStats.get(f) match {
+      statsOf(f) match {
         case None => true // no stats recorded = keep
         case Some(stats) => understood.forall { case (name, possible) =>
           val key = stats.fieldNames().asScala.find(_.equalsIgnoreCase(name))
@@ -1121,6 +1176,16 @@ object GraftTable {
       }
     }
   }
+
+  /** String-predicate face of [[pruneByExprs]] (the DML probe path):
+    * parse with the catalyst parser directly — the Column API's expr()
+    * wraps the string lazily (SqlExpression) and only analysis unwraps
+    * it, so the AST never reaches a Column-level inspection. */
+  private def pruneByStats(logSt: LogState, files: Seq[String],
+      predicate: String): Seq[String] =
+    pruneByExprs(logSt.fileStats.get _, files,
+      Seq(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(predicate)))
 
   /** Test/ops visibility into the probe's log-stats pruning: (candidate
     * files the predicate could match, all live files). Same contract as

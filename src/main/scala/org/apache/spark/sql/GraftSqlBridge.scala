@@ -28,6 +28,13 @@ object GraftSqlBridge {
     * whose bytes would hash/order differently across the two sides. */
   def sameType(a: DataType, b: DataType): Boolean = a.sameType(b)
 
+  /** Recursive nullable clone (`StructType.asNullable` is
+    * `private[spark]`) — a file-relation read schema must be nullable
+    * like `DataFrameReader.schema` forces, or the vectorized parquet
+    * reader refuses pre-evolution files missing a NOT NULL column
+    * instead of filling typed nulls. */
+  def asNullable(s: types.StructType): types.StructType = s.asNullable
+
   /** Re-plan `df` under a session CLONE with the given conf overrides
     * (`cloneSession` is `private[sql]`). The clone shares catalog, temp
     * views, and registered functions, but its SQLConf is an isolated

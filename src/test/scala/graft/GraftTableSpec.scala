@@ -879,9 +879,10 @@ class GraftTableSpec extends SparkSpecBase {
     all should have size 4
     kept should have size 1
     // readRange scans ONLY the surviving file and still answers exactly
+    // (the BETWEEN pushes into the GraftFileIndex; lastPrune pins it)
     val out = GraftTable.readRange(spark, root, "id", 100L, 120L)
     out.count() shouldBe 21L
-    out.inputFiles should have size 1
+    GraftTable.lastReadIndex.get.lastPrune.get shouldBe ((1, 4))
     // string stats skip too (parquet binary order == UTF8String order)
     GraftTable.filesInRange(root, "s", "u0100", "u0120")._1 should have size 1
     // stats ride the checkpoint seal: pruning survives truncation
@@ -1428,6 +1429,53 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.write(spark, Seq((9L, "z")).toDF("id", "v"), root, "overwrite")
     (the[org.apache.spark.sql.streaming.StreamingQueryException] thrownBy
       drain()).getMessage should include("ahead of the table")
+  }
+
+  test("automatic file skipping: a plain .where() on read() prunes files " +
+    "from the logged stats — no rangeCol declaration, vectorized scan") {
+    val root = freshRoot("autoskip")
+    // range-clustered layout: 10 files, ids contiguous per file
+    GraftTable.write(spark,
+      spark.range(0, 10000).select($"id", ($"id" % 7).as("v"))
+        .repartitionByRange(10, $"id"),
+      root, "overwrite")
+    val (df, Some(idx)) = GraftTable.readIndexed(spark, root): @unchecked
+    // correctness first: the filtered read equals the oracle computation
+    val got = df.where("id BETWEEN 2500 AND 3499")
+      .agg(count(lit(1)).as("n"), sum($"id").as("s"))
+      .as[(Long, Long)].head()
+    got shouldBe ((1000L, (2500L to 3499L).sum))
+    // the filter REACHED the index: the scan kept a strict subset
+    val (kept, total) = idx.lastPrune.get
+    total shouldBe 10
+    kept should be <= 3 // the 1000-id band spans at most 3 range files
+    kept should be >= 1
+    // conservative on shapes stats cannot prove: an OR keeps everything
+    val (df2, Some(idx2)) = GraftTable.readIndexed(spark, root): @unchecked
+    df2.where("id = 1 OR v = 3").count() shouldBe (1 + 10000 / 7 + 1)
+    idx2.lastPrune.foreach { case (k, t) => k shouldBe t }
+    // string-column stats prune too
+    val roots = freshRoot("autoskip_str")
+    GraftTable.write(spark,
+      spark.range(0, 2600).select(
+        concat(lit("k"), format_string("%04d", $"id")).as("k"), $"id")
+        .repartitionByRange(4, $"k"),
+      roots, "overwrite")
+    val (dfs, Some(idxs)) = GraftTable.readIndexed(spark, roots): @unchecked
+    dfs.where($"k" === "k0042").count() shouldBe 1L
+    idxs.lastPrune.get._1 shouldBe 1
+    // the YAML surface: `filter` transform on a graft_table source prunes
+    // with NO source option — the ep25 shape, option-free
+    val res = PipelineRunner.run(spark,
+      s"""name: autoskip_yaml
+         |source: {format: graft_table, path: "$root"}
+         |transforms:
+         |  - {op: filter, expr: "id BETWEEN 9000 AND 9099"}
+         |""".stripMargin).passed
+    res.count() shouldBe 100L
+    val (k2, t2) = GraftTable.lastReadIndex.get.lastPrune.get
+    t2 shouldBe 10
+    k2 should be <= 2
   }
 
   test("materialized view COUNT(expr) excludes nulls (SQL semantics), " +
