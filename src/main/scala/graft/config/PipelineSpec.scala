@@ -82,7 +82,8 @@ final case class MaintenanceSpec(
     zorderBits: Option[Int],      // optimize
     constraintName: Option[String] = None, // add_constraint / drop_constraint
     check: Option[String] = None,          // add_constraint
-    retentionHours: Option[Double] = None) // vacuum (default 168 = 7 days)
+    retentionHours: Option[Double] = None, // vacuum (default 168 = 7 days)
+    partition: Map[String, String] = Map.empty) // drop_partition: col -> value
 
 /** Declared incremental materialized view (`mode: mv_refresh`): maintain
   * `keys × aggs` over the graft_table `source`, stored at `path`. Agg
@@ -438,14 +439,14 @@ object PipelineSpec {
     val maintSpec = opt(root, "maintenance").map { n =>
       fields(n, "maintenance", Set("op", "path", "where", "set",
         "to_version", "target_files", "zorder_by", "zorder_bits",
-        "constraint_name", "check", "retention_hours"))
+        "constraint_name", "check", "retention_hours", "partition"))
       val op = reqStr(n, "op", "maintenance")
       require(Set("delete_where", "update_where", "restore", "optimize",
         "vacuum", "add_constraint", "drop_constraint",
-        "verify_constraints")(op),
+        "verify_constraints", "drop_partition")(op),
         s"maintenance.op: unknown '$op' (delete_where|" +
         "update_where|restore|optimize|vacuum|add_constraint|" +
-        "drop_constraint|verify_constraints)")
+        "drop_constraint|verify_constraints|drop_partition)")
       def intOpt(f: String): Option[Int] = optStr(n, f).map(s =>
         s.toIntOption.getOrElse(throw new IllegalArgumentException(
           s"maintenance.$f: integer expected, got '$s'")))
@@ -458,7 +459,8 @@ object PipelineSpec {
         optStr(n, "constraint_name"), optStr(n, "check"),
         optStr(n, "retention_hours").map(s => s.toDoubleOption
           .filter(_ >= 0).getOrElse(throw new IllegalArgumentException(
-            s"maintenance.retention_hours: number >= 0 expected, got '$s'"))))
+            s"maintenance.retention_hours: number >= 0 expected, got '$s'"))),
+        strMap(n, "partition"))
       // one-op contract: required knobs present, every foreign knob
       // rejected — a key that doesn't apply must FAIL, not no-op
       def need(cond: Boolean, msg: String): Unit =
@@ -468,6 +470,8 @@ object PipelineSpec {
           "constraint_name/check belong to add_constraint/drop_constraint")
       if (op != "vacuum")
         need(m.retentionHours.isEmpty, "retention_hours belongs to vacuum")
+      if (op != "drop_partition")
+        need(m.partition.isEmpty, "partition belongs to drop_partition")
       op match {
         case "add_constraint" =>
           need(m.constraintName.exists(_.trim.nonEmpty) &&
@@ -503,6 +507,13 @@ object PipelineSpec {
             "`zorder_by` needs exactly two columns")
           need(m.where.isEmpty && m.set.isEmpty && m.toVersion.isEmpty,
             "takes target_files/zorder_by/zorder_bits only")
+        case "drop_partition" =>
+          need(m.partition.nonEmpty,
+            "needs `partition` ({column: value, ...})")
+          need(m.where.isEmpty && m.set.isEmpty && m.toVersion.isEmpty &&
+            m.targetFiles.isEmpty && m.zorderBy.isEmpty && m.zorderBits.isEmpty,
+            "takes `partition` only — it is a metadata-only remove of the " +
+              "named partition's files")
         case "vacuum" | "verify_constraints" =>
           need(m.where.isEmpty && m.set.isEmpty && m.toVersion.isEmpty &&
             m.targetFiles.isEmpty && m.zorderBy.isEmpty && m.zorderBits.isEmpty,
@@ -860,12 +871,18 @@ object PipelineSpec {
       if (s.mode == "merge" || s.mode == "delete")
         require(s.options.get("on").exists(_.trim.nonEmpty),
           s"$at: graft_table mode=${s.mode} needs options.on (key columns)")
-      require(s.partitionBy.isEmpty && s.buckets.isEmpty &&
+      // partitionBy IS a graft_table layout declaration — but only an
+      // overwrite (re)declares the layout; appends/merges inherit the
+      // table's own, so a partitionBy there would be dead config
+      require(s.partitionBy.isEmpty || s.mode == "overwrite",
+        s"$at: graft_table partitionBy declares the layout on overwrite " +
+          s"only — mode=${s.mode} inherits the table's existing layout")
+      require(s.buckets.isEmpty &&
         s.clusterBy.isEmpty && s.files.isEmpty &&
         s.table.isEmpty,
-        s"$at: graft_table owns its layout — partitionBy/buckets/" +
-          "clusterBy/files/table do not apply (evolve: add_nulls is the " +
-          "one policy knob — schema evolution on append)")
+        s"$at: graft_table owns its physical layout — buckets/" +
+          "clusterBy/files/table do not apply (partitionBy on overwrite " +
+          "and evolve: add_nulls on append are the policy knobs)")
     }
     s
   }

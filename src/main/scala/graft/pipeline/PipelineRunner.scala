@@ -103,6 +103,8 @@ object PipelineRunner {
           m.constraintName.get, m.check.get)
         case "drop_constraint" =>
           GraftTable.dropConstraint(m.path, m.constraintName.get)
+        case "drop_partition" =>
+          GraftTable.dropPartition(m.path, m.partition)
       }
       val out = GraftTable.read(spark, m.path)
       return RunResult(spec, out, out.limit(0), Nil)
@@ -1673,7 +1675,9 @@ object PipelineRunner {
             condition = s.options.get("condition"))
         case "append" if s.evolve.contains("add_nulls") =>
           graft.tables.GraftTable.writeEvolve(df.sparkSession, df, s.path)
-        case m => graft.tables.GraftTable.write(df.sparkSession, df, s.path, m)
+        case m => graft.tables.GraftTable.write(df.sparkSession, df, s.path, m,
+          partitionBy = s.partitionBy) // overwrite declares the layout
+          // (parse rejects partitionBy on other modes; appends inherit)
       }
       return
     }

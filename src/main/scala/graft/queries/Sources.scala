@@ -1702,9 +1702,48 @@ object Sources extends QueryPack {
          |""".stripMargin).passed
   }
 
+  /** EP35 — PARTITIONED table lifecycle through the config surface:
+    * publish orders hive-partitioned by o_orderstatus (partitionBy on the
+    * graft_table sink; Iceberg-style identity partitioning — the column
+    * stays in the data, files land under data/o_orderstatus=X/ with
+    * partitionValues logged per add), then `drop_partition` retires the
+    * 'F' partition as a PURE metadata remove — zero bytes read or
+    * written, the 100 TB partition-aligned TTL fast path — and the final
+    * read returns the surviving partitions. The oracle replays the drop
+    * as a plain WHERE; the zero-byte guarantee and pruned listing are
+    * pinned in GraftTableSpec. */
+  val ep35: QueryDef = m(
+    "ep35_partitioned_table",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderstatus <> 'F' ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val root = s"$ioDir/part_orders"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(rootPath, true)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$ioDir/part_src")
+    PipelineRunner.runAll(spark,
+      s"""name: part_publish
+         |source: {format: parquet, path: "$ioDir/part_src"}
+         |sink: {format: graft_table, path: "$root", mode: overwrite,
+         |       partitionBy: [o_orderstatus]}
+         |---
+         |name: part_retire
+         |mode: maintenance
+         |maintenance: {op: drop_partition, path: "$root",
+         |              partition: {o_orderstatus: "F"}}
+         |---
+         |name: part_read
+         |source: {format: graft_table, path: "$root"}
+         |transforms:
+         |  - {op: sort, cols: [o_orderkey]}
+         |""".stripMargin).passed
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a3c, a4, a4b, a4c, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3,
       ep3b, ep4, ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13,
       ep14, ep15, ep16, ep17, ep18, ep19, ep20, ep21, ep22, ep23, ep24, ep25,
-      ep26, ep27, ep28, ep29, ep30, ep31, ep32, ep33)
+      ep26, ep27, ep28, ep29, ep30, ep31, ep32, ep33, ep35)
 }

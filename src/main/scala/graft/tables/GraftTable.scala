@@ -105,20 +105,36 @@ object GraftTable {
       .empty[String, com.fasterxml.jackson.databind.JsonNode]
     val fileCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val fileSizes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val filePartVals = scala.collection.mutable.LinkedHashMap
+      .empty[String, Map[String, String]]
     var schemaDdl = ""
+    var partitionBy: Seq[String] = Nil
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val constraints = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def applyLine(n: com.fasterxml.jackson.databind.JsonNode): Unit =
-      if (n.has("meta")) schemaDdl = n.get("meta").get("schemaDdl").asText()
+      if (n.has("meta")) {
+        val m = n.get("meta")
+        schemaDdl = m.get("schemaDdl").asText()
+        partitionBy =
+          if (m.has("partitionBy"))
+            m.get("partitionBy").elements().asScala.map(_.asText()).toSeq
+          else Nil
+      }
       else if (n.has("add")) {
         val a = n.get("add"); val p = a.get("path").asText()
         files += p
         fileCounts(p) = a.get("numRecords").asLong()
         if (a.has("size")) fileSizes(p) = a.get("size").asLong()
         if (a.has("stats")) fileStats(p) = a.get("stats")
+        if (a.has("partitionValues")) {
+          val pv = a.get("partitionValues")
+          filePartVals(p) = pv.fieldNames().asScala
+            .map(c => c -> pv.get(c).asText()).toMap
+        }
       } else if (n.has("remove")) {
         val p = n.get("remove").get("path").asText()
         files -= p; fileStats -= p; fileCounts -= p; fileSizes -= p
+        filePartVals -= p
       } else if (n.has("txn")) {
         val t = n.get("txn"); val app = t.get("appId").asText()
         val b = t.get("batchId").asLong()
@@ -180,6 +196,17 @@ object GraftTable {
         val fz = n.get("fileSizes")
         fz.fieldNames().asScala.foreach(p => st.fileSizes(p) = fz.get(p).asLong())
       }
+      if (n.has("partitionBy"))
+        st.partitionBy = n.get("partitionBy").elements().asScala
+          .map(_.asText()).toSeq
+      if (n.has("filePartVals")) {
+        val fp = n.get("filePartVals")
+        fp.fieldNames().asScala.foreach { p =>
+          val pv = fp.get(p)
+          st.filePartVals(p) = pv.fieldNames().asScala
+            .map(c => c -> pv.get(c).asText()).toMap
+        }
+      }
       val t = n.get("txns")
       t.fieldNames().asScala.foreach(app => st.txns(app) = t.get(app).asLong())
       if (n.has("constraints")) {
@@ -225,6 +252,15 @@ object GraftTable {
     st.fileCounts.foreach { case (p, c) => fc.put(p, c) }
     val fz = n.putObject("fileSizes")
     st.fileSizes.foreach { case (p, b) => fz.put(p, b) }
+    if (st.partitionBy.nonEmpty) {
+      val pb = n.putArray("partitionBy"); st.partitionBy.foreach(pb.add)
+    }
+    if (st.filePartVals.nonEmpty) {
+      val fp = n.putObject("filePartVals")
+      st.filePartVals.foreach { case (p, pv) =>
+        val o = fp.putObject(p); pv.foreach { case (c, v) => o.put(c, v) }
+      }
+    }
     val ta = n.putObject("txns"); st.txns.foreach { case (k, b) => ta.put(k, b) }
     val ca = n.putObject("constraints")
     st.constraints.foreach { case (k, e) => ca.put(k, e) }
@@ -609,21 +645,31 @@ object GraftTable {
 
   // -- commit machinery -------------------------------------------------------
 
-  private def metaAction(schemaDdl: String): ObjectNode = {
+  private def metaAction(schemaDdl: String,
+      partitionBy: Seq[String] = Nil): ObjectNode = {
     val n = json.createObjectNode()
-    n.putObject("meta").put("schemaDdl", schemaDdl)
+    val m = n.putObject("meta")
+    m.put("schemaDdl", schemaDdl)
+    if (partitionBy.nonEmpty) {
+      val pb = m.putArray("partitionBy"); partitionBy.foreach(pb.add)
+    }
     n
   }
   private def addAction(path: String, numRecords: Long,
       dataChange: Boolean = true,
       stats: Option[ObjectNode] = None,
-      sizeBytes: Long = -1L): ObjectNode = {
+      sizeBytes: Long = -1L,
+      partValues: Map[String, String] = Map.empty): ObjectNode = {
     val n = json.createObjectNode()
     val a = n.putObject("add")
     a.put("path", path); a.put("numRecords", numRecords)
     if (!dataChange) a.put("dataChange", false) // layout-only rewrite (OPTIMIZE)
     stats.foreach(a.set[ObjectNode]("stats", _)) // per-column min/max
     if (sizeBytes >= 0) a.put("size", sizeBytes)
+    if (partValues.nonEmpty) {
+      val pv = a.putObject("partitionValues")
+      partValues.foreach { case (c, v) => pv.put(c, v) }
+    }
     n
   }
   private def removeAction(path: String): ObjectNode = {
@@ -668,13 +714,14 @@ object GraftTable {
     // as writeEvolve — the conformed rows were computed against a stale
     // shape).
     val snap0 = latestVersion(root).map(_ => snapshot(root))
+    val pb = partitioning(root) // micro-batches inherit the table layout
     val (out, metaDdl) = snap0 match {
       case Some(sn) if evolve =>
         val (conformed, union, newCols) = conformEvolved(spark, df, sn, root)
         (conformed, if (newCols.nonEmpty) Some(union.toDDL) else None)
       case _ => (df, None)
     }
-    val adds = stageDataFiles(out, root)
+    val adds = stageDataFiles(out, root, partitionBy = pb)
     var attempt = 0
     while (true) {
       val cur = latestVersion(root)
@@ -688,7 +735,7 @@ object GraftTable {
         }
       else snap.foreach(requireSchemaMatch(out, _, root))
       val actions = txnAction(appId, batchId) +:
-        (metaDdl.map(metaAction).toSeq ++
+        (metaDdl.map(d => metaAction(d, pb)).toSeq ++
           (if (snap.isDefined) adds else metaAction(out.schema.toDDL) +: adds))
       enforceConstraints(spark, root, adds, cur.getOrElse(0L),
         s"streaming batch $batchId")
@@ -738,8 +785,29 @@ object GraftTable {
     * their (relative path, rows) adds. The files are INVISIBLE to readers
     * until a commit references them — a crash here leaves only orphans
     * for `vacuum`, never a torn table. */
+  /** Hive path-escaping inverse (%xx escapes back to their chars) for
+    * logging a partition dir's VALUE; the dir name itself keeps Spark's
+    * escaped form verbatim. */
+  private def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+        Character.digit(s.charAt(i + 1), 16) >= 0 &&
+        Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def stageDataFiles(df: DataFrame, root: String,
-      dataChange: Boolean = true): Seq[ObjectNode] = {
+      dataChange: Boolean = true,
+      partitionBy: Seq[String] = Nil): Seq[ObjectNode] = {
     val stamp = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val staging = Paths.get(root, s"_staging_$stamp")
     // Staged files ALWAYS carry timestamps as INT64 epoch-micros, never
@@ -749,15 +817,35 @@ object GraftTable {
     // is the only knob parquet exposes, so the write runs under a session
     // CLONE with it pinned — the caller's conf is untouched and
     // concurrent writers cannot race a shared set/restore.
-    org.apache.spark.sql.GraftSqlBridge.withConf(df,
-        "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
-      .write.mode("overwrite").parquet(staging.toString)
+    val pinned = org.apache.spark.sql.GraftSqlBridge.withConf(df,
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+    // Partitioned layout, Iceberg-style identity partitioning: files land
+    // under hive-style `data/<col>=<val>/` dirs BUT the partition columns
+    // STAY in the data (written via duplicated `__p_` shadow columns that
+    // the partitionBy consumes) — every file remains self-contained, so
+    // merge/DML/time-travel/streaming compose unchanged, and the footer
+    // min=max stats on a single-partition file make partition pruning a
+    // special case of the existing log-stats skipping.
+    if (partitionBy.isEmpty)
+      pinned.write.mode("overwrite").parquet(staging.toString)
+    else {
+      partitionBy.foreach(c => require(df.columns.exists(
+        df.sparkSession.sessionState.conf.resolver(_, c)),
+        s"graft_table $root: partition column '$c' is not in the write " +
+          s"schema (${df.columns.mkString(", ")})"))
+      partitionBy.foldLeft(pinned)((d, c) => d.withColumn(s"__p_$c", col(c)))
+        .write.mode("overwrite")
+        .partitionBy(partitionBy.map(c => s"__p_$c"): _*)
+        .parquet(staging.toString)
+    }
     Files.createDirectories(dataDir(root))
+    // (relative-dir-under-staging, file) pairs; flat staging yields ("", f)
     val parts = {
-      val s = Files.list(staging)
+      val s = Files.walk(staging)
       try s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.getFileName.toString)
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => (staging.relativize(p.getParent).toString, p))
+        .toSeq.sortBy { case (d, p) => (d, p.getFileName.toString) }
       finally s.close()
     }
     // numRecords AND per-column min/max from the parquet FOOTER (pure
@@ -775,15 +863,28 @@ object GraftTable {
       try (r.getRecordCount, footerStats(r.getFooter))
       finally r.close()
     }
-    val adds = parts.zipWithIndex.flatMap { case (p, i) =>
-      val rel = s"data/${stamp}_part$i.parquet"
+    val adds = parts.zipWithIndex.flatMap { case ((dir, p), i) =>
+      // hive dir components `__p_<c>=<escaped>` → logged values + a
+      // `data/<c>=<escaped>/...` target dir (real column names, Spark's
+      // escaping kept verbatim for the path)
+      val comps = if (dir.isEmpty) Nil
+        else dir.split(java.io.File.separatorChar.toString).toSeq
+      val partValues = comps.collect {
+        case c if c.startsWith("__p_") && c.contains('=') =>
+          val Array(k, v) = c.split("=", 2)
+          k.stripPrefix("__p_") -> unescapePathName(v)
+      }.toMap
+      val subdir = comps.map(_.stripPrefix("__p_")).mkString("/")
+      val rel = if (subdir.isEmpty) s"data/${stamp}_part$i.parquet"
+        else s"data/$subdir/${stamp}_part$i.parquet"
       val (cnt, stats) = footerInfo(p)
       if (cnt == 0L) None // an empty part adds no rows, only metadata
       else {
         val bytes = Files.size(p)
-        Files.move(p, Paths.get(root).resolve(rel),
-          StandardCopyOption.ATOMIC_MOVE)
-        Some(addAction(rel, cnt, dataChange, stats, bytes))
+        val target = Paths.get(root).resolve(rel)
+        Files.createDirectories(target.getParent)
+        Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+        Some(addAction(rel, cnt, dataChange, stats, bytes, partValues))
       }
     }
     // staging dir now holds only _SUCCESS etc. — remove it
@@ -876,14 +977,37 @@ object GraftTable {
         "select/cast, or overwrite to replace the schema)")
   }
 
+  /** The table's declared partition columns at `asOf` (default latest);
+    * empty for an unpartitioned table. Pure log metadata. */
+  def partitioning(root: String, asOf: Option[Long] = None): Seq[String] =
+    latestVersion(root) match {
+      case None => Nil
+      case Some(latest) => replayState(root, asOf.getOrElse(latest)).partitionBy
+    }
+
   /** Append or overwrite. Appends retry on commit races (their adds are
     * valid against any snapshot); overwrites recompute their removes per
-    * attempt so the swap is against the snapshot they actually beat. */
+    * attempt so the swap is against the snapshot they actually beat.
+    *
+    * `partitionBy` (overwrite/first write only) declares a hive-dir
+    * partition layout — appends always inherit the table's own layout;
+    * passing a different one on append fails loud. */
   def write(spark: SparkSession, df: DataFrame, root: String, mode: String,
-            maxRetries: Int = 10, txn: Option[(String, Long)] = None): Long = {
+            maxRetries: Int = 10, txn: Option[(String, Long)] = None,
+            partitionBy: Seq[String] = Nil): Long = {
     require(Set("append", "overwrite")(mode),
       s"graft_table: write mode must be append|overwrite, got '$mode'")
-    val adds = stageDataFiles(df, root)
+    val tablePb = partitioning(root)
+    val effPb = mode match {
+      case "append" if latestVersion(root).isDefined =>
+        require(partitionBy.isEmpty || partitionBy == tablePb,
+          s"graft_table $root: append cannot change the partition layout " +
+            s"(table: [${tablePb.mkString(",")}], write asked " +
+            s"[${partitionBy.mkString(",")}]) — overwrite to relayout")
+        tablePb
+      case _ => partitionBy
+    }
+    val adds = stageDataFiles(df, root, partitionBy = effPb)
     var attempt = 0
     while (true) {
       val cur = latestVersion(root)
@@ -892,7 +1016,7 @@ object GraftTable {
       val actions = txn.map(t => txnAction(t._1, t._2)).toSeq ++ (mode match {
         case "append" if snap.isDefined => adds
         case _ => // first-ever commit, or overwrite: (re)declare schema
-          metaAction(df.schema.toDDL) +:
+          metaAction(df.schema.toDDL, effPb) +:
             (snap.toSeq.flatMap(_.files.map(removeAction)) ++ adds)
       })
       enforceConstraints(spark, root, adds, cur.getOrElse(0L), s"$mode")
@@ -920,10 +1044,13 @@ object GraftTable {
       maxRetries: Int = 10): Long = {
     if (latestVersion(root).isEmpty) return write(spark, df, root, "append")
     val snap = snapshot(root)
+    val pb = partitioning(root)
     val (conformed, union, newCols) = conformEvolved(spark, df, snap, root)
-    val adds = stageDataFiles(conformed, root)
-    val actions =
-      if (newCols.nonEmpty) metaAction(union.toDDL) +: adds else adds
+    val adds = stageDataFiles(conformed, root, partitionBy = pb)
+    val actions = // the widening meta re-declares the layout: meta
+      // REPLACES partitionBy on replay, so dropping it here would
+      // silently departition the table
+      if (newCols.nonEmpty) metaAction(union.toDDL, pb) +: adds else adds
     var attempt = 0
     while (true) {
       val cur = latestVersion(root).getOrElse(0L)
@@ -1049,7 +1176,8 @@ object GraftTable {
         rewritten.unionByName(srcWins).unionByName(tgtWins)
           .unionByName(inserts)
     }
-    val adds = stageDataFiles(newData, root)
+    val adds = stageDataFiles(newData, root,
+      partitionBy = partitioning(root, Some(snap.version)))
     enforceConstraints(spark, root, adds, snap.version, s"merge ($how)")
     commit(root, snap.version, txn.map(t => txnAction(t._1, t._2)).toSeq ++
       touchedRel.map(removeAction) ++ adds)
@@ -1259,7 +1387,8 @@ object GraftTable {
       if (partial.isEmpty) Nil
       else stageDataFiles(
         spark.read.schema(schema).parquet(partial.map(absOf): _*)
-          .where(!coalesce(pred, lit(false))), root)
+          .where(!coalesce(pred, lit(false))), root,
+        partitionBy = state.partitionBy)
     commit(root, snap.version, txn.map(t => txnAction(t._1, t._2)).toSeq ++
       (fullMatch ++ partial).sorted.map(removeAction) ++ adds)
   }
@@ -1302,7 +1431,8 @@ object GraftTable {
           case None => col(f.name)
         }
       }: _*)
-    val adds = stageDataFiles(rewritten, root)
+    val adds = stageDataFiles(rewritten, root,
+      partitionBy = state.partitionBy)
     enforceConstraints(spark, root, adds, snap.version, "updateWhere")
     commit(root, snap.version, txn.map(t => txnAction(t._1, t._2)).toSeq ++
       touched.map(removeAction) ++ adds)
@@ -1331,18 +1461,60 @@ object GraftTable {
         s"file(s) already vacuumed (e.g. ${missing.head}) — unrecoverable; " +
         "raise the vacuum/retention horizon before depending on restore")
     val tgtState = replayState(root, toVersion)
+    val curPb = partitioning(root, Some(cur.version))
     val curSet = cur.files.toSet; val tgtSet = tgt.files.toSet
     val removes = cur.files.filterNot(tgtSet).sorted.map(removeAction)
     val adds = tgt.files.filterNot(curSet).sorted.map { f =>
       addAction(f, tgtState.fileCounts.getOrElse(f, 0L),
         stats = tgtState.fileStats.get(f).collect {
           case o: ObjectNode => o.deepCopy(): ObjectNode },
-        sizeBytes = tgtState.fileSizes.getOrElse(f, -1L))
+        sizeBytes = tgtState.fileSizes.getOrElse(f, -1L),
+        partValues = tgtState.filePartVals.getOrElse(f, Map.empty))
     }
-    val meta = if (tgt.schemaDdl != cur.schemaDdl)
-      Seq(metaAction(tgt.schemaDdl)) else Nil
+    val meta = if (tgt.schemaDdl != cur.schemaDdl ||
+        tgtState.partitionBy != curPb)
+      Seq(metaAction(tgt.schemaDdl, tgtState.partitionBy)) else Nil
     if (removes.isEmpty && adds.isEmpty && meta.isEmpty) return cur.version
     commit(root, cur.version, meta ++ removes ++ adds)
+  }
+
+  /** DROP PARTITION — de-reference every live file of one partition as
+    * PURE log metadata: zero bytes read, zero bytes written, O(live
+    * files) driver-side. `values` names partition columns (a prefix or
+    * subset of the declared layout) and the exact values to drop; a file
+    * is a victim iff its logged partitionValues match every named
+    * column. The rows stay time-travelable until truncate+vacuum — this
+    * is the retention fast path for partition-aligned TTL (drop
+    * `dt=2023-01-01` instead of a predicate delete that probes files).
+    * Fails loud if the table is unpartitioned, a named column is not a
+    * partition column, or any live file lacks logged values for a named
+    * column (its membership would be unprovable — never a silent keep).
+    * The change feed sees a plain remove version: streams fail-or-skip
+    * via skipChangeCommits and MV refreshes fall back to full recompute,
+    * exactly like a predicate delete. */
+  def dropPartition(root: String, values: Map[String, String]): Long = {
+    require(values.nonEmpty, "dropPartition: name at least one " +
+      "partition column = value pair")
+    val snap = snapshot(root)
+    val st = replayState(root, snap.version)
+    require(st.partitionBy.nonEmpty,
+      s"graft_table $root: not a partitioned table — use deleteWhere")
+    values.keys.foreach(c => require(st.partitionBy.contains(c),
+      s"graft_table $root: '$c' is not a partition column " +
+        s"(layout: [${st.partitionBy.mkString(",")}])"))
+    val blind = snap.files.filterNot(f =>
+      values.keys.forall(st.filePartVals.getOrElse(f, Map.empty).contains))
+    require(blind.isEmpty,
+      s"graft_table $root: ${blind.size} live file(s) carry no logged " +
+        s"partition values for [${values.keys.mkString(",")}] (e.g. " +
+        s"${blind.head}) — their membership is unprovable; run a " +
+        "predicate deleteWhere instead")
+    val victims = snap.files.filter { f =>
+      val pv = st.filePartVals(f)
+      values.forall { case (c, v) => pv.get(c).contains(v) }
+    }
+    if (victims.isEmpty) return snap.version // no such partition: no-op
+    commit(root, snap.version, victims.sorted.map(removeAction))
   }
 
   // -- CHECK constraints -------------------------------------------------------
@@ -1490,15 +1662,25 @@ object GraftTable {
     val schema = StructType.fromDDL(snap.schemaDdl)
     val base = spark.read.schema(schema)
       .parquet(snap.files.map(f => Paths.get(root).resolve(f).toString): _*)
+    val pb = partitioning(root, Some(snap.version))
+    require(pb.isEmpty || zorderBy.isEmpty,
+      s"optimize: z-order within a partitioned layout " +
+        s"([${pb.mkString(",")}]) is not supported — bin-pack preserves " +
+        "the partition dirs; drop the partitioning (overwrite) to z-order")
     val laid = zorderBy match {
       case Seq(x, y) => graft.ext.ZOrder.zLayout(base, x, y, zorderBits,
         parts = Some(targetFiles))
-      case _ => base.coalesce(targetFiles)
+      case _ if pb.isEmpty => base.coalesce(targetFiles)
+      case _ => // partitioned bin-pack: hash the partition columns into
+        // targetFiles tasks; the partitioned staging write then splits
+        // each task per partition value, so compaction happens WITHIN
+        // partitions and the dir layout survives
+        base.repartition(targetFiles, pb.map(col): _*)
     }
     // dataChange=false: a layout-only rewrite is NOT new data — the
     // change feed (`changes`) skips these adds, so an OPTIMIZE between
     // two feed reads cannot re-deliver the whole table
-    val adds = stageDataFiles(laid, root, dataChange = false)
+    val adds = stageDataFiles(laid, root, dataChange = false, partitionBy = pb)
     commit(root, snap.version, snap.files.map(removeAction) ++ adds)
   }
 
@@ -1587,13 +1769,25 @@ object GraftTable {
     finally ls.close()
     val removed = scala.collection.mutable.ArrayBuffer.empty[String]
     if (Files.isDirectory(dataDir(root))) {
-      val s = Files.list(dataDir(root))
-      try s.iterator().asScala.foreach { p =>
-        val rel = s"data/${p.getFileName}"
+      // recursive: partitioned layouts nest files under data/<col>=<val>/
+      val s = Files.walk(dataDir(root))
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
+        val rel = "data/" + dataDir(root).relativize(p).toString
+          .replace(java.io.File.separatorChar, '/')
         if (!referenced.contains(rel) && oldEnough(p)) {
           Files.delete(p); removed += rel
         }
       } finally s.close()
+      // drop now-empty partition dirs (bottom-up), keeping data/ itself
+      val d = Files.walk(dataDir(root))
+      try d.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+        .filter(p => p != dataDir(root) && Files.isDirectory(p))
+        .foreach { p =>
+          val ls = Files.list(p)
+          val empty = try !ls.iterator().hasNext finally ls.close()
+          if (empty) Files.delete(p)
+        }
+      finally d.close()
     }
     // dead staging dirs (crashed writers) + orphaned log temp files —
     // same age guard: a YOUNG staging dir is a writer mid-flight, not

@@ -540,7 +540,7 @@ class GraftTableSpec extends SparkSpecBase {
          |source: {format: parquet, path: "$src"}
          |sink: {format: graft_table, path: "$root", mode: overwrite,
          |       clusterBy: [id]}
-         |""".stripMargin)).getMessage should include("owns its layout")
+         |""".stripMargin)).getMessage should include("owns its physical layout")
   }
 
   test("optimize: bin-packs to the target file count, content-identical, history intact") {
@@ -1476,6 +1476,119 @@ class GraftTableSpec extends SparkSpecBase {
     val (k2, t2) = GraftTable.lastReadIndex.get.lastPrune.get
     t2 shouldBe 10
     k2 should be <= 2
+  }
+
+  test("partitioned layout: hive dirs + logged partitionValues, pruned " +
+    "listing, metadata-only drop_partition, DML composes") {
+    val root = freshRoot("part")
+    def allDataFiles(): Set[String] = {
+      val w = Files.walk(Paths.get(root, "data"))
+      try w.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => Paths.get(root, "data").relativize(p).toString).toSet
+      finally w.close()
+    }
+    val df = spark.range(0, 900).select(
+      $"id", (($"id" % 3) === 0).cast("string").as("junk"),
+      element_at(typedLit(Seq("US", "DE", "JP")), ($"id" % 3 + 1).cast("int"))
+        .as("country"))
+      .drop("junk")
+    GraftTable.write(spark, df, root, "overwrite",
+      partitionBy = Seq("country"))
+    GraftTable.partitioning(root) shouldBe Seq("country")
+    // hive-style dirs, partition columns still IN the data files
+    allDataFiles().forall(f => f.matches("country=(US|DE|JP)/.*\\.parquet")) shouldBe true
+    GraftTable.read(spark, root).columns should contain("country")
+    GraftTable.read(spark, root).count() shouldBe 900L
+    // partition-filtered read lists ONLY that partition's files (equality
+    // pushes into the index; footer min=max on the partition column)
+    val (d1, Some(i1)) = GraftTable.readIndexed(spark, root): @unchecked
+    d1.where($"country" === "DE").count() shouldBe 300L
+    val deFiles = allDataFiles().count(_.startsWith("country=DE/"))
+    i1.lastPrune.get shouldBe ((deFiles, allDataFiles().size))
+    // append INHERITS the layout; redeclaring a different one fails
+    GraftTable.write(spark,
+      Seq((9000L, "US")).toDF("id", "country"), root, "append")
+    allDataFiles().count(_.startsWith("country=US/")) should be >= 2
+    (the[IllegalArgumentException] thrownBy GraftTable.write(spark,
+      Seq((9001L, "US")).toDF("id", "country"), root, "append",
+      partitionBy = Seq("id"))).getMessage should include("cannot change")
+    // merge keeps composing: rewritten + inserted rows land back in
+    // their partitions with logged values
+    GraftTable.merge(spark, root,
+      Seq((0L, "US"), (9100L, "JP")).toDF("id", "country"), Seq("id"))
+    GraftTable.read(spark, root).where($"id" === 9100L)
+      .select($"country").as[String].head() shouldBe "JP"
+    val filesBeforeDrop = allDataFiles()
+    // drop_partition: pure metadata — zero bytes written, files untouched
+    val vDrop = GraftTable.dropPartition(root, Map("country" -> "JP"))
+    allDataFiles() shouldBe filesBeforeDrop // nothing deleted or written
+    val dropLog = Files.readAllLines(
+      Paths.get(root, "_graft_log", f"$vDrop%020d.json")).asScala
+      .filter(_.nonEmpty)
+    dropLog.count(_.contains("\"add\"")) shouldBe 0
+    dropLog.count(_.contains("\"remove\"")) should be >= 1
+    GraftTable.read(spark, root).where($"country" === "JP").count() shouldBe 0L
+    GraftTable.read(spark, root).count() shouldBe 601L // 900-300 US/DE +2
+    // time travel still sees JP; vacuum(0) then reclaims it after truncate
+    GraftTable.read(spark, root, Some(vDrop - 1))
+      .where($"country" === "JP").count() shouldBe 301L
+    // no-op and error paths
+    GraftTable.dropPartition(root, Map("country" -> "FR")) shouldBe vDrop
+    (the[IllegalArgumentException] thrownBy
+      GraftTable.dropPartition(root, Map("id" -> "1")))
+      .getMessage should include("not a partition column")
+    (the[IllegalArgumentException] thrownBy
+      GraftTable.dropPartition(freshRoot("part_nope") + "", Map("x" -> "1")))
+      .getMessage should include("not a graft_table")
+    // optimize preserves the partition dirs; z-order is rejected
+    // (assert over the LIVE file set — dropped partitions' files stay on
+    // disk for time travel until truncate+vacuum)
+    GraftTable.optimize(spark, root, targetFiles = 2)
+    GraftTable.snapshot(root).files
+      .forall(_.matches("data/country=(US|DE)/.*\\.parquet")) shouldBe true
+    GraftTable.read(spark, root).count() shouldBe 601L
+    (the[IllegalArgumentException] thrownBy GraftTable.optimize(spark, root,
+      2, zorderBy = Seq("id", "id"))).getMessage should include("z-order")
+    // restore carries partition values back: drop US, restore, drop again ok
+    val vOpt = GraftTable.latestVersion(root).get
+    GraftTable.dropPartition(root, Map("country" -> "US"))
+    GraftTable.restore(spark, root, vOpt)
+    GraftTable.dropPartition(root, Map("country" -> "US"))
+    GraftTable.read(spark, root).select($"country").distinct()
+      .as[String].collect() shouldBe Array("DE")
+    // the YAML surface: partitioned sink (overwrite) + drop_partition op
+    val yroot = freshRoot("part_yaml")
+    PipelineRunner.run(spark,
+      s"""name: part_sink
+         |source: {format: parquet, path: "$sf/nation.parquet", schema: auto}
+         |sink: {format: graft_table, path: "$yroot", mode: overwrite,
+         |       partitionBy: [n_regionkey]}
+         |""".stripMargin)
+    GraftTable.partitioning(yroot) shouldBe Seq("n_regionkey")
+    PipelineRunner.run(spark,
+      s"""name: part_drop
+         |mode: maintenance
+         |maintenance: {op: drop_partition, path: "$yroot",
+         |              partition: {n_regionkey: "0"}}
+         |""".stripMargin).passed.where($"n_regionkey" === 0).count() shouldBe 0L
+    // parse guards: partition map on foreign ops, missing map, layout
+    // knobs on non-overwrite graft sinks
+    intercept[IllegalArgumentException](graft.config.PipelineSpec.parse(
+      s"""name: b
+         |mode: maintenance
+         |maintenance: {op: vacuum, path: "$yroot", partition: {a: "1"}}
+         |""".stripMargin)).getMessage should include("belongs to drop_partition")
+    intercept[IllegalArgumentException](graft.config.PipelineSpec.parse(
+      s"""name: b
+         |mode: maintenance
+         |maintenance: {op: drop_partition, path: "$yroot"}
+         |""".stripMargin)).getMessage should include("needs `partition`")
+    intercept[IllegalArgumentException](graft.config.PipelineSpec.parse(
+      s"""name: b
+         |source: {format: parquet, path: "/tmp/x", schema: auto}
+         |sink: {format: graft_table, path: "$yroot", mode: append,
+         |       partitionBy: [n_regionkey]}
+         |""".stripMargin)).getMessage should include("overwrite")
   }
 
   test("materialized view COUNT(expr) excludes nulls (SQL semantics), " +
