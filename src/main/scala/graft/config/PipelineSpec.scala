@@ -60,7 +60,8 @@ final case class PipelineSpec(
     assertions: Seq[String],
     branches: Seq[BranchSpec],
     mv: Option[MvSpec] = None,    // mode: mv_refresh only
-    maintenance: Option[MaintenanceSpec] = None) // mode: maintenance only
+    maintenance: Option[MaintenanceSpec] = None, // mode: maintenance only
+    mvStreaming: Boolean = false) // mode: mv_refresh + streaming: true
 
 /** Declared ACID-table maintenance (`mode: maintenance`): the DML/layout
   * operations a deployed table needs on a schedule — predicate delete
@@ -432,7 +433,7 @@ object PipelineSpec {
     val root = mapper.readTree(yaml)
     fields(root, "pipeline", Set("name", "mode", "output_mode", "source",
       "checks", "transforms", "sink", "quarantine", "metrics_sink", "assertions",
-      "branches", "mv", "maintenance"))
+      "branches", "mv", "maintenance", "streaming"))
     val mode = optStr(root, "mode").getOrElse("batch")
     require(Set("batch", "streaming", "mv_refresh", "maintenance")(mode),
       s"pipeline.mode: unknown '$mode'")
@@ -443,10 +444,10 @@ object PipelineSpec {
       val op = reqStr(n, "op", "maintenance")
       require(Set("delete_where", "update_where", "restore", "optimize",
         "vacuum", "add_constraint", "drop_constraint",
-        "verify_constraints", "drop_partition")(op),
+        "verify_constraints", "drop_partition", "set_property")(op),
         s"maintenance.op: unknown '$op' (delete_where|" +
         "update_where|restore|optimize|vacuum|add_constraint|" +
-        "drop_constraint|verify_constraints|drop_partition)")
+        "drop_constraint|verify_constraints|drop_partition|set_property)")
       def intOpt(f: String): Option[Int] = optStr(n, f).map(s =>
         s.toIntOption.getOrElse(throw new IllegalArgumentException(
           s"maintenance.$f: integer expected, got '$s'")))
@@ -507,6 +508,12 @@ object PipelineSpec {
             "`zorder_by` needs exactly two columns")
           need(m.where.isEmpty && m.set.isEmpty && m.toVersion.isEmpty,
             "takes target_files/zorder_by/zorder_bits only")
+        case "set_property" =>
+          need(m.set.nonEmpty,
+            "needs `set` ({key: value, ...} — e.g. {changeDataFeed: \"true\"})")
+          need(m.where.isEmpty && m.toVersion.isEmpty &&
+            m.targetFiles.isEmpty && m.zorderBy.isEmpty && m.zorderBits.isEmpty,
+            "takes `set` only")
         case "drop_partition" =>
           need(m.partition.nonEmpty,
             "needs `partition` ({column: value, ...})")
@@ -577,11 +584,30 @@ object PipelineSpec {
     require((mode == "mv_refresh") == mvSpec.isDefined,
       "mode: mv_refresh and the `mv` block go together (an MV declaration " +
         "without the mode, or the mode without a declaration, is a typo)")
+    val mvStreaming = optStr(root, "streaming").exists { v =>
+      require(Set("true", "false")(v),
+        s"pipeline.streaming: true|false, got '$v'")
+      v == "true"
+    }
+    require(!root.has("streaming") || mode == "mv_refresh",
+      "pipeline.streaming: only `mode: mv_refresh` takes the flag " +
+        "(CONTINUOUS view maintenance off the streaming table source); " +
+        "a data pipeline streams via `mode: streaming`")
     if (mode == "mv_refresh") {
       require(src.format == "graft_table",
         "mode: mv_refresh maintains the view from a graft_table source's " +
           "change feed — other sources have no version cursor")
-      require(src.options.isEmpty,
+      if (mvStreaming) {
+        // continuous maintenance rides the streaming table source, whose
+        // pacing knobs apply; batch selectors still don't (the MV txn is
+        // the cursor)
+        val ok = Set("skipchangecommits", "maxversionspertrigger")
+        src.options.keys.find(k => !ok(k.toLowerCase)).foreach(k =>
+          throw new IllegalArgumentException(
+            s"source.options.$k: a STREAMING mv_refresh takes " +
+              "skipChangeCommits and maxVersionsPerTrigger only — the " +
+              "view's txn cursor owns version selection"))
+      } else require(src.options.isEmpty,
         "mode: mv_refresh drives its own version cursor — time " +
           "travel/feed/range options on the source do not apply")
       Seq("checks", "transforms", "sink", "quarantine", "metrics_sink",
@@ -605,6 +631,7 @@ object PipelineSpec {
       assertions = strArr(root, "assertions"),
       mv = mvSpec,
       maintenance = maintSpec,
+      mvStreaming = mvStreaming,
       branches = {
         val bs = arr(root, "branches").zipWithIndex.map { case (n, i) =>
           val at = s"branches[$i]"
@@ -697,6 +724,15 @@ object PipelineSpec {
       require(s.options.get("changesTo").isEmpty ||
         s.options.get("changesFrom").isDefined,
         s"$at: changesTo needs changesFrom (the feed is a version range)")
+      // withImages: the FULL change feed (_change_type-classified
+      // pre/post images from the cdf/ sidecars + appends as inserts)
+      s.options.get("withImages").foreach { v =>
+        require(Set("true", "false")(v),
+          s"$at.options.withImages: true|false, got '$v'")
+        require(s.options.contains("changesFrom"),
+          s"$at: withImages qualifies the change feed — it needs " +
+            "changesFrom")
+      }
       require(!(s.options.contains("versionAsOf") &&
         s.options.contains("changesFrom")),
         s"$at: versionAsOf (snapshot) and changesFrom (change feed) are " +

@@ -68,7 +68,41 @@ object PipelineRunner {
       val mv = spec.mv.get
       val aggs = mv.aggs.map { case (fn, e, out) =>
         graft.tables.MaterializedView.AggSpec(fn, e, out) }
-      graft.tables.MaterializedView.refresh(
+      if (spec.mvStreaming) {
+        // CONTINUOUS maintenance: the streaming table source paces the
+        // work (offsets = commit versions, maxVersionsPerTrigger bounds a
+        // batch) and each micro-batch advances the view to ITS high
+        // watermark via the same refresh — so the MV tracks the base
+        // version-by-version instead of jumping to latest once. The
+        // foreachBatch body reads ONLY the synthesized _commit_version
+        // column (column pruning reaches the scan: no data IO beyond row
+        // counts); refresh re-reads the actual delta from the change feed
+        // where the incremental algebra needs it. Exactly-once comes from
+        // the MV's own txn cursor, NOT the stream checkpoint: a replayed
+        // batch (fresh checkpoint, crash-rerun, startingVersion 0) finds
+        // lastTxn ≥ its watermark and no-ops — so the checkpoint here is
+        // run-scoped scratch, like every other run-to-completion stream
+        // in this runner.
+        val base = spec.source.path.get
+        val cpBase = s"/tmp/graft_stream/mv_${spec.name}"
+        graft.streaming.StreamOps.rmrf(cpBase)
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+        val q = readStream(ss, spec.source)
+          .select(col("_commit_version")).writeStream
+          .option("checkpointLocation", s"$cpBase/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val hi = batch.agg(max(col("_commit_version"))).head()
+            if (!hi.isNullAt(0)) // an all-skipped batch advances nothing
+              graft.tables.MaterializedView.refresh(spark, base, mv.path,
+                mv.keys, aggs, toVersion = Some(hi.getLong(0)))
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      } else graft.tables.MaterializedView.refresh(
         spark, spec.source.path.get, mv.path, mv.keys, aggs)
       val out = graft.tables.MaterializedView.estimated(
         graft.tables.GraftTable.read(spark, mv.path), aggs)
@@ -105,6 +139,9 @@ object PipelineRunner {
           GraftTable.dropConstraint(m.path, m.constraintName.get)
         case "drop_partition" =>
           GraftTable.dropPartition(m.path, m.partition)
+        case "set_property" =>
+          m.set.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            GraftTable.setProperty(m.path, k, Some(v)) }
       }
       val out = GraftTable.read(spark, m.path)
       return RunResult(spec, out, out.limit(0), Nil)
@@ -584,6 +621,12 @@ object PipelineRunner {
             graft.tables.GraftTable.versionAtTimestamp(path, ms)
           })
         (s.options.get("changesFrom"), s.options.get("rangeCol")) match {
+          case (Some(cf), _)
+            if s.options.get("withImages").contains("true") =>
+            // FULL feed: _change_type-classified pre/post images (cdf/
+            // sidecars; appends deliver as inserts)
+            graft.tables.GraftTable.changesWithImages(spark, path,
+              cf.toLong, s.options.get("changesTo").map(_.toLong))
           case (Some(cf), _) => graft.tables.GraftTable.changes(spark, path,
             cf.toLong, s.options.get("changesTo").map(_.toLong))
           case (None, Some(rc)) =>

@@ -1702,6 +1702,71 @@ object Sources extends QueryPack {
          |""".stripMargin).passed
   }
 
+  /** EP34 — FULL change data feed (pre/post images): with the
+    * `changeDataFeed=true` table property set, every DML commit
+    * (updateWhere / deleteWhere / merge) writes its change rows as
+    * `cdf/` sidecar parquet in the SAME atomic commit — pre-images
+    * tagged `update_preimage`/`delete`, post-images
+    * `update_postimage`/`insert` — and `changesWithImages` replays the
+    * whole history as one classified feed (appends deliver as plain
+    * inserts, no sidecar needed). The oracle reconstructs the exact
+    * feed from the base data: each version's pre/post rows are pure
+    * functions of the keys each DML touched. This is the Delta CDF
+    * contract: the feed a downstream MV or replica consumes
+    * incrementally instead of diffing snapshots. */
+  val ep34: QueryDef = m(
+    "ep34_graft_cdf",
+    """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders)
+      |SELECT * FROM (
+      |  SELECT o_orderkey, o_totalprice, 'insert' AS _change_type,
+      |         CAST(1 AS BIGINT) AS _commit_version FROM o
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, 'update_preimage', 3 FROM o
+      |  WHERE o_orderkey % 100 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice * 2, 'update_postimage', 3 FROM o
+      |  WHERE o_orderkey % 100 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, 'delete', 4 FROM o
+      |  WHERE o_orderkey % 100 = 50
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, 'update_preimage', 5 FROM o
+      |  WHERE o_orderkey % 100 = 25
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice + 1000, 'update_postimage', 5 FROM o
+      |  WHERE o_orderkey % 100 = 25
+      |  UNION ALL
+      |  SELECT o_orderkey + 5000000, o_totalprice, 'insert', 5 FROM o
+      |  WHERE o_orderkey % 100 = 75
+      |)
+      |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin) { (spark, dir) =>
+    import graft.tables.GraftTable
+    val root = s"$ioDir/cdf_orders"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(rootPath, true)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    GraftTable.write(spark, o, root, "overwrite")                     // v1
+    GraftTable.setProperty(root, "changeDataFeed", Some("true"))      // v2
+    GraftTable.updateWhere(spark, root, "o_orderkey % 100 = 0",       // v3
+      Map("o_totalprice" -> "o_totalprice * 2"))
+    GraftTable.deleteWhere(spark, root, "o_orderkey % 100 = 50")      // v4
+    val upserts = o.where(col("o_orderkey") % 100 === 25)             // v5
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .unionByName(o.where(col("o_orderkey") % 100 === 75)
+        .withColumn("o_orderkey", col("o_orderkey") + 5000000L))
+    GraftTable.merge(spark, root, upserts, Seq("o_orderkey"))
+    // the config surface reads the classified feed
+    PipelineRunner.run(spark,
+      s"""name: ep34_feed
+         |source: {format: graft_table, path: "$root",
+         |  options: {changesFrom: "0", withImages: "true"}}
+         |transforms:
+         |  - {op: sort, cols: [_commit_version, _change_type, o_orderkey]}
+         |""".stripMargin).passed
+  }
+
   /** EP35 — PARTITIONED table lifecycle through the config surface:
     * publish orders hive-partitioned by o_orderstatus (partitionBy on the
     * graft_table sink; Iceberg-style identity partitioning — the column
@@ -1745,5 +1810,5 @@ object Sources extends QueryPack {
     Seq(a3, a3b, a3c, a4, a4b, a4c, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3,
       ep3b, ep4, ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13,
       ep14, ep15, ep16, ep17, ep18, ep19, ep20, ep21, ep22, ep23, ep24, ep25,
-      ep26, ep27, ep28, ep29, ep30, ep31, ep32, ep33, ep35)
+      ep26, ep27, ep28, ep29, ep30, ep31, ep32, ep33, ep34, ep35)
 }

@@ -458,5 +458,55 @@ object Streaming extends QueryPack {
          |""".stripMargin).passed
   }
 
-  override def defs: Seq[QueryDef] = Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13)
+  /** §2.L14 — CONTINUOUS materialized-view maintenance: `mode:
+    * mv_refresh` + `streaming: true` composes the l13 streaming table
+    * source (offsets = commit versions, maxVersionsPerTrigger paces) with
+    * ep24's incremental refresh — each micro-batch advances the view to
+    * its own high-watermark version, so the MV tracks the base
+    * version-by-version instead of one jump to latest. Exactly-once
+    * rides the MV's txn cursor, not the stream checkpoint: the second
+    * run below starts a FRESH checkpoint, replays every already-applied
+    * version as a no-op (lastTxn ≥ watermark), and only v4 refreshes.
+    * The oracle is the from-scratch aggregate over the full base. */
+  val l14: QueryDef = m(
+    "l14_streaming_mv",
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+      |    AS DECIMAL(18,2)) AS DOUBLE) AS sum_v,
+      |  max(o_orderkey) AS last_key
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+    import graft.tables.GraftTable
+    val base = "/tmp/graft_io/l14_mv_base"
+    val view = "/tmp/graft_io/l14_mv_view"
+    StreamOps.rmrf(base); StreamOps.rmrf(view)
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    (0 until 3).foreach { i =>                                 // v1..v3
+      GraftTable.write(spark, o.where(col("o_orderkey") % 4 === i),
+        base, if (i == 0) "overwrite" else "append")
+    }
+    val yaml =
+      s"""name: l14_mv
+         |mode: mv_refresh
+         |streaming: true
+         |source: {format: graft_table, path: "$base",
+         |  options: {maxVersionsPerTrigger: "1"}}
+         |mv:
+         |  path: "$view"
+         |  keys: [o_orderstatus]
+         |  aggs: ["count() AS n",
+         |         "sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_v",
+         |         "max(o_orderkey) AS last_key"]
+         |""".stripMargin
+    graft.pipeline.PipelineRunner.run(spark, yaml) // v1 full, v2/v3 incr
+    GraftTable.write(spark, o.where(col("o_orderkey") % 4 === 3),
+      base, "append")                                          // v4
+    graft.pipeline.PipelineRunner.run(spark, yaml).passed // v1-v3 no-op, v4 incr
+      .select(col("o_orderstatus"), col("n"),
+        col("sum_v").cast("double").as("sum_v"), col("last_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14)
 }

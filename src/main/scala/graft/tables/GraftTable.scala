@@ -111,6 +111,7 @@ object GraftTable {
     var partitionBy: Seq[String] = Nil
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val constraints = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val properties = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def applyLine(n: com.fasterxml.jackson.databind.JsonNode): Unit =
       if (n.has("meta")) {
         val m = n.get("meta")
@@ -144,6 +145,13 @@ object GraftTable {
         constraints(c.get("name").asText()) = c.get("expr").asText()
       } else if (n.has("dropConstraint")) {
         constraints -= n.get("dropConstraint").get("name").asText()
+      } else if (n.has("property")) {
+        val p = n.get("property")
+        if (p.get("value").isNull) properties -= p.get("key").asText()
+        else properties(p.get("key").asText()) = p.get("value").asText()
+      } else if (n.has("cdc")) {
+        () // change-data sidecar: version-scoped (read by the change
+           // feed), never part of the live file set
       } else if (n.has("commit")) {
         () // commit wall-clock (timestampAsOf); no replay state
       } else {
@@ -156,7 +164,7 @@ object GraftTable {
           s"graft_table log: unknown action kind '$kind' — this table was " +
             "written by a newer engine version; upgrade the reader " +
             "(known: meta, add, remove, txn, constraint, dropConstraint, " +
-            "commit)")
+            "property, cdc, commit)")
       }
   }
 
@@ -213,6 +221,10 @@ object GraftTable {
         val cs = n.get("constraints")
         cs.fieldNames().asScala.foreach(c => st.constraints(c) = cs.get(c).asText())
       }
+      if (n.has("properties")) {
+        val ps = n.get("properties")
+        ps.fieldNames().asScala.foreach(k => st.properties(k) = ps.get(k).asText())
+      }
     }
     ((base.getOrElse(0L) + 1) to v).foreach { ver =>
       val f = verFile(root, ver)
@@ -264,6 +276,10 @@ object GraftTable {
     val ta = n.putObject("txns"); st.txns.foreach { case (k, b) => ta.put(k, b) }
     val ca = n.putObject("constraints")
     st.constraints.foreach { case (k, e) => ca.put(k, e) }
+    if (st.properties.nonEmpty) {
+      val pa = n.putObject("properties")
+      st.properties.foreach { case (k, v) => pa.put(k, v) }
+    }
     val tmp = Files.createTempFile(logDir(root), ".ckpt", ".tmp")
     Files.writeString(tmp, json.writeValueAsString(n))
     try Files.createLink(target, tmp)
@@ -536,6 +552,91 @@ object GraftTable {
       spark.createDataFrame(java.util.Collections.emptyList[Row](),
         schema.add("_commit_version", "bigint")))
   }
+
+  /** FULL change data feed for (fromExclusive, toInclusive]: every
+    * change row classified `_change_type ∈ {insert, update_preimage,
+    * update_postimage, delete}` and stamped `_commit_version` — the
+    * Delta CDF read contract. Per version: append-only versions deliver
+    * their added rows as `insert` (no sidecar needed); DML versions
+    * deliver their logged `cdf/` sidecars (written when the table's
+    * `changeDataFeed` property is true); OPTIMIZE's layout-only swaps
+    * deliver nothing. A version that changed existing rows WITHOUT
+    * sidecars (property off at the time, or overwrite/restore/
+    * drop_partition — which never record images) fails loud: the feed
+    * cannot invent retractions, resync from a snapshot. O(versions) log
+    * metadata to plan; data IO proportional to the change volume only. */
+  def changesWithImages(spark: SparkSession, root: String,
+      fromExclusive: Long, toInclusive: Option[Long] = None): DataFrame = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"not a graft_table: $root"))
+    val to = toInclusive.getOrElse(latest)
+    require(fromExclusive >= 0 && to <= latest && fromExclusive <= to,
+      s"graft_table $root: changes range ($fromExclusive, $to] out of [0, $latest]")
+    val schema = StructType.fromDDL(snapshot(root, Some(to)).schemaDdl)
+    val withType = schema.add("_change_type", "string")
+    def abs(f: String) = Paths.get(root).resolve(f).toString
+    val frames = ((fromExclusive + 1) to to).flatMap { ver =>
+      require(Files.exists(verFile(root, ver)),
+        s"graft_table $root: change feed needs version $ver's log, which " +
+          "was truncated — catch up from a snapshot instead")
+      var removes = 0; var layoutAdds = 0
+      val adds = Seq.newBuilder[String]; val cdc = Seq.newBuilder[String]
+      Files.readAllLines(verFile(root, ver)).asScala
+        .filter(_.nonEmpty).foreach { line =>
+          val n = json.readTree(line)
+          if (n.has("remove")) removes += 1
+          else if (n.has("cdc")) cdc += n.get("cdc").get("path").asText()
+          else if (n.has("add")) {
+            val a = n.get("add")
+            if (!a.has("dataChange") || a.get("dataChange").asBoolean(true))
+              adds += a.get("path").asText()
+            else layoutAdds += 1
+          }
+        }
+      val cdcPaths = cdc.result(); val addPaths = adds.result()
+      if (cdcPaths.nonEmpty)
+        Some(spark.read.schema(withType).parquet(cdcPaths.map(abs): _*)
+          .withColumn("_commit_version", lit(ver)))
+      else {
+        val changedExisting =
+          removes > 0 && !(layoutAdds > 0 && addPaths.isEmpty)
+        if (changedExisting) throw new IllegalStateException(
+          s"graft_table $root: version $ver changed existing rows and " +
+            "recorded no change data — it predates `changeDataFeed=true`, " +
+            "or was an overwrite/restore/drop_partition (those never " +
+            "record images). Resync from a snapshot read")
+        if (addPaths.isEmpty) None
+        else Some(spark.read.schema(schema).parquet(addPaths.map(abs): _*)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(ver)))
+      }
+    }
+    frames.reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        withType.add("_commit_version", "bigint")))
+  }
+
+  /** True iff [[changesWithImages]] can replay (fromExclusive,
+    * toInclusive] exactly: every version is append-only, layout-only, or
+    * carries cdc sidecars. O(versions) log metadata. */
+  def cdcCoveredSince(root: String, fromExclusive: Long,
+      toInclusive: Long): Boolean =
+    ((fromExclusive + 1) to toInclusive).forall { ver =>
+      if (!Files.exists(verFile(root, ver))) return false
+      var removes = 0; var dataAdds = 0; var layoutAdds = 0; var cdc = 0
+      Files.readAllLines(verFile(root, ver)).asScala
+        .filter(_.nonEmpty).foreach { line =>
+          val n = json.readTree(line)
+          if (n.has("remove")) removes += 1
+          else if (n.has("cdc")) cdc += 1
+          else if (n.has("add")) {
+            if (!n.get("add").has("dataChange") ||
+              n.get("add").get("dataChange").asBoolean(true)) dataAdds += 1
+            else layoutAdds += 1
+          }
+        }
+      cdc > 0 || removes == 0 || (layoutAdds > 0 && dataAdds == 0)
+    }
 
   /** Streaming-source metadata for (fromExclusive, toInclusive]: per
     * version, its data-changing added files and whether the version
@@ -1153,9 +1254,26 @@ object GraftTable {
         .where(col("__file").isin(touchedAbs.toSeq: _*))
         .drop("__file")
     val rewritten = touchedRows.join(broadcast(keys), on, "left_anti")
-    val newData = (how, condition) match {
-      case ("delete", _) => rewritten
-      case ("upsert", None) => rewritten.unionByName(updates)
+    val state = replayState(root, snap.version)
+    def tag(df: DataFrame, t: String): DataFrame =
+      df.withColumn("_change_type", lit(t))
+    // (rows the new files hold, change rows for the feed — computed only
+    // when the table opted into changeDataFeed; every branch's joins run
+    // over the touched subset only)
+    val (newData, cdcDf) = (how, condition) match {
+      case ("delete", _) =>
+        (rewritten,
+          Some(tag(touchedRows.join(broadcast(keys), on, "left_semi"),
+            "delete")))
+      case ("upsert", None) =>
+        val matchedPre = touchedRows.join(broadcast(keys), on, "left_semi")
+        val matchedKeys = matchedPre.select(on.map(col): _*).distinct()
+        val post = updates.join(broadcast(matchedKeys), on, "left_semi")
+        val inserts = updates.join(broadcast(matchedKeys), on, "left_anti")
+        (rewritten.unionByName(updates),
+          Some(tag(matchedPre, "update_preimage")
+            .unionByName(tag(post, "update_postimage"))
+            .unionByName(tag(inserts, "insert"))))
       case ("upsert", Some(cond)) =>
         // WHEN MATCHED AND cond THEN UPDATE, WHEN NOT MATCHED THEN INSERT
         // (the last-writer-wins / newer-timestamp CDC clause): matched
@@ -1173,14 +1291,19 @@ object GraftTable {
           .select(tCols: _*)
         val inserts = s.join(t.select(on.map(k => col(s"t.$k").as(k)): _*),
           on, "left_anti").select(schema.fields.toSeq.map(f => col(f.name)): _*)
-        rewritten.unionByName(srcWins).unionByName(tgtWins)
-          .unionByName(inserts)
+        (rewritten.unionByName(srcWins).unionByName(tgtWins)
+          .unionByName(inserts),
+          Some(tag(pairs.where(expr(cond)).select(tCols: _*),
+            "update_preimage")
+            .unionByName(tag(srcWins, "update_postimage"))
+            .unionByName(tag(inserts, "insert"))))
     }
-    val adds = stageDataFiles(newData, root,
-      partitionBy = partitioning(root, Some(snap.version)))
+    val adds = stageDataFiles(newData, root, partitionBy = state.partitionBy)
     enforceConstraints(spark, root, adds, snap.version, s"merge ($how)")
+    val cdc = if (!changeFeedEnabled(state)) Nil
+      else cdcDf.toSeq.flatMap(stageCdcFiles(_, root))
     commit(root, snap.version, txn.map(t => txnAction(t._1, t._2)).toSeq ++
-      touchedRel.map(removeAction) ++ adds)
+      touchedRel.map(removeAction) ++ adds ++ cdc)
   }
 
   /** Conservative log-stats pruning for pushed/parsed predicate
@@ -1389,8 +1512,15 @@ object GraftTable {
         spark.read.schema(schema).parquet(partial.map(absOf): _*)
           .where(!coalesce(pred, lit(false))), root,
         partitionBy = state.partitionBy)
+    // change feed enabled: the deleted rows (pre-images) ride the same
+    // commit as `cdf/` sidecars — one extra pushdown-pruned scan of the
+    // touched subset only
+    val cdc = if (!changeFeedEnabled(state)) Nil else stageCdcFiles(
+      spark.read.schema(schema)
+        .parquet((fullMatch ++ partial).map(absOf): _*)
+        .where(pred).withColumn("_change_type", lit("delete")), root)
     commit(root, snap.version, txn.map(t => txnAction(t._1, t._2)).toSeq ++
-      (fullMatch ++ partial).sorted.map(removeAction) ++ adds)
+      (fullMatch ++ partial).sorted.map(removeAction) ++ adds ++ cdc)
   }
 
   /** UPDATE WHERE — predicate update as copy-on-write. Same probe and
@@ -1434,8 +1564,22 @@ object GraftTable {
     val adds = stageDataFiles(rewritten, root,
       partitionBy = state.partitionBy)
     enforceConstraints(spark, root, adds, snap.version, "updateWhere")
+    // change feed: matched rows before (pre) and after (post) the
+    // assignments, same commit, touched subset only
+    val cdc = if (!changeFeedEnabled(state)) Nil else {
+      val hit = spark.read.schema(schema).parquet(touched.map(absOf): _*)
+        .where(pred)
+      val pre = hit.withColumn("_change_type", lit("update_preimage"))
+      val post = hit.select(schema.fields.toSeq.map { f =>
+        assign.get(f.name) match {
+          case Some((e, dt)) => expr(e).cast(dt).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*).withColumn("_change_type", lit("update_postimage"))
+      stageCdcFiles(pre.unionByName(post), root)
+    }
     commit(root, snap.version, txn.map(t => txnAction(t._1, t._2)).toSeq ++
-      touched.map(removeAction) ++ adds)
+      touched.map(removeAction) ++ adds ++ cdc)
   }
 
   /** RESTORE — roll the table back to `toVersion` as a NEW commit, pure
@@ -1568,6 +1712,86 @@ object GraftTable {
     val n = json.createObjectNode()
     n.putObject("dropConstraint").put("name", name)
     commit(root, snap.version, Seq(n))
+  }
+
+  // -- table properties --------------------------------------------------------
+
+  /** The table's key→value properties at `asOf` (default latest).
+    * Properties ride the log (`property` actions, checkpointed) like
+    * constraints. The one the engine interprets today:
+    * `changeDataFeed=true` — DML commits (merge/deleteWhere/updateWhere)
+    * then also write precise change rows (pre/post images) as `cdf/`
+    * sidecar files, the Delta CDF recipe, consumed by
+    * [[changesWithImages]]. Off by default: CDC roughly doubles a DML
+    * commit's write volume on the touched subset, a cost a table should
+    * opt into, not discover. */
+  def tableProperties(root: String, asOf: Option[Long] = None): Map[String, String] = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"not a graft_table: $root"))
+    replayState(root, asOf.getOrElse(latest)).properties.toMap
+  }
+
+  /** SET/UNSET a table property as one commit (`value = None` unsets). */
+  def setProperty(root: String, key: String, value: Option[String]): Long = {
+    require(key.trim.nonEmpty, "setProperty: empty key")
+    val snap = snapshot(root)
+    val n = json.createObjectNode()
+    val p = n.putObject("property")
+    p.put("key", key)
+    value match {
+      case Some(v) => p.put("value", v)
+      case None => p.putNull("value")
+    }
+    commit(root, snap.version, Seq(n))
+  }
+
+  private def changeFeedEnabled(st: LogState): Boolean =
+    st.properties.get("changeDataFeed").contains("true")
+
+  private def cdcAction(path: String, numRecords: Long): ObjectNode = {
+    val n = json.createObjectNode()
+    val c = n.putObject("cdc")
+    c.put("path", path); c.put("numRecords", numRecords)
+    n
+  }
+
+  /** Stage `df` (table columns + `_change_type`) as immutable parquet
+    * under cdf/ and return the cdc actions — the change-data twin of
+    * [[stageDataFiles]]: invisible until a commit references it, orphans
+    * reclaimed by vacuum. */
+  private def stageCdcFiles(df: DataFrame, root: String): Seq[ObjectNode] = {
+    val stamp = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val staging = Paths.get(root, s"_staging_$stamp")
+    org.apache.spark.sql.GraftSqlBridge.withConf(df,
+        "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+      .write.mode("overwrite").parquet(staging.toString)
+    Files.createDirectories(Paths.get(root, "cdf"))
+    val parts = {
+      val s = Files.list(staging)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    val actions = parts.zipWithIndex.flatMap { case (p, i) =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(p.toUri), hconf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val cnt = try r.getRecordCount finally r.close()
+      if (cnt == 0L) None
+      else {
+        val rel = s"cdf/${stamp}_cdc$i.parquet"
+        Files.move(p, Paths.get(root).resolve(rel),
+          StandardCopyOption.ATOMIC_MOVE)
+        Some(cdcAction(rel, cnt))
+      }
+    }
+    val leftovers = Files.walk(staging)
+    try leftovers.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally leftovers.close()
+    actions
   }
 
   /** Full-table constraint audit: violation count per constraint (0 =
@@ -1756,6 +1980,8 @@ object GraftTable {
           .filter(_.nonEmpty).foreach { line =>
             val n = json.readTree(line)
             if (n.has("add")) referenced += n.get("add").get("path").asText()
+            else if (n.has("cdc")) // change-data sidecars live until their
+              referenced += n.get("cdc").get("path").asText() // log does
           }
     }
     // every checkpoint's live set stays readable (incl. the truncation seal)
@@ -1788,6 +2014,16 @@ object GraftTable {
           if (empty) Files.delete(p)
         }
       finally d.close()
+    }
+    val cdfDir = Paths.get(root, "cdf")
+    if (Files.isDirectory(cdfDir)) {
+      val s = Files.list(cdfDir)
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
+        val rel = s"cdf/${p.getFileName}"
+        if (!referenced.contains(rel) && oldEnough(p)) {
+          Files.delete(p); removed += rel
+        }
+      } finally s.close()
     }
     // dead staging dirs (crashed writers) + orphaned log temp files —
     // same age guard: a YOUNG staging dir is a writer mid-flight, not

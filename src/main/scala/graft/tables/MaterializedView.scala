@@ -72,6 +72,39 @@ object MaterializedView {
     case AggSpec(fn, _, out) => expr(s"$fn(`$out`)").as(out)
   }
 
+  private def isStar(e: String): Boolean =
+    e == null || e.trim.isEmpty || e.trim == "*" || e.trim == "1"
+
+  /** Can this agg set be maintained through RETRACTIONS (pre/post-imaged
+    * deletes and updates)? Requires: only count/sum (min/max cannot
+    * un-see a retracted extreme; sketches cannot subtract), a count(*)
+    * row count (group liveness — a group whose count reaches 0 must be
+    * deleted, and without the row count that moment is unobservable),
+    * and for every sum(e) a count with the SAME expr (SQL SUM over zero
+    * non-null rows is NULL, not 0 — the companion count is the only way
+    * to restore that exactly after retraction). */
+  private[tables] def retractionCapable(aggs: Seq[AggSpec]): Boolean =
+    aggs.forall(a => Set("count", "sum")(a.fn)) &&
+      aggs.exists(a => a.fn == "count" && isStar(a.expr)) &&
+      aggs.filter(_.fn == "sum").forall(s =>
+        aggs.exists(c => c.fn == "count" && c.expr.trim == s.expr.trim))
+
+  /** sum-out → its same-expr count-out (defined when retractionCapable). */
+  private def sumCompanions(aggs: Seq[AggSpec]): Map[String, String] =
+    aggs.filter(_.fn == "sum").map(s => s.out ->
+      aggs.find(c => c.fn == "count" && c.expr.trim == s.expr.trim).get.out)
+      .toMap
+
+  /** Signed delta aggregates over change rows carrying `__w` (±1). */
+  private def retractionAggCols(aggs: Seq[AggSpec]): Seq[Column] = aggs.map {
+    case AggSpec("count", e, out) if isStar(e) => sum(col("__w")).as(out)
+    case AggSpec("count", e, out) =>
+      sum(when(expr(e).isNotNull, col("__w")).otherwise(lit(0L))).as(out)
+    case AggSpec("sum", e, out) => sum(expr(s"($e)") * col("__w")).as(out)
+    case AggSpec(fn, _, _) => throw new IllegalStateException(
+      s"unreachable: retractionCapable admits no '$fn'")
+  }
+
   /** Read helper: replace each approx_distinct SKETCH column with its
     * estimate (bigint), leaving everything else as stored. */
   def estimated(mv: DataFrame, aggs: Seq[AggSpec]): DataFrame =
@@ -88,18 +121,28 @@ object MaterializedView {
       col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
-  /** Bring `mv` up to date with `base`'s latest version. Returns the new
-    * MV version, or None when already current (incl. crash-replay). */
+  /** Bring `mv` up to date with `base`'s latest version — or, when
+    * `toVersion` is given, exactly that version (the streaming-MV driver
+    * advances one micro-batch's version range at a time, so the refresh
+    * target is the batch's high watermark, not whatever the base has
+    * reached since). Returns the new MV version, or None when already
+    * current (incl. crash-replay: a replayed batch's toVersion is ≤ the
+    * cursor, so the rerun no-ops). */
   def refresh(spark: SparkSession, base: String, mv: String,
-      keys: Seq[String], aggs: Seq[AggSpec]): Option[Long] = {
+      keys: Seq[String], aggs: Seq[AggSpec],
+      toVersion: Option[Long] = None): Option[Long] = {
     require(keys.nonEmpty, "materialized view needs group keys")
     require(aggs.nonEmpty, "materialized view needs at least one aggregate")
     val dupOut = (keys ++ aggs.map(_.out)).groupBy(identity)
       .collect { case (n, g) if g.size > 1 => n }
     require(dupOut.isEmpty,
       s"materialized view: duplicate output column(s) [${dupOut.mkString(", ")}]")
-    val baseV = GraftTable.latestVersion(base).getOrElse(
+    val latest = GraftTable.latestVersion(base).getOrElse(
       throw new IllegalArgumentException(s"not a graft_table: $base"))
+    val baseV = toVersion.getOrElse(latest)
+    require(baseV >= 1 && baseV <= latest,
+      s"materialized view: refresh target version $baseV outside the " +
+        s"base's [1, $latest]")
     val appId = mvAppId(base)
     val last = GraftTable.lastTxn(mv, appId)
     if (last.exists(_ >= baseV)) return None // current (or a crash replay)
@@ -123,6 +166,51 @@ object MaterializedView {
         mvDdl)
       Some(GraftTable.merge(spark, mv, combined, keys,
         txn = Some(appId -> baseV)))
+    } else if (last.isDefined && retractionCapable(aggs) &&
+        GraftTable.cdcCoveredSince(base, from, baseV)) {
+      // RETRACTION-INCREMENTAL: the base rewrote rows, but the change
+      // feed carries full pre/post images AND every aggregate is
+      // retraction-capable (sum/count with a count(*) row count and a
+      // same-expr count beside every sum — see retractionCapable). Each
+      // change row contributes with a SIGN: +1 for insert/update_post,
+      // -1 for delete/update_pre, so count := Σw, count(e) := Σw over
+      // non-null e, sum(e) := Σ(e·w) — merged into the MV exactly like
+      // the append path. Groups whose row count reaches 0 are DELETED
+      // from the MV (SQL GROUP BY emits no empty groups), and a sum
+      // whose companion count(e) reaches 0 reverts to NULL (SQL SUM over
+      // no non-null rows). Cost: O(|changes| + touched groups) — never
+      // the base. min/max stay full-recompute: a retraction can expose a
+      // second-place value no merge function can recover.
+      val rowCountOut = aggs.find(a => a.fn == "count" && isStar(a.expr)).get.out
+      val w = when(col("_change_type").isin("insert", "update_postimage"),
+        lit(1L)).otherwise(lit(-1L))
+      val delta = GraftTable.changesWithImages(spark, base, from, Some(baseV))
+        .withColumn("__w", w)
+      val deltaAgg = delta.groupBy(keys.map(col): _*).agg(
+        retractionAggCols(aggs).head, retractionAggCols(aggs).tail: _*)
+      val mvDdl = GraftTable.snapshot(mv).schemaDdl
+      val oldTouched = GraftTable.read(spark, mv)
+        .join(deltaAgg.select(keys.map(col): _*), keys, "left_semi")
+      val merged = oldTouched.unionByName(conformTo(deltaAgg, mvDdl))
+        .groupBy(keys.map(col): _*)
+        .agg(mergeCols(aggs).head, mergeCols(aggs).tail: _*)
+      val companions = sumCompanions(aggs)
+      val nullFixed = aggs.filter(_.fn == "sum").foldLeft(merged)((df, a) =>
+        df.withColumn(a.out,
+          when(col(companions(a.out)) === 0, lit(null)).otherwise(col(a.out))))
+      val combined = conformTo(nullFixed, mvDdl).cache()
+      try {
+        val dead = combined.where(col(rowCountOut) === 0)
+          .select(keys.map(col): _*)
+        // dead groups FIRST, cursor on the upsert: a crash in between
+        // re-runs the whole refresh (cursor not advanced) and the dead
+        // deletes are idempotent
+        if (!dead.isEmpty)
+          GraftTable.merge(spark, mv, dead, keys, how = "delete")
+        Some(GraftTable.merge(spark, mv,
+          combined.where(col(rowCountOut) > 0), keys,
+          txn = Some(appId -> baseV)))
+      } finally combined.unpersist()
     } else {
       // FULL: first materialization, or the base rewrote rows the feed
       // cannot retract — recompute from the snapshot the cursor names

@@ -1185,6 +1185,58 @@ class GraftTableSpec extends SparkSpecBase {
          |""".stripMargin)).getMessage should include("graft_table")
   }
 
+  test("mode mv_refresh + streaming: continuous maintenance paced by the " +
+    "table stream; replayed versions no-op via the txn cursor") {
+    val base = freshRoot("mv_str_b"); val mv = freshRoot("mv_str_m")
+    GraftTable.write(spark,
+      Seq(("a", 1L), ("b", 5L)).toDF("k", "v"), base, "overwrite") // v1
+    GraftTable.write(spark, Seq(("a", 2L)).toDF("k", "v"), base, "append") // v2
+    GraftTable.write(spark,
+      Seq(("c", 7L), ("a", 3L)).toDF("k", "v"), base, "append")    // v3
+    val yaml =
+      s"""name: mvstr
+         |mode: mv_refresh
+         |streaming: true
+         |source: {format: graft_table, path: "$base",
+         |  options: {maxVersionsPerTrigger: "1"}}
+         |mv: {path: "$mv", keys: [k], aggs: ["count() AS n", "sum(v) AS s"]}
+         |""".stripMargin
+    def run() = PipelineRunner.run(spark, yaml).passed.orderBy($"k")
+      .select($"k", $"n", $"s").as[(String, Long, Long)].collect()
+    run() shouldBe Array(("a", 3L, 6L), ("b", 1L, 5L), ("c", 1L, 7L))
+    // paced version-by-version: v1 materialized FULL (a CREATE — the
+    // view's first version), v2 and v3 each their own incremental MERGE —
+    // not one jump to latest
+    val ops = GraftTable.history(spark, mv).orderBy($"version")
+      .select($"operation").as[String].collect()
+    ops.head shouldBe "CREATE"
+    ops.count(_ == "MERGE") shouldBe 2
+    // crash-replay: a rerun starts a FRESH stream checkpoint and replays
+    // v1..v3 — every refresh no-ops on the txn cursor, the MV writes
+    // nothing new
+    val vBefore = GraftTable.latestVersion(mv).get
+    run() shouldBe Array(("a", 3L, 6L), ("b", 1L, 5L), ("c", 1L, 7L))
+    GraftTable.latestVersion(mv).get shouldBe vBefore
+    // catch-up: one new base version -> exactly one more MV merge
+    GraftTable.write(spark, Seq(("b", 1L)).toDF("k", "v"), base, "append")
+    run() shouldBe Array(("a", 3L, 6L), ("b", 2L, 6L), ("c", 1L, 7L))
+    GraftTable.latestVersion(mv).get shouldBe vBefore + 1
+    // parse guards: the flag outside mv_refresh; a batch selector on the
+    // streaming source
+    intercept[IllegalArgumentException](graft.config.PipelineSpec.parse(
+      "name: x\nstreaming: true\n" +
+        "source: {format: parquet, path: \"/tmp/x\"}\n"))
+      .getMessage should include("mv_refresh")
+    intercept[IllegalArgumentException](graft.config.PipelineSpec.parse(
+      s"""name: x
+         |mode: mv_refresh
+         |streaming: true
+         |source: {format: graft_table, path: "$base",
+         |  options: {versionAsOf: "1"}}
+         |mv: {path: "$mv", keys: [k], aggs: ["count() AS n"]}
+         |""".stripMargin)).getMessage should include("maxVersionsPerTrigger")
+  }
+
   test("materialized view: approx_distinct maintains a mergeable HLL sketch") {
     import graft.tables.MaterializedView
     import graft.tables.MaterializedView.AggSpec
@@ -1589,6 +1641,112 @@ class GraftTableSpec extends SparkSpecBase {
          |sink: {format: graft_table, path: "$yroot", mode: append,
          |       partitionBy: [n_regionkey]}
          |""".stripMargin)).getMessage should include("overwrite")
+  }
+
+  test("change data feed: pre/post images ride DML commits as cdf/ " +
+    "sidecars; uncovered change versions fail loud; vacuum honors refs") {
+    val root = freshRoot("cdf")
+    GraftTable.write(spark,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"),
+      root, "overwrite")                                        // v1
+    // property OFF: a delete records no images — the full feed refuses
+    GraftTable.deleteWhere(spark, root, "k = 3")                // v2
+    (the[IllegalStateException] thrownBy GraftTable
+      .changesWithImages(spark, root, 0).collect())
+      .getMessage should include("recorded no change data")
+    // the plain append-only feed refuses the same version its own way
+    GraftTable.setProperty(root, "changeDataFeed", Some("true")) // v3
+    GraftTable.tableProperties(root) shouldBe Map("changeDataFeed" -> "true")
+    GraftTable.updateWhere(spark, root, "k = 1",
+      Map("v" -> "v + 5"))                                      // v4
+    GraftTable.merge(spark, root,
+      Seq((2L, 99.0), (7L, 70.0)).toDF("k", "v"), Seq("k"))     // v5
+    GraftTable.deleteWhere(spark, root, "k = 7")                // v6
+    // feed from v3 on: exact classified rows
+    val feed = GraftTable.changesWithImages(spark, root, 3)
+      .as[(Long, Double, String, Long)].collect().toSeq.sorted
+    feed shouldBe Seq(
+      (1L, 10.0, "update_preimage", 4L),
+      (1L, 15.0, "update_postimage", 4L),
+      (2L, 20.0, "update_preimage", 5L),
+      (2L, 99.0, "update_postimage", 5L),
+      (7L, 70.0, "insert", 5L),
+      (7L, 70.0, "delete", 6L)).sorted
+    // appends deliver as inserts with no sidecar
+    GraftTable.write(spark, Seq((8L, 80.0)).toDF("k", "v"), root, "append")
+    GraftTable.changesWithImages(spark, root, 6)
+      .as[(Long, Double, String, Long)].collect() shouldBe
+      Array((8L, 80.0, "insert", 7L))
+    // cdf files are referenced: vacuum(0) keeps them while logs retain
+    // their versions; after truncation they reclaim
+    val kept = GraftTable.vacuum(root, 0L)
+    kept.count(_.startsWith("cdf/")) shouldBe 0
+    Files.list(Paths.get(root, "cdf")).count() should be >= 3L
+    GraftTable.truncateHistory(root, 7L)
+    GraftTable.vacuum(root, 0L).count(_.startsWith("cdf/")) should be >= 3
+    // cdcCoveredSince: history now truncated → not replayable
+    GraftTable.cdcCoveredSince(root, 3, 7) shouldBe false
+  }
+
+  test("materialized view goes INCREMENTAL under updates/deletes when the " +
+    "feed has images and aggs are sum/count; groups die exactly; min " +
+    "falls back to full recompute") {
+    import graft.tables.MaterializedView
+    import graft.tables.MaterializedView.AggSpec
+    val base = freshRoot("mvret")
+    val mv = freshRoot("mvret_mv")
+    val aggs = Seq(AggSpec("count", "", "n"), AggSpec("count", "v", "n_v"),
+      AggSpec("sum", "v", "sum_v"))
+    def want() = GraftTable.read(spark, base).groupBy($"k")
+      .agg(count(lit(1)).as("n"), count($"v").as("n_v"), sum($"v").as("sum_v"))
+      .orderBy($"k").collect().map(_.toSeq).toSeq
+    def got() = GraftTable.read(spark, mv).orderBy($"k")
+      .collect().map(_.toSeq).toSeq
+    def lastMvOp(): String = {
+      val h = GraftTable.history(spark, mv)
+      h.orderBy($"version".desc).select($"operation").head().getString(0)
+    }
+    GraftTable.write(spark,
+      Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", None),
+        ("b", Some(5.0)), ("c", None)).toDF("k", "v"),
+      base, "overwrite")
+    GraftTable.setProperty(base, "changeDataFeed", Some("true"))
+    MaterializedView.refresh(spark, base, mv, Seq("k"), aggs)
+    got() shouldBe want()
+    // an UPDATE no longer forces a full recompute: the refresh consumes
+    // signed pre/post images and MERGES — the MV's new version is a
+    // keyed merge, not an overwrite
+    GraftTable.updateWhere(spark, base, "k = 'a' AND v = 2.0",
+      Map("v" -> "v * 10"))
+    MaterializedView.refresh(spark, base, mv, Seq("k"), aggs).isDefined shouldBe true
+    lastMvOp() should not be "OVERWRITE"
+    got() shouldBe want()
+    // a group dies (all rows deleted) → its MV row is deleted; a sum
+    // whose non-null contributions all retract reverts to NULL
+    GraftTable.deleteWhere(spark, base, "k = 'b'")        // b: group dead
+    GraftTable.deleteWhere(spark, base, "v = 1.0 OR v = 20.0") // a: only null v left
+    MaterializedView.refresh(spark, base, mv, Seq("k"), aggs)
+    lastMvOp() should not be "OVERWRITE"
+    got() shouldBe want()
+    GraftTable.read(spark, mv).select($"k").as[String].collect().sorted shouldBe
+      Array("a", "c")
+    GraftTable.read(spark, mv).where($"k" === "a")
+      .select($"sum_v").head().isNullAt(0) shouldBe true
+    // mixed inserts + retractions in one range still exact
+    GraftTable.write(spark, Seq(("d", Some(7.0))).toDF("k", "v"), base, "append")
+    GraftTable.updateWhere(spark, base, "k = 'd'", Map("v" -> "v + 1"))
+    MaterializedView.refresh(spark, base, mv, Seq("k"), aggs)
+    got() shouldBe want()
+    // an MV with min/max cannot retract — falls back to full recompute
+    val mv2 = freshRoot("mvret_mv2")
+    val aggs2 = aggs :+ AggSpec("min", "v", "min_v")
+    MaterializedView.refresh(spark, base, mv2, Seq("k"), aggs2)
+    GraftTable.updateWhere(spark, base, "k = 'd'", Map("v" -> "v - 3"))
+    MaterializedView.refresh(spark, base, mv2, Seq("k"), aggs2)
+    GraftTable.history(spark, mv2).orderBy($"version".desc)
+      .select($"operation").head().getString(0) shouldBe "OVERWRITE"
+    GraftTable.read(spark, mv2).where($"k" === "d")
+      .select($"min_v").as[Double].head() shouldBe 5.0
   }
 
   test("materialized view COUNT(expr) excludes nulls (SQL semantics), " +
