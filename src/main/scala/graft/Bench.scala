@@ -130,6 +130,48 @@ object Bench {
     val runProbe0 = probeMops()
     def mopsStr(v: Double) =
       String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
+
+    // Multi-threaded streaming-sum probe (~0.2 s): aggregate memory
+    // bandwidth in GB/s. The single-thread spin above measures IPC and
+    // stayed CLEAN through every k12b-style episode (rounds 14/16
+    // ground-truthing) — what throttles a 32-thread shuffle stage is the
+    // memory subsystem, which only a parallel streaming read can see.
+    // 8 threads × 64 MB × 4 passes = 2 GB touched; at host-typical tens
+    // of GB/s that is ~0.1–0.2 s per reading, cheap enough to bracket
+    // the run and every forked heavy.
+    val membwThreads = math.min(8, Runtime.getRuntime.availableProcessors())
+    lazy val membwArrays =
+      Array.fill(membwThreads)(new Array[Long](8 << 20)) // 64 MB each
+    def membwOnce(): Double = {
+      val sink = new java.util.concurrent.atomic.LongAdder
+      val t0 = System.nanoTime()
+      val ts = membwArrays.map { a =>
+        val th = new Thread(() => {
+          var s = 0L; var r = 0
+          while (r < 4) {
+            var i = 0
+            while (i < a.length) { s += a(i); i += 1 }
+            r += 1
+          }
+          sink.add(s)
+        })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (sink.sum() == 42L) System.err.print("") // keep loads live
+      membwThreads.toLong * (8L << 20) * 8L * 4L / dt / 1e9
+    }
+    // MAX of 3 readings: any GC/scheduler pause only LOWERS a reading
+    // (the measurement is wall-clock over fixed work), so max-of-3 is
+    // the box's capacity; a real bandwidth episode depresses all three.
+    // Calibrated clean ≈ 30-43 GB/s on this host; a one-shot reading
+    // dipped to 4 GB/s from a mid-probe pause, hence the retries.
+    def probeMembw(): Double = (1 to 3).map(_ => membwOnce()).max
+    membwOnce() // JIT + page-in the arrays off the measured path
+    val runMembw0 = probeMembw()
+    def gbpsStr(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val runSteal0 = stealTicks()
 
     def force(name: String): Double = {
@@ -151,9 +193,13 @@ object Bench {
       // ≥1s of steal during one query is signal, below is sampling noise
       val stealS = (stealTicks() - steal0) / 100.0
       if (stealS >= 1.0) graft.core.Attribution.record("steal", stealS)
-      // heavies get a compute-rate reading too: a slow number with a low
-      // probe is the box, with a high probe it's the code
-      if (dt >= 5.0) graft.core.Attribution.record("probe_mops", probeMops())
+      // heavies get compute-rate AND memory-bandwidth readings: a slow
+      // number with a low membw is the box's memory weather (the k12b
+      // episode signature — spin stays clean), with both high it's the code
+      if (dt >= 5.0) {
+        graft.core.Attribution.record("probe_mops", probeMops())
+        graft.core.Attribution.record("membw_gbps", probeMembw())
+      }
       val attr = graft.core.Attribution.snapshotJson()
       if (attr.nonEmpty) attributions(name) = attr
       // drop every cache/checkpoint the query pinned: between independent
@@ -204,10 +250,12 @@ object Bench {
       // child stderr (failure notes, [graft-cc] attribution) stays visible
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val probePre = probeMops() // parent-side, warm JIT: brackets the child
+      val membwPre = probeMembw()
       val p = pb.start()
       val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
       val rc = p.waitFor()
       val probePost = probeMops()
+      val membwPost = probeMembw()
       val re = ("\"" + java.util.regex.Pattern.quote(name) +
         "\":(-?[0-9][0-9.eE+-]*)").r
       val secs = out.reverseIterator
@@ -231,7 +279,9 @@ object Bench {
         // stage object so the gate line carries both
         attributions(name) = attr.dropRight(1) +
           s""","probe_mops_pre":${mopsStr(probePre)}""" +
-          s""","probe_mops_post":${mopsStr(probePost)}}"""
+          s""","probe_mops_post":${mopsStr(probePost)}""" +
+          s""","membw_pre":${gbpsStr(membwPre)}""" +
+          s""","membw_post":${gbpsStr(membwPost)}}"""
       }
       if (rc != 0 || secs < 0)
         System.err.println(s"[bench] forked $name: exit=$rc, parsed=$secs")
@@ -333,7 +383,9 @@ object Bench {
     // (G1 young/humongous pauses scale with heap; k12b's shuffle stages
     // paid 3x). The re-exec guard at the top of main keeps this at ~32
     // no matter what heap the launcher handed us.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.count(_._2 < 0)},"sf":"$sfDir","heap_gb":$heapGb,"steal_sec":$runSteal,"probe_mops_start":${mopsStr(runProbe0)},"probe_mops_end":${mopsStr(probeEnd)}}""")
+    // membw on the gate line: [start, end] GB/s — a bench whose end
+    // reading collapsed relative to start ran into a bandwidth episode
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.count(_._2 < 0)},"sf":"$sfDir","heap_gb":$heapGb,"steal_sec":$runSteal,"probe_mops_start":${mopsStr(runProbe0)},"probe_mops_end":${mopsStr(probeEnd)},"membw_gbps":[${gbpsStr(runMembw0)},${gbpsStr(probeMembw())}]}""")
     spark.stop()
   }
 }

@@ -1806,9 +1806,60 @@ object Sources extends QueryPack {
          |""".stripMargin).passed
   }
 
+  /** EP36 — merge-on-read DML (deletion vectors) through the config
+    * surface: with `deletionVectors=true` set via a set_property
+    * activity, the chained TTL delete and predicate update extend
+    * per-file vector sidecars instead of rewriting boundary files —
+    * frequent small DML writes O(changed rows), not O(touched files).
+    * The oracle pins row-level semantics (identical to the copy-on-write
+    * answer); GraftTableSpec pins the physical claims (a 1-row update
+    * stages one 1-row file and removes nothing, OPTIMIZE materializes
+    * vectors away, restore reconciles vector state). */
+  val ep36: QueryDef = m(
+    "ep36_dv_dml",
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders WHERE NOT (o_totalprice < 50000.0)
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val root = s"$ioDir/acid_dv"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(rootPath, true)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$ioDir/dv_src")
+    PipelineRunner.runAll(spark,
+      s"""name: dv_publish
+         |source: {format: parquet, path: "$ioDir/dv_src"}
+         |sink: {format: graft_table, path: "$root", mode: overwrite}
+         |---
+         |name: dv_enable
+         |mode: maintenance
+         |maintenance: {op: set_property, path: "$root",
+         |              set: {deletionVectors: "true"}}
+         |---
+         |name: dv_ttl
+         |mode: maintenance
+         |maintenance: {op: delete_where, path: "$root",
+         |              where: "o_totalprice < 50000.0"}
+         |---
+         |name: dv_reprice
+         |mode: maintenance
+         |maintenance: {op: update_where, path: "$root",
+         |              where: "o_orderkey % 100 = 0",
+         |              set: {o_totalprice: "o_totalprice * 2"}}
+         |---
+         |name: dv_read
+         |source: {format: graft_table, path: "$root"}
+         |transforms:
+         |  - {op: sort, cols: [o_orderkey]}
+         |""".stripMargin).passed
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a3c, a4, a4b, a4c, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3,
       ep3b, ep4, ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13,
       ep14, ep15, ep16, ep17, ep18, ep19, ep20, ep21, ep22, ep23, ep24, ep25,
-      ep26, ep27, ep28, ep29, ep30, ep31, ep32, ep33, ep34, ep35)
+      ep26, ep27, ep28, ep29, ep30, ep31, ep32, ep33, ep34, ep35, ep36)
 }

@@ -588,6 +588,97 @@ object TextOps2 extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** J-tier extension — RUN-LENGTH SPAN DEDUP AT THE LEE BAR: remove any
+    * duplicated span of ≥ L=16 tokens while shuffling only K=8-token
+    * windows — the published dedup bar (Lee et al. 2022 use ≥50-token
+    * overlaps) hit WITHOUT paying the bar-sized window explode. j19 at
+    * K=L would shuffle L tokens per position (at the 50-token production
+    * bar, 50× the corpus); here the window stays small and the bar is
+    * recovered from RUN LENGTH: a ≥L-token overlap appears as ≥ L-K+1
+    * consecutive positions whose K-windows are all non-first duplicates,
+    * so per doc the marked window-starts group into maximal runs
+    * (gaps-and-islands: pos - row_number is constant within a run) and a
+    * run covering end-start+K ≥ L tokens condemns exactly its covered
+    * positions. Coverage is also STRICTLY stronger than a single
+    * L-window election at the same bar: a chimera span stitched from two
+    * different-partner ≥K overlaps totaling ≥L has NO single L-token
+    * partner — an L-window election keeps it, the run election removes
+    * it (HardeningSpec pins one). At 100 TB the election keys by a
+    * 128-bit window hash (16 bytes/position regardless of K/L), same as
+    * j19's note. Shape: row-local explode → ONE keyed election shuffle →
+    * per-doc run grouping (doc-keyed window) → per-doc removal agg → doc
+    * join → HOF rebuild; no single-partition stage (PlanSpec). */
+  val j20: QueryDef = m(
+    "j20_span_dedup",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |wins AS (SELECT doc_id, i AS pos,
+      |    array_to_string(toks[(i+1):(i+8)], ' ') AS win
+      |  FROM t, UNNEST(range(0, len(toks) - 8 + 1)) AS u(i)
+      |  WHERE len(toks) >= 8),
+      |r AS (SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+      |  FROM wins),
+      |mk AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+      |g AS (SELECT doc_id, pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM mk),
+      |runs AS (SELECT doc_id, min(pos) AS s, max(pos) AS e
+      |  FROM g GROUP BY doc_id, grp
+      |  HAVING max(pos) - min(pos) + 8 >= 16),
+      |rem AS (SELECT DISTINCT doc_id, s + j AS tp
+      |  FROM runs, UNNEST(range(0, e - s + 8)) AS v(j)),
+      |toksp AS (SELECT doc_id, tp, toks[CAST(tp AS INT) + 1] AS tok
+      |  FROM t, UNNEST(range(0, len(toks))) AS u(tp)),
+      |keep AS (SELECT p.doc_id, p.tp, p.tok
+      |  FROM toksp p LEFT JOIN rem ON p.doc_id = rem.doc_id AND p.tp = rem.tp
+      |  WHERE rem.tp IS NULL),
+      |agg AS (SELECT doc_id, COUNT(*) AS kept_tokens,
+      |    string_agg(tok, ' ' ORDER BY tp) AS text_dedup
+      |  FROM keep GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(agg.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+      |  COALESCE(agg.text_dedup, '') AS text_dedup
+      |FROM t LEFT JOIN agg USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin) { (spark, dir) =>
+    val K = 8; val L = 16
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    val wins = t.where(col("n") >= K)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), col("n") - K),
+        i => array_join(slice(col("toks"), i + 1, lit(K)), " "))))
+      .toDF("doc_id", "pos", "win")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win")).orderBy(col("doc_id"), col("pos"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    // marked starts → maximal consecutive runs → bar filter → coverage
+    val runs = wins.withColumn("rn", row_number().over(w))
+      .where(col("rn") > 1).select(col("doc_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+      .where(col("e") - col("s") + K >= L)
+    val remPos = runs
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("e") + K - 1)).as("tp"))
+      .groupBy(col("doc_id")).agg(collect_set(col("tp")).as("rem"))
+    t.join(remPos, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").cast(LongType).as("n_tokens"),
+        org.apache.spark.sql.functions.filter(
+          transform(col("toks"), (tok, i) => struct(i.as("tp"), tok.as("tok"))),
+          s => !array_contains(
+            coalesce(col("rem"), array().cast("array<int>")),
+            s.getField("tp"))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast(LongType).as("kept_tokens"),
+        array_join(transform(col("kept"), s => s.getField("tok")), " ")
+          .as("text_dedup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** J-tier extension — REAL BPE tokenization with a LEARNED vocabulary
     * (graft.ext.Bpe; Sennrich et al. 2016, arXiv:1508.07909), upgrading
     * token counting from the `graft_bpeish_count` regex stand-in to the
@@ -664,5 +755,5 @@ object TextOps2 extends QueryPack {
   }
 
   override def defs: Seq[QueryDef] =
-    Seq(j6b, j9, j10, j11, j12, j13, j14, j15, j16, j17, j18, j19, k8, k9)
+    Seq(j6b, j9, j10, j11, j12, j13, j14, j15, j16, j17, j18, j19, j20, k8, k9)
 }

@@ -4,7 +4,7 @@ import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCo
 import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -112,6 +112,10 @@ object GraftTable {
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val constraints = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val properties = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // data path -> (deletion-vector sidecar path, rows it marks deleted);
+    // each dv action REPLACES the file's vector (cumulative), add/remove
+    // of the data file clears it
+    val dvs = scala.collection.mutable.LinkedHashMap.empty[String, (String, Long)]
     def applyLine(n: com.fasterxml.jackson.databind.JsonNode): Unit =
       if (n.has("meta")) {
         val m = n.get("meta")
@@ -124,6 +128,7 @@ object GraftTable {
       else if (n.has("add")) {
         val a = n.get("add"); val p = a.get("path").asText()
         files += p
+        dvs -= p // a (re-)added file is a fresh content claim — no vector
         fileCounts(p) = a.get("numRecords").asLong()
         if (a.has("size")) fileSizes(p) = a.get("size").asLong()
         if (a.has("stats")) fileStats(p) = a.get("stats")
@@ -135,7 +140,13 @@ object GraftTable {
       } else if (n.has("remove")) {
         val p = n.get("remove").get("path").asText()
         files -= p; fileStats -= p; fileCounts -= p; fileSizes -= p
-        filePartVals -= p
+        filePartVals -= p; dvs -= p
+      } else if (n.has("dv")) {
+        // merge-on-read DML: the file stays live, its vector marks rows
+        // deleted; a null dvPath CLEARS the vector (restore reconciling)
+        val d = n.get("dv"); val p = d.get("path").asText()
+        if (d.get("dvPath").isNull) dvs -= p
+        else dvs(p) = (d.get("dvPath").asText(), d.get("numDeleted").asLong())
       } else if (n.has("txn")) {
         val t = n.get("txn"); val app = t.get("appId").asText()
         val b = t.get("batchId").asLong()
@@ -163,8 +174,8 @@ object GraftTable {
         throw new IllegalStateException(
           s"graft_table log: unknown action kind '$kind' — this table was " +
             "written by a newer engine version; upgrade the reader " +
-            "(known: meta, add, remove, txn, constraint, dropConstraint, " +
-            "property, cdc, commit)")
+            "(known: meta, add, remove, dv, txn, constraint, " +
+            "dropConstraint, property, cdc, commit)")
       }
   }
 
@@ -225,6 +236,13 @@ object GraftTable {
         val ps = n.get("properties")
         ps.fieldNames().asScala.foreach(k => st.properties(k) = ps.get(k).asText())
       }
+      if (n.has("dvs")) {
+        val ds = n.get("dvs")
+        ds.fieldNames().asScala.foreach { p =>
+          val d = ds.get(p)
+          st.dvs(p) = (d.get("dvPath").asText(), d.get("numDeleted").asLong())
+        }
+      }
     }
     ((base.getOrElse(0L) + 1) to v).foreach { ver =>
       val f = verFile(root, ver)
@@ -279,6 +297,12 @@ object GraftTable {
     if (st.properties.nonEmpty) {
       val pa = n.putObject("properties")
       st.properties.foreach { case (k, v) => pa.put(k, v) }
+    }
+    if (st.dvs.nonEmpty) {
+      val da = n.putObject("dvs")
+      st.dvs.foreach { case (p, (dvp, cnt)) =>
+        val o = da.putObject(p); o.put("dvPath", dvp); o.put("numDeleted", cnt)
+      }
     }
     val tmp = Files.createTempFile(logDir(root), ".ckpt", ".tmp")
     Files.writeString(tmp, json.writeValueAsString(n))
@@ -409,9 +433,11 @@ object GraftTable {
         idx, StructType(Nil), readSchema, None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
         Map.empty)(spark)
-      (org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
-        org.apache.spark.sql.execution.datasources.LogicalRelation(rel)),
-        Some(idx))
+      val scan = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
+      // merge-on-read: rows a deletion vector marks dead are anti-joined
+      // out by (file, row_index); a no-DV snapshot is the bare scan
+      (dvFilter(spark, root, st, st.files.toSeq, scan), Some(idx))
     }
   }
 
@@ -462,7 +488,8 @@ object GraftTable {
       throw new IllegalArgumentException(s"not a graft_table: $root"))
     val v = asOf.getOrElse(latest)
     val st = replayState(root, v)
-    st.files.iterator.map(f => st.fileCounts.getOrElse(f, 0L)).sum
+    st.files.iterator.map(f => st.fileCounts.getOrElse(f, 0L) -
+      st.dvs.get(f).map(_._2).getOrElse(0L)).sum
   }
 
   /** Metadata-only MIN/MAX of a column across the live files' logged
@@ -579,12 +606,13 @@ object GraftTable {
       require(Files.exists(verFile(root, ver)),
         s"graft_table $root: change feed needs version $ver's log, which " +
           "was truncated — catch up from a snapshot instead")
-      var removes = 0; var layoutAdds = 0
+      var removes = 0; var layoutAdds = 0; var dvs = 0
       val adds = Seq.newBuilder[String]; val cdc = Seq.newBuilder[String]
       Files.readAllLines(verFile(root, ver)).asScala
         .filter(_.nonEmpty).foreach { line =>
           val n = json.readTree(line)
           if (n.has("remove")) removes += 1
+          else if (n.has("dv")) dvs += 1
           else if (n.has("cdc")) cdc += n.get("cdc").get("path").asText()
           else if (n.has("add")) {
             val a = n.get("add")
@@ -598,8 +626,8 @@ object GraftTable {
         Some(spark.read.schema(withType).parquet(cdcPaths.map(abs): _*)
           .withColumn("_commit_version", lit(ver)))
       else {
-        val changedExisting =
-          removes > 0 && !(layoutAdds > 0 && addPaths.isEmpty)
+        val changedExisting = dvs > 0 ||
+          (removes > 0 && !(layoutAdds > 0 && addPaths.isEmpty))
         if (changedExisting) throw new IllegalStateException(
           s"graft_table $root: version $ver changed existing rows and " +
             "recorded no change data — it predates `changeDataFeed=true`, " +
@@ -624,10 +652,12 @@ object GraftTable {
     ((fromExclusive + 1) to toInclusive).forall { ver =>
       if (!Files.exists(verFile(root, ver))) return false
       var removes = 0; var dataAdds = 0; var layoutAdds = 0; var cdc = 0
+      var dvs = 0
       Files.readAllLines(verFile(root, ver)).asScala
         .filter(_.nonEmpty).foreach { line =>
           val n = json.readTree(line)
           if (n.has("remove")) removes += 1
+          else if (n.has("dv")) dvs += 1
           else if (n.has("cdc")) cdc += 1
           else if (n.has("add")) {
             if (!n.get("add").has("dataChange") ||
@@ -635,7 +665,8 @@ object GraftTable {
             else layoutAdds += 1
           }
         }
-      cdc > 0 || removes == 0 || (layoutAdds > 0 && dataAdds == 0)
+      cdc > 0 || ((removes == 0 || (layoutAdds > 0 && dataAdds == 0)) &&
+        dvs == 0)
     }
 
   /** Streaming-source metadata for (fromExclusive, toInclusive]: per
@@ -652,11 +683,12 @@ object GraftTable {
       require(Files.exists(f),
         s"graft_table $root: version $ver's log was truncated — the " +
           "change stream cannot replay it; restart from a snapshot read")
-      var removes = 0; var layoutAdds = 0
+      var removes = 0; var layoutAdds = 0; var dvs = 0
       val dataAdds = Seq.newBuilder[String]
       Files.readAllLines(f).asScala.filter(_.nonEmpty).foreach { line =>
         val n = json.readTree(line)
         if (n.has("remove")) removes += 1
+        else if (n.has("dv")) dvs += 1 // merge-on-read DML = a change
         else if (n.has("add")) {
           val a = n.get("add")
           if (!a.has("dataChange") || a.get("dataChange").asBoolean(true))
@@ -665,8 +697,8 @@ object GraftTable {
         }
       }
       val adds = dataAdds.result()
-      val changedExisting =
-        removes > 0 && !(layoutAdds > 0 && adds.isEmpty) // pure OPTIMIZE ok
+      val changedExisting = dvs > 0 ||
+        (removes > 0 && !(layoutAdds > 0 && adds.isEmpty)) // pure OPTIMIZE ok
       (ver, adds, changedExisting)
     }
 
@@ -681,11 +713,12 @@ object GraftTable {
       // a truncated version can't be proven append-only — report false so
       // feed consumers (the MV) fall back to a full recompute
       if (!Files.exists(verFile(root, ver))) return false
-      var removes = 0; var dataAdds = 0; var layoutAdds = 0
+      var removes = 0; var dataAdds = 0; var layoutAdds = 0; var dvs = 0
       Files.readAllLines(verFile(root, ver)).asScala
         .filter(_.nonEmpty).foreach { line =>
           val n = json.readTree(line)
           if (n.has("remove")) removes += 1
+          else if (n.has("dv")) dvs += 1
           else if (n.has("add")) {
             if (!n.get("add").has("dataChange") ||
               n.get("add").get("dataChange").asBoolean(true)) dataAdds += 1
@@ -694,8 +727,9 @@ object GraftTable {
         }
       // pure append, or OPTIMIZE's layout-only swap; a version that
       // removed files WITHOUT re-adding them as layout (merge, delete,
-      // overwrite) destroyed rows the feed cannot retract
-      removes == 0 || (layoutAdds > 0 && dataAdds == 0)
+      // overwrite) — or extended a deletion vector — destroyed rows the
+      // feed cannot retract
+      dvs == 0 && (removes == 0 || (layoutAdds > 0 && dataAdds == 0))
     }
 
   /** DESCRIBE HISTORY: one row per version — operation kind (inferred
@@ -710,7 +744,7 @@ object GraftTable {
       .map { ver =>
       var (adds, removes, rowsAdded) = (0, 0, 0L)
       var meta = false; var dataChange = false; var txn: Option[String] = None
-      var alterCons = false
+      var alterCons = false; var dvs = 0
       Files.readAllLines(verFile(root, ver)).asScala
         .filter(_.nonEmpty).foreach { line =>
           val n = json.readTree(line)
@@ -724,6 +758,7 @@ object GraftTable {
               n.get("add").get("dataChange").asBoolean(true)) dataChange = true
           }
           else if (n.has("remove")) removes += 1
+          else if (n.has("dv")) dvs += 1
           else if (n.has("txn")) txn = Some(
             n.get("txn").get("appId").asText() + "#" +
               n.get("txn").get("batchId").asLong())
@@ -734,7 +769,7 @@ object GraftTable {
         else if (alterCons) "ALTER CONSTRAINT"
         else if (adds > 0 && removes > 0 && !dataChange) "OPTIMIZE"
         else if (meta && removes > 0) "OVERWRITE"
-        else if (removes > 0) "MERGE"
+        else if (removes > 0 || dvs > 0) "MERGE" // incl. merge-on-read DML
         else if (txn.isDefined) "STREAMING APPEND"
         else "APPEND"
       (ver, op, adds, removes, rowsAdded, meta, txn.orNull)
@@ -1234,44 +1269,44 @@ object GraftTable {
         s"keys on (${on.mkString(",")}), e.g. ${dup.headOption.fold("")(_.toString)}")
     }
     val schema = StructType.fromDDL(snap.schemaDdl)
+    val state = replayState(root, snap.version)
     val keys = updates.select(on.map(col): _*).distinct()
-    val base = spark.read.schema(schema)
-      .parquet(snap.files.map(f => Paths.get(root).resolve(f).toString): _*)
-      .withColumn("__file", input_file_name())
-    val touchedAbs = base.join(broadcast(keys), on, "left_semi")
-      .select(col("__file")).distinct()
+    val base = livePosScan(spark, root, state, snap.files, schema)
+    val touchedNames = base.join(broadcast(keys), on, "left_semi")
+      .select(col("__f")).distinct()
       .collect().map(_.getString(0)).toSet
     // O(live files) filename→rel map (data file names are UUID-unique)
     val relOfName = snap.files.map(r =>
       Paths.get(r).getFileName.toString -> r).toMap
-    val touchedRel = touchedAbs.toSeq
-      .flatMap(a => relOfName.get(Paths.get(a).getFileName.toString))
+    val touchedRel = touchedNames.toSeq.flatMap(relOfName.get)
       .distinct.sorted
-    val touchedRows =
+    val dataCols = schema.fields.toSeq.map(f => col(f.name))
+    val touchedRows = // live rows with __f/__i position attached
       if (touchedRel.isEmpty)
-        spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-      else base
-        .where(col("__file").isin(touchedAbs.toSeq: _*))
-        .drop("__file")
+        spark.createDataFrame(java.util.Collections.emptyList[Row](),
+          schema.add("__f", "string").add("__i", "bigint"))
+      else base.where(col("__f").isin(touchedNames.toSeq: _*))
     val rewritten = touchedRows.join(broadcast(keys), on, "left_anti")
-    val state = replayState(root, snap.version)
+      .select(dataCols: _*)
     def tag(df: DataFrame, t: String): DataFrame =
       df.withColumn("_change_type", lit(t))
-    // (rows the new files hold, change rows for the feed — computed only
-    // when the table opted into changeDataFeed; every branch's joins run
-    // over the touched subset only)
-    val (newData, cdcDf) = (how, condition) match {
+    // Per branch: (rows a copy-on-write rewrite's new files hold, rows a
+    // merge-on-read commit ADDS — the genuinely new ones only, victims —
+    // the target rows this merge kills, with their __f/__i positions,
+    // change rows for the feed). Every branch's joins run over the
+    // touched subset only; cdc is computed only when changeDataFeed is on.
+    val (cowData, morData, victims, cdcDf) = (how, condition) match {
       case ("delete", _) =>
-        (rewritten,
-          Some(tag(touchedRows.join(broadcast(keys), on, "left_semi"),
-            "delete")))
+        val matchedPre = touchedRows.join(broadcast(keys), on, "left_semi")
+        (rewritten, None, matchedPre,
+          Some(tag(matchedPre.select(dataCols: _*), "delete")))
       case ("upsert", None) =>
         val matchedPre = touchedRows.join(broadcast(keys), on, "left_semi")
         val matchedKeys = matchedPre.select(on.map(col): _*).distinct()
         val post = updates.join(broadcast(matchedKeys), on, "left_semi")
         val inserts = updates.join(broadcast(matchedKeys), on, "left_anti")
-        (rewritten.unionByName(updates),
-          Some(tag(matchedPre, "update_preimage")
+        (rewritten.unionByName(updates), Some(updates), matchedPre,
+          Some(tag(matchedPre.select(dataCols: _*), "update_preimage")
             .unionByName(tag(post, "update_postimage"))
             .unionByName(tag(inserts, "insert"))))
       case ("upsert", Some(cond)) =>
@@ -1279,8 +1314,9 @@ object GraftTable {
         // (the last-writer-wins / newer-timestamp CDC clause): matched
         // pairs judge `cond` over `t.`-(target) and `s.`-(source)
         // prefixed columns — source replaces the row iff cond holds,
-        // stale sources are DROPPED, unmatched sources insert. All three
-        // joins run over the touched subset only.
+        // stale sources are DROPPED, unmatched sources insert. Only the
+        // cond-winning target rows are victims — a tgtWins row stays in
+        // place under merge-on-read (no rewrite, no vector entry).
         val t = touchedRows.as("t"); val s = updates.as("s")
         val onExpr = on.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
         val pairs = t.join(s, onExpr, "inner")
@@ -1293,17 +1329,31 @@ object GraftTable {
           on, "left_anti").select(schema.fields.toSeq.map(f => col(f.name)): _*)
         (rewritten.unionByName(srcWins).unionByName(tgtWins)
           .unionByName(inserts),
+          Some(srcWins.unionByName(inserts)),
+          pairs.where(expr(cond))
+            .select(col("t.__f").as("__f"), col("t.__i").as("__i")),
           Some(tag(pairs.where(expr(cond)).select(tCols: _*),
             "update_preimage")
             .unionByName(tag(srcWins, "update_postimage"))
             .unionByName(tag(inserts, "insert"))))
+      case other => throw new IllegalStateException(
+        s"unreachable merge shape $other — `how` was validated above")
     }
-    val adds = stageDataFiles(newData, root, partitionBy = state.partitionBy)
+    // merge-on-read: victims' positions extend the touched files'
+    // vectors, only new rows are staged, no file is removed or rewritten
+    val mor = dvEnabled(state) && touchedRel.nonEmpty
+    val adds =
+      if (mor) morData.map(stageDataFiles(_, root,
+        partitionBy = state.partitionBy)).getOrElse(Nil)
+      else stageDataFiles(cowData, root, partitionBy = state.partitionBy)
     enforceConstraints(spark, root, adds, snap.version, s"merge ($how)")
+    val dvActs = if (!mor) Nil else stageDvFiles(spark, root, state,
+      victims.select(col("__f"), col("__i")), touchedRel)
+    val removes = if (mor) Nil else touchedRel.map(removeAction)
     val cdc = if (!changeFeedEnabled(state)) Nil
       else cdcDf.toSeq.flatMap(stageCdcFiles(_, root))
     commit(root, snap.version, txn.map(t => txnAction(t._1, t._2)).toSeq ++
-      touchedRel.map(removeAction) ++ adds ++ cdc)
+      removes ++ adds ++ dvActs ++ cdc)
   }
 
   /** Conservative log-stats pruning for pushed/parsed predicate
@@ -1468,15 +1518,16 @@ object GraftTable {
     if (candidates.isEmpty) return (Map.empty, Map.empty)
     val absOf = candidates.map(f =>
       f -> Paths.get(root).resolve(f).toString).toMap
-    val base = spark.read.schema(schema).parquet(absOf.values.toSeq: _*)
-      .withColumn("__file", input_file_name())
-    val perAbs = base.where(pred).groupBy(col("__file")).count()
+    // LIVE rows only: a row an existing deletion vector already marks
+    // dead can neither re-match nor re-delete
+    val base = livePosScan(spark, root, state, candidates, schema)
+    val perName = base.where(pred).groupBy(col("__f")).count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     // O(files) filename→rel map (data file names are UUID-unique)
     val relOfName = candidates.map(r =>
       Paths.get(r).getFileName.toString -> r).toMap
-    val perRel = perAbs.flatMap { case (abs, n) =>
-      relOfName.get(Paths.get(abs).getFileName.toString).map(_ -> n)
+    val perRel = perName.flatMap { case (name, n) =>
+      relOfName.get(name).map(_ -> n)
     }
     (perRel, absOf)
   }
@@ -1502,25 +1553,35 @@ object GraftTable {
     val state = replayState(root, snap.version)
     val (matched, absOf) = probeMatches(spark, root, snap, pred, state, predicate)
     if (matched.isEmpty) return snap.version // no-op: no row matches
-    val counts = state.fileCounts
+    // live rows per file = logged footer count minus its vector's dead rows
+    def liveCount(f: String): Long = state.fileCounts.getOrElse(f, -1L) -
+      state.dvs.get(f).map(_._2).getOrElse(0L)
     val (fullMatch, partial) =
-      matched.keys.toSeq.partition(f => matched(f) == counts.getOrElse(f, -1L))
+      matched.keys.toSeq.partition(f => matched(f) == liveCount(f))
     val schema = StructType.fromDDL(snap.schemaDdl)
+    val dataCols = schema.fields.toSeq.map(f => col(f.name))
+    def live(files: Seq[String]) = livePosScan(spark, root, state, files, schema)
+    // merge-on-read (deletionVectors=true): partial files keep their
+    // bytes — the matched rows' positions extend each file's cumulative
+    // vector instead of forcing a rewrite. Full-match files stay pure
+    // metadata removes either way (cheaper than any vector).
+    val mor = dvEnabled(state) && partial.nonEmpty
     val adds =
-      if (partial.isEmpty) Nil
+      if (partial.isEmpty || mor) Nil
       else stageDataFiles(
-        spark.read.schema(schema).parquet(partial.map(absOf): _*)
-          .where(!coalesce(pred, lit(false))), root,
-        partitionBy = state.partitionBy)
+        live(partial).where(!coalesce(pred, lit(false))).select(dataCols: _*),
+        root, partitionBy = state.partitionBy)
+    val dvActs = if (!mor) Nil else stageDvFiles(spark, root, state,
+      live(partial).where(pred).select(col("__f"), col("__i")), partial)
+    val removes = (if (mor) fullMatch else fullMatch ++ partial).sorted
     // change feed enabled: the deleted rows (pre-images) ride the same
     // commit as `cdf/` sidecars — one extra pushdown-pruned scan of the
     // touched subset only
     val cdc = if (!changeFeedEnabled(state)) Nil else stageCdcFiles(
-      spark.read.schema(schema)
-        .parquet((fullMatch ++ partial).map(absOf): _*)
-        .where(pred).withColumn("_change_type", lit("delete")), root)
+      live(fullMatch ++ partial).where(pred)
+        .select(dataCols: _*).withColumn("_change_type", lit("delete")), root)
     commit(root, snap.version, txn.map(t => txnAction(t._1, t._2)).toSeq ++
-      (fullMatch ++ partial).sorted.map(removeAction) ++ adds ++ cdc)
+      removes.map(removeAction) ++ adds ++ dvActs ++ cdc)
   }
 
   /** UPDATE WHERE — predicate update as copy-on-write. Same probe and
@@ -1553,33 +1614,52 @@ object GraftTable {
     val (matched, absOf) = probeMatches(spark, root, snap, pred, state, predicate)
     if (matched.isEmpty) return snap.version
     val touched = matched.keys.toSeq.sorted
-    val rewritten = spark.read.schema(schema).parquet(touched.map(absOf): _*)
-      .select(schema.fields.toSeq.map { f =>
-        assign.get(f.name) match {
-          case Some((e, dt)) =>
-            when(pred, expr(e).cast(dt)).otherwise(col(f.name)).as(f.name)
-          case None => col(f.name)
-        }
-      }: _*)
-    val adds = stageDataFiles(rewritten, root,
-      partitionBy = state.partitionBy)
-    enforceConstraints(spark, root, adds, snap.version, "updateWhere")
-    // change feed: matched rows before (pre) and after (post) the
-    // assignments, same commit, touched subset only
-    val cdc = if (!changeFeedEnabled(state)) Nil else {
-      val hit = spark.read.schema(schema).parquet(touched.map(absOf): _*)
-        .where(pred)
-      val pre = hit.withColumn("_change_type", lit("update_preimage"))
-      val post = hit.select(schema.fields.toSeq.map { f =>
+    val live = livePosScan(spark, root, state, touched, schema)
+    def applyAssign(df: DataFrame): DataFrame =
+      df.select(schema.fields.toSeq.map { f =>
         assign.get(f.name) match {
           case Some((e, dt)) => expr(e).cast(dt).as(f.name)
           case None => col(f.name)
         }
-      }: _*).withColumn("_change_type", lit("update_postimage"))
+      }: _*)
+    val mor = dvEnabled(state)
+    // merge-on-read: the matched rows' positions extend each touched
+    // file's vector and ONLY the post-image rows are written — a 1-row
+    // update writes one 1-row file, never a boundary-file rewrite.
+    // Copy-on-write: rewrite the touched files' live rows, assignments
+    // applied to matching rows only.
+    val (removes, adds, dvActs) =
+      if (mor) {
+        val hit = live.where(pred)
+        val adds = stageDataFiles(applyAssign(hit), root,
+          partitionBy = state.partitionBy)
+        (Nil, adds, stageDvFiles(spark, root, state,
+          hit.select(col("__f"), col("__i")), touched))
+      } else {
+        val rewritten = live.select(schema.fields.toSeq.map { f =>
+          assign.get(f.name) match {
+            case Some((e, dt)) =>
+              when(pred, expr(e).cast(dt)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+        (touched.map(removeAction),
+          stageDataFiles(rewritten, root, partitionBy = state.partitionBy),
+          Nil)
+      }
+    enforceConstraints(spark, root, adds, snap.version, "updateWhere")
+    // change feed: matched rows before (pre) and after (post) the
+    // assignments, same commit, touched subset only
+    val cdc = if (!changeFeedEnabled(state)) Nil else {
+      val hit = live.where(pred)
+        .select(schema.fields.toSeq.map(f => col(f.name)): _*)
+      val pre = hit.withColumn("_change_type", lit("update_preimage"))
+      val post = applyAssign(hit)
+        .withColumn("_change_type", lit("update_postimage"))
       stageCdcFiles(pre.unionByName(post), root)
     }
     commit(root, snap.version, txn.map(t => txnAction(t._1, t._2)).toSeq ++
-      touched.map(removeAction) ++ adds ++ cdc)
+      removes ++ adds ++ dvActs ++ cdc)
   }
 
   /** RESTORE — roll the table back to `toVersion` as a NEW commit, pure
@@ -1605,9 +1685,18 @@ object GraftTable {
         s"file(s) already vacuumed (e.g. ${missing.head}) — unrecoverable; " +
         "raise the vacuum/retention horizon before depending on restore")
     val tgtState = replayState(root, toVersion)
+    val missingDv = tgtState.dvs.collect {
+      case (_, (dvp, _)) if !Files.exists(Paths.get(root).resolve(dvp)) => dvp
+    }
+    require(missingDv.isEmpty,
+      s"restore: version $toVersion references ${missingDv.size} deletion-" +
+        s"vector file(s) already vacuumed (e.g. ${missingDv.head}) — " +
+        "unrecoverable; raise the vacuum/retention horizon")
+    val curState = replayState(root, cur.version)
     val curPb = partitioning(root, Some(cur.version))
     val curSet = cur.files.toSet; val tgtSet = tgt.files.toSet
     val removes = cur.files.filterNot(tgtSet).sorted.map(removeAction)
+    val reAdded = tgt.files.filterNot(curSet).toSet
     val adds = tgt.files.filterNot(curSet).sorted.map { f =>
       addAction(f, tgtState.fileCounts.getOrElse(f, 0L),
         stats = tgtState.fileStats.get(f).collect {
@@ -1615,11 +1704,25 @@ object GraftTable {
         sizeBytes = tgtState.fileSizes.getOrElse(f, -1L),
         partValues = tgtState.filePartVals.getOrElse(f, Map.empty))
     }
+    // deletion-vector reconcile: after the removes+adds replay, each kept
+    // file still carries the CURRENT vector (a re-added file carries
+    // none) — emit dv actions wherever the target version's vector state
+    // differs (set it back, or clear it with a null dvPath)
+    val dvFixes = tgt.files.sorted.flatMap { f =>
+      val desired = tgtState.dvs.get(f)
+      val resulting = if (reAdded(f)) None else curState.dvs.get(f)
+      if (desired == resulting) None
+      else desired match {
+        case Some((dvp, n)) => Some(dvAction(f, Some(dvp), n))
+        case None => Some(dvAction(f, None, 0L))
+      }
+    }
     val meta = if (tgt.schemaDdl != cur.schemaDdl ||
         tgtState.partitionBy != curPb)
       Seq(metaAction(tgt.schemaDdl, tgtState.partitionBy)) else Nil
-    if (removes.isEmpty && adds.isEmpty && meta.isEmpty) return cur.version
-    commit(root, cur.version, meta ++ removes ++ adds)
+    if (removes.isEmpty && adds.isEmpty && meta.isEmpty && dvFixes.isEmpty)
+      return cur.version
+    commit(root, cur.version, meta ++ removes ++ adds ++ dvFixes)
   }
 
   /** DROP PARTITION — de-reference every live file of one partition as
@@ -1794,6 +1897,147 @@ object GraftTable {
     actions
   }
 
+  // -- deletion vectors (merge-on-read DML) -----------------------------------
+  //
+  // With the `deletionVectors=true` table property, predicate DML on a
+  // file that only PARTIALLY matches stops rewriting the file: the
+  // matched rows' (file, row_index) pairs land in a per-file parquet
+  // sidecar under dv/ (one `idx BIGINT` column), the commit logs a `dv`
+  // action mapping the data file to its CUMULATIVE vector, and readers
+  // anti-join the vector at scan time via the parquet `_metadata`
+  // row-index column. Frequent small updates then write O(changed rows)
+  // instead of O(boundary files) — the merge-on-read trade — while
+  // OPTIMIZE materializes vectors away (its DV-aware input drops the
+  // dead rows and the removes drop the vectors). Whole-file deletes stay
+  // pure metadata removes either way.
+
+  private def dvEnabled(st: LogState): Boolean =
+    st.properties.get("deletionVectors").contains("true")
+
+  private def dvAction(path: String, dvPath: Option[String],
+      numDeleted: Long): ObjectNode = {
+    val n = json.createObjectNode()
+    val d = n.putObject("dv")
+    d.put("path", path)
+    dvPath match {
+      case Some(p) => d.put("dvPath", p); d.put("numDeleted", numDeleted)
+      case None => d.putNull("dvPath")
+    }
+    n
+  }
+
+  /** File-NAME column of the scanned parquet file (names are UUID-unique
+    * within a table, so the name alone identifies the file without URI
+    * formatting hazards). */
+  private def fileNameCol: Column =
+    element_at(split(col("_metadata.file_path"), "/"), -1)
+
+  /** The deletion-vector rows `(name of data file, deleted row index)`
+    * for the given live files at `state` — empty frame when none carries
+    * a vector. One parquet read over the referenced sidecars; the
+    * (sidecar → data file) map is file-count bounded and broadcast. */
+  private def dvRows(spark: SparkSession, root: String, state: LogState,
+      files: Seq[String]): Option[DataFrame] = {
+    val withDv = files.filter(state.dvs.contains)
+    if (withDv.isEmpty) return None
+    import spark.implicits._
+    val mapping = withDv.map { f =>
+      (Paths.get(state.dvs(f)._1).getFileName.toString,
+        Paths.get(f).getFileName.toString)
+    }.toDF("__dvf", "__f")
+    val abs = withDv.map(f =>
+      Paths.get(root).resolve(state.dvs(f)._1).toString).distinct
+    Some(spark.read.schema(StructType.fromDDL("idx BIGINT")).parquet(abs: _*)
+      .select(fileNameCol.as("__dvf"), col("idx").as("__i"))
+      .join(broadcast(mapping), Seq("__dvf"))
+      .select(col("__f"), col("__i")))
+  }
+
+  /** Anti-filter `df` (a scan over exactly `files`) by their deletion
+    * vectors. Pass-through when no file carries one. Predicates on data
+    * columns still push through the left side of the anti-join to the
+    * scan, so file skipping and parquet pushdown are unchanged. */
+  private def dvFilter(spark: SparkSession, root: String, state: LogState,
+      files: Seq[String], df: DataFrame): DataFrame =
+    dvRows(spark, root, state, files) match {
+      case None => df
+      case Some(dv) =>
+        val cols = df.columns.toSeq
+        df.withColumn("__f", fileNameCol)
+          .withColumn("__i", col("_metadata.row_index"))
+          .join(dv, Seq("__f", "__i"), "left_anti")
+          .select(cols.map(col): _*)
+    }
+
+  /** LIVE rows of exactly `relFiles` with their position attached (`__f`
+    * = file name, `__i` = row index) — the DML working scan: positions
+    * come from the parquet `_metadata` column BEFORE any join (the
+    * thread-local `input_file_name()` is not join-safe), and rows an
+    * existing vector marks dead are already gone, so a probe can never
+    * re-match and a vector can never re-kill them. */
+  private def livePosScan(spark: SparkSession, root: String,
+      state: LogState, relFiles: Seq[String],
+      schema: StructType): DataFrame = {
+    val base = spark.read.schema(schema)
+      .parquet(relFiles.map(f => Paths.get(root).resolve(f).toString): _*)
+      .withColumn("__f", fileNameCol)
+      .withColumn("__i", col("_metadata.row_index"))
+    dvRows(spark, root, state, relFiles) match {
+      case None => base
+      case Some(dv) => base.join(dv, Seq("__f", "__i"), "left_anti")
+    }
+  }
+
+  /** Stage one CUMULATIVE deletion-vector sidecar per affected data file
+    * and return the dv actions. `deleted` carries (`__f` = data file
+    * name, `__i` = row index) for the NEWLY deleted rows; existing
+    * vectors of affected files are unioned in (a vector always holds the
+    * file's full deleted set, so supersession is a pure log replace).
+    * The write repartitions by file and partitions the staging dir by
+    * file, so every file's vector lands as exactly one parquet part —
+    * parallel across files, never a single-task funnel. Per-file
+    * cardinalities come from a file-count-bounded aggregate (row indexes
+    * themselves never touch the driver). */
+  private def stageDvFiles(spark: SparkSession, root: String,
+      state: LogState, deleted: DataFrame,
+      affectedRel: Seq[String]): Seq[ObjectNode] = {
+    val relOfName = affectedRel.map(r =>
+      Paths.get(r).getFileName.toString -> r).toMap
+    val carried = dvRows(spark, root, state,
+      affectedRel.filter(state.dvs.contains))
+    val all = carried.fold(deleted)(deleted.unionByName(_))
+      .select(col("__f"), col("__i")).distinct()
+    val counts = all.groupBy(col("__f")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stamp = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val staging = Paths.get(root, s"_staging_$stamp")
+    all.repartition(col("__f")).withColumnRenamed("__i", "idx")
+      .write.mode("overwrite").partitionBy("__f").parquet(staging.toString)
+    Files.createDirectories(Paths.get(root, "dv"))
+    val parts = {
+      val s = Files.walk(staging)
+      // regular files only: the partition DIRS themselves are named
+      // `__f=<datafile>.parquet` and would match a name-only filter
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => (staging.relativize(p.getParent).toString, p))
+        .toSeq.sortBy(_._1)
+      finally s.close()
+    }
+    val actions = parts.zipWithIndex.map { case ((dir, p), i) =>
+      val dataName = unescapePathName(dir.stripPrefix("__f="))
+      val rel = s"dv/${stamp}_dv$i.parquet"
+      Files.move(p, Paths.get(root).resolve(rel), StandardCopyOption.ATOMIC_MOVE)
+      dvAction(relOfName(dataName), Some(rel), counts(dataName))
+    }
+    val leftovers = Files.walk(staging)
+    try leftovers.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally leftovers.close()
+    actions
+  }
+
   /** Full-table constraint audit: violation count per constraint (0 =
     * healthy). The one consumer that scans everything — run it after a
     * RESTORE (which is metadata-only and deliberately does NOT
@@ -1801,12 +2045,14 @@ object GraftTable {
     * data. One pass, all constraints counted together. */
   def verifyConstraints(spark: SparkSession, root: String): Map[String, Long] = {
     val snap = snapshot(root)
-    val cons = replayState(root, snap.version).constraints.toMap
+    val state = replayState(root, snap.version)
+    val cons = state.constraints.toMap
     if (cons.isEmpty) return Map.empty
     if (snap.files.isEmpty) return cons.map { case (k, _) => k -> 0L }
     val schema = StructType.fromDDL(snap.schemaDdl)
-    val df = spark.read.schema(schema)
-      .parquet(snap.files.map(f => Paths.get(root).resolve(f).toString): _*)
+    val df = dvFilter(spark, root, state, snap.files,
+      spark.read.schema(schema)
+        .parquet(snap.files.map(f => Paths.get(root).resolve(f).toString): _*))
     val aggs = cons.toSeq.map { case (name, e) =>
       count_if(!coalesce(expr(e).cast("boolean"), lit(true))).as(name)
     }
@@ -1884,8 +2130,14 @@ object GraftTable {
     val snap = snapshot(root)
     if (snap.files.isEmpty) return snap.version // nothing to lay out
     val schema = StructType.fromDDL(snap.schemaDdl)
-    val base = spark.read.schema(schema)
-      .parquet(snap.files.map(f => Paths.get(root).resolve(f).toString): _*)
+    val state = replayState(root, snap.version)
+    // DV-aware input: compaction MATERIALIZES deletion vectors — rows a
+    // vector marks dead don't survive into the new layout, and the
+    // removes below drop the vectors themselves. Still dataChange=false:
+    // the live row set is bit-identical before and after.
+    val base = dvFilter(spark, root, state, snap.files,
+      spark.read.schema(schema)
+        .parquet(snap.files.map(f => Paths.get(root).resolve(f).toString): _*))
     val pb = partitioning(root, Some(snap.version))
     require(pb.isEmpty || zorderBy.isEmpty,
       s"optimize: z-order within a partitioned layout " +
@@ -1919,7 +2171,8 @@ object GraftTable {
     Seq((latest,
       st.files.size.toLong,
       st.files.iterator.map(f => st.fileSizes.getOrElse(f, 0L)).sum,
-      st.files.iterator.map(f => st.fileCounts.getOrElse(f, 0L)).sum,
+      st.files.iterator.map(f => st.fileCounts.getOrElse(f, 0L) -
+        st.dvs.get(f).map(_._2).getOrElse(0L)).sum,
       st.schemaDdl,
       checkpointAtOrBefore(root, latest).getOrElse(0L)))
       .toDF("version", "n_files", "size_bytes", "n_rows", "schema",
@@ -1982,6 +2235,8 @@ object GraftTable {
             if (n.has("add")) referenced += n.get("add").get("path").asText()
             else if (n.has("cdc")) // change-data sidecars live until their
               referenced += n.get("cdc").get("path").asText() // log does
+            else if (n.has("dv") && !n.get("dv").get("dvPath").isNull)
+              referenced += n.get("dv").get("dvPath").asText()
           }
     }
     // every checkpoint's live set stays readable (incl. the truncation seal)
@@ -1989,8 +2244,11 @@ object GraftTable {
     try ls.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".checkpoint.json"))
       .foreach { p =>
-        json.readTree(Files.readString(p)).get("files")
-          .elements().asScala.foreach(f => referenced += f.asText())
+        val n = json.readTree(Files.readString(p))
+        n.get("files").elements().asScala.foreach(f => referenced += f.asText())
+        if (n.has("dvs"))
+          n.get("dvs").properties().asScala.foreach(e =>
+            referenced += e.getValue.get("dvPath").asText())
       }
     finally ls.close()
     val removed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -2015,15 +2273,17 @@ object GraftTable {
         }
       finally d.close()
     }
-    val cdfDir = Paths.get(root, "cdf")
-    if (Files.isDirectory(cdfDir)) {
-      val s = Files.list(cdfDir)
-      try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
-        val rel = s"cdf/${p.getFileName}"
-        if (!referenced.contains(rel) && oldEnough(p)) {
-          Files.delete(p); removed += rel
-        }
-      } finally s.close()
+    Seq("cdf", "dv").foreach { side =>
+      val dir = Paths.get(root, side)
+      if (Files.isDirectory(dir)) {
+        val s = Files.list(dir)
+        try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
+          val rel = s"$side/${p.getFileName}"
+          if (!referenced.contains(rel) && oldEnough(p)) {
+            Files.delete(p); removed += rel
+          }
+        } finally s.close()
+      }
     }
     // dead staging dirs (crashed writers) + orphaned log temp files —
     // same age guard: a YOUNG staging dir is a writer mid-flight, not

@@ -1237,6 +1237,114 @@ class GraftTableSpec extends SparkSpecBase {
          |""".stripMargin)).getMessage should include("maxVersionsPerTrigger")
   }
 
+  test("deletion vectors: DML is merge-on-read — no boundary rewrite, " +
+    "readers anti-filter, OPTIMIZE materializes, restore reconciles") {
+    val root = freshRoot("dv"); val cow = freshRoot("dv_cow")
+    val df0 = (1L to 100L).map(i => (i, i * 10.0)).toDF("k", "v")
+    def sameOps(r: String): Unit = {
+      GraftTable.write(spark, df0.repartition(4), r, "overwrite")      // v1
+      GraftTable.deleteWhere(spark, r, "k % 10 = 3")
+      GraftTable.deleteWhere(spark, r, "k % 10 = 7")
+      GraftTable.updateWhere(spark, r, "k = 4", Map("v" -> "999.0"))
+      GraftTable.merge(spark, r,
+        Seq((5L, -5.0), (1000L, 1.0)).toDF("k", "v"), Seq("k"))
+    }
+    GraftTable.write(spark, df0.repartition(4), root, "overwrite")     // v1
+    GraftTable.setProperty(root, "deletionVectors", Some("true"))      // v2
+    val filesV2 = GraftTable.snapshot(root).files.toSet
+    filesV2.size shouldBe 4
+    // predicate delete: zero files written, zero removed — only vectors
+    GraftTable.deleteWhere(spark, root, "k % 10 = 3")                  // v3
+    GraftTable.snapshot(root).files.toSet shouldBe filesV2
+    val h3 = GraftTable.history(spark, root).where($"version" === 3).head
+    h3.getAs[Int]("n_added_files") shouldBe 0
+    h3.getAs[Int]("n_removed_files") shouldBe 0
+    GraftTable.read(spark, root).count() shouldBe 90
+    GraftTable.rowCount(root) shouldBe 90 // metadata-only count agrees
+    GraftTable.read(spark, root).where($"k" % 10 === 3).count() shouldBe 0
+    // second delete on the same files: vectors are CUMULATIVE
+    GraftTable.deleteWhere(spark, root, "k % 10 = 7")                  // v4
+    GraftTable.read(spark, root).count() shouldBe 80
+    // 1-row update writes exactly one 1-row post-image file — never a
+    // boundary rewrite
+    GraftTable.updateWhere(spark, root, "k = 4", Map("v" -> "999.0"))  // v5
+    val h5 = GraftTable.history(spark, root).where($"version" === 5).head
+    h5.getAs[Int]("n_added_files") shouldBe 1
+    h5.getAs[Int]("n_removed_files") shouldBe 0
+    h5.getAs[Long]("rows_added") shouldBe 1L
+    h5.getAs[String]("operation") shouldBe "MERGE"
+    // merge upsert: victims vectored, only the source rows written
+    GraftTable.merge(spark, root,
+      Seq((5L, -5.0), (1000L, 1.0)).toDF("k", "v"), Seq("k"))          // v6
+    GraftTable.history(spark, root).where($"version" === 6).head
+      .getAs[Int]("n_removed_files") shouldBe 0
+    // bit-identical to the copy-on-write twin of the same op sequence
+    sameOps(cow)
+    GraftTable.read(spark, root).as[(Long, Double)].collect().sorted shouldBe
+      GraftTable.read(spark, cow).as[(Long, Double)].collect().sorted
+    // checkpoint carries the vector map; snapshot resolution via it works
+    GraftTable.checkpoint(root)
+    GraftTable.read(spark, root).count() shouldBe 81
+    GraftTable.rowCount(root) shouldBe 81
+    // time travel re-applies each version's own vector state
+    GraftTable.read(spark, root, asOf = Some(3)).count() shouldBe 90
+    GraftTable.read(spark, root, asOf = Some(3))
+      .where($"k" % 10 === 7).count() shouldBe 10
+    // restore to v3: vector state reconciled back (metadata only)
+    GraftTable.restore(spark, root, 3L)                                // v7
+    GraftTable.read(spark, root).count() shouldBe 90
+    GraftTable.read(spark, root).where($"k" === 4)
+      .select($"v").as[Double].head() shouldBe 40.0
+    // OPTIMIZE materializes the vectors: row set unchanged, vectors gone
+    GraftTable.optimize(spark, root, 2)                                // v8
+    GraftTable.read(spark, root).count() shouldBe 90
+    GraftTable.rowCount(root) shouldBe 90
+    // retention: while any log or checkpoint references a vector it
+    // survives vacuum (time travel keeps working); truncation reclaims
+    // the sidecars only dropped logs referenced — the checkpoint written
+    // at v6 still pins ITS vector map, so v6 stays readable even after
+    // the logs are gone, exactly like data files
+    GraftTable.vacuum(root, 0L).count(_.startsWith("dv/")) shouldBe 0
+    GraftTable.read(spark, root, asOf = Some(6)).count() shouldBe 81
+    GraftTable.truncateHistory(root, 8L)
+    GraftTable.vacuum(root, 0L).count(_.startsWith("dv/")) should be >= 1
+    GraftTable.read(spark, root, asOf = Some(6)).count() shouldBe 81
+    GraftTable.read(spark, root).count() shouldBe 90
+  }
+
+  test("deletion vectors + change feed: cdc images ride merge-on-read " +
+    "commits and the retraction MV stays incremental") {
+    import graft.tables.MaterializedView
+    import graft.tables.MaterializedView.AggSpec
+    val base = freshRoot("dv_cdf"); val mv = freshRoot("dv_cdf_mv")
+    GraftTable.write(spark,
+      Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v"),
+      base, "overwrite")                                               // v1
+    GraftTable.setProperty(base, "deletionVectors", Some("true"))      // v2
+    GraftTable.setProperty(base, "changeDataFeed", Some("true"))       // v3
+    val aggs = Seq(AggSpec("count", "", "n"), AggSpec("count", "v", "n_v"),
+      AggSpec("sum", "v", "sum_v"))
+    MaterializedView.refresh(spark, base, mv, Seq("k"), aggs)
+    GraftTable.updateWhere(spark, base, "v = 2.0", Map("v" -> "20.0"))  // v4
+    // the feed classifies the MoR update exactly
+    GraftTable.changesWithImages(spark, base, 3)
+      .as[(String, Double, String, Long)].collect().sorted shouldBe
+      Array(("a", 2.0, "update_preimage", 4L),
+        ("a", 20.0, "update_postimage", 4L)).sorted
+    // the MV consumes it incrementally (merge, not overwrite)
+    MaterializedView.refresh(spark, base, mv, Seq("k"), aggs)
+    GraftTable.history(spark, mv).orderBy($"version".desc)
+      .select($"operation").head().getString(0) should not be "OVERWRITE"
+    GraftTable.read(spark, mv).orderBy($"k")
+      .as[(String, Long, Long, Double)].collect() shouldBe
+      Array(("a", 2L, 2L, 21.0), ("b", 1L, 1L, 5.0))
+    // a MoR group-kill delete flows through as retractions
+    GraftTable.deleteWhere(spark, base, "k = 'b'")                     // v5
+    MaterializedView.refresh(spark, base, mv, Seq("k"), aggs)
+    GraftTable.read(spark, mv).select($"k").as[String].collect() shouldBe
+      Array("a")
+  }
+
   test("materialized view: approx_distinct maintains a mergeable HLL sketch") {
     import graft.tables.MaterializedView
     import graft.tables.MaterializedView.AggSpec

@@ -482,6 +482,40 @@ class HardeningSpec extends SparkSpecBase {
     j17out(2L)._3 shouldBe d2
   }
 
+  test("j20: run-length election hits the L=16 bar with K=8 windows — " +
+    "removes a chimera span no single 16-window election sees; keeps " +
+    "sub-bar repeats j19's smaller K would destroy") {
+    import spark.implicits._
+    val dir = "/tmp/graft_io/j20fix"
+    val t = (0 until 16).map(i => s"t$i")
+    val d1 = t.take(12).mkString(" ")  // doc1 = t0..t11
+    val d2 = t.drop(4).mkString(" ")   // doc2 = t4..t15
+    val d3 = t.mkString(" ")           // doc3 = t0..t15: the CHIMERA —
+    // stitched from doc1's and doc2's halves, it duplicates 16 tokens in
+    // total but NO single 16-token window of it occurs anywhere else
+    val d4 = (0 until 10).map(i => s"u$i").mkString(" ")
+    val d5 = ((0 until 10).map(i => s"u$i") ++ Seq("z0", "z1")).mkString(" ")
+    Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4), (5L, d5)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextOps2.j20.build(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toMap2
+    out(1L) shouldBe ((12L, 12L, d1)) // first carriers keep everything
+    out(2L) shouldBe ((12L, 12L, d2))
+    out(3L) shouldBe ((16L, 0L, "")) // chimera fully condemned: 9
+    // consecutive marked 8-window starts cover 16 >= L tokens
+    out(5L) shouldBe ((12L, 12L, d5)) // a 10-token repeat is SUB-BAR: kept
+    // a same-bar single-window election (j19's algebra at K = L = 16)
+    // finds nothing to mark here — no 16-token window repeats at all
+    val all16 = Seq(d1, d2, d3, d4, d5)
+      .flatMap(_.split(" ").sliding(16).filter(_.length == 16).map(_.mkString(" ")))
+    all16.groupBy(identity).values.forall(_.size == 1) shouldBe true
+    // while j19 at its own K=8 bar kills doc5's 10-token repeat — the
+    // run election keeps sub-bar natural repetition intact
+    graft.queries.TextOps2.j19.build(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toMap2
+      .apply(5L)._3 shouldBe "z0 z1"
+  }
+
   private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap2: Map[A, (B, C, D)] =
       rows.map { case (a, b, c, d) => a -> ((b, c, d)) }.toMap

@@ -426,6 +426,20 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("j20: run-length span dedup — every stage keyed, no " +
+    "single-partition exchange, no cartesian") {
+    val d = TextOps2.j20.build(spark, sf)
+    d.collect()
+    val p = d.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(p) {
+      // election shuffles on the window string, run grouping and removal
+      // aggregate on doc_id, the rebuild joins on doc_id — all keyed;
+      // hitting the L bar with K-windows must never cost a global stage
+      p should not include "SinglePartition"
+      p should not include "Cartesian"
+    }
+  }
+
   test("d10: snapshot diff is one join over two scans of the same table") {
     val d = Joins.d10.build(spark, sf)
     d.collect()

@@ -60,6 +60,19 @@ def main() -> int:
         m = re.findall(rf'"{key}":(-?[0-9][0-9.eE+-]*)', text)
         if m:
             gate[key] = float(m[-1])
+    # memory-bandwidth bracket [start, end] GB/s (round-18 probe): the
+    # k12b-style episodes throttle parallel streaming reads while the
+    # single-thread spin stays clean — a collapsed reading marks the run
+    # as bandwidth weather, not code. Also scan per-heavy membw_* entries
+    # in the attribution block so a mid-run episode is caught even when
+    # the run-level bracket looks healthy.
+    m = re.findall(r'"membw_gbps":\[([0-9.]+),([0-9.]+)\]', text)
+    if m:
+        gate["membw_start"], gate["membw_end"] = map(float, m[-1])
+    membw_readings = [float(v) for v in
+                      re.findall(r'"membw(?:_gbps|_pre|_post|_start|_end)?"'
+                                 r':([0-9][0-9.eE+-]*)', text)]
+    membw_readings += [v for k, v in gate.items() if k.startswith("membw")]
 
     flags = []
     for q, sec in sorted(times.items()):
@@ -72,14 +85,30 @@ def main() -> int:
         print(f"  FLAG {q}: {sec:.2f}s vs clean floor {floor:.1f}s "
               f"({sec / floor:.1f}x)")
 
-    noisy = gate.get("steal_sec", 0) >= 20 or gate.get("heap_gb", 32) > 48
+    # clean-box membw measured ~30 GB/s (round-18 calibration, idle box,
+    # -Xmx32g); a reading under 12 GB/s (<40% of clean) or a >2x
+    # start->end collapse is the bandwidth-episode signature (rounds
+    # 14/16: flat spin probe, low steal, slow shuffle stages)
+    membw_low = bool(membw_readings) and min(membw_readings) < 12.0
+    membw_collapse = ("membw_start" in gate and "membw_end" in gate and
+                      gate["membw_end"] < gate["membw_start"] / 2)
+    noisy = (gate.get("steal_sec", 0) >= 20 or gate.get("heap_gb", 32) > 48
+             or membw_low or membw_collapse)
     if not flags:
         print("verdict: CLEAN — every query within 2x of its clean floor")
         return 0
     if noisy:
-        print("verdict: HOST-NOISE/HEAP — flags exist but steal_sec/heap_gb "
-              "say the environment, not the code, is the suspect; re-run "
-              "on an idle box at -Xmx32g before concluding anything")
+        why = []
+        if gate.get("steal_sec", 0) >= 20:
+            why.append("steal")
+        if gate.get("heap_gb", 32) > 48:
+            why.append("heap")
+        if membw_low or membw_collapse:
+            why.append("membw")
+        print(f"verdict: HOST-NOISE/HEAP ({'+'.join(why)}) — flags exist "
+              "but the gate readings say the environment, not the code, is "
+              "the suspect; re-run on an idle box at -Xmx32g before "
+              "concluding anything")
         return 0
     print("verdict: REGRESSION — flags on a clean run (low steal, sane heap)")
     return 1
