@@ -1928,9 +1928,9 @@ object GraftTable {
 
   /** File-NAME column of the scanned parquet file (names are UUID-unique
     * within a table, so the name alone identifies the file without URI
-    * formatting hazards). */
-  private def fileNameCol: Column =
-    element_at(split(col("_metadata.file_path"), "/"), -1)
+    * formatting hazards). `_metadata.file_name` is a per-file constant —
+    * no per-row string work. */
+  private def fileNameCol: Column = col("_metadata.file_name")
 
   /** The deletion-vector rows `(name of data file, deleted row index)`
     * for the given live files at `state` — empty frame when none carries
