@@ -573,14 +573,21 @@ object PipelineSpec {
       // selector (versionAsOf/changesFrom/rangeCol) here must fail, not
       // silently drive a different read
       val ok = Set("startingversion", "skipchangecommits",
-        "maxversionspertrigger")
+        "maxversionspertrigger", "withimages")
       src.options.keys.find(k => !ok(k.toLowerCase)).foreach(k =>
         throw new IllegalArgumentException(
           s"source.options.$k: a STREAMING graft_table source takes " +
-            "startingVersion ('0'|'latest'|N), skipChangeCommits, and " +
-            "maxVersionsPerTrigger only — version selection lives in " +
-            "the query checkpoint"))
+            "startingVersion ('0'|'latest'|N), skipChangeCommits, " +
+            "maxVersionsPerTrigger, and withImages (the continuous " +
+            "change feed) only — version selection lives in the query " +
+            "checkpoint"))
     }
+    if (mode != "streaming" && src.format == "graft_table")
+      require(!src.options.contains("withImages") ||
+        src.options.contains("changesFrom"),
+        "source: withImages qualifies the change feed — a batch read " +
+          "needs changesFrom (streaming mode streams the feed " +
+          "continuously instead)")
     require((mode == "mv_refresh") == mvSpec.isDefined,
       "mode: mv_refresh and the `mv` block go together (an MV declaration " +
         "without the mode, or the mode without a declaration, is a typo)")
@@ -725,13 +732,13 @@ object PipelineSpec {
         s.options.get("changesFrom").isDefined,
         s"$at: changesTo needs changesFrom (the feed is a version range)")
       // withImages: the FULL change feed (_change_type-classified
-      // pre/post images from the cdf/ sidecars + appends as inserts)
+      // pre/post images from the cdf/ sidecars + appends as inserts).
+      // In batch it qualifies a changesFrom range (enforced at the
+      // pipeline level, where the mode is known); in streaming it turns
+      // the table source into the continuous CDF.
       s.options.get("withImages").foreach { v =>
         require(Set("true", "false")(v),
           s"$at.options.withImages: true|false, got '$v'")
-        require(s.options.contains("changesFrom"),
-          s"$at: withImages qualifies the change feed — it needs " +
-            "changesFrom")
       }
       require(!(s.options.contains("versionAsOf") &&
         s.options.contains("changesFrom")),

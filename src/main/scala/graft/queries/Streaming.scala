@@ -508,5 +508,67 @@ object Streaming extends QueryPack {
       .orderBy(col("o_orderstatus"))
   }
 
-  override def defs: Seq[QueryDef] = Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14)
+  /** §2.L15 — the STREAMING change data feed (Delta's readChangeFeed
+    * stream): `withImages: true` on the streaming table source delivers
+    * every commit's change rows classified `_change_type ∈ {insert,
+    * update_preimage, update_postimage, delete}` + `_commit_version` —
+    * DML versions stream their cdf/ sidecars (rows carry the column),
+    * appends stream their adds stamped with a partition-constant
+    * `insert`, layout-only versions stream nothing, and a change version
+    * without sidecars fails loud. This is the continuous dual of ep34's
+    * batch feed: a downstream replica/MV consumes retractions as they
+    * commit, with the query checkpoint as the only cursor. The oracle is
+    * ep34's exact reconstruction over the same DML history. */
+  val l15: QueryDef = m(
+    "l15_streaming_cdf",
+    """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders)
+      |SELECT * FROM (
+      |  SELECT o_orderkey, o_totalprice, 'insert' AS _change_type,
+      |         CAST(1 AS BIGINT) AS _commit_version FROM o
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, 'update_preimage', 3 FROM o
+      |  WHERE o_orderkey % 100 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice * 2, 'update_postimage', 3 FROM o
+      |  WHERE o_orderkey % 100 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, 'delete', 4 FROM o
+      |  WHERE o_orderkey % 100 = 50
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, 'update_preimage', 5 FROM o
+      |  WHERE o_orderkey % 100 = 25
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice + 1000, 'update_postimage', 5 FROM o
+      |  WHERE o_orderkey % 100 = 25
+      |  UNION ALL
+      |  SELECT o_orderkey + 5000000, o_totalprice, 'insert', 5 FROM o
+      |  WHERE o_orderkey % 100 = 75
+      |)
+      |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin) { (spark, dir) =>
+    import graft.tables.GraftTable
+    val root = "/tmp/graft_io/l15_cdf_orders"
+    StreamOps.rmrf(root)
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    GraftTable.write(spark, o, root, "overwrite")                     // v1
+    GraftTable.setProperty(root, "changeDataFeed", Some("true"))      // v2
+    GraftTable.updateWhere(spark, root, "o_orderkey % 100 = 0",       // v3
+      Map("o_totalprice" -> "o_totalprice * 2"))
+    GraftTable.deleteWhere(spark, root, "o_orderkey % 100 = 50")      // v4
+    val upserts = o.where(col("o_orderkey") % 100 === 25)             // v5
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .unionByName(o.where(col("o_orderkey") % 100 === 75)
+        .withColumn("o_orderkey", col("o_orderkey") + 5000000L))
+    GraftTable.merge(spark, root, upserts, Seq("o_orderkey"))
+    graft.pipeline.PipelineRunner.run(spark,
+      s"""name: l15_cdf
+         |mode: streaming
+         |source: {format: graft_table, path: "$root",
+         |  options: {withImages: "true"}}
+         |transforms:
+         |  - {op: sort, cols: [_commit_version, _change_type, o_orderkey]}
+         |""".stripMargin).passed
+  }
+
+  override def defs: Seq[QueryDef] = Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15)
 }

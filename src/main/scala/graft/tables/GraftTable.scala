@@ -670,14 +670,15 @@ object GraftTable {
     }
 
   /** Streaming-source metadata for (fromExclusive, toInclusive]: per
-    * version, its data-changing added files and whether the version
-    * CHANGED existing data (removed files without being a pure
-    * layout-only OPTIMIZE swap — merge/delete/overwrite/restore).
-    * O(versions) log metadata, no data IO; a truncated version in the
-    * range fails loud (the delta is unknowable — restart the consumer
-    * from a snapshot). */
+    * version, its data-changing added files, its cdc sidecar files
+    * (present when the commit was DML under `changeDataFeed=true`), and
+    * whether the version CHANGED existing data (removed files or grew a
+    * deletion vector without being a pure layout-only OPTIMIZE swap —
+    * merge/delete/overwrite/restore). O(versions) log metadata, no data
+    * IO; a truncated version in the range fails loud (the delta is
+    * unknowable — restart the consumer from a snapshot). */
   private[graft] def versionDeltas(root: String, fromExclusive: Long,
-      toInclusive: Long): Seq[(Long, Seq[String], Boolean)] =
+      toInclusive: Long): Seq[(Long, Seq[String], Seq[String], Boolean)] =
     ((fromExclusive + 1) to toInclusive).map { ver =>
       val f = verFile(root, ver)
       require(Files.exists(f),
@@ -685,10 +686,12 @@ object GraftTable {
           "change stream cannot replay it; restart from a snapshot read")
       var removes = 0; var layoutAdds = 0; var dvs = 0
       val dataAdds = Seq.newBuilder[String]
+      val cdc = Seq.newBuilder[String]
       Files.readAllLines(f).asScala.filter(_.nonEmpty).foreach { line =>
         val n = json.readTree(line)
         if (n.has("remove")) removes += 1
         else if (n.has("dv")) dvs += 1 // merge-on-read DML = a change
+        else if (n.has("cdc")) cdc += n.get("cdc").get("path").asText()
         else if (n.has("add")) {
           val a = n.get("add")
           if (!a.has("dataChange") || a.get("dataChange").asBoolean(true))
@@ -699,7 +702,7 @@ object GraftTable {
       val adds = dataAdds.result()
       val changedExisting = dvs > 0 ||
         (removes > 0 && !(layoutAdds > 0 && adds.isEmpty)) // pure OPTIMIZE ok
-      (ver, adds, changedExisting)
+      (ver, adds, cdc.result(), changedExisting)
     }
 
   /** True iff every version in (fromExclusive, toInclusive] only ADDED

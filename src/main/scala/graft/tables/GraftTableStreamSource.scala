@@ -50,7 +50,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GraftTableStreamSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftTableStreamSource.streamSchema(GraftTableStreamSource.root(options))
+    GraftTableStreamSource.streamSchema(GraftTableStreamSource.root(options),
+      withImages = options.getBoolean("withImages", false))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
@@ -67,10 +68,12 @@ object GraftTableStreamSource {
     p
   }
 
-  /** The table's schema + the `_commit_version` stamp; every column type
+  /** The table's schema + (with `withImages`) the `_change_type`
+    * classification + the `_commit_version` stamp; every column type
     * must be reader-supported — checked HERE so an unsupported table
     * fails at stream construction with the column named. */
-  private[tables] def streamSchema(root: String): StructType = {
+  private[tables] def streamSchema(root: String,
+      withImages: Boolean = false): StructType = {
     val base = StructType.fromDDL(GraftTable.snapshot(root).schemaDdl)
     base.fields.foreach { f =>
       require(supported(f.dataType),
@@ -80,7 +83,9 @@ object GraftTableStreamSource {
           "string/binary/timestamp/timestamp_ntz/date); project it away " +
           "in a batch view first")
     }
-    base.add("_commit_version", LongType, nullable = false)
+    val tagged = if (withImages) base.add("_change_type", StringType,
+      nullable = false) else base
+    tagged.add("_commit_version", LongType, nullable = false)
   }
 
   private def supported(dt: DataType): Boolean = dt match {
@@ -105,7 +110,8 @@ private[tables] class GraftStreamTable(root: String, schema: StructType)
           new GraftMicroBatchStream(root, schema,
             Option(options.get("startingVersion")).getOrElse("0"),
             options.getBoolean("skipChangeCommits", false),
-            options.getLong("maxVersionsPerTrigger", Long.MaxValue))
+            options.getLong("maxVersionsPerTrigger", Long.MaxValue),
+            options.getBoolean("withImages", false))
       }
     }
 }
@@ -118,7 +124,7 @@ private[tables] case class GraftVersionOffset(version: Long) extends Offset {
 
 private[tables] class GraftMicroBatchStream(root: String, schema: StructType,
     startingVersion: String, skipChangeCommits: Boolean,
-    maxVersionsPerTrigger: Long)
+    maxVersionsPerTrigger: Long, withImages: Boolean = false)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
   require(maxVersionsPerTrigger > 0,
     s"maxVersionsPerTrigger must be > 0, got $maxVersionsPerTrigger")
@@ -179,16 +185,31 @@ private[tables] class GraftMicroBatchStream(root: String, schema: StructType,
     val from = start.asInstanceOf[GraftVersionOffset].version
     val to = end.asInstanceOf[GraftVersionOffset].version
     GraftTable.versionDeltas(root, from, to).flatMap {
-      case (ver, adds, changedExisting) =>
-        if (changedExisting && !skipChangeCommits)
+      case (ver, adds, cdc, changedExisting) =>
+        // withImages (the streaming CDF contract): a DML version delivers
+        // its cdf/ sidecars — rows pre-classified by the `_change_type`
+        // column they carry; an append-only version delivers its adds as
+        // constant-`insert` rows; a change version WITHOUT sidecars is
+        // unreplayable either way (the feed can't invent retractions).
+        if (withImages && cdc.nonEmpty)
+          cdc.map(f => GraftFilePartition(
+            Paths.get(root).resolve(f).toString, ver,
+            constChangeType = null): InputPartition)
+        else if (changedExisting && !skipChangeCommits)
           throw new IllegalStateException(
             s"graft_table $root: version $ver changed existing rows " +
-              "(merge/delete/overwrite/restore) — an append-only stream " +
-              "cannot retract them. Set skipChangeCommits=true to skip " +
-              "such versions, or restart from a snapshot read")
-        if (changedExisting) Nil
+              "(merge/delete/overwrite/restore) " +
+              (if (withImages)
+                "and recorded no change images (it predates " +
+                  "changeDataFeed=true, or was an overwrite/restore/" +
+                  "drop_partition) — the feed cannot invent retractions. "
+              else "— an append-only stream cannot retract them. ") +
+              "Set skipChangeCommits=true to skip such versions, or " +
+              "restart from a snapshot read")
+        else if (changedExisting) Nil
         else adds.map(f => GraftFilePartition(
-          Paths.get(root).resolve(f).toString, ver): InputPartition)
+          Paths.get(root).resolve(f).toString, ver,
+          constChangeType = if (withImages) "insert" else null): InputPartition)
     }.toArray
   }
 
@@ -196,7 +217,11 @@ private[tables] class GraftMicroBatchStream(root: String, schema: StructType,
     new GraftFileReaderFactory(schema.json)
 }
 
-private[tables] case class GraftFilePartition(absPath: String, version: Long)
+// constChangeType: null = no `_change_type` in the stream schema OR the
+// file carries its own (a cdf/ sidecar); non-null = stamp every row with
+// this constant (an append delivered as `insert` by the withImages feed)
+private[tables] case class GraftFilePartition(absPath: String, version: Long,
+    constChangeType: String = null)
   extends InputPartition
 
 private[tables] class GraftFileReaderFactory(schemaJson: String)
@@ -204,7 +229,8 @@ private[tables] class GraftFileReaderFactory(schemaJson: String)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftFilePartition]
     new GraftFileReader(p.absPath, p.version,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType])
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      p.constChangeType)
   }
 }
 
@@ -213,7 +239,8 @@ private[tables] class GraftFileReaderFactory(schemaJson: String)
   * typed getters. Columns the file predates (schema evolution) read as
   * nulls; `_commit_version` is the partition's constant. */
 private[tables] class GraftFileReader(absPath: String, version: Long,
-    schema: StructType) extends PartitionReader[InternalRow] {
+    schema: StructType, constChangeType: String = null)
+  extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.hadoop.ParquetReader
   import org.apache.parquet.hadoop.example.GroupReadSupport
@@ -224,6 +251,9 @@ private[tables] class GraftFileReader(absPath: String, version: Long,
     .withConf(new org.apache.hadoop.conf.Configuration())
     .build()
   private val dataFields = schema.fields.dropRight(1) // last = _commit_version
+  private val changeTypeIdx = schema.fieldNames.indexOf("_change_type")
+  private val constChangeTypeUtf8 =
+    if (constChangeType == null) null else UTF8String.fromString(constChangeType)
   private var current: Group = _
 
   override def next(): Boolean = {
@@ -260,6 +290,11 @@ private[tables] class GraftFileReader(absPath: String, version: Long,
         }
       i += 1
     }
+    // an append delivered through the withImages feed stamps the
+    // partition-constant classification (the file itself predates the
+    // column); cdf/ sidecars carried it through the loop above
+    if (constChangeTypeUtf8 != null && changeTypeIdx >= 0)
+      values(changeTypeIdx) = constChangeTypeUtf8
     values(schema.length - 1) = version
     new GenericInternalRow(values)
   }

@@ -405,6 +405,64 @@ class GraftTableSpec extends SparkSpecBase {
     ids.size should be >= 4 // one batch per delivering version, not one big one
   }
 
+  test("streaming CDF (withImages): DML versions stream their classified " +
+    "images, appends stream as inserts, resume is exactly-once, " +
+    "uncovered change versions fail loud") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot("scdf")
+    val base = freshRoot("scdf_run")
+    GraftTable.write(spark, Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("k", "v"), root, "overwrite")                           // v1
+    GraftTable.setProperty(root, "changeDataFeed", Some("true"))    // v2
+    GraftTable.updateWhere(spark, root, "k = 1", Map("v" -> "v + 5")) // v3
+    GraftTable.deleteWhere(spark, root, "k = 3")                    // v4
+    def drain(skipChanges: Boolean = false): Unit = {
+      val q = spark.readStream
+        .format("graft.tables.GraftTableStreamSource")
+        .option("path", root)
+        .option("withImages", "true")
+        .option("skipChangeCommits", skipChanges.toString)
+        .load()
+        .writeStream
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$base/out/b$id"); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def readOut() = {
+      val dirs = scala.util.Using.resource(
+        Files.list(Paths.get(s"$base/out")))(
+        _.iterator().asScala.map(_.toString).toSeq.sorted)
+      spark.read.parquet(dirs: _*).as[(Long, Double, String, Long)]
+        .collect().toSeq.sorted
+    }
+    drain()
+    readOut() shouldBe Seq(
+      (1L, 10.0, "insert", 1L), (2L, 20.0, "insert", 1L),
+      (3L, 30.0, "insert", 1L),
+      (1L, 10.0, "update_preimage", 3L), (1L, 15.0, "update_postimage", 3L),
+      (3L, 30.0, "delete", 4L)).sorted
+    // resume: a new merge delivers ONLY its own images
+    GraftTable.merge(spark, root,
+      Seq((2L, 99.0), (7L, 70.0)).toDF("k", "v"), Seq("k"))         // v5
+    drain()
+    readOut().filter(_._4 == 5L).sorted shouldBe Seq(
+      (2L, 20.0, "update_preimage", 5L), (2L, 99.0, "update_postimage", 5L),
+      (7L, 70.0, "insert", 5L)).sorted
+    // a change version with NO images (property toggled off) fails loud;
+    // skipChangeCommits skips it and the next append still delivers
+    GraftTable.setProperty(root, "changeDataFeed", Some("false"))   // v6
+    GraftTable.deleteWhere(spark, root, "k = 7")                    // v7: no cdc
+    GraftTable.write(spark, Seq((8L, 80.0)).toDF("k", "v"), root, "append") // v8
+    (the[org.apache.spark.sql.streaming.StreamingQueryException] thrownBy
+      drain()).getMessage should include("recorded no change images")
+    drain(skipChanges = true)
+    readOut().filter(r => r._4 >= 6L) shouldBe Seq((8L, 80.0, "insert", 8L))
+  }
+
   test("replay fails loud on an unknown log action kind (forward-compat guard)") {
     val root = freshRoot("unk")
     GraftTable.write(spark, Seq((1L, "a")).toDF("id", "v"), root, "overwrite")
@@ -1343,6 +1401,43 @@ class GraftTableSpec extends SparkSpecBase {
     MaterializedView.refresh(spark, base, mv, Seq("k"), aggs)
     GraftTable.read(spark, mv).select($"k").as[String].collect() shouldBe
       Array("a")
+  }
+
+  test("streaming MV over a DML base: skipChangeCommits paces past the " +
+    "change commit and the CDF retraction path keeps the view incremental") {
+    val base = freshRoot("mv_str_dml_b"); val mv = freshRoot("mv_str_dml_m")
+    GraftTable.write(spark,
+      Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("k", "v"), base, "overwrite") // v1
+    GraftTable.setProperty(base, "changeDataFeed", Some("true"))       // v2
+    val yaml =
+      s"""name: mvstrdml
+         |mode: mv_refresh
+         |streaming: true
+         |source: {format: graft_table, path: "$base",
+         |  options: {skipChangeCommits: "true", maxVersionsPerTrigger: "1"}}
+         |mv: {path: "$mv", keys: [k],
+         |  aggs: ["count() AS n", "count(v) AS n_v", "sum(v) AS s"]}
+         |""".stripMargin
+    def run() = PipelineRunner.run(spark, yaml).passed.orderBy($"k")
+      .select($"k", $"n", $"n_v", $"s").as[(String, Long, Long, Long)].collect()
+    run() shouldBe Array(("a", 2L, 2L, 3L), ("b", 1L, 1L, 5L))
+    // a copy-on-write UPDATE lands as a change commit; the stream skips
+    // its content (the trigger never delivers change-commit rows) but a
+    // later append's batch watermark COVERS it, and refresh consumes the
+    // whole range through the signed pre/post-image feed — never a full
+    // recompute, never a wrong answer
+    GraftTable.updateWhere(spark, base, "k = 'a' AND v = 2",
+      Map("v" -> "20"))                                                // v3
+    GraftTable.write(spark, Seq(("c", 7L)).toDF("k", "v"), base, "append") // v4
+    run() shouldBe Array(("a", 2L, 2L, 21L), ("b", 1L, 1L, 5L), ("c", 1L, 1L, 7L))
+    GraftTable.history(spark, mv).orderBy($"version")
+      .select($"operation").as[String].collect()
+      .count(_ == "OVERWRITE") shouldBe 0 // only the CREATE + MERGEs
+    // and the same composition under merge-on-read DML (deletion vectors)
+    GraftTable.setProperty(base, "deletionVectors", Some("true"))      // v5
+    GraftTable.deleteWhere(spark, base, "k = 'b'")                     // v6 (DV)
+    GraftTable.write(spark, Seq(("d", 9L)).toDF("k", "v"), base, "append") // v7
+    run() shouldBe Array(("a", 2L, 2L, 21L), ("c", 1L, 1L, 7L), ("d", 1L, 1L, 9L))
   }
 
   test("materialized view: approx_distinct maintains a mergeable HLL sketch") {
