@@ -41,6 +41,7 @@ def main() -> int:
     text = load_text(sys.argv[1])
     spec = json.load(open(f"{sys.path[0]}/clean_floors.json"))
     floors, default = spec["floors"], spec["default"]
+    bands = spec.get("bands", {})
 
     # every "name":secs pair whose key has the registered-query SHAPE
     # (family letters + number [+ variant letter] + underscore, e.g.
@@ -77,13 +78,22 @@ def main() -> int:
     flags = []
     for q, sec in sorted(times.items()):
         floor = floors.get(q, default)
-        if sec > 2 * floor and sec - floor > 0.75:
-            flags.append((q, sec, floor))
+        mult = bands.get(q, 2.0)
+        if sec > mult * floor and sec - floor > 0.75:
+            flags.append((q, sec, floor, mult))
 
     print(f"parsed {len(times)} query timings; gate: {gate or 'n/a'}")
-    for q, sec, floor in flags:
+    if not times:
+        # Zero parsed timings means the capture lost its per-query map
+        # (e.g. the driver tail truncated it) — that is NOT evidence of a
+        # clean run, and saying CLEAN here defeats the tripwire entirely
+        # (round-18 verdict, What's-wrong #2).
+        print("verdict: NO-DATA — 0 query timings parsed; the capture is "
+              "unusable as a floor check, not clean")
+        return 2
+    for q, sec, floor, mult in flags:
         print(f"  FLAG {q}: {sec:.2f}s vs clean floor {floor:.1f}s "
-              f"({sec / floor:.1f}x)")
+              f"({sec / floor:.1f}x, band {mult:.1f}x)")
 
     # clean-box membw measured ~30 GB/s (round-18 calibration, idle box,
     # -Xmx32g); a reading under 12 GB/s (<40% of clean) or a >2x
