@@ -1763,6 +1763,7 @@ object Sources extends QueryPack {
          |source: {format: graft_table, path: "$root",
          |  options: {changesFrom: "0", withImages: "true"}}
          |transforms:
+         |  - {op: select, cols: [o_orderkey, o_totalprice, _change_type, _commit_version]}
          |  - {op: sort, cols: [_commit_version, _change_type, o_orderkey]}
          |""".stripMargin).passed
   }

@@ -98,6 +98,17 @@ object GraftTable {
   private def ckptFile(root: String, v: Long): Path =
     logDir(root).resolve(f"$v%020d.checkpoint.json")
 
+  /** Highest checkpoint `minReader` this engine can replay. The log
+    * itself fails loud on unknown ACTION kinds, but a checkpoint COVERS
+    * its commits — optional state an old engine silently ignored
+    * (deletion vectors, column mapping) would then read vector-deleted
+    * rows as live with no error. Delta's minReaderVersion recipe: the
+    * checkpoint declares the floor a reader needs, and a stale binary
+    * fails loud instead of returning wrong rows.
+    *   1 = files/schema/txns/constraints/properties
+    *   2 = + deletion vectors    3 = + column mapping */
+  private val SupportedCkptReader = 3
+
   /** Full replayed state at one version (internal). */
   private final class LogState {
     val files = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -201,6 +212,12 @@ object GraftTable {
     val base = checkpointAtOrBefore(root, v)
     base.foreach { c =>
       val n = json.readTree(Files.readString(ckptFile(root, c)))
+      val need = if (n.has("minReader")) n.get("minReader").asInt() else 1
+      if (need > SupportedCkptReader) throw new IllegalStateException(
+        s"graft_table $root: checkpoint at version $c requires reader " +
+          s"version $need but this engine supports $SupportedCkptReader — " +
+          "it carries state (e.g. deletion vectors / column mapping) this " +
+          "binary would silently misread; upgrade the reader")
       st.schemaDdl = n.get("schemaDdl").asText()
       n.get("files").elements().asScala.foreach(f => st.files += f.asText())
       if (n.has("fileStats")) {
@@ -274,6 +291,10 @@ object GraftTable {
     val st = replayState(root, v)
     val n = json.createObjectNode()
     n.put("version", v)
+    // declare the reader floor this state actually needs — an old engine
+    // replaying the raw log past an unknown action fails loud, and the
+    // checkpoint must preserve that contract, not bypass it
+    n.put("minReader", if (st.dvs.nonEmpty) 2 else 1)
     n.put("schemaDdl", st.schemaDdl)
     val fa = n.putArray("files"); st.files.foreach(fa.add)
     val fs = n.putObject("fileStats")
@@ -582,8 +603,9 @@ object GraftTable {
 
   /** FULL change data feed for (fromExclusive, toInclusive]: every
     * change row classified `_change_type ∈ {insert, update_preimage,
-    * update_postimage, delete}` and stamped `_commit_version` — the
-    * Delta CDF read contract. Per version: append-only versions deliver
+    * update_postimage, delete}` and stamped `_commit_version` +
+    * `_commit_timestamp` (the logged commit wall-clock; log-mtime
+    * fallback for pre-timestamp logs) — the Delta CDF read contract. Per version: append-only versions deliver
     * their added rows as `insert` (no sidecar needed); DML versions
     * deliver their logged `cdf/` sidecars (written when the table's
     * `changeDataFeed` property is true); OPTIMIZE's layout-only swaps
@@ -622,9 +644,14 @@ object GraftTable {
           }
         }
       val cdcPaths = cdc.result(); val addPaths = adds.result()
+      // the Delta CDF contract stamps the commit wall-clock alongside
+      // _change_type/_commit_version — already logged as the version's
+      // first `commit` line (mtime fallback for pre-timestamp logs)
+      val commitTs = new java.sql.Timestamp(commitTimestamp(root, ver))
       if (cdcPaths.nonEmpty)
         Some(spark.read.schema(withType).parquet(cdcPaths.map(abs): _*)
-          .withColumn("_commit_version", lit(ver)))
+          .withColumn("_commit_version", lit(ver))
+          .withColumn("_commit_timestamp", lit(commitTs)))
       else {
         val changedExisting = dvs > 0 ||
           (removes > 0 && !(layoutAdds > 0 && addPaths.isEmpty))
@@ -636,12 +663,14 @@ object GraftTable {
         if (addPaths.isEmpty) None
         else Some(spark.read.schema(schema).parquet(addPaths.map(abs): _*)
           .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(ver)))
+          .withColumn("_commit_version", lit(ver))
+          .withColumn("_commit_timestamp", lit(commitTs)))
       }
     }
     frames.reduceOption(_.unionByName(_)).getOrElse(
       spark.createDataFrame(java.util.Collections.emptyList[Row](),
-        withType.add("_commit_version", "bigint")))
+        withType.add("_commit_version", "bigint")
+          .add("_commit_timestamp", "timestamp")))
   }
 
   /** True iff [[changesWithImages]] can replay (fromExclusive,
@@ -1152,6 +1181,18 @@ object GraftTable {
       val cur = latestVersion(root)
       val snap = cur.map(_ => snapshot(root))
       if (mode == "append") snap.foreach(requireSchemaMatch(df, _, root))
+      // per-attempt LAYOUT check, mirroring the schema check above: a
+      // concurrent overwrite that changed partitionBy between staging and
+      // this attempt would otherwise commit files with the old layout's
+      // dirs/partitionValues (reads stay correct — identity partitioning
+      // keeps the columns in the data — but a later dropPartition fails
+      // on the blind files)
+      if (mode == "append" && cur.isDefined && partitioning(root) != effPb)
+        throw new ConcurrentWriteException(
+          s"graft_table $root: partition layout changed concurrently " +
+            s"(staged [${effPb.mkString(",")}], table now " +
+            s"[${partitioning(root).mkString(",")}]) — re-run the append " +
+            "against the fresh snapshot")
       val actions = txn.map(t => txnAction(t._1, t._2)).toSeq ++ (mode match {
         case "append" if snap.isDefined => adds
         case _ => // first-ever commit, or overwrite: (re)declare schema
@@ -1254,7 +1295,8 @@ object GraftTable {
   def merge(spark: SparkSession, root: String, updates: DataFrame,
             on: Seq[String], how: String = "upsert",
             txn: Option[(String, Long)] = None,
-            condition: Option[String] = None): Long = {
+            condition: Option[String] = None,
+            deleteKeys: Option[DataFrame] = None): Long = {
     require(on.nonEmpty, "graft_table merge needs `on` key columns")
     require(Set("upsert", "delete")(how),
       s"graft_table merge: how must be upsert|delete, got '$how'")
@@ -1262,6 +1304,10 @@ object GraftTable {
       "graft_table merge: `condition` applies to upsert (WHEN MATCHED AND " +
         "cond THEN UPDATE) — a conditional delete is a filter on the " +
         "delete set itself")
+    require(deleteKeys.isEmpty || (how == "upsert" && condition.isEmpty),
+      "graft_table merge: `deleteKeys` (upsert + delete in ONE atomic " +
+        "commit — the MV-refresh shape) composes with the plain upsert " +
+        "only; a pure delete is how=delete, a conditional one a filter")
     val snap = snapshot(root)
     if (how == "upsert") {
       requireSchemaMatch(updates, snap, root)
@@ -1274,8 +1320,18 @@ object GraftTable {
     val schema = StructType.fromDDL(snap.schemaDdl)
     val state = replayState(root, snap.version)
     val keys = updates.select(on.map(col): _*).distinct()
+    val delKeys = deleteKeys.map(_.select(on.map(col): _*).distinct())
+    delKeys.foreach { dk =>
+      val overlap = dk.join(keys, on, "left_semi").limit(1).collect()
+      require(overlap.isEmpty, "graft_table merge: a key appears in BOTH " +
+        s"the upsert set and deleteKeys (e.g. ${overlap.headOption
+          .fold("")(_.toString)}) — the outcome would be order-dependent")
+    }
+    // every key this commit acts on — upserts and atomic deletes alike —
+    // drives the touched-file probe and the rewrite's anti-join
+    val allKeys = delKeys.fold(keys)(keys.unionByName(_))
     val base = livePosScan(spark, root, state, snap.files, schema)
-    val touchedNames = base.join(broadcast(keys), on, "left_semi")
+    val touchedNames = base.join(broadcast(allKeys), on, "left_semi")
       .select(col("__f")).distinct()
       .collect().map(_.getString(0)).toSet
     // O(live files) filename→rel map (data file names are UUID-unique)
@@ -1289,7 +1345,7 @@ object GraftTable {
         spark.createDataFrame(java.util.Collections.emptyList[Row](),
           schema.add("__f", "string").add("__i", "bigint"))
       else base.where(col("__f").isin(touchedNames.toSeq: _*))
-    val rewritten = touchedRows.join(broadcast(keys), on, "left_anti")
+    val rewritten = touchedRows.join(broadcast(allKeys), on, "left_anti")
       .select(dataCols: _*)
     def tag(df: DataFrame, t: String): DataFrame =
       df.withColumn("_change_type", lit(t))
@@ -1308,10 +1364,18 @@ object GraftTable {
         val matchedKeys = matchedPre.select(on.map(col): _*).distinct()
         val post = updates.join(broadcast(matchedKeys), on, "left_semi")
         val inserts = updates.join(broadcast(matchedKeys), on, "left_anti")
-        (rewritten.unionByName(updates), Some(updates), matchedPre,
-          Some(tag(matchedPre.select(dataCols: _*), "update_preimage")
-            .unionByName(tag(post, "update_postimage"))
-            .unionByName(tag(inserts, "insert"))))
+        // atomic companion deletes (deleteKeys): their matched rows join
+        // the victim set and tag `delete` in the feed — one commit, one
+        // version, never an observable upsert-without-delete interim
+        val delMatched = delKeys.map(dk =>
+          touchedRows.join(broadcast(dk), on, "left_semi"))
+        val victims = delMatched.fold(matchedPre)(matchedPre.unionByName(_))
+        val upsertCdc = tag(matchedPre.select(dataCols: _*), "update_preimage")
+          .unionByName(tag(post, "update_postimage"))
+          .unionByName(tag(inserts, "insert"))
+        (rewritten.unionByName(updates), Some(updates), victims,
+          Some(delMatched.fold(upsertCdc)(dm =>
+            upsertCdc.unionByName(tag(dm.select(dataCols: _*), "delete")))))
       case ("upsert", Some(cond)) =>
         // WHEN MATCHED AND cond THEN UPDATE, WHEN NOT MATCHED THEN INSERT
         // (the last-writer-wins / newer-timestamp CDC clause): matched
@@ -2014,7 +2078,16 @@ object GraftTable {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val stamp = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val staging = Paths.get(root, s"_staging_$stamp")
-    all.repartition(col("__f")).withColumnRenamed("__i", "idx")
+    // Pinned session clone: a dv action REPLACES the file's cumulative
+    // vector on replay, so each data file's vector MUST land as exactly
+    // one parquet part — a caller session with maxRecordsPerFile set
+    // would split a big vector into parts whose second action silently
+    // superseded the first (resurrecting earlier deleted rows). The
+    // repartition puts each file's rows in one task; the pin stops the
+    // writer from re-splitting them.
+    org.apache.spark.sql.GraftSqlBridge.withConf(
+        all.repartition(col("__f")).withColumnRenamed("__i", "idx"),
+        "spark.sql.files.maxRecordsPerFile" -> "0")
       .write.mode("overwrite").partitionBy("__f").parquet(staging.toString)
     Files.createDirectories(Paths.get(root, "dv"))
     val parts = {
@@ -2028,6 +2101,14 @@ object GraftTable {
         .toSeq.sortBy(_._1)
       finally s.close()
     }
+    // exactly-one-part invariant (see the pinned write above): replay
+    // keeps only the LAST dv action per data file, so a split vector
+    // would silently drop rows — fail loud instead of corrupting
+    val multi = parts.groupBy(_._1).collect { case (d, ps) if ps.size > 1 => d }
+    require(multi.isEmpty,
+      s"graft_table $root: deletion-vector staging split a file's vector " +
+        s"into multiple parts (${multi.mkString(", ")}) — one dv action " +
+        "per data file is a replay invariant")
     val actions = parts.zipWithIndex.map { case ((dir, p), i) =>
       val dataName = unescapePathName(dir.stripPrefix("__f="))
       val rel = s"dv/${stamp}_dv$i.parquet"

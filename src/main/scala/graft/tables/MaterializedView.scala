@@ -200,16 +200,16 @@ object MaterializedView {
           when(col(companions(a.out)) === 0, lit(null)).otherwise(col(a.out))))
       val combined = conformTo(nullFixed, mvDdl).cache()
       try {
+        // dead-group deletes and the cursor-bearing upsert land as ONE
+        // merge commit (merge's deleteKeys) — a concurrent MV reader or a
+        // crash can never observe dead groups gone while touched groups
+        // still hold stale aggregates, and no interim version pollutes
+        // the MV's history/time travel
         val dead = combined.where(col(rowCountOut) === 0)
           .select(keys.map(col): _*)
-        // dead groups FIRST, cursor on the upsert: a crash in between
-        // re-runs the whole refresh (cursor not advanced) and the dead
-        // deletes are idempotent
-        if (!dead.isEmpty)
-          GraftTable.merge(spark, mv, dead, keys, how = "delete")
         Some(GraftTable.merge(spark, mv,
           combined.where(col(rowCountOut) > 0), keys,
-          txn = Some(appId -> baseV)))
+          txn = Some(appId -> baseV), deleteKeys = Some(dead)))
       } finally combined.unpersist()
     } else {
       // FULL: first materialization, or the base rewrote rows the feed

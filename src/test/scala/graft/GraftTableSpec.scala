@@ -1386,6 +1386,7 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.updateWhere(spark, base, "v = 2.0", Map("v" -> "20.0"))  // v4
     // the feed classifies the MoR update exactly
     GraftTable.changesWithImages(spark, base, 3)
+      .select($"k", $"v", $"_change_type", $"_commit_version")
       .as[(String, Double, String, Long)].collect().sorted shouldBe
       Array(("a", 2.0, "update_preimage", 4L),
         ("a", 20.0, "update_postimage", 4L)).sorted
@@ -1396,11 +1397,60 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.read(spark, mv).orderBy($"k")
       .as[(String, Long, Long, Double)].collect() shouldBe
       Array(("a", 2L, 2L, 21.0), ("b", 1L, 1L, 5.0))
-    // a MoR group-kill delete flows through as retractions
+    // a MoR group-kill delete flows through as retractions — and the
+    // dead-group delete + cursor-bearing upsert land as ONE atomic MV
+    // version (no interim state where dead groups are gone but touched
+    // groups still hold stale aggregates)
     GraftTable.deleteWhere(spark, base, "k = 'b'")                     // v5
+    val mvBefore = GraftTable.latestVersion(mv).get
     MaterializedView.refresh(spark, base, mv, Seq("k"), aggs)
+    GraftTable.latestVersion(mv).get shouldBe mvBefore + 1
     GraftTable.read(spark, mv).select($"k").as[String].collect() shouldBe
       Array("a")
+  }
+
+  test("deletion-vector staging is immune to the caller's " +
+    "maxRecordsPerFile: one cumulative sidecar per data file, always") {
+    val root = freshRoot("dv_onepart")
+    GraftTable.write(spark,
+      (1L to 10L).map(i => (i, i * 1.0)).toDF("k", "v"), root, "overwrite")
+    GraftTable.setProperty(root, "deletionVectors", Some("true"))
+    // a session that splits every write at 2 records would, unpinned,
+    // split the 8-row vector into sidecar parts whose second dv action
+    // SUPERSEDES the first on replay (resurrecting deleted rows)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.maxRecordsPerFile", "2")
+    GraftTable.deleteWhere(s2, root, "k <= 8")
+    import s2.implicits._
+    GraftTable.read(s2, root).select(col("k")).as[Long]
+      .collect().sorted shouldBe Array(9L, 10L)
+    GraftTable.rowCount(root) shouldBe 2L
+    // exactly one live sidecar parquet under dv/
+    Files.list(Paths.get(root, "dv")).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet")) shouldBe 1
+  }
+
+  test("checkpoint reader-version gate: a checkpoint declaring a newer " +
+    "minReader fails loud instead of silently dropping state") {
+    val root = freshRoot("ckpt_reader")
+    GraftTable.write(spark, Seq((1L, "x")).toDF("k", "s"), root, "overwrite")
+    GraftTable.checkpoint(root)
+    // plain table: floor 1; DV tables raise it to 2
+    val ckpt = Files.list(Paths.get(root, "_graft_log")).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".checkpoint.json")).get
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(ckpt))
+    node.get("minReader").asInt() shouldBe 1
+    // forge a future-feature checkpoint: replay through it must refuse
+    val forged = node.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    forged.put("minReader", 99)
+    Files.writeString(ckpt, forged.toString)
+    // truncate so resolution MUST go through the checkpoint
+    Files.deleteIfExists(Paths.get(root, "_graft_log")
+      .resolve(f"${1L}%020d.json"))
+    (the[IllegalStateException] thrownBy
+      GraftTable.read(spark, root).collect())
+      .getMessage should include("requires reader version 99")
   }
 
   test("streaming MV over a DML base: skipChangeCommits paces past the " +
@@ -1867,6 +1917,7 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.deleteWhere(spark, root, "k = 7")                // v6
     // feed from v3 on: exact classified rows
     val feed = GraftTable.changesWithImages(spark, root, 3)
+      .select($"k", $"v", $"_change_type", $"_commit_version")
       .as[(Long, Double, String, Long)].collect().toSeq.sorted
     feed shouldBe Seq(
       (1L, 10.0, "update_preimage", 4L),
@@ -1878,8 +1929,14 @@ class GraftTableSpec extends SparkSpecBase {
     // appends deliver as inserts with no sidecar
     GraftTable.write(spark, Seq((8L, 80.0)).toDF("k", "v"), root, "append")
     GraftTable.changesWithImages(spark, root, 6)
+      .select($"k", $"v", $"_change_type", $"_commit_version")
       .as[(Long, Double, String, Long)].collect() shouldBe
       Array((8L, 80.0, "insert", 7L))
+    // the CDF timestamp column rides every change row (Delta parity) and
+    // matches the logged commit wall-clock of its version
+    GraftTable.changesWithImages(spark, root, 6)
+      .select($"_commit_timestamp".cast("long")).head().getLong(0) shouldBe
+      GraftTable.commitTimestamp(root, 7L) / 1000L
     // cdf files are referenced: vacuum(0) keeps them while logs retain
     // their versions; after truncation they reclaim
     val kept = GraftTable.vacuum(root, 0L)
