@@ -949,6 +949,150 @@ object GraftTable {
     expected + 1
   }
 
+  // -- disjoint-writer conflict detection --------------------------------------
+  //
+  // DML (merge / deleteWhere / updateWhere) and OPTIMIZE compute a
+  // rewrite against one snapshot; a raced commit used to abort them
+  // unconditionally. That rule is correct but needlessly strict for the
+  // common production layout — one writer per partition — where two
+  // merges touching DIFFERENT partitions cannot invalidate each other.
+  // Delta's conflict checker is the public recipe: after losing the
+  // version race, replay the intervening commits and re-commit at the
+  // new head iff none of them
+  //   (1) changed the table DEFINITION (meta/constraint/property — the
+  //       txn validated against the old rules),
+  //   (2) removed / re-vectored / re-added a file in the txn's
+  //       DEPENDENCY set (the files it probed-and-rewrote or extended), or
+  //   (3) added DATA this txn's matched/not-matched classification never
+  //       saw — scoped by partition: an add in a partition the txn
+  //       neither touched nor wrote is fine; for an unpartitioned table
+  //       every concurrent data add conflicts. Layout-only adds
+  //       (OPTIMIZE rewrites) never conflict by themselves — their
+  //       removes are what rule 2 catches.
+
+  /** How concurrent DATA adds interact with a pending commit. */
+  private[tables] sealed trait AddRule
+  /** Layout-only commits (OPTIMIZE): concurrent adds never invalidate
+    * the rewrite — the new files simply stay live beside it. */
+  private[tables] case object AddsNeverConflict extends AddRule
+  /** Unpartitioned DML (or unknowable partition scope): any concurrent
+    * data add could carry a key the txn classified as not-matched. */
+  private[tables] case object AddsAlwaysConflict extends AddRule
+  /** Partition-scoped DML: adds conflict only inside the txn's own
+    * partitions (sound when keys are partition-local — the one-writer-
+    * per-partition layout; an add with unknown values conflicts). */
+  private[tables] final case class AddsConflictInParts(
+    parts: Set[Map[String, String]]) extends AddRule
+
+  /** Test seam: runs once after a DML call resolves its snapshot —
+    * lets a spec interleave a competing writer deterministically. */
+  private[graft] var testRaceHook: () => Unit = () => ()
+  private def fireRaceHook(): Unit = {
+    val h = testRaceHook; testRaceHook = () => (); h()
+  }
+
+  /** The reason version `ver` conflicts with a txn that depends on
+    * `depFiles`/`addRule`, or None when the txn can safely re-commit
+    * past it. Pure log metadata: one pass over the version's lines. */
+  private def conflictWith(root: String, ver: Long, depFiles: Set[String],
+      addRule: AddRule, partitionBy: Seq[String]): Option[String] = {
+    val f = verFile(root, ver)
+    if (!Files.exists(f))
+      return Some(s"version $ver's log was truncated mid-flight")
+    Files.readAllLines(f).asScala.filter(_.nonEmpty).foreach { line =>
+      val n = json.readTree(line)
+      if (n.has("meta") || n.has("constraint") || n.has("dropConstraint") ||
+        n.has("property"))
+        return Some(s"version $ver changed the table definition")
+      else if (n.has("remove")) {
+        val p = n.get("remove").get("path").asText()
+        if (depFiles(p)) return Some(s"version $ver removed $p")
+      } else if (n.has("dv")) {
+        val p = n.get("dv").get("path").asText()
+        if (depFiles(p)) return Some(s"version $ver re-vectored $p")
+      } else if (n.has("add")) {
+        val a = n.get("add"); val p = a.get("path").asText()
+        if (depFiles(p)) return Some(s"version $ver re-added $p")
+        val dataChange = !a.has("dataChange") ||
+          a.get("dataChange").asBoolean(true)
+        if (dataChange) addRule match {
+          case AddsNeverConflict => ()
+          case AddsAlwaysConflict =>
+            return Some(s"version $ver added data ($p)")
+          case AddsConflictInParts(parts) =>
+            val pv = if (!a.has("partitionValues")) Map.empty[String, String]
+              else {
+                val o = a.get("partitionValues")
+                o.fieldNames().asScala.map(c => c -> o.get(c).asText()).toMap
+              }
+            if (!partitionBy.forall(pv.contains))
+              return Some(s"version $ver added data with unknown " +
+                s"partition values ($p)")
+            val tuple = partitionBy.map(c => c -> pv(c)).toMap
+            if (parts(tuple))
+              return Some(s"version $ver added data in partition $tuple ($p)")
+        }
+      }
+      // txn / cdc / commit lines never conflict
+    }
+    None
+  }
+
+  /** Commit `actions` computed against `snapVersion`, retrying past
+    * commits that provably do not conflict (see the rules above). A real
+    * conflict throws [[ConcurrentWriteException]] — the caller re-runs
+    * its whole computation against the fresh snapshot, exactly as
+    * before; disjoint writers now simply both land. */
+  private def commitDml(root: String, snapVersion: Long,
+      actions: Seq[ObjectNode], depFiles: Set[String], addRule: AddRule,
+      partitionBy: Seq[String], ctx: String, maxRetries: Int = 10): Long = {
+    var cur = snapVersion
+    var attempt = 0
+    while (true) {
+      try return commit(root, cur, actions)
+      catch {
+        case e: ConcurrentWriteException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          val latest = latestVersion(root).getOrElse(throw e)
+          ((cur + 1) to latest).foreach { ver =>
+            conflictWith(root, ver, depFiles, addRule, partitionBy)
+              .foreach { why =>
+                throw new ConcurrentWriteException(
+                  s"graft_table $root: $ctx conflicts with a concurrent " +
+                    s"commit — $why; re-run against the fresh snapshot")
+              }
+          }
+          cur = latest
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** The [[AddRule]] for a DML txn that touched `depRel` and stages
+    * `adds`: partition-scoped when every dependency's partition tuple is
+    * known, all-adds-conflict otherwise (incl. unpartitioned tables). */
+  private def dmlAddRule(state: LogState, depRel: Seq[String],
+      adds: Seq[ObjectNode]): AddRule = {
+    val pb = state.partitionBy
+    if (pb.isEmpty) return AddsAlwaysConflict
+    val touched = depRel.map(f => state.filePartVals.get(f).collect {
+      case pv if pb.forall(pv.contains) => pb.map(c => c -> pv(c)).toMap
+    })
+    val staged = adds.map { n =>
+      val a = n.get("add")
+      if (!a.has("partitionValues")) None
+      else {
+        val o = a.get("partitionValues")
+        val pv = o.fieldNames().asScala.map(c => c -> o.get(c).asText()).toMap
+        if (pb.forall(pv.contains)) Some(pb.map(c => c -> pv(c)).toMap)
+        else None
+      }
+    }
+    if ((touched ++ staged).exists(_.isEmpty)) AddsAlwaysConflict
+    else AddsConflictInParts((touched ++ staged).flatten.toSet)
+  }
+
   /** Write `df`'s rows as immutable parquet files under data/ and return
     * their (relative path, rows) adds. The files are INVISIBLE to readers
     * until a commit references them — a crash here leaves only orphans
@@ -1288,10 +1432,15 @@ object GraftTable {
     * Untouched files are never read past the semi-join probe and never
     * rewritten; at 100 TB that is the entire point of a lakehouse MERGE.
     *
-    * A commit race aborts (ConcurrentWriteException): the rewrite was
-    * computed against a snapshot another writer has replaced, so
-    * retrying the commit blind would resurrect their deleted rows.
-    * Callers re-run the whole merge against the fresh snapshot. */
+    * Concurrency (Delta's conflict checker): losing the version race no
+    * longer aborts unconditionally — the intervening commits are
+    * replayed, and the merge re-commits at the new head when they are
+    * provably disjoint (different files; data adds only in partitions
+    * this merge neither touched nor wrote). A REAL conflict — table
+    * definition changed, a dependency file removed/re-vectored, or data
+    * added in this merge's partition scope — throws
+    * [[ConcurrentWriteException]]; callers re-run the whole merge
+    * against the fresh snapshot. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
             on: Seq[String], how: String = "upsert",
             txn: Option[(String, Long)] = None,
@@ -1319,6 +1468,7 @@ object GraftTable {
     }
     val schema = StructType.fromDDL(snap.schemaDdl)
     val state = replayState(root, snap.version)
+    fireRaceHook()
     val keys = updates.select(on.map(col): _*).distinct()
     val delKeys = deleteKeys.map(_.select(on.map(col): _*).distinct())
     delKeys.foreach { dk =>
@@ -1419,8 +1569,11 @@ object GraftTable {
     val removes = if (mor) Nil else touchedRel.map(removeAction)
     val cdc = if (!changeFeedEnabled(state)) Nil
       else cdcDf.toSeq.flatMap(stageCdcFiles(_, root))
-    commit(root, snap.version, txn.map(t => txnAction(t._1, t._2)).toSeq ++
-      removes ++ adds ++ dvActs ++ cdc)
+    commitDml(root, snap.version,
+      txn.map(t => txnAction(t._1, t._2)).toSeq ++
+        removes ++ adds ++ dvActs ++ cdc,
+      depFiles = touchedRel.toSet, dmlAddRule(state, touchedRel, adds),
+      state.partitionBy, s"merge ($how)")
   }
 
   /** Conservative log-stats pruning for pushed/parsed predicate
@@ -1618,6 +1771,7 @@ object GraftTable {
     if (snap.files.isEmpty) return snap.version
     val pred = expr(predicate)
     val state = replayState(root, snap.version)
+    fireRaceHook()
     val (matched, absOf) = probeMatches(spark, root, snap, pred, state, predicate)
     if (matched.isEmpty) return snap.version // no-op: no row matches
     // live rows per file = logged footer count minus its vector's dead rows
@@ -1647,8 +1801,12 @@ object GraftTable {
     val cdc = if (!changeFeedEnabled(state)) Nil else stageCdcFiles(
       live(fullMatch ++ partial).where(pred)
         .select(dataCols: _*).withColumn("_change_type", lit("delete")), root)
-    commit(root, snap.version, txn.map(t => txnAction(t._1, t._2)).toSeq ++
-      removes.map(removeAction) ++ adds ++ dvActs ++ cdc)
+    val touched = (fullMatch ++ partial).distinct
+    commitDml(root, snap.version,
+      txn.map(t => txnAction(t._1, t._2)).toSeq ++
+        removes.map(removeAction) ++ adds ++ dvActs ++ cdc,
+      depFiles = touched.toSet, dmlAddRule(state, touched, adds),
+      state.partitionBy, "deleteWhere")
   }
 
   /** UPDATE WHERE — predicate update as copy-on-write. Same probe and
@@ -1678,6 +1836,7 @@ object GraftTable {
     if (snap.files.isEmpty) return snap.version
     val pred = expr(predicate)
     val state = replayState(root, snap.version)
+    fireRaceHook()
     val (matched, absOf) = probeMatches(spark, root, snap, pred, state, predicate)
     if (matched.isEmpty) return snap.version
     val touched = matched.keys.toSeq.sorted
@@ -1725,8 +1884,11 @@ object GraftTable {
         .withColumn("_change_type", lit("update_postimage"))
       stageCdcFiles(pre.unionByName(post), root)
     }
-    commit(root, snap.version, txn.map(t => txnAction(t._1, t._2)).toSeq ++
-      removes ++ adds ++ dvActs ++ cdc)
+    commitDml(root, snap.version,
+      txn.map(t => txnAction(t._1, t._2)).toSeq ++
+        removes ++ adds ++ dvActs ++ cdc,
+      depFiles = touched.toSet, dmlAddRule(state, touched, adds),
+      state.partitionBy, "updateWhere")
   }
 
   /** RESTORE — roll the table back to `toVersion` as a NEW commit, pure
@@ -2215,6 +2377,7 @@ object GraftTable {
     if (snap.files.isEmpty) return snap.version // nothing to lay out
     val schema = StructType.fromDDL(snap.schemaDdl)
     val state = replayState(root, snap.version)
+    fireRaceHook()
     // DV-aware input: compaction MATERIALIZES deletion vectors — rows a
     // vector marks dead don't survive into the new layout, and the
     // removes below drop the vectors themselves. Still dataChange=false:
@@ -2241,7 +2404,12 @@ object GraftTable {
     // change feed (`changes`) skips these adds, so an OPTIMIZE between
     // two feed reads cannot re-deliver the whole table
     val adds = stageDataFiles(laid, root, dataChange = false, partitionBy = pb)
-    commit(root, snap.version, snap.files.map(removeAction) ++ adds)
+    // a concurrent APPEND never conflicts with a layout rewrite — the
+    // new files simply stay live beside the compacted ones (the
+    // streaming-ingest + background-OPTIMIZE composition); concurrent
+    // DML on any compacted file still aborts via the dependency set
+    commitDml(root, snap.version, snap.files.map(removeAction) ++ adds,
+      depFiles = snap.files.toSet, AddsNeverConflict, pb, "optimize")
   }
 
   /** DESCRIBE DETAIL parity: one-row table summary from log metadata

@@ -1430,6 +1430,48 @@ class GraftTableSpec extends SparkSpecBase {
       .count(_.getFileName.toString.endsWith(".parquet")) shouldBe 1
   }
 
+  test("disjoint-writer OCC: two merges touching different partitions " +
+    "both commit; a same-partition race still aborts; OPTIMIZE retries " +
+    "past a concurrent append") {
+    val root = freshRoot("occ")
+    val df = Seq(("p1", 1L, 10.0), ("p1", 2L, 20.0),
+      ("p2", 3L, 30.0), ("p2", 4L, 40.0)).toDF("p", "k", "v")
+    GraftTable.write(spark, df, root, "overwrite",
+      partitionBy = Seq("p"))                                        // v1
+    // merge A (partition p1) resolves its snapshot; the hook then lands
+    // merge B (partition p2) FIRST — A loses the version race, replays
+    // B's commit, proves disjointness, and re-commits. Both land.
+    GraftTable.testRaceHook = () => GraftTable.merge(spark, root,
+      Seq(("p2", 3L, 33.0)).toDF("p", "k", "v"), Seq("p", "k"))      // v2
+    GraftTable.merge(spark, root,
+      Seq(("p1", 1L, 11.0)).toDF("p", "k", "v"), Seq("p", "k"))      // v3
+    GraftTable.latestVersion(root).get shouldBe 3L
+    GraftTable.read(spark, root).orderBy($"k")
+      .as[(String, Long, Double)].collect() shouldBe Array(
+      ("p1", 1L, 11.0), ("p1", 2L, 20.0), ("p2", 3L, 33.0), ("p2", 4L, 40.0))
+    // TRUE conflict: both writers touch partition p1 — the loser aborts
+    GraftTable.testRaceHook = () => GraftTable.merge(spark, root,
+      Seq(("p1", 2L, 22.0)).toDF("p", "k", "v"), Seq("p", "k"))      // v4
+    (the[GraftTable.ConcurrentWriteException] thrownBy
+      GraftTable.merge(spark, root,
+        Seq(("p1", 1L, 111.0)).toDF("p", "k", "v"), Seq("p", "k")))
+      .getMessage should include("conflicts with a concurrent commit")
+    // deleteWhere scoped to p2 sails past a raced p1 update
+    GraftTable.testRaceHook = () => GraftTable.updateWhere(spark, root,
+      "p = 'p1' AND k = 1", Map("v" -> "12.0"))                      // v5
+    GraftTable.deleteWhere(spark, root, "p = 'p2' AND k = 4")        // v6
+    GraftTable.read(spark, root).orderBy($"k")
+      .as[(String, Long, Double)].collect() shouldBe Array(
+      ("p1", 1L, 12.0), ("p1", 2L, 22.0), ("p2", 3L, 33.0))
+    // OPTIMIZE computed against v6 retries past a concurrent append:
+    // the appended file stays live beside the compacted layout
+    GraftTable.testRaceHook = () => GraftTable.write(spark,
+      Seq(("p1", 9L, 90.0)).toDF("p", "k", "v"), root, "append")     // v7
+    GraftTable.optimize(spark, root, 1)                              // v8
+    GraftTable.read(spark, root).count() shouldBe 4L
+    GraftTable.read(spark, root).where($"k" === 9L).count() shouldBe 1L
+  }
+
   test("checkpoint reader-version gate: a checkpoint declaring a newer " +
     "minReader fails loud instead of silently dropping state") {
     val root = freshRoot("ckpt_reader")
