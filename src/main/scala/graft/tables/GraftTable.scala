@@ -2182,21 +2182,68 @@ object GraftTable {
       .select(col("__f"), col("__i")))
   }
 
-  /** Anti-filter `df` (a scan over exactly `files`) by their deletion
-    * vectors. Pass-through when no file carries one. Predicates on data
-    * columns still push through the left side of the anti-join to the
-    * scan, so file skipping and parquet pushdown are unchanged. */
+  /** Per-file deletion vectors as an IN-SCAN filter structure: data-file
+    * NAME → sorted deleted row indexes, loaded from the dv sidecars when
+    * the log-recorded total (`numDeleted`, no data IO to decide) fits
+    * `spark.graft.dv.inlineMaxRows` (default 2M ≈ 16 MB of longs —
+    * broadcast-class). None = too big, callers fall back to the
+    * anti-join; the bound is per-SNAPSHOT and enforced from metadata
+    * alone, so a heavily-deleted table degrades gracefully instead of
+    * OOMing the plan. */
+  private def dvVectorsInline(spark: SparkSession, root: String,
+      state: LogState, files: Seq[String])
+      : Option[java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]] = {
+    val withDv = files.filter(state.dvs.contains)
+    val total = withDv.iterator.map(state.dvs(_)._2).sum
+    val max = spark.conf.getOption("spark.graft.dv.inlineMaxRows")
+      .map(_.toLong).getOrElse(2000000L)
+    if (total > max) return None
+    import org.apache.spark.unsafe.types.UTF8String
+    val out = new java.util.HashMap[UTF8String, Array[Long]]()
+    if (withDv.isEmpty) return Some(out)
+    val dataOfSidecar = withDv.map { f =>
+      (Paths.get(state.dvs(f)._1).getFileName.toString,
+        Paths.get(f).getFileName.toString)
+    }.toMap
+    val abs = withDv.map(f =>
+      Paths.get(root).resolve(state.dvs(f)._1).toString).distinct
+    // a bounded collect: ≤ inlineMaxRows (idx, sidecar) pairs — the same
+    // sidecar bytes the anti-join read per query, landed once as arrays
+    spark.read.schema(StructType.fromDDL("idx BIGINT")).parquet(abs: _*)
+      .select(col("idx"), fileNameCol.as("__dvf"))
+      .collect()
+      .groupBy(r => dataOfSidecar(r.getString(1)))
+      .foreach { case (dataName, rows) =>
+        val arr = rows.map(_.getLong(0)).sorted
+        out.put(UTF8String.fromString(dataName), arr)
+      }
+    Some(out)
+  }
+
+  /** Filter `df` (a scan over exactly `files`) down to LIVE rows.
+    * Pass-through when no file carries a vector; otherwise an in-scan
+    * [[graft.ext.DvLiveRow]] predicate over the parquet metadata
+    * columns (no join node — the filter rides WholeStageCodegen), with
+    * the legacy anti-join as the over-budget fallback. Predicates on
+    * data columns still push to the scan either way. */
   private def dvFilter(spark: SparkSession, root: String, state: LogState,
-      files: Seq[String], df: DataFrame): DataFrame =
-    dvRows(spark, root, state, files) match {
-      case None => df
-      case Some(dv) =>
+      files: Seq[String], df: DataFrame): DataFrame = {
+    if (!files.exists(state.dvs.contains)) return df
+    dvVectorsInline(spark, root, state, files) match {
+      case Some(vecs) =>
+        val bridge = org.apache.spark.sql.GraftSqlBridge
+        df.where(bridge.column(graft.ext.DvLiveRow(
+          bridge.expression(fileNameCol),
+          bridge.expression(col("_metadata.row_index")), vecs)))
+      case None =>
+        val dv = dvRows(spark, root, state, files).get
         val cols = df.columns.toSeq
         df.withColumn("__f", fileNameCol)
           .withColumn("__i", col("_metadata.row_index"))
           .join(dv, Seq("__f", "__i"), "left_anti")
           .select(cols.map(col): _*)
     }
+  }
 
   /** LIVE rows of exactly `relFiles` with their position attached (`__f`
     * = file name, `__i` = row index) — the DML working scan: positions
@@ -2211,9 +2258,15 @@ object GraftTable {
       .parquet(relFiles.map(f => Paths.get(root).resolve(f).toString): _*)
       .withColumn("__f", fileNameCol)
       .withColumn("__i", col("_metadata.row_index"))
-    dvRows(spark, root, state, relFiles) match {
-      case None => base
-      case Some(dv) => base.join(dv, Seq("__f", "__i"), "left_anti")
+    if (!relFiles.exists(state.dvs.contains)) base
+    else dvVectorsInline(spark, root, state, relFiles) match {
+      case Some(vecs) =>
+        val bridge = org.apache.spark.sql.GraftSqlBridge
+        base.where(bridge.column(graft.ext.DvLiveRow(
+          bridge.expression(col("__f")), bridge.expression(col("__i")), vecs)))
+      case None =>
+        base.join(dvRows(spark, root, state, relFiles).get,
+          Seq("__f", "__i"), "left_anti")
     }
   }
 

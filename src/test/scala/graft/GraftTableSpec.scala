@@ -1472,6 +1472,42 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.read(spark, root).where($"k" === 9L).count() shouldBe 1L
   }
 
+  test("deletion vectors apply INSIDE the scan (no join node) for " +
+    "broadcast-class vectors, with the anti-join as over-budget fallback " +
+    "— same rows either way at 10%+ deleted") {
+    val root = freshRoot("dv_inline")
+    GraftTable.write(spark,
+      (1L to 20000L).map(i => (i, i % 97)).toDF("k", "m"), root, "overwrite")
+    GraftTable.setProperty(root, "deletionVectors", Some("true"))
+    GraftTable.deleteWhere(spark, root, "m < 10") // ~10.3% of rows, MoR
+    GraftTable.deleteWhere(spark, root, "k % 1000 = 0") // cumulative grows
+    val expect = (1L to 20000L).filter(i => i % 97 >= 10 && i % 1000 != 0)
+    val inline = GraftTable.read(spark, root)
+    inline.select($"k").as[Long].collect().sorted shouldBe expect
+    // the merge-on-read filter is an in-scan predicate, not a join
+    val p = inline.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    (p should not).include("Join")
+    p should include("graft_dv_live")
+    // data predicates still push through to the parquet scan
+    val pushed = GraftTable.read(spark, root).where($"k" > 10000L)
+    pushed.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")) should
+      include regex "PushedFilters: \\[.*k.*\\]"
+    pushed.select($"k").as[Long].collect().sorted shouldBe
+      expect.filter(_ > 10000L)
+    // over-budget vectors fall back to the anti-join, bit-identical
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.dv.inlineMaxRows", "0")
+    val fb = GraftTable.read(s2, root)
+    fb.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")) should
+      include("Join")
+    fb.select(col("k")).collect().map(_.getLong(0)).sorted shouldBe expect
+    // metadata-only row count agrees with both
+    GraftTable.rowCount(root) shouldBe expect.size.toLong
+  }
+
   test("checkpoint reader-version gate: a checkpoint declaring a newer " +
     "minReader fails loud instead of silently dropping state") {
     val root = freshRoot("ckpt_reader")
