@@ -84,7 +84,9 @@ final case class MaintenanceSpec(
     constraintName: Option[String] = None, // add_constraint / drop_constraint
     check: Option[String] = None,          // add_constraint
     retentionHours: Option[Double] = None, // vacuum (default 168 = 7 days)
-    partition: Map[String, String] = Map.empty) // drop_partition: col -> value
+    partition: Map[String, String] = Map.empty, // drop_partition: col -> value
+    column: Option[String] = None) // drop_column: the column to drop;
+                                   // rename_column uses set: {old: new}
 
 /** Declared incremental materialized view (`mode: mv_refresh`): maintain
   * `keys × aggs` over the graft_table `source`, stored at `path`. Agg
@@ -440,14 +442,17 @@ object PipelineSpec {
     val maintSpec = opt(root, "maintenance").map { n =>
       fields(n, "maintenance", Set("op", "path", "where", "set",
         "to_version", "target_files", "zorder_by", "zorder_bits",
-        "constraint_name", "check", "retention_hours", "partition"))
+        "constraint_name", "check", "retention_hours", "partition",
+        "column"))
       val op = reqStr(n, "op", "maintenance")
       require(Set("delete_where", "update_where", "restore", "optimize",
         "vacuum", "add_constraint", "drop_constraint",
-        "verify_constraints", "drop_partition", "set_property")(op),
+        "verify_constraints", "drop_partition", "set_property",
+        "rename_column", "drop_column")(op),
         s"maintenance.op: unknown '$op' (delete_where|" +
         "update_where|restore|optimize|vacuum|add_constraint|" +
-        "drop_constraint|verify_constraints|drop_partition|set_property)")
+        "drop_constraint|verify_constraints|drop_partition|set_property|" +
+        "rename_column|drop_column)")
       def intOpt(f: String): Option[Int] = optStr(n, f).map(s =>
         s.toIntOption.getOrElse(throw new IllegalArgumentException(
           s"maintenance.$f: integer expected, got '$s'")))
@@ -461,7 +466,7 @@ object PipelineSpec {
         optStr(n, "retention_hours").map(s => s.toDoubleOption
           .filter(_ >= 0).getOrElse(throw new IllegalArgumentException(
             s"maintenance.retention_hours: number >= 0 expected, got '$s'"))),
-        strMap(n, "partition"))
+        strMap(n, "partition"), optStr(n, "column"))
       // one-op contract: required knobs present, every foreign knob
       // rejected — a key that doesn't apply must FAIL, not no-op
       def need(cond: Boolean, msg: String): Unit =
@@ -473,7 +478,21 @@ object PipelineSpec {
         need(m.retentionHours.isEmpty, "retention_hours belongs to vacuum")
       if (op != "drop_partition")
         need(m.partition.isEmpty, "partition belongs to drop_partition")
+      if (op != "drop_column")
+        need(m.column.isEmpty, "column belongs to drop_column")
       op match {
+        case "rename_column" => // schema evolution as pure metadata:
+          // set: {old_name: new_name}, exactly one pair
+          need(m.set.size == 1,
+            "needs `set` with exactly one {old_name: new_name} pair")
+          need(m.where.isEmpty && m.toVersion.isEmpty &&
+            m.targetFiles.isEmpty && m.zorderBy.isEmpty && m.zorderBits.isEmpty,
+            "takes `set: {old: new}` only")
+        case "drop_column" =>
+          need(m.column.exists(_.trim.nonEmpty), "needs `column`")
+          need(m.where.isEmpty && m.set.isEmpty && m.toVersion.isEmpty &&
+            m.targetFiles.isEmpty && m.zorderBy.isEmpty && m.zorderBits.isEmpty,
+            "takes `column` only")
         case "add_constraint" =>
           need(m.constraintName.exists(_.trim.nonEmpty) &&
             m.check.exists(_.trim.nonEmpty),
@@ -582,12 +601,13 @@ object PipelineSpec {
             "change feed) only — version selection lives in the query " +
             "checkpoint"))
     }
-    if (mode != "streaming" && src.format == "graft_table")
+    if (mode != "streaming" && src.format == "graft_table" &&
+      !(mode == "mv_refresh" && optStr(root, "streaming").contains("true")))
       require(!src.options.contains("withImages") ||
         src.options.contains("changesFrom"),
         "source: withImages qualifies the change feed — a batch read " +
           "needs changesFrom (streaming mode streams the feed " +
-          "continuously instead)")
+          "continuously; a streaming mv_refresh consumes it directly)")
     require((mode == "mv_refresh") == mvSpec.isDefined,
       "mode: mv_refresh and the `mv` block go together (an MV declaration " +
         "without the mode, or the mode without a declaration, is a typo)")
@@ -607,13 +627,20 @@ object PipelineSpec {
       if (mvStreaming) {
         // continuous maintenance rides the streaming table source, whose
         // pacing knobs apply; batch selectors still don't (the MV txn is
-        // the cursor)
-        val ok = Set("skipchangecommits", "maxversionspertrigger")
+        // the cursor). withImages: true switches to DIRECT retraction
+        // consumption — one stream of classified change rows, no
+        // per-version refresh calls (sum/count views only).
+        val ok = Set("skipchangecommits", "maxversionspertrigger",
+          "withimages")
         src.options.keys.find(k => !ok(k.toLowerCase)).foreach(k =>
           throw new IllegalArgumentException(
             s"source.options.$k: a STREAMING mv_refresh takes " +
-              "skipChangeCommits and maxVersionsPerTrigger only — the " +
-              "view's txn cursor owns version selection"))
+              "skipChangeCommits, maxVersionsPerTrigger, and withImages " +
+              "only — the view's txn cursor owns version selection"))
+        require(!(src.options.get("withImages").contains("true") &&
+          src.options.get("skipChangeCommits").contains("true")),
+          "source: withImages consumes change commits — skipChangeCommits " +
+            "would drop exactly the retractions it exists to apply")
       } else require(src.options.isEmpty,
         "mode: mv_refresh drives its own version cursor — time " +
           "travel/feed/range options on the source do not apply")

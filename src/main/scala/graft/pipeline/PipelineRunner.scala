@@ -89,15 +89,25 @@ object PipelineRunner {
         val ss = spark.newSession()
         ss.conf.set("spark.sql.shuffle.partitions",
           sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
-        val q = readStream(ss, spec.source)
-          .select(col("_commit_version")).writeStream
+        val direct = spec.source.options.get("withImages").contains("true")
+        val src = readStream(ss, spec.source)
+        val q = (if (direct) src
+          else src.select(col("_commit_version"))).writeStream
           .option("checkpointLocation", s"$cpBase/cp")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            val hi = batch.agg(max(col("_commit_version"))).head()
-            if (!hi.isNullAt(0)) // an all-skipped batch advances nothing
-              graft.tables.MaterializedView.refresh(spark, base, mv.path,
-                mv.keys, aggs, toVersion = Some(hi.getLong(0)))
+            if (direct)
+              // DIRECT retraction consumption: the batch IS the change
+              // delta (classified rows) — one signed merge, no
+              // per-version refresh calls, no re-read of the feed
+              graft.tables.MaterializedView.applyChangeBatch(
+                batch, base, mv.path, mv.keys, aggs)
+            else {
+              val hi = batch.agg(max(col("_commit_version"))).head()
+              if (!hi.isNullAt(0)) // an all-skipped batch advances nothing
+                graft.tables.MaterializedView.refresh(spark, base, mv.path,
+                  mv.keys, aggs, toVersion = Some(hi.getLong(0)))
+            }
             ()
           }
           .start()
@@ -142,6 +152,11 @@ object PipelineRunner {
         case "set_property" =>
           m.set.toSeq.sortBy(_._1).foreach { case (k, v) =>
             GraftTable.setProperty(m.path, k, Some(v)) }
+        case "rename_column" => // pure metadata via column mapping
+          val (from, to) = m.set.head
+          GraftTable.renameColumn(m.path, from, to)
+        case "drop_column" =>
+          GraftTable.dropColumn(m.path, m.column.get)
       }
       val out = GraftTable.read(spark, m.path)
       return RunResult(spec, out, out.limit(0), Nil)

@@ -1858,9 +1858,74 @@ object Sources extends QueryPack {
          |""".stripMargin).passed
   }
 
+  /** EP37 — COLUMN MAPPING (rename/drop without rewrite) through the
+    * config surface: `rename_column` re-points the logical name at the
+    * files' stable physical name as ONE metadata commit — zero data IO,
+    * old files and time travel intact — and `drop_column` removes a
+    * field the same way; post-rename appends and predicate DML compose
+    * under the new name (files stage under physical names; reads
+    * project back). The oracle replays the lifecycle as plain SQL over
+    * the base table: the rename is an alias, the drop a projection, the
+    * update a CASE. GraftTableSpec pins the physical claims (no file
+    * rewritten by the rename, fresh physical for a re-added name,
+    * minReader-3 checkpoints). */
+  val ep37: QueryDef = m(
+    "ep37_column_mapping",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+      |       ELSE o_totalprice END AS price
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey + 5000000, o_totalprice AS price FROM orders
+      |WHERE o_orderkey % 100 = 7
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val root = s"$ioDir/acid_colmap"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(rootPath, true)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    o.write.mode("overwrite").parquet(s"$ioDir/colmap_src")
+    // post-rename appends arrive under the NEW logical schema
+    o.where(col("o_orderkey") % 100 === 7)
+      .withColumn("o_orderkey", col("o_orderkey") + 5000000L)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("price"))
+      .write.mode("overwrite").parquet(s"$ioDir/colmap_late")
+    PipelineRunner.runAll(spark,
+      s"""name: cm_publish
+         |source: {format: parquet, path: "$ioDir/colmap_src"}
+         |sink: {format: graft_table, path: "$root", mode: overwrite}
+         |---
+         |name: cm_rename
+         |mode: maintenance
+         |maintenance: {op: rename_column, path: "$root",
+         |              set: {o_totalprice: price}}
+         |---
+         |name: cm_append
+         |source: {format: parquet, path: "$ioDir/colmap_late"}
+         |sink: {format: graft_table, path: "$root", mode: append}
+         |---
+         |name: cm_reprice
+         |mode: maintenance
+         |maintenance: {op: update_where, path: "$root",
+         |              where: "o_orderkey % 10 = 0 AND o_orderkey < 5000000",
+         |              set: {price: "price + 1000.0"}}
+         |---
+         |name: cm_shed
+         |mode: maintenance
+         |maintenance: {op: drop_column, path: "$root", column: o_custkey}
+         |---
+         |name: cm_read
+         |source: {format: graft_table, path: "$root"}
+         |transforms:
+         |  - {op: sort, cols: [o_orderkey]}
+         |""".stripMargin).passed
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a3c, a4, a4b, a4c, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3,
       ep3b, ep4, ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13,
       ep14, ep15, ep16, ep17, ep18, ep19, ep20, ep21, ep22, ep23, ep24, ep25,
-      ep26, ep27, ep28, ep29, ep30, ep31, ep32, ep33, ep34, ep35, ep36)
+      ep26, ep27, ep28, ep29, ep30, ep31, ep32, ep33, ep34, ep35, ep36, ep37)
 }

@@ -570,5 +570,76 @@ object Streaming extends QueryPack {
          |""".stripMargin).passed
   }
 
-  override def defs: Seq[QueryDef] = Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15)
+  /** §2.L16 — STREAMING CDF → MV, direct retraction consumption: the MV
+    * consumes the `withImages` change stream itself (one stream, one
+    * signed merge per micro-batch — count := Σ±1, sum := Σ(e·±1) —
+    * never a per-version refresh call, never a feed re-read) over a
+    * DML-heavy history: update, delete, and merge versions all apply
+    * through their classified pre/post images. Exactly-once rides the
+    * MV's txn cursor, proven the hard way: the second run replays the
+    * WHOLE history on a fresh checkpoint (the runner's checkpoints are
+    * run-scoped) — fully-consumed batches no-op, and the batch
+    * straddling the cursor applies only its rows past it. The oracle
+    * reconstructs the final table state in SQL and aggregates it; the
+    * answer must equal what l14's per-version refresh would produce. */
+  val l16: QueryDef = m(
+    "l16_streaming_cdf_mv",
+    """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |final AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 100 = 25 THEN o_totalprice + 1000
+      |         WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+      |         WHEN o_orderkey % 100 = 30 THEN o_totalprice + 7
+      |         ELSE o_totalprice END AS price
+      |  FROM o WHERE o_orderkey % 100 <> 50
+      |  UNION ALL
+      |  SELECT o_orderkey + 5000000, o_orderstatus, o_totalprice FROM o
+      |  WHERE o_orderkey % 100 = 75
+      |)
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |       COUNT(CAST(price AS DECIMAL(12,2))) AS n_v,
+      |       CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS sum_v
+      |FROM final GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+    import graft.tables.GraftTable
+    val base = "/tmp/graft_io/l16_cdfmv_base"
+    val view = "/tmp/graft_io/l16_cdfmv_view"
+    StreamOps.rmrf(base); StreamOps.rmrf(view)
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    GraftTable.write(spark, o, base, "overwrite")                     // v1
+    GraftTable.setProperty(base, "changeDataFeed", Some("true"))      // v2
+    GraftTable.updateWhere(spark, base, "o_orderkey % 100 = 0",       // v3
+      Map("o_totalprice" -> "o_totalprice * 2"))
+    GraftTable.deleteWhere(spark, base, "o_orderkey % 100 = 50")      // v4
+    val upserts = o.where(col("o_orderkey") % 100 === 25)             // v5
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .unionByName(o.where(col("o_orderkey") % 100 === 75)
+        .withColumn("o_orderkey", col("o_orderkey") + 5000000L))
+    GraftTable.merge(spark, base, upserts, Seq("o_orderkey"))
+    val yaml =
+      s"""name: l16_mv
+         |mode: mv_refresh
+         |streaming: true
+         |source: {format: graft_table, path: "$base",
+         |  options: {withImages: "true", maxVersionsPerTrigger: "2"}}
+         |mv:
+         |  path: "$view"
+         |  keys: [o_orderstatus]
+         |  aggs: ["count() AS n",
+         |         "count(CAST(o_totalprice AS DECIMAL(12,2))) AS n_v",
+         |         "sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_v"]
+         |""".stripMargin
+    graft.pipeline.PipelineRunner.run(spark, yaml) // consumes v1..v5
+    GraftTable.updateWhere(spark, base, "o_orderkey % 100 = 30",      // v6
+      Map("o_totalprice" -> "o_totalprice + 7"))
+    // fresh-checkpoint full replay: v1..v5 batches no-op on the txn
+    // cursor; the straddling batch applies only v6's retractions
+    graft.pipeline.PipelineRunner.run(spark, yaml).passed
+      .select(col("o_orderstatus"), col("n"), col("n_v"),
+        col("sum_v").cast("double").as("sum_v"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  override def defs: Seq[QueryDef] = Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16)
 }

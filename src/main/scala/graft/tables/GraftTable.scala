@@ -120,6 +120,12 @@ object GraftTable {
       .empty[String, Map[String, String]]
     var schemaDdl = ""
     var partitionBy: Seq[String] = Nil
+    // logical column name -> PHYSICAL parquet column name. Empty =
+    // identity (tables that never renamed/dropped — the zero-cost
+    // default). Once active it is TOTAL over the logical schema; files
+    // always carry physical names, which never change after assignment,
+    // so a rename is one meta commit and every old file stays readable.
+    val colMap = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val constraints = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val properties = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -135,6 +141,11 @@ object GraftTable {
           if (m.has("partitionBy"))
             m.get("partitionBy").elements().asScala.map(_.asText()).toSeq
           else Nil
+        colMap.clear() // meta REPLACES the mapping, like partitionBy
+        if (m.has("columnMapping")) {
+          val cm = m.get("columnMapping")
+          cm.fieldNames().asScala.foreach(l => colMap(l) = cm.get(l).asText())
+        }
       }
       else if (n.has("add")) {
         val a = n.get("add"); val p = a.get("path").asText()
@@ -260,6 +271,10 @@ object GraftTable {
           st.dvs(p) = (d.get("dvPath").asText(), d.get("numDeleted").asLong())
         }
       }
+      if (n.has("columnMapping")) {
+        val cm = n.get("columnMapping")
+        cm.fieldNames().asScala.foreach(l => st.colMap(l) = cm.get(l).asText())
+      }
     }
     ((base.getOrElse(0L) + 1) to v).foreach { ver =>
       val f = verFile(root, ver)
@@ -294,7 +309,8 @@ object GraftTable {
     // declare the reader floor this state actually needs — an old engine
     // replaying the raw log past an unknown action fails loud, and the
     // checkpoint must preserve that contract, not bypass it
-    n.put("minReader", if (st.dvs.nonEmpty) 2 else 1)
+    n.put("minReader",
+      if (st.colMap.nonEmpty) 3 else if (st.dvs.nonEmpty) 2 else 1)
     n.put("schemaDdl", st.schemaDdl)
     val fa = n.putArray("files"); st.files.foreach(fa.add)
     val fs = n.putObject("fileStats")
@@ -324,6 +340,10 @@ object GraftTable {
       st.dvs.foreach { case (p, (dvp, cnt)) =>
         val o = da.putObject(p); o.put("dvPath", dvp); o.put("numDeleted", cnt)
       }
+    }
+    if (st.colMap.nonEmpty) {
+      val cm = n.putObject("columnMapping")
+      st.colMap.foreach { case (l, p) => cm.put(l, p) }
     }
     val tmp = Files.createTempFile(logDir(root), ".ckpt", ".tmp")
     Files.writeString(tmp, json.writeValueAsString(n))
@@ -448,17 +468,26 @@ object GraftTable {
       lastReadIndex = Some(idx)
       // nullable read schema, as DataFrameReader.schema forces: the
       // vectorized reader must fill typed nulls for columns a
-      // pre-evolution file lacks, not refuse a "required" column
-      val readSchema = org.apache.spark.sql.GraftSqlBridge.asNullable(schema)
+      // pre-evolution file lacks, not refuse a "required" column.
+      // Column-mapped tables scan under PHYSICAL names (what the files
+      // carry; the logged stats are keyed the same, so pushdown pruning
+      // stays coherent) and project back to logical at the end.
+      val readSchema = org.apache.spark.sql.GraftSqlBridge.asNullable(
+        physicalSchema(st, schema))
       val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         idx, StructType(Nil), readSchema, None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
         Map.empty)(spark)
       val scan = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
         org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
-      // merge-on-read: rows a deletion vector marks dead are anti-joined
-      // out by (file, row_index); a no-DV snapshot is the bare scan
-      (dvFilter(spark, root, st, st.files.toSeq, scan), Some(idx))
+      // merge-on-read: rows a deletion vector marks dead are filtered
+      // in-scan (or anti-joined over budget); a no-DV snapshot is the
+      // bare scan
+      val live = dvFilter(spark, root, st, st.files.toSeq, scan)
+      val logical = if (st.colMap.isEmpty) live
+        else live.select(schema.fields.toSeq.map(f =>
+          col(physOf(st, f.name)).as(f.name)): _*)
+      (logical, Some(idx))
     }
   }
 
@@ -482,8 +511,9 @@ object GraftTable {
     val latest = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"not a graft_table: $root"))
     val st = replayState(root, asOf.getOrElse(latest))
+    val physCol = physOf(st, column) // stats are keyed physical
     val kept = st.files.toSeq.filter { f =>
-      st.fileStats.get(f).flatMap(s => Option(s.get(column))) match {
+      st.fileStats.get(f).flatMap(s => Option(s.get(physCol))) match {
         case None => true // conservative
         case Some(cs) =>
           val (mn, mx) = (cs.get("min"), cs.get("max"))
@@ -521,8 +551,9 @@ object GraftTable {
     val latest = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"not a graft_table: $root"))
     val st = replayState(root, asOf.getOrElse(latest))
+    val physCol = physOf(st, column) // stats are keyed physical
     val per = st.files.toSeq.map(f =>
-      st.fileStats.get(f).flatMap(s => Option(s.get(column))))
+      st.fileStats.get(f).flatMap(s => Option(s.get(physCol))))
     if (per.isEmpty || per.exists(_.isEmpty)) return None
     val nodes = per.flatten
     if (nodes.head.get("min").isTextual) {
@@ -579,7 +610,10 @@ object GraftTable {
     val to = toInclusive.getOrElse(latest)
     require(fromExclusive >= 0 && to <= latest && fromExclusive <= to,
       s"graft_table $root: changes range ($fromExclusive, $to] out of [0, $latest]")
-    val schema = StructType.fromDDL(snapshot(root, Some(to)).schemaDdl)
+    val stTo = replayState(root, to)
+    val schema = StructType.fromDDL(stTo.schemaDdl)
+    // physical column names are stable across renames/drops, so every
+    // version's files read coherently under `to`'s physical schema
     val versioned = ((fromExclusive + 1) to to).flatMap { ver =>
       require(Files.exists(verFile(root, ver)),
         s"graft_table $root: change feed needs version $ver's log, which " +
@@ -592,8 +626,9 @@ object GraftTable {
             !n.get("add").get("dataChange").asBoolean(true)))
         .map(n => n.get("add").get("path").asText())
       if (adds.isEmpty) None
-      else Some(spark.read.schema(schema)
-        .parquet(adds.map(f => Paths.get(root).resolve(f).toString).toSeq: _*)
+      else Some(toLogical(spark.read.schema(physicalSchema(stTo, schema))
+        .parquet(adds.map(f => Paths.get(root).resolve(f).toString).toSeq: _*),
+        stTo, schema)
         .withColumn("_commit_version", lit(ver)))
     }
     versioned.reduceOption(_.unionByName(_)).getOrElse(
@@ -621,7 +656,10 @@ object GraftTable {
     val to = toInclusive.getOrElse(latest)
     require(fromExclusive >= 0 && to <= latest && fromExclusive <= to,
       s"graft_table $root: changes range ($fromExclusive, $to] out of [0, $latest]")
-    val schema = StructType.fromDDL(snapshot(root, Some(to)).schemaDdl)
+    val stTo = replayState(root, to)
+    val schema = StructType.fromDDL(stTo.schemaDdl)
+    val physSchema = physicalSchema(stTo, schema)
+    val withTypePhys = physSchema.add("_change_type", "string")
     val withType = schema.add("_change_type", "string")
     def abs(f: String) = Paths.get(root).resolve(f).toString
     val frames = ((fromExclusive + 1) to to).flatMap { ver =>
@@ -649,7 +687,8 @@ object GraftTable {
       // first `commit` line (mtime fallback for pre-timestamp logs)
       val commitTs = new java.sql.Timestamp(commitTimestamp(root, ver))
       if (cdcPaths.nonEmpty)
-        Some(spark.read.schema(withType).parquet(cdcPaths.map(abs): _*)
+        Some(toLogical(spark.read.schema(withTypePhys)
+            .parquet(cdcPaths.map(abs): _*), stTo, schema)
           .withColumn("_commit_version", lit(ver))
           .withColumn("_commit_timestamp", lit(commitTs)))
       else {
@@ -661,7 +700,8 @@ object GraftTable {
             "or was an overwrite/restore/drop_partition (those never " +
             "record images). Resync from a snapshot read")
         if (addPaths.isEmpty) None
-        else Some(spark.read.schema(schema).parquet(addPaths.map(abs): _*)
+        else Some(toLogical(spark.read.schema(physSchema)
+            .parquet(addPaths.map(abs): _*), stTo, schema)
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(ver))
           .withColumn("_commit_timestamp", lit(commitTs)))
@@ -814,14 +854,132 @@ object GraftTable {
   // -- commit machinery -------------------------------------------------------
 
   private def metaAction(schemaDdl: String,
-      partitionBy: Seq[String] = Nil): ObjectNode = {
+      partitionBy: Seq[String] = Nil,
+      columnMapping: Map[String, String] = Map.empty): ObjectNode = {
     val n = json.createObjectNode()
     val m = n.putObject("meta")
     m.put("schemaDdl", schemaDdl)
     if (partitionBy.nonEmpty) {
       val pb = m.putArray("partitionBy"); partitionBy.foreach(pb.add)
     }
+    if (columnMapping.nonEmpty) {
+      val cm = m.putObject("columnMapping")
+      // logical-schema field order, deterministic
+      StructType.fromDDL(schemaDdl).fieldNames.foreach { l =>
+        columnMapping.get(l).foreach(cm.put(l, _))
+      }
+    }
     n
+  }
+
+  // -- column mapping (rename/drop without rewrite) -----------------------------
+
+  /** logical → physical column name at `st` (identity when unmapped). */
+  private def physOf(st: LogState, logical: String): String =
+    if (st.colMap.isEmpty) logical else st.colMap.getOrElse(logical, logical)
+
+  /** The logical schema re-keyed to PHYSICAL names — what the files
+    * actually carry and every scan must request. */
+  private def physicalSchema(st: LogState, logical: StructType): StructType =
+    if (st.colMap.isEmpty) logical
+    else StructType(logical.fields.map(f => f.copy(name = physOf(st, f.name))))
+
+  /** Conform a logical-named frame to physical names before staging
+    * (extra engine columns like `_change_type` pass through). */
+  private def toPhysical(df: DataFrame,
+      mapping: scala.collection.Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df
+    else df.select(df.columns.toSeq.map(c =>
+      col(c).as(mapping.getOrElse(c, c))): _*)
+
+  /** Rename a physical-named frame back to the logical schema, keeping
+    * any extra columns (`__f`, `__i`, `_change_type`) verbatim. */
+  private def toLogical(df: DataFrame, st: LogState,
+      logical: StructType): DataFrame =
+    if (st.colMap.isEmpty) df
+    else {
+      val logOf = st.colMap.map(_.swap)
+      df.select(df.columns.toSeq.map(c =>
+        col(c).as(logOf.getOrElse(c, c))): _*)
+    }
+
+  /** The table's logical→physical column mapping (empty = identity). */
+  def columnMapping(root: String, asOf: Option[Long] = None): Map[String, String] = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"not a graft_table: $root"))
+    replayState(root, asOf.getOrElse(latest)).colMap.toMap
+  }
+
+  /** Fresh physical name for a column added AFTER mapping activation: a
+    * dropped column's physical data may still live in old files under
+    * the plain name, so re-using it would resurrect stale values. */
+  private def freshPhysical(logical: String): String =
+    s"c_${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}_$logical"
+
+  /** ALTER TABLE RENAME COLUMN as a pure metadata commit: the logical
+    * schema renames the field, the mapping points the new name at the
+    * OLD physical name, and no data file is touched — old files (and
+    * time travel to pre-rename versions) keep reading exactly as
+    * written. Partition columns cannot rename (their name is the dir
+    * layout); a name collision or a constraint referencing the old name
+    * fails loud. */
+  def renameColumn(root: String, oldName: String, newName: String): Long = {
+    require(oldName.trim.nonEmpty && newName.trim.nonEmpty,
+      "renameColumn: both names required")
+    val snap = snapshot(root)
+    val st = replayState(root, snap.version)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val field = schema.fields.find(_.name == oldName).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft_table $root: no column '$oldName' to rename " +
+          s"(schema: ${schema.fieldNames.mkString(", ")})"))
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"graft_table $root: rename target '$newName' collides with an " +
+        "existing column")
+    require(!st.partitionBy.contains(oldName),
+      s"graft_table $root: '$oldName' is a partition column — its name IS " +
+        "the directory layout; relayout via overwrite instead")
+    st.constraints.find(_._2.toLowerCase.contains(oldName.toLowerCase))
+      .foreach { case (n, e) => throw new IllegalArgumentException(
+        s"graft_table $root: constraint '$n' ($e) references '$oldName' — " +
+          "drop it first, re-add against the new name") }
+    // activate a TOTAL mapping if this is the first rename
+    val baseMap =
+      if (st.colMap.nonEmpty) st.colMap.toMap
+      else schema.fieldNames.map(n => n -> n).toMap
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val newMap = (baseMap - oldName) + (newName -> baseMap(oldName))
+    commit(root, snap.version,
+      Seq(metaAction(newSchema.toDDL, st.partitionBy, newMap)))
+  }
+
+  /** ALTER TABLE DROP COLUMN as a pure metadata commit: the field leaves
+    * the logical schema and mapping; old files keep the physical column
+    * (readers just never project it) until a rewrite naturally sheds it.
+    * Partition columns and constraint-referenced columns fail loud. */
+  def dropColumn(root: String, name: String): Long = {
+    val snap = snapshot(root)
+    val st = replayState(root, snap.version)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    require(schema.fieldNames.contains(name),
+      s"graft_table $root: no column '$name' to drop " +
+        s"(schema: ${schema.fieldNames.mkString(", ")})")
+    require(schema.fields.length > 1,
+      s"graft_table $root: cannot drop the last column")
+    require(!st.partitionBy.contains(name),
+      s"graft_table $root: '$name' is a partition column — relayout via " +
+        "overwrite instead")
+    st.constraints.find(_._2.toLowerCase.contains(name.toLowerCase))
+      .foreach { case (n, e) => throw new IllegalArgumentException(
+        s"graft_table $root: constraint '$n' ($e) references '$name' — " +
+          "drop the constraint first") }
+    val baseMap =
+      if (st.colMap.nonEmpty) st.colMap.toMap
+      else schema.fieldNames.map(n => n -> n).toMap
+    val newSchema = StructType(schema.fields.filterNot(_.name == name))
+    commit(root, snap.version,
+      Seq(metaAction(newSchema.toDDL, st.partitionBy, baseMap - name)))
   }
   private def addAction(path: String, numRecords: Long,
       dataChange: Boolean = true,
@@ -882,14 +1040,20 @@ object GraftTable {
     // as writeEvolve — the conformed rows were computed against a stale
     // shape).
     val snap0 = latestVersion(root).map(_ => snapshot(root))
-    val pb = partitioning(root) // micro-batches inherit the table layout
-    val (out, metaDdl) = snap0 match {
-      case Some(sn) if evolve =>
+    val st0 = snap0.map(sn => replayState(root, sn.version))
+    val pb = st0.fold(Seq.empty[String])(_.partitionBy) // inherit layout
+    val (out, metaDdl, mapNew) = (snap0, st0) match {
+      case (Some(sn), Some(st)) if evolve =>
         val (conformed, union, newCols) = conformEvolved(spark, df, sn, root)
-        (conformed, if (newCols.nonEmpty) Some(union.toDDL) else None)
-      case _ => (df, None)
+        val m: Map[String, String] =
+          if (st.colMap.isEmpty) Map.empty
+          else st.colMap.toMap ++
+            newCols.map(f => f.name -> freshPhysical(f.name))
+        (conformed, if (newCols.nonEmpty) Some(union.toDDL) else None, m)
+      case _ =>
+        (df, None, st0.fold(Map.empty[String, String])(_.colMap.toMap))
     }
-    val adds = stageDataFiles(out, root, partitionBy = pb)
+    val adds = stageDataFiles(toPhysical(out, mapNew), root, partitionBy = pb)
     var attempt = 0
     while (true) {
       val cur = latestVersion(root)
@@ -903,7 +1067,7 @@ object GraftTable {
         }
       else snap.foreach(requireSchemaMatch(out, _, root))
       val actions = txnAction(appId, batchId) +:
-        (metaDdl.map(d => metaAction(d, pb)).toSeq ++
+        (metaDdl.map(d => metaAction(d, pb, mapNew)).toSeq ++
           (if (snap.isDefined) adds else metaAction(out.schema.toDDL) +: adds))
       enforceConstraints(spark, root, adds, cur.getOrElse(0L),
         s"streaming batch $batchId")
@@ -1319,7 +1483,14 @@ object GraftTable {
         tablePb
       case _ => partitionBy
     }
-    val adds = stageDataFiles(df, root, partitionBy = effPb)
+    // appends into a column-mapped table stage under PHYSICAL names;
+    // overwrite re-declares meta WITHOUT a mapping (all data replaced —
+    // the fresh files carry logical names, identity resumes)
+    val stageDf =
+      if (mode == "append" && latestVersion(root).isDefined)
+        toPhysical(df, replayState(root, latestVersion(root).get).colMap)
+      else df
+    val adds = stageDataFiles(stageDf, root, partitionBy = effPb)
     var attempt = 0
     while (true) {
       val cur = latestVersion(root)
@@ -1368,13 +1539,22 @@ object GraftTable {
       maxRetries: Int = 10): Long = {
     if (latestVersion(root).isEmpty) return write(spark, df, root, "append")
     val snap = snapshot(root)
-    val pb = partitioning(root)
+    val st0 = replayState(root, snap.version)
+    val pb = st0.partitionBy
     val (conformed, union, newCols) = conformEvolved(spark, df, snap, root)
-    val adds = stageDataFiles(conformed, root, partitionBy = pb)
-    val actions = // the widening meta re-declares the layout: meta
-      // REPLACES partitionBy on replay, so dropping it here would
-      // silently departition the table
-      if (newCols.nonEmpty) metaAction(union.toDDL, pb) +: adds else adds
+    // on a column-mapped table, genuinely-new columns get FRESH physical
+    // names (a dropped column's old physical data may still live in old
+    // files under the plain name — re-using it would resurrect it)
+    val mapNew: Map[String, String] =
+      if (st0.colMap.isEmpty) Map.empty
+      else st0.colMap.toMap ++ newCols.map(f => f.name -> freshPhysical(f.name))
+    val adds = stageDataFiles(toPhysical(conformed, mapNew), root,
+      partitionBy = pb)
+    val actions = // the widening meta re-declares the layout AND mapping:
+      // meta REPLACES both on replay, so dropping either here would
+      // silently departition/unmap the table
+      if (newCols.nonEmpty) metaAction(union.toDDL, pb, mapNew) +: adds
+      else adds
     var attempt = 0
     while (true) {
       val cur = latestVersion(root).getOrElse(0L)
@@ -1560,15 +1740,17 @@ object GraftTable {
     // vectors, only new rows are staged, no file is removed or rewritten
     val mor = dvEnabled(state) && touchedRel.nonEmpty
     val adds =
-      if (mor) morData.map(stageDataFiles(_, root,
-        partitionBy = state.partitionBy)).getOrElse(Nil)
-      else stageDataFiles(cowData, root, partitionBy = state.partitionBy)
+      if (mor) morData.map(d => stageDataFiles(toPhysical(d, state.colMap),
+        root, partitionBy = state.partitionBy)).getOrElse(Nil)
+      else stageDataFiles(toPhysical(cowData, state.colMap), root,
+        partitionBy = state.partitionBy)
     enforceConstraints(spark, root, adds, snap.version, s"merge ($how)")
     val dvActs = if (!mor) Nil else stageDvFiles(spark, root, state,
       victims.select(col("__f"), col("__i")), touchedRel)
     val removes = if (mor) Nil else touchedRel.map(removeAction)
     val cdc = if (!changeFeedEnabled(state)) Nil
-      else cdcDf.toSeq.flatMap(stageCdcFiles(_, root))
+      else cdcDf.toSeq.flatMap(d =>
+        stageCdcFiles(toPhysical(d, state.colMap), root))
     commitDml(root, snap.version,
       txn.map(t => txnAction(t._1, t._2)).toSeq ++
         removes ++ adds ++ dvActs ++ cdc,
@@ -1703,10 +1885,22 @@ object GraftTable {
     * wraps the string lazily (SqlExpression) and only analysis unwraps
     * it, so the AST never reaches a Column-level inspection. */
   private def pruneByStats(logSt: LogState, files: Seq[String],
-      predicate: String): Seq[String] =
-    pruneByExprs(logSt.fileStats.get _, files,
+      predicate: String): Seq[String] = {
+    // stats are keyed by PHYSICAL column names; the predicate speaks
+    // logical — rewrite the stats lookup through the mapping
+    val statsOf: String => Option[com.fasterxml.jackson.databind.JsonNode] =
+      if (logSt.colMap.isEmpty) logSt.fileStats.get _
+      else f => logSt.fileStats.get(f).map { s =>
+        val renamed = json.createObjectNode()
+        logSt.colMap.foreach { case (logical, phys) =>
+          Option(s.get(phys)).foreach(renamed.set[ObjectNode](logical, _))
+        }
+        renamed
+      }
+    pruneByExprs(statsOf, files,
       Seq(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
         .parseExpression(predicate)))
+  }
 
   /** Test/ops visibility into the probe's log-stats pruning: (candidate
     * files the predicate could match, all live files). Same contract as
@@ -1789,9 +1983,9 @@ object GraftTable {
     val mor = dvEnabled(state) && partial.nonEmpty
     val adds =
       if (partial.isEmpty || mor) Nil
-      else stageDataFiles(
+      else stageDataFiles(toPhysical(
         live(partial).where(!coalesce(pred, lit(false))).select(dataCols: _*),
-        root, partitionBy = state.partitionBy)
+        state.colMap), root, partitionBy = state.partitionBy)
     val dvActs = if (!mor) Nil else stageDvFiles(spark, root, state,
       live(partial).where(pred).select(col("__f"), col("__i")), partial)
     val removes = (if (mor) fullMatch else fullMatch ++ partial).sorted
@@ -1799,8 +1993,9 @@ object GraftTable {
     // commit as `cdf/` sidecars — one extra pushdown-pruned scan of the
     // touched subset only
     val cdc = if (!changeFeedEnabled(state)) Nil else stageCdcFiles(
-      live(fullMatch ++ partial).where(pred)
-        .select(dataCols: _*).withColumn("_change_type", lit("delete")), root)
+      toPhysical(live(fullMatch ++ partial).where(pred)
+        .select(dataCols: _*).withColumn("_change_type", lit("delete")),
+        state.colMap), root)
     val touched = (fullMatch ++ partial).distinct
     commitDml(root, snap.version,
       txn.map(t => txnAction(t._1, t._2)).toSeq ++
@@ -1857,8 +2052,8 @@ object GraftTable {
     val (removes, adds, dvActs) =
       if (mor) {
         val hit = live.where(pred)
-        val adds = stageDataFiles(applyAssign(hit), root,
-          partitionBy = state.partitionBy)
+        val adds = stageDataFiles(toPhysical(applyAssign(hit), state.colMap),
+          root, partitionBy = state.partitionBy)
         (Nil, adds, stageDvFiles(spark, root, state,
           hit.select(col("__f"), col("__i")), touched))
       } else {
@@ -1870,7 +2065,8 @@ object GraftTable {
           }
         }: _*)
         (touched.map(removeAction),
-          stageDataFiles(rewritten, root, partitionBy = state.partitionBy),
+          stageDataFiles(toPhysical(rewritten, state.colMap), root,
+            partitionBy = state.partitionBy),
           Nil)
       }
     enforceConstraints(spark, root, adds, snap.version, "updateWhere")
@@ -1882,7 +2078,7 @@ object GraftTable {
       val pre = hit.withColumn("_change_type", lit("update_preimage"))
       val post = applyAssign(hit)
         .withColumn("_change_type", lit("update_postimage"))
-      stageCdcFiles(pre.unionByName(post), root)
+      stageCdcFiles(toPhysical(pre.unionByName(post), state.colMap), root)
     }
     commitDml(root, snap.version,
       txn.map(t => txnAction(t._1, t._2)).toSeq ++
@@ -1947,8 +2143,11 @@ object GraftTable {
       }
     }
     val meta = if (tgt.schemaDdl != cur.schemaDdl ||
-        tgtState.partitionBy != curPb)
-      Seq(metaAction(tgt.schemaDdl, tgtState.partitionBy)) else Nil
+        tgtState.partitionBy != curPb ||
+        tgtState.colMap != curState.colMap)
+      Seq(metaAction(tgt.schemaDdl, tgtState.partitionBy,
+        tgtState.colMap.toMap))
+    else Nil
     if (removes.isEmpty && adds.isEmpty && meta.isEmpty && dvFixes.isEmpty)
       return cur.version
     commit(root, cur.version, meta ++ removes ++ adds ++ dvFixes)
@@ -2017,11 +2216,14 @@ object GraftTable {
     require(name.trim.nonEmpty && check.trim.nonEmpty,
       "addConstraint: name and check predicate are both required")
     val snap = snapshot(root)
-    val existing = replayState(root, snap.version).constraints
+    val st = replayState(root, snap.version)
+    val existing = st.constraints
     require(!existing.contains(name),
       s"graft_table $root: constraint '$name' already exists " +
         s"(${existing(name)}) — drop it first to redefine")
-    violationProbe(spark, root, snap.files, snap.schemaDdl, name, check)
+    violationProbe(spark, root, snap.files,
+      physicalSchema(st, StructType.fromDDL(snap.schemaDdl)).toDDL,
+      name, check, logOf = st.colMap.map(_.swap).toMap)
       .foreach { bad =>
         throw new IllegalArgumentException(
           s"graft_table $root: cannot add CHECK constraint '$name' " +
@@ -2254,10 +2456,13 @@ object GraftTable {
   private def livePosScan(spark: SparkSession, root: String,
       state: LogState, relFiles: Seq[String],
       schema: StructType): DataFrame = {
-    val base = spark.read.schema(schema)
+    // files carry PHYSICAL names; the DML logic downstream speaks the
+    // logical schema — scan physical, attach positions, rename
+    val base0 = spark.read.schema(physicalSchema(state, schema))
       .parquet(relFiles.map(f => Paths.get(root).resolve(f).toString): _*)
       .withColumn("__f", fileNameCol)
       .withColumn("__i", col("_metadata.row_index"))
+    val base = toLogical(base0, state, schema)
     if (!relFiles.exists(state.dvs.contains)) base
     else dvVectorsInline(spark, root, state, relFiles) match {
       case Some(vecs) =>
@@ -2349,9 +2554,10 @@ object GraftTable {
     if (cons.isEmpty) return Map.empty
     if (snap.files.isEmpty) return cons.map { case (k, _) => k -> 0L }
     val schema = StructType.fromDDL(snap.schemaDdl)
-    val df = dvFilter(spark, root, state, snap.files,
-      spark.read.schema(schema)
-        .parquet(snap.files.map(f => Paths.get(root).resolve(f).toString): _*))
+    val df = toLogical(dvFilter(spark, root, state, snap.files,
+      spark.read.schema(physicalSchema(state, schema))
+        .parquet(snap.files.map(f => Paths.get(root).resolve(f).toString): _*)),
+      state, schema)
     val aggs = cons.toSeq.map { case (name, e) =>
       count_if(!coalesce(expr(e).cast("boolean"), lit(true))).as(name)
     }
@@ -2364,11 +2570,16 @@ object GraftTable {
     * row-group stats prune inside files). None = clean. */
   private def violationProbe(spark: SparkSession, root: String,
       files: Seq[String], schemaDdl: String, name: String,
-      check: String): Option[Row] = {
+      check: String, logOf: Map[String, String] = Map.empty): Option[Row] = {
     if (files.isEmpty) return None
     val schema = StructType.fromDDL(schemaDdl)
-    val df = spark.read.schema(schema)
+    val raw = spark.read.schema(schema)
       .parquet(files.map(f => Paths.get(root).resolve(f).toString): _*)
+    // column-mapped files carry physical names; the CHECK expression
+    // speaks logical — rename before probing
+    val df = if (logOf.isEmpty) raw
+      else raw.select(raw.columns.toSeq.map(c =>
+        col(c).as(logOf.getOrElse(c, c))): _*)
     val pred = try !coalesce(expr(check).cast("boolean"), lit(true))
     catch { case e: Exception => throw new IllegalArgumentException(
       s"graft_table $root: CHECK constraint '$name' ($check) does not " +
@@ -2391,20 +2602,24 @@ object GraftTable {
   private def enforceConstraints(spark: SparkSession, root: String,
       adds: Seq[ObjectNode], atVersion: Long, ctx: String): Unit = {
     if (adds.isEmpty || atVersion < 1) return
-    val cons = replayState(root, atVersion).constraints
+    val st = replayState(root, atVersion)
+    val cons = st.constraints
     if (cons.isEmpty) return
     val files = adds.map(_.get("add").get("path").asText())
     // the staged files' OWN schema (self-describing; an evolving write's
-    // files already carry the widened shape)
+    // files already carry the widened shape — in PHYSICAL names on a
+    // mapped table, renamed to logical for the CHECK expressions)
     val schemaDdl = spark.read
       .parquet(files.map(f => Paths.get(root).resolve(f).toString): _*)
       .schema.toDDL
+    val logOf = st.colMap.map(_.swap).toMap
     cons.foreach { case (name, check) =>
-      violationProbe(spark, root, files, schemaDdl, name, check).foreach {
-        bad => throw new IllegalArgumentException(
-          s"graft_table $root: $ctx rejected — CHECK constraint '$name' " +
-            s"($check) violated, e.g. $bad")
-      }
+      violationProbe(spark, root, files, schemaDdl, name, check, logOf)
+        .foreach {
+          bad => throw new IllegalArgumentException(
+            s"graft_table $root: $ctx rejected — CHECK constraint '$name' " +
+              s"($check) violated, e.g. $bad")
+        }
     }
   }
 
@@ -2422,7 +2637,8 @@ object GraftTable {
     * Without zorder the pack is a shuffle-free coalesce read of the old
     * files; with it, one range shuffle on the Morton key. */
   def optimize(spark: SparkSession, root: String, targetFiles: Int,
-      zorderBy: Seq[String] = Nil, zorderBits: Int = 12): Long = {
+      zorderBy: Seq[String] = Nil, zorderBits: Int = 12,
+      partitions: Seq[Map[String, String]] = Nil): Long = {
     require(targetFiles > 0, s"optimize: targetFiles must be > 0, got $targetFiles")
     require(zorderBy.isEmpty || zorderBy.length == 2,
       s"optimize: zorderBy needs exactly two columns, got ${zorderBy.mkString(",")}")
@@ -2431,20 +2647,39 @@ object GraftTable {
     val schema = StructType.fromDDL(snap.schemaDdl)
     val state = replayState(root, snap.version)
     fireRaceHook()
+    val pb = partitioning(root, Some(snap.version))
+    // partition-scoped compaction: rewrite ONLY the named partitions'
+    // files — at 100 TB, OPTIMIZE is a rolling per-partition pass, never
+    // a whole-table rewrite. Values name partition columns (subset ok);
+    // a file is in scope iff its logged values match some entry.
+    require(partitions.isEmpty || pb.nonEmpty,
+      s"optimize: `partitions` scope on an unpartitioned table")
+    partitions.flatMap(_.keys).distinct.foreach(c => require(pb.contains(c),
+      s"optimize: '$c' is not a partition column ([${pb.mkString(",")}])"))
+    val victims =
+      if (partitions.isEmpty) snap.files
+      else snap.files.filter { f =>
+        val pv = state.filePartVals.getOrElse(f, Map.empty[String, String])
+        partitions.exists(_.forall { case (c, v) => pv.get(c).contains(v) })
+      }
+    if (victims.isEmpty) return snap.version // no such partition: no-op
     // DV-aware input: compaction MATERIALIZES deletion vectors — rows a
     // vector marks dead don't survive into the new layout, and the
     // removes below drop the vectors themselves. Still dataChange=false:
     // the live row set is bit-identical before and after.
-    val base = dvFilter(spark, root, state, snap.files,
-      spark.read.schema(schema)
-        .parquet(snap.files.map(f => Paths.get(root).resolve(f).toString): _*))
-    val pb = partitioning(root, Some(snap.version))
+    // scan under PHYSICAL names and stage the rewrite the same way — a
+    // layout pass never needs the logical rename roundtrip (partition
+    // columns never map, so the dir layout is untouched)
+    val base = dvFilter(spark, root, state, victims,
+      spark.read.schema(physicalSchema(state, schema))
+        .parquet(victims.map(f => Paths.get(root).resolve(f).toString): _*))
     require(pb.isEmpty || zorderBy.isEmpty,
       s"optimize: z-order within a partitioned layout " +
         s"([${pb.mkString(",")}]) is not supported — bin-pack preserves " +
         "the partition dirs; drop the partitioning (overwrite) to z-order")
     val laid = zorderBy match {
-      case Seq(x, y) => graft.ext.ZOrder.zLayout(base, x, y, zorderBits,
+      case Seq(x, y) => graft.ext.ZOrder.zLayout(base,
+        physOf(state, x), physOf(state, y), zorderBits,
         parts = Some(targetFiles))
       case _ if pb.isEmpty => base.coalesce(targetFiles)
       case _ => // partitioned bin-pack: hash the partition columns into
@@ -2461,8 +2696,8 @@ object GraftTable {
     // new files simply stay live beside the compacted ones (the
     // streaming-ingest + background-OPTIMIZE composition); concurrent
     // DML on any compacted file still aborts via the dependency set
-    commitDml(root, snap.version, snap.files.map(removeAction) ++ adds,
-      depFiles = snap.files.toSet, AddsNeverConflict, pb, "optimize")
+    commitDml(root, snap.version, victims.map(removeAction) ++ adds,
+      depFiles = victims.toSet, AddsNeverConflict, pb, "optimize")
   }
 
   /** DESCRIBE DETAIL parity: one-row table summary from log metadata
@@ -2493,15 +2728,49 @@ object GraftTable {
     * OPTIMIZE version, or None when the layout is already healthy. */
   def autoCompact(spark: SparkSession, root: String,
       smallBytes: Long = 32L * 1024 * 1024, minSmall: Int = 8,
-      targetBytes: Long = 256L * 1024 * 1024): Option[Long] = {
+      targetBytes: Long = 256L * 1024 * 1024,
+      deadRowFraction: Double = 0.2): Option[Long] = {
+    require(deadRowFraction > 0 && deadRowFraction <= 1,
+      s"autoCompact: deadRowFraction in (0, 1], got $deadRowFraction")
     val latest = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"not a graft_table: $root"))
     val st = replayState(root, latest)
-    val sizes = st.files.toSeq.map(f => st.fileSizes.getOrElse(f, 0L))
-    val small = sizes.count(_ < smallBytes)
-    if (small < minSmall) return None
-    val target = math.max(1, math.ceil(sizes.sum.toDouble / targetBytes).toInt)
-    Some(optimize(spark, root, target))
+    // two triggers, both decided from log metadata alone (zero IO when
+    // the answer is "no"): small-file sprawl (streaming ingest), and
+    // dead-row fraction (merge-on-read DML accumulating vectors — the
+    // self-heal that keeps a heavily-deleted partition from paying its
+    // vector filter forever; the cardinalities ride the dv actions).
+    def smallCount(files: Seq[String]): Int =
+      files.count(f => st.fileSizes.getOrElse(f, 0L) < smallBytes)
+    def deadFrac(files: Seq[String]): Double = {
+      val rows = files.iterator.map(f => st.fileCounts.getOrElse(f, 0L)).sum
+      if (rows == 0) 0.0
+      else files.iterator.map(f =>
+        st.dvs.get(f).map(_._2).getOrElse(0L)).sum.toDouble / rows
+    }
+    def needsWork(files: Seq[String]): Boolean =
+      smallCount(files) >= minSmall || deadFrac(files) >= deadRowFraction
+    def targetOf(files: Seq[String]): Int = math.max(1, math.ceil(
+      files.iterator.map(f => st.fileSizes.getOrElse(f, 0L)).sum.toDouble /
+        targetBytes).toInt)
+    if (st.partitionBy.isEmpty) {
+      val files = st.files.toSeq
+      if (!needsWork(files)) None
+      else Some(optimize(spark, root, targetOf(files)))
+    } else {
+      // per-partition triage: only partitions past a threshold compact —
+      // the others' files are untouched (partition-scoped OPTIMIZE), so
+      // a table with one hot partition never rewrites the cold ones
+      val pb = st.partitionBy
+      val byPart = st.files.toSeq
+        .filter(f => st.filePartVals.get(f).exists(pv => pb.forall(pv.contains)))
+        .groupBy(f => pb.map(c => c -> st.filePartVals(f)(c)).toMap)
+      val triggered = byPart.filter { case (_, files) => needsWork(files) }
+      if (triggered.isEmpty) None
+      else Some(optimize(spark, root,
+        targetOf(triggered.values.flatten.toSeq),
+        partitions = triggered.keys.toSeq))
+    }
   }
 
   /** Reclaim data files no log version references and dead staging/tmp

@@ -74,6 +74,13 @@ object GraftTableStreamSource {
     * fails at stream construction with the column named. */
   private[tables] def streamSchema(root: String,
       withImages: Boolean = false): StructType = {
+    // column-mapped tables (post rename/drop) carry PHYSICAL names in
+    // their files, which this footer-driven reader does not translate —
+    // fail loud at construction rather than deliver mis-named columns
+    require(GraftTable.columnMapping(root).isEmpty,
+      s"graft_table stream source: $root uses column mapping (a column " +
+        "was renamed/dropped) — the streaming reader does not translate " +
+        "physical names yet; consume snapshots or the batch change feed")
     val base = StructType.fromDDL(GraftTable.snapshot(root).schemaDdl)
     base.fields.foreach { f =>
       require(supported(f.dataType),

@@ -111,6 +111,96 @@ object MaterializedView {
     aggs.filter(_.fn == "approx_distinct").foldLeft(mv)((df, a) =>
       df.withColumn(a.out, expr(s"hll_sketch_estimate(`${a.out}`)")))
 
+  /** The signed contribution of one classified change row: +1 for
+    * insert/update_postimage, -1 for delete/update_preimage. */
+  private def signOf: Column =
+    when(col("_change_type").isin("insert", "update_postimage"),
+      lit(1L)).otherwise(lit(-1L))
+
+  /** Merge a SIGNED change delta (rows carrying `__w` = ±1) into the
+    * existing MV as ONE atomic commit: count := Σw, count(e) := Σw over
+    * non-null e, sum(e) := Σ(e·w), merged into only the touched groups;
+    * groups whose row count reaches 0 are deleted in the same commit
+    * (merge's deleteKeys) and a sum whose companion count hits 0 reverts
+    * to NULL (SQL SUM over no non-null rows). Shared by the batch
+    * retraction refresh and the streaming CDF consumer — the arithmetic
+    * is identical, only the delta's source differs. */
+  private def mergeSignedDelta(mv: String,
+      keys: Seq[String], aggs: Seq[AggSpec], delta: DataFrame,
+      txn: (String, Long)): Long = {
+    val rowCountOut = aggs.find(a => a.fn == "count" && isStar(a.expr)).get.out
+    val deltaAgg = delta.groupBy(keys.map(col): _*).agg(
+      retractionAggCols(aggs).head, retractionAggCols(aggs).tail: _*)
+    val mvDdl = GraftTable.snapshot(mv).schemaDdl
+    val s = delta.sparkSession
+    val oldTouched = GraftTable.read(s, mv)
+      .join(deltaAgg.select(keys.map(col): _*), keys, "left_semi")
+    val merged = oldTouched.unionByName(conformTo(deltaAgg, mvDdl))
+      .groupBy(keys.map(col): _*)
+      .agg(mergeCols(aggs).head, mergeCols(aggs).tail: _*)
+    val companions = sumCompanions(aggs)
+    val nullFixed = aggs.filter(_.fn == "sum").foldLeft(merged)((df, a) =>
+      df.withColumn(a.out,
+        when(col(companions(a.out)) === 0, lit(null)).otherwise(col(a.out))))
+    val combined = conformTo(nullFixed, mvDdl).cache()
+    try {
+      // dead-group deletes and the cursor-bearing upsert land as ONE
+      // merge commit (merge's deleteKeys) — a concurrent MV reader or a
+      // crash can never observe dead groups gone while touched groups
+      // still hold stale aggregates, and no interim version pollutes
+      // the MV's history/time travel
+      val dead = combined.where(col(rowCountOut) === 0)
+        .select(keys.map(col): _*)
+      GraftTable.merge(s, mv, combined.where(col(rowCountOut) > 0), keys,
+        txn = Some(txn), deleteKeys = Some(dead))
+    } finally combined.unpersist()
+  }
+
+  /** Apply ONE micro-batch of the streaming change feed (`withImages`
+    * rows: data columns + `_change_type` + `_commit_version`) to the MV
+    * — the direct-consumption alternative to per-version refresh calls:
+    * one stream, one signed merge per batch, cost O(|batch| + touched
+    * groups). Exactly-once rides the MV's own txn cursor (appId from the
+    * base path, batchId = the batch's high version): a replayed batch —
+    * same checkpoint or a fresh one — finds `lastTxn ≥ hi` and no-ops,
+    * and a batch straddling the cursor (fresh checkpoint mid-history)
+    * applies only its rows PAST the cursor. Requires retraction-capable
+    * aggs (count/sum with a count(*) and a same-expr count per sum) —
+    * min/max cannot un-see a retracted extreme. */
+  def applyChangeBatch(batch: DataFrame, base: String, mv: String,
+      keys: Seq[String], aggs: Seq[AggSpec]): Option[Long] = {
+    require(retractionCapable(aggs),
+      "streaming CDF materialized view: aggregates must be retraction-" +
+        "capable — count/sum only, with a count(*) row count and a " +
+        "same-expr count beside every sum (min/max/approx_distinct " +
+        "cannot un-see a retracted value; use per-version refresh)")
+    val s = batch.sparkSession
+    val hiRow = batch.agg(max(col("_commit_version"))).head()
+    if (hiRow.isNullAt(0)) return None // empty batch advances nothing
+    val hi = hiRow.getLong(0)
+    val appId = mvAppId(base)
+    val last = GraftTable.lastTxn(mv, appId)
+    if (last.exists(_ >= hi)) return None // replay (same or fresh checkpoint)
+    val fresh = last.fold(batch)(l =>
+      batch.where(col("_commit_version") > l))
+    val delta = fresh.withColumn("__w", signOf)
+    if (GraftTable.latestVersion(mv).isEmpty) {
+      // first materialization straight from the stream: the signed
+      // arithmetic over a from-zero batch IS the full aggregate (inserts
+      // all +1; cross-version retractions net out), dead groups dropped
+      val rowCountOut =
+        aggs.find(a => a.fn == "count" && isStar(a.expr)).get.out
+      val agg0 = delta.groupBy(keys.map(col): _*).agg(
+        retractionAggCols(aggs).head, retractionAggCols(aggs).tail: _*)
+      val companions = sumCompanions(aggs)
+      val nullFixed = aggs.filter(_.fn == "sum").foldLeft(agg0)((df, a) =>
+        df.withColumn(a.out,
+          when(col(companions(a.out)) === 0, lit(null)).otherwise(col(a.out))))
+      Some(GraftTable.write(s, nullFixed.where(col(rowCountOut) > 0),
+        mv, "overwrite", txn = Some(appId -> hi)))
+    } else Some(mergeSignedDelta(mv, keys, aggs, delta, appId -> hi))
+  }
+
   /** Aggregate-output TYPES drift across refreshes (a re-merged DECIMAL
     * sum widens its precision) — pin every refresh to the MV's logged
     * schema: same order, same types. Nullability is not pinned; the
@@ -181,36 +271,9 @@ object MaterializedView {
       // no non-null rows). Cost: O(|changes| + touched groups) — never
       // the base. min/max stay full-recompute: a retraction can expose a
       // second-place value no merge function can recover.
-      val rowCountOut = aggs.find(a => a.fn == "count" && isStar(a.expr)).get.out
-      val w = when(col("_change_type").isin("insert", "update_postimage"),
-        lit(1L)).otherwise(lit(-1L))
       val delta = GraftTable.changesWithImages(spark, base, from, Some(baseV))
-        .withColumn("__w", w)
-      val deltaAgg = delta.groupBy(keys.map(col): _*).agg(
-        retractionAggCols(aggs).head, retractionAggCols(aggs).tail: _*)
-      val mvDdl = GraftTable.snapshot(mv).schemaDdl
-      val oldTouched = GraftTable.read(spark, mv)
-        .join(deltaAgg.select(keys.map(col): _*), keys, "left_semi")
-      val merged = oldTouched.unionByName(conformTo(deltaAgg, mvDdl))
-        .groupBy(keys.map(col): _*)
-        .agg(mergeCols(aggs).head, mergeCols(aggs).tail: _*)
-      val companions = sumCompanions(aggs)
-      val nullFixed = aggs.filter(_.fn == "sum").foldLeft(merged)((df, a) =>
-        df.withColumn(a.out,
-          when(col(companions(a.out)) === 0, lit(null)).otherwise(col(a.out))))
-      val combined = conformTo(nullFixed, mvDdl).cache()
-      try {
-        // dead-group deletes and the cursor-bearing upsert land as ONE
-        // merge commit (merge's deleteKeys) — a concurrent MV reader or a
-        // crash can never observe dead groups gone while touched groups
-        // still hold stale aggregates, and no interim version pollutes
-        // the MV's history/time travel
-        val dead = combined.where(col(rowCountOut) === 0)
-          .select(keys.map(col): _*)
-        Some(GraftTable.merge(spark, mv,
-          combined.where(col(rowCountOut) > 0), keys,
-          txn = Some(appId -> baseV), deleteKeys = Some(dead)))
-      } finally combined.unpersist()
+        .withColumn("__w", signOf)
+      Some(mergeSignedDelta(mv, keys, aggs, delta, appId -> baseV))
     } else {
       // FULL: first materialization, or the base rewrote rows the feed
       // cannot retract — recompute from the snapshot the cursor names

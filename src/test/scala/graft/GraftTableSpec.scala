@@ -1508,6 +1508,110 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.rowCount(root) shouldBe expect.size.toLong
   }
 
+  test("column mapping: rename/drop are metadata commits — old files " +
+    "readable, time travel intact, DML + skipping + evolve compose, " +
+    "re-added name never resurrects dropped data") {
+    val root = freshRoot("colmap")
+    GraftTable.write(spark,
+      (1L to 100L).map(i => (i, i * 2.0, s"u$i")).toDF("id", "amount", "user"),
+      root, "overwrite")                                               // v1
+    val nFiles = Files.walk(Paths.get(root, "data")).iterator().asScala
+      .count(p => p.getFileName.toString.endsWith(".parquet"))
+    // RENAME is pure metadata: no data file written or replaced
+    GraftTable.renameColumn(root, "amount", "price")                   // v2
+    Files.walk(Paths.get(root, "data")).iterator().asScala
+      .count(p => p.getFileName.toString.endsWith(".parquet")) shouldBe nFiles
+    GraftTable.columnMapping(root) shouldBe Map(
+      "id" -> "id", "price" -> "amount", "user" -> "user")
+    // old files read under the NEW logical name
+    GraftTable.read(spark, root).where($"price" === 20.0)
+      .select($"id").as[Long].head() shouldBe 10L
+    // time travel to pre-rename keeps the OLD name
+    GraftTable.read(spark, root, Some(1L)).columns should contain("amount")
+    // rename collision / partition column / unknown column fail loud
+    intercept[IllegalArgumentException](
+      GraftTable.renameColumn(root, "user", "id"))
+    intercept[IllegalArgumentException](
+      GraftTable.renameColumn(root, "ghost", "x"))
+    // appends + merge + predicate DML against the renamed schema
+    GraftTable.write(spark,
+      Seq((101L, 999.0, "u101")).toDF("id", "price", "user"),
+      root, "append")                                                  // v3
+    GraftTable.merge(spark, root,
+      Seq((1L, 111.0, "u1")).toDF("id", "price", "user"), Seq("id"))   // v4
+    GraftTable.updateWhere(spark, root, "id = 2",
+      Map("price" -> "price + 0.5"))                                   // v5
+    GraftTable.deleteWhere(spark, root, "id = 3")                      // v6
+    val got = GraftTable.read(spark, root).where($"id" <= 3 || $"id" >= 100)
+      .orderBy($"id").as[(Long, Double, String)].collect()
+    got shouldBe Array((1L, 111.0, "u1"), (2L, 4.5, "u2"),
+      (100L, 200.0, "u100"), (101L, 999.0, "u101"))
+    // log-stats skipping answers under the logical name
+    GraftTable.columnRange(root, "price").map(_._2.toString.toDouble)
+      .get shouldBe 999.0
+    val (cand, all) = GraftTable.filesInRange(root, "price", 990.0, 1000.0)
+    cand.size should be < all.size
+    // type conflict on evolve still fails (rename does not launder types)
+    (the[IllegalArgumentException] thrownBy GraftTable.writeEvolve(spark,
+      Seq((102L, "oops", "u")).toDF("id", "price", "user"), root))
+      .getMessage should include("type conflict")
+    // DROP then re-add the same logical name: fresh physical — the old
+    // column's bytes in old files can never resurrect
+    GraftTable.dropColumn(root, "user")                                // v7
+    GraftTable.read(spark, root).columns shouldBe Array("id", "price")
+    GraftTable.writeEvolve(spark,
+      Seq((200L, 5.0, "NEW")).toDF("id", "price", "user"), root)       // v8
+    val back = GraftTable.read(spark, root)
+      .where($"id" === 1L || $"id" === 200L)
+      .orderBy($"id").select($"user").as[String].collect()
+    back shouldBe Array(null, "NEW") // old rows NULL, never old "u1"
+    // checkpoint carries the mapping at reader floor 3; replay through
+    // it (history truncated) keeps reading correctly
+    GraftTable.checkpoint(root)
+    GraftTable.truncateHistory(root, GraftTable.latestVersion(root).get)
+    GraftTable.read(spark, root).where($"id" === 200L)
+      .select($"user").as[String].head() shouldBe "NEW"
+    // constraints referencing a column block its rename/drop
+    GraftTable.addConstraint(spark, root, "pos", "price >= 0")
+    intercept[IllegalArgumentException](
+      GraftTable.renameColumn(root, "price", "cost"))
+    intercept[IllegalArgumentException](GraftTable.dropColumn(root, "price"))
+    // and the constraint still ENFORCES against mapped staged files
+    intercept[IllegalArgumentException](GraftTable.write(spark,
+      Seq((300L, -1.0, "bad")).toDF("id", "price", "user"), root, "append"))
+  }
+
+  test("partition-aware autoCompact: a partition past the dead-row " +
+    "threshold self-heals (vectors materialized away), cold partitions' " +
+    "files untouched, time travel intact") {
+    val root = freshRoot("autocompact_dv")
+    val df = (1L to 1000L).map(i => (if (i <= 500) "hot" else "cold", i, i * 1.0))
+      .toDF("p", "k", "v")
+    GraftTable.write(spark, df, root, "overwrite", partitionBy = Seq("p")) // v1
+    GraftTable.setProperty(root, "deletionVectors", Some("true"))          // v2
+    // kill 60% of the hot partition via merge-on-read (no rewrite yet)
+    GraftTable.deleteWhere(spark, root, "p = 'hot' AND k % 5 < 3")         // v3
+    val st = GraftTable.snapshot(root)
+    val coldBefore = st.files.filter(_.contains("p=cold")).sorted
+    // below the small-file bar, above the dead-row bar → compacts hot only
+    GraftTable.autoCompact(spark, root, minSmall = 999,
+      deadRowFraction = 0.2) shouldBe Some(4L)
+    val after = GraftTable.snapshot(root)
+    after.files.filter(_.contains("p=cold")).sorted shouldBe coldBefore
+    after.files.filter(_.contains("p=hot")) should not be
+      st.files.filter(_.contains("p=hot"))
+    // vectors materialized away: the hot partition reads with no dv filter
+    GraftTable.read(spark, root).where($"p" === "hot").count() shouldBe 200L
+    GraftTable.read(spark, root).count() shouldBe 700L
+    GraftTable.rowCount(root) shouldBe 700L
+    // healthy layout now: a second pass is a no-op
+    GraftTable.autoCompact(spark, root, minSmall = 999,
+      deadRowFraction = 0.2) shouldBe None
+    // time travel to the pre-compaction DV state still answers exactly
+    GraftTable.read(spark, root, Some(3L)).count() shouldBe 700L
+    GraftTable.read(spark, root, Some(1L)).count() shouldBe 1000L
+  }
+
   test("checkpoint reader-version gate: a checkpoint declaring a newer " +
     "minReader fails loud instead of silently dropping state") {
     val root = freshRoot("ckpt_reader")
