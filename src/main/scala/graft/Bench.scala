@@ -168,8 +168,44 @@ object Bench {
     // Calibrated clean ≈ 30-43 GB/s on this host; a one-shot reading
     // dipped to 4 GB/s from a mid-probe pause, hence the retries.
     def probeMembw(): Double = (1 to 3).map(_ => membwOnce()).max
-    membwOnce() // JIT + page-in the arrays off the measured path
+    // RANDOM-STRIDE twin (round-19 probe validation): under a synthetic
+    // 24-thread random-write load the SEQUENTIAL probe read 57-76% of
+    // idle — inside the "healthy" band — while a random 64B-granular
+    // probe collapsed to 37-40% (and at 30 load threads: 25% vs 18%).
+    // That is exactly round 18's unexplained episode: verify_force 4.8x
+    // slow while the streaming probe read 45 GB/s. Shuffle build sides
+    // access memory randomly, so the random probe is the instrument
+    // that actually sees their weather. Calibrated clean ≈ 25-27 GB/s
+    // on this host (3 idle runs); check_floors treats < 10 GB/s
+    // (<40% of clean) as the episode signature.
+    def membwRandOnce(): Double = {
+      val accesses = 4 << 20 // per thread; 64B cache lines counted
+      val sink = new java.util.concurrent.atomic.LongAdder
+      val t0 = System.nanoTime()
+      val ts = membwArrays.zipWithIndex.map { case (a, t) =>
+        val th = new Thread(() => {
+          var s = 0L
+          var x = 0x9E3779B97F4A7C15L * (t + 1)
+          val mask = a.length - 1
+          var i = 0
+          while (i < accesses) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+            s += a((x & mask).toInt)
+            i += 1
+          }
+          sink.add(s)
+        })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (sink.sum() == 42L) System.err.print("") // keep loads live
+      membwThreads.toLong * accesses * 64L / dt / 1e9
+    }
+    def probeMembwRand(): Double = (1 to 3).map(_ => membwRandOnce()).max
+    membwOnce(); membwRandOnce() // JIT + page-in off the measured path
     val runMembw0 = probeMembw()
+    val runMembwRand0 = probeMembwRand()
     def gbpsStr(v: Double) =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val runSteal0 = stealTicks()
@@ -199,6 +235,7 @@ object Bench {
       if (dt >= 5.0) {
         graft.core.Attribution.record("probe_mops", probeMops())
         graft.core.Attribution.record("membw_gbps", probeMembw())
+        graft.core.Attribution.record("membw_rand_gbps", probeMembwRand())
       }
       val attr = graft.core.Attribution.snapshotJson()
       if (attr.nonEmpty) attributions(name) = attr
@@ -251,11 +288,13 @@ object Bench {
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val probePre = probeMops() // parent-side, warm JIT: brackets the child
       val membwPre = probeMembw()
+      val membwRandPre = probeMembwRand()
       val p = pb.start()
       val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
       val rc = p.waitFor()
       val probePost = probeMops()
       val membwPost = probeMembw()
+      val membwRandPost = probeMembwRand()
       val re = ("\"" + java.util.regex.Pattern.quote(name) +
         "\":(-?[0-9][0-9.eE+-]*)").r
       val secs = out.reverseIterator
@@ -281,7 +320,9 @@ object Bench {
           s""","probe_mops_pre":${mopsStr(probePre)}""" +
           s""","probe_mops_post":${mopsStr(probePost)}""" +
           s""","membw_pre":${gbpsStr(membwPre)}""" +
-          s""","membw_post":${gbpsStr(membwPost)}}"""
+          s""","membw_post":${gbpsStr(membwPost)}""" +
+          s""","membw_rand_pre":${gbpsStr(membwRandPre)}""" +
+          s""","membw_rand_post":${gbpsStr(membwRandPost)}}"""
       }
       if (rc != 0 || secs < 0)
         System.err.println(s"[bench] forked $name: exit=$rc, parsed=$secs")
@@ -385,7 +426,7 @@ object Bench {
     // no matter what heap the launcher handed us.
     // membw on the gate line: [start, end] GB/s — a bench whose end
     // reading collapsed relative to start ran into a bandwidth episode
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.count(_._2 < 0)},"sf":"$sfDir","heap_gb":$heapGb,"steal_sec":$runSteal,"probe_mops_start":${mopsStr(runProbe0)},"probe_mops_end":${mopsStr(probeEnd)},"membw_gbps":[${gbpsStr(runMembw0)},${gbpsStr(probeMembw())}]}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.count(_._2 < 0)},"sf":"$sfDir","heap_gb":$heapGb,"steal_sec":$runSteal,"probe_mops_start":${mopsStr(runProbe0)},"probe_mops_end":${mopsStr(probeEnd)},"membw_gbps":[${gbpsStr(runMembw0)},${gbpsStr(probeMembw())}],"membw_rand_gbps":[${gbpsStr(runMembwRand0)},${gbpsStr(probeMembwRand())}]}""")
     spark.stop()
   }
 }

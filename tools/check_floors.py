@@ -73,7 +73,23 @@ def main() -> int:
     membw_readings = [float(v) for v in
                       re.findall(r'"membw(?:_gbps|_pre|_post|_start|_end)?"'
                                  r':([0-9][0-9.eE+-]*)', text)]
-    membw_readings += [v for k, v in gate.items() if k.startswith("membw")]
+    membw_readings += [v for k, v in gate.items()
+                       if k.startswith("membw") and "rand" not in k]
+    # RANDOM-STRIDE bandwidth (round-19 probe validation): the sequential
+    # probe stays in its healthy band under contention that collapses
+    # random access (synthetic 24-thread load: seq 57-76% of idle, rand
+    # 37-40%) — which is round 18's unattributed episode (verify_force
+    # 4.8x slow, seq probe healthy). Shuffle build sides ARE random
+    # access, so the rand probe is the episode instrument. Clean ≈ 25-27
+    # GB/s on this host; < 10 GB/s (<40% of clean) is the signature.
+    mr = re.findall(r'"membw_rand_gbps":\[([0-9.]+),([0-9.]+)\]', text)
+    if mr:
+        gate["membw_rand_start"], gate["membw_rand_end"] = map(float, mr[-1])
+    rand_readings = [float(v) for v in
+                     re.findall(r'"membw_rand(?:_gbps|_pre|_post)?"'
+                                r':([0-9][0-9.eE+-]*)', text)]
+    rand_readings += [v for k, v in gate.items()
+                      if k.startswith("membw_rand")]
 
     flags = []
     for q, sec in sorted(times.items()):
@@ -102,8 +118,12 @@ def main() -> int:
     membw_low = bool(membw_readings) and min(membw_readings) < 12.0
     membw_collapse = ("membw_start" in gate and "membw_end" in gate and
                       gate["membw_end"] < gate["membw_start"] / 2)
+    rand_low = bool(rand_readings) and min(rand_readings) < 10.0
+    rand_collapse = ("membw_rand_start" in gate and
+                     "membw_rand_end" in gate and
+                     gate["membw_rand_end"] < gate["membw_rand_start"] / 2)
     noisy = (gate.get("steal_sec", 0) >= 20 or gate.get("heap_gb", 32) > 48
-             or membw_low or membw_collapse)
+             or membw_low or membw_collapse or rand_low or rand_collapse)
     if not flags:
         print("verdict: CLEAN — every query within 2x of its clean floor")
         return 0
@@ -115,6 +135,8 @@ def main() -> int:
             why.append("heap")
         if membw_low or membw_collapse:
             why.append("membw")
+        if rand_low or rand_collapse:
+            why.append("membw-rand")
         print(f"verdict: HOST-NOISE/HEAP ({'+'.join(why)}) — flags exist "
               "but the gate readings say the environment, not the code, is "
               "the suspect; re-run on an idle box at -Xmx32g before "
