@@ -74,13 +74,6 @@ object GraftTableStreamSource {
     * fails at stream construction with the column named. */
   private[tables] def streamSchema(root: String,
       withImages: Boolean = false): StructType = {
-    // column-mapped tables (post rename/drop) carry PHYSICAL names in
-    // their files, which this footer-driven reader does not translate —
-    // fail loud at construction rather than deliver mis-named columns
-    require(GraftTable.columnMapping(root).isEmpty,
-      s"graft_table stream source: $root uses column mapping (a column " +
-        "was renamed/dropped) — the streaming reader does not translate " +
-        "physical names yet; consume snapshots or the batch change feed")
     val base = StructType.fromDDL(GraftTable.snapshot(root).schemaDdl)
     base.fields.foreach { f =>
       require(supported(f.dataType),
@@ -220,8 +213,18 @@ private[tables] class GraftMicroBatchStream(root: String, schema: StructType,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftFileReaderFactory(schema.json)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // column mapping: files carry stable PHYSICAL names; the stream
+    // schema (pinned at query start, like any streaming schema) speaks
+    // logical. Resolve each field's physical name once here — physical
+    // names never change after assignment, so files written before OR
+    // after a mid-stream rename read identically; engine columns
+    // (_change_type, _commit_version) and pre-mapping tables map to
+    // themselves.
+    val colMap = GraftTable.columnMapping(root)
+    val physNames = schema.fieldNames.map(n => colMap.getOrElse(n, n))
+    new GraftFileReaderFactory(schema.json, physNames)
+  }
 }
 
 // constChangeType: null = no `_change_type` in the stream schema OR the
@@ -231,13 +234,14 @@ private[tables] case class GraftFilePartition(absPath: String, version: Long,
     constChangeType: String = null)
   extends InputPartition
 
-private[tables] class GraftFileReaderFactory(schemaJson: String)
+private[tables] class GraftFileReaderFactory(schemaJson: String,
+    physNames: Array[String])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftFilePartition]
     new GraftFileReader(p.absPath, p.version,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      p.constChangeType)
+      p.constChangeType, physNames)
   }
 }
 
@@ -246,7 +250,8 @@ private[tables] class GraftFileReaderFactory(schemaJson: String)
   * typed getters. Columns the file predates (schema evolution) read as
   * nulls; `_commit_version` is the partition's constant. */
 private[tables] class GraftFileReader(absPath: String, version: Long,
-    schema: StructType, constChangeType: String = null)
+    schema: StructType, constChangeType: String = null,
+    physNames: Array[String] = Array.empty)
   extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.hadoop.ParquetReader
@@ -274,10 +279,12 @@ private[tables] class GraftFileReader(absPath: String, version: Long,
     var i = 0
     while (i < dataFields.length) {
       val f = dataFields(i)
+      // files store the PHYSICAL column name (identity when unmapped)
+      val fileName = if (i < physNames.length) physNames(i) else f.name
       values(i) =
-        if (!fileType.containsField(f.name)) null // pre-evolution file
+        if (!fileType.containsField(fileName)) null // pre-evolution file
         else {
-          val fi = fileType.getFieldIndex(f.name)
+          val fi = fileType.getFieldIndex(fileName)
           if (current.getFieldRepetitionCount(fi) == 0) null
           else f.dataType match {
             case LongType | TimestampType | TimestampNTZType =>

@@ -2080,6 +2080,24 @@ class ConfigPipelineSpec extends SparkSpecBase {
            |mode: maintenance
            |maintenance: {op: compact, path: "$root"}
            |""".stripMargin, "unknown 'compact'")
+    bad(s"""name: b6b
+           |mode: maintenance
+           |maintenance: {op: rename_column, path: "$root",
+           |              set: {a: b, c: d}}
+           |""".stripMargin, "exactly one {old_name: new_name}")
+    bad(s"""name: b6c
+           |mode: maintenance
+           |maintenance: {op: rename_column, path: "$root",
+           |              set: {a: b}, to_version: 1}
+           |""".stripMargin, "takes `set: {old: new}` only")
+    bad(s"""name: b6d
+           |mode: maintenance
+           |maintenance: {op: drop_column, path: "$root"}
+           |""".stripMargin, "needs `column`")
+    bad(s"""name: b6e
+           |mode: maintenance
+           |maintenance: {op: vacuum, path: "$root", column: x}
+           |""".stripMargin, "column belongs to drop_column")
     bad(s"""name: b7
            |mode: maintenance
            |source: {format: parquet, path: "/tmp/x"}

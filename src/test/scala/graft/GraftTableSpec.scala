@@ -1612,6 +1612,64 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.read(spark, root, Some(1L)).count() shouldBe 1000L
   }
 
+  test("streaming source reads column-mapped tables: pre-rename files " +
+    "and post-rename appends both deliver under the logical name") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot("colmap_stream")
+    val scratch = freshRoot("colmap_stream_run")
+    GraftTable.write(spark,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount"), root, "overwrite") // v1
+    GraftTable.renameColumn(root, "amount", "price")                       // v2
+    GraftTable.write(spark,
+      Seq((3L, 30.0)).toDF("id", "price"), root, "append")                 // v3
+    val q = spark.readStream
+      .format("graft.tables.GraftTableStreamSource")
+      .option("path", root)
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$scratch/cp")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$scratch/out/b$id"); ()
+      }
+      .start()
+    q.awaitTermination()
+    val dirs = scala.util.Using.resource(
+      Files.list(Paths.get(s"$scratch/out")))(
+      _.iterator().asScala.map(_.toString).toSeq.sorted)
+    val got = spark.read.parquet(dirs: _*)
+    got.columns.toSeq should contain allOf ("id", "price")
+    got.select($"id", $"price").as[(Long, Double)].collect().sorted shouldBe
+      Array((1L, 10.0), (2L, 20.0), (3L, 30.0))
+  }
+
+  test("merge deleteKeys: upsert + companion deletes land as ONE commit " +
+    "with exactly-classified CDC; overlapping key sets fail loud") {
+    val root = freshRoot("merge_delkeys")
+    GraftTable.write(spark,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"),
+      root, "overwrite")                                            // v1
+    GraftTable.setProperty(root, "changeDataFeed", Some("true"))    // v2
+    val before = GraftTable.latestVersion(root).get
+    GraftTable.merge(spark, root,
+      Seq((1L, 11.0), (9L, 90.0)).toDF("k", "v"), Seq("k"),
+      deleteKeys = Some(Seq(Tuple1(2L)).toDF("k")))                 // v3
+    GraftTable.latestVersion(root).get shouldBe before + 1 // atomic
+    GraftTable.read(spark, root).orderBy($"k")
+      .as[(Long, Double)].collect() shouldBe
+      Array((1L, 11.0), (3L, 30.0), (9L, 90.0))
+    GraftTable.changesWithImages(spark, root, before)
+      .select($"k", $"v", $"_change_type")
+      .as[(Long, Double, String)].collect().sorted shouldBe Seq(
+      (1L, 10.0, "update_preimage"), (1L, 11.0, "update_postimage"),
+      (2L, 20.0, "delete"), (9L, 90.0, "insert")).sorted
+    // a key in BOTH sets would be order-dependent — rejected
+    (the[IllegalArgumentException] thrownBy GraftTable.merge(spark, root,
+      Seq((3L, 33.0)).toDF("k", "v"), Seq("k"),
+      deleteKeys = Some(Seq(Tuple1(3L)).toDF("k"))))
+      .getMessage should include("BOTH")
+  }
+
   test("checkpoint reader-version gate: a checkpoint declaring a newer " +
     "minReader fails loud instead of silently dropping state") {
     val root = freshRoot("ckpt_reader")
