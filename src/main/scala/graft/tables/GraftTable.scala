@@ -126,6 +126,12 @@ object GraftTable {
     // always carry physical names, which never change after assignment,
     // so a rename is one meta commit and every old file stays readable.
     val colMap = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // reader floor declared IN the log (Delta's protocol action): column
+    // mapping rides the KNOWN meta action, so without this an old binary
+    // would replay a rename fine and then silently read physical names
+    // as logical (renamed columns all-null). The protocol line is an
+    // UNKNOWN action kind to pre-mapping readers — they fail loud on it.
+    var minReader: Int = 1
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val constraints = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val properties = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -182,6 +188,14 @@ object GraftTable {
         val p = n.get("property")
         if (p.get("value").isNull) properties -= p.get("key").asText()
         else properties(p.get("key").asText()) = p.get("value").asText()
+      } else if (n.has("protocol")) {
+        val need = n.get("protocol").get("minReader").asInt()
+        if (need > SupportedCkptReader) throw new IllegalStateException(
+          s"graft_table log: this table requires reader version $need " +
+            s"but this engine supports $SupportedCkptReader — upgrade " +
+            "the reader (a newer writer enabled a feature this binary " +
+            "would silently misread)")
+        if (need > minReader) minReader = need
       } else if (n.has("cdc")) {
         () // change-data sidecar: version-scoped (read by the change
            // feed), never part of the live file set
@@ -197,7 +211,7 @@ object GraftTable {
           s"graft_table log: unknown action kind '$kind' — this table was " +
             "written by a newer engine version; upgrade the reader " +
             "(known: meta, add, remove, dv, txn, constraint, " +
-            "dropConstraint, property, cdc, commit)")
+            "dropConstraint, property, cdc, commit, protocol)")
       }
   }
 
@@ -229,6 +243,7 @@ object GraftTable {
           s"version $need but this engine supports $SupportedCkptReader — " +
           "it carries state (e.g. deletion vectors / column mapping) this " +
           "binary would silently misread; upgrade the reader")
+      st.minReader = need
       st.schemaDdl = n.get("schemaDdl").asText()
       n.get("files").elements().asScala.foreach(f => st.files += f.asText())
       if (n.has("fileStats")) {
@@ -309,8 +324,8 @@ object GraftTable {
     // declare the reader floor this state actually needs — an old engine
     // replaying the raw log past an unknown action fails loud, and the
     // checkpoint must preserve that contract, not bypass it
-    n.put("minReader",
-      if (st.colMap.nonEmpty) 3 else if (st.dvs.nonEmpty) 2 else 1)
+    n.put("minReader", math.max(st.minReader,
+      if (st.colMap.nonEmpty) 3 else if (st.dvs.nonEmpty) 2 else 1))
     n.put("schemaDdl", st.schemaDdl)
     val fa = n.putArray("files"); st.files.foreach(fa.add)
     val fs = n.putObject("fileStats")
@@ -950,9 +965,22 @@ object GraftTable {
     val newSchema = StructType(schema.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
     val newMap = (baseMap - oldName) + (newName -> baseMap(oldName))
-    commit(root, snap.version,
+    commit(root, snap.version, protocolBump(st, 3) ++
       Seq(metaAction(newSchema.toDDL, st.partitionBy, newMap)))
   }
+
+  /** A `protocol` action raising the table's reader floor to `to` —
+    * emitted with the FIRST commit that enables a feature an old binary
+    * would silently misread (column mapping rides the known meta action;
+    * this line is an unknown action kind to pre-feature readers, so they
+    * fail loud instead). Empty when the floor is already high enough. */
+  private def protocolBump(st: LogState, to: Int): Seq[ObjectNode] =
+    if (st.minReader >= to) Nil
+    else {
+      val n = json.createObjectNode()
+      n.putObject("protocol").put("minReader", to)
+      Seq(n)
+    }
 
   /** ALTER TABLE DROP COLUMN as a pure metadata commit: the field leaves
     * the logical schema and mapping; old files keep the physical column
@@ -978,7 +1006,7 @@ object GraftTable {
       if (st.colMap.nonEmpty) st.colMap.toMap
       else schema.fieldNames.map(n => n -> n).toMap
     val newSchema = StructType(schema.fields.filterNot(_.name == name))
-    commit(root, snap.version,
+    commit(root, snap.version, protocolBump(st, 3) ++
       Seq(metaAction(newSchema.toDDL, st.partitionBy, baseMap - name)))
   }
   private def addAction(path: String, numRecords: Long,
@@ -1166,7 +1194,7 @@ object GraftTable {
     Files.readAllLines(f).asScala.filter(_.nonEmpty).foreach { line =>
       val n = json.readTree(line)
       if (n.has("meta") || n.has("constraint") || n.has("dropConstraint") ||
-        n.has("property"))
+        n.has("property") || n.has("protocol"))
         return Some(s"version $ver changed the table definition")
       else if (n.has("remove")) {
         val p = n.get("remove").get("path").asText()

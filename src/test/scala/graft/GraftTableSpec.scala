@@ -1521,6 +1521,14 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.renameColumn(root, "amount", "price")                   // v2
     Files.walk(Paths.get(root, "data")).iterator().asScala
       .count(p => p.getFileName.toString.endsWith(".parquet")) shouldBe nFiles
+    // the enabling commit raises the LOG's reader floor (protocol
+    // action): column mapping rides the known meta action, so a
+    // pre-mapping binary would otherwise silently read renamed columns
+    // as all-null — the protocol line is an unknown action kind to it,
+    // which its replay guard fails loud on
+    Files.readString(Paths.get(root, "_graft_log")
+      .resolve(f"${2L}%020d.json")) should include(
+      """"protocol":{"minReader":3}""")
     GraftTable.columnMapping(root) shouldBe Map(
       "id" -> "id", "price" -> "amount", "user" -> "user")
     // old files read under the NEW logical name
@@ -1690,6 +1698,15 @@ class GraftTableSpec extends SparkSpecBase {
       .resolve(f"${1L}%020d.json"))
     (the[IllegalStateException] thrownBy
       GraftTable.read(spark, root).collect())
+      .getMessage should include("requires reader version 99")
+    // same gate at the LOG level: a protocol action declaring a newer
+    // floor refuses replay loud
+    val root2 = freshRoot("ckpt_reader2")
+    GraftTable.write(spark, Seq((1L, "x")).toDF("k", "s"), root2, "overwrite")
+    val log2 = Paths.get(root2, "_graft_log").resolve(f"${2L}%020d.json")
+    Files.writeString(log2, """{"protocol":{"minReader":99}}""")
+    (the[IllegalStateException] thrownBy
+      GraftTable.read(spark, root2).collect())
       .getMessage should include("requires reader version 99")
   }
 
