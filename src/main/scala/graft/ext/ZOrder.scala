@@ -64,8 +64,14 @@ object ZOrder {
     * Shared by the `clusterBy: zorder(..)` sink and graft_table OPTIMIZE.
     * `parts`: explicit output partition count (OPTIMIZE's file target);
     * None uses the session shuffle partitioning (+AQE coalescing). */
+  /** `partitionBy`: z-order WITHIN a hive-partitioned layout — the range
+    * key becomes (partition cols..., zkey), so each output task holds one
+    * contiguous z-range of one (or few) partition values and the
+    * partitioned staging write keeps the dir layout while every file
+    * still covers a small (x, y) square inside its partition. */
   def zLayout(df: org.apache.spark.sql.DataFrame, x: String, y: String,
-      bits: Int, parts: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+      bits: Int, parts: Option[Int] = None,
+      partitionBy: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     Seq(x, y).foreach { c =>
       require(df.schema(c).dataType
           .isInstanceOf[org.apache.spark.sql.types.NumericType],
@@ -87,9 +93,10 @@ object ZOrder {
     val keyed = df.withColumn("__graft_zkey",
       interleave(quant(x, st.getDouble(0), st.getDouble(1)),
         quant(y, st.getDouble(2), st.getDouble(3)), bits))
-    parts.fold(keyed.repartitionByRange(col("__graft_zkey")))(
-        n => keyed.repartitionByRange(n, col("__graft_zkey")))
-      .sortWithinPartitions(col("__graft_zkey"))
+    val keyCols = partitionBy.map(col) :+ col("__graft_zkey")
+    parts.fold(keyed.repartitionByRange(keyCols: _*))(
+        n => keyed.repartitionByRange(n, keyCols: _*))
+      .sortWithinPartitions(keyCols: _*)
       .drop("__graft_zkey")
   }
 }

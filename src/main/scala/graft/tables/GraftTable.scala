@@ -2701,14 +2701,16 @@ object GraftTable {
     val base = dvFilter(spark, root, state, victims,
       spark.read.schema(physicalSchema(state, schema))
         .parquet(victims.map(f => Paths.get(root).resolve(f).toString): _*))
-    require(pb.isEmpty || zorderBy.isEmpty,
-      s"optimize: z-order within a partitioned layout " +
-        s"([${pb.mkString(",")}]) is not supported — bin-pack preserves " +
-        "the partition dirs; drop the partitioning (overwrite) to z-order")
+    zorderBy.foreach(c => require(!pb.contains(c),
+      s"optimize: z-order dimension '$c' is a partition column — it is " +
+        "already a directory-level constant; pick two data columns"))
     val laid = zorderBy match {
-      case Seq(x, y) => graft.ext.ZOrder.zLayout(base,
-        physOf(state, x), physOf(state, y), zorderBits,
-        parts = Some(targetFiles))
+      case Seq(x, y) => // within a partitioned layout the range key is
+        // (partition cols..., zkey): dirs survive, and every file covers
+        // a small (x, y) square inside its partition
+        graft.ext.ZOrder.zLayout(base,
+          physOf(state, x), physOf(state, y), zorderBits,
+          parts = Some(targetFiles), partitionBy = pb)
       case _ if pb.isEmpty => base.coalesce(targetFiles)
       case _ => // partitioned bin-pack: hash the partition columns into
         // targetFiles tasks; the partitioned staging write then splits

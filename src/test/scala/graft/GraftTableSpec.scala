@@ -1651,6 +1651,36 @@ class GraftTableSpec extends SparkSpecBase {
       Array((1L, 10.0), (2L, 20.0), (3L, 30.0))
   }
 
+  test("z-order WITHIN a partitioned layout: dirs survive, both " +
+    "dimensions bounded per file inside each partition, rows identical") {
+    val root = freshRoot("zorder_part")
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 4000).map { i =>
+      (if (i % 2 == 0) "a" else "b", rnd.nextInt(1000).toLong,
+        rnd.nextInt(1000).toLong, i.toLong)
+    }.toDF("p", "x", "y", "id")
+    GraftTable.write(spark, df, root, "overwrite", partitionBy = Seq("p"))
+    val before = GraftTable.read(spark, root)
+      .orderBy($"id").as[(String, Long, Long, Long)].collect()
+    GraftTable.optimize(spark, root, targetFiles = 8,
+      zorderBy = Seq("x", "y"))
+    val st = GraftTable.snapshot(root)
+    // partition dirs survive and every live file still logs its value
+    st.files.foreach(f => f should (include("p=a") or include("p=b")))
+    // data is bit-identical
+    GraftTable.read(spark, root).orderBy($"id")
+      .as[(String, Long, Long, Long)].collect() shouldBe before
+    // skipping pays on BOTH dimensions: a narrow band on either prunes
+    // files (the pre-optimize layout was row-order — no pruning at all)
+    val (cx, all) = GraftTable.filesInRange(root, "x", 0L, 99L)
+    val (cy, _) = GraftTable.filesInRange(root, "y", 900L, 999L)
+    cx.size should be < all.size
+    cy.size should be < all.size
+    // a partition column as a z-dimension is rejected
+    intercept[IllegalArgumentException](
+      GraftTable.optimize(spark, root, 4, zorderBy = Seq("p", "x")))
+  }
+
   test("merge deleteKeys: upsert + companion deletes land as ONE commit " +
     "with exactly-classified CDC; overlapping key sets fail loud") {
     val root = freshRoot("merge_delkeys")
