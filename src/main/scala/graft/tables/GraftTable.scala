@@ -831,11 +831,12 @@ object GraftTable {
       .map { ver =>
       var (adds, removes, rowsAdded) = (0, 0, 0L)
       var meta = false; var dataChange = false; var txn: Option[String] = None
-      var alterCons = false; var dvs = 0
+      var alterCons = false; var dvs = 0; var props = false
       Files.readAllLines(verFile(root, ver)).asScala
         .filter(_.nonEmpty).foreach { line =>
           val n = json.readTree(line)
           if (n.has("meta")) meta = true
+          else if (n.has("property")) props = true
           else if (n.has("constraint") || n.has("dropConstraint"))
             alterCons = true
           else if (n.has("add")) {
@@ -857,6 +858,8 @@ object GraftTable {
         else if (adds > 0 && removes > 0 && !dataChange) "OPTIMIZE"
         else if (meta && removes > 0) "OVERWRITE"
         else if (removes > 0 || dvs > 0) "MERGE" // incl. merge-on-read DML
+        else if (meta && adds == 0) "ALTER SCHEMA" // rename/drop column
+        else if (props && adds == 0) "SET PROPERTY"
         else if (txn.isDefined) "STREAMING APPEND"
         else "APPEND"
       (ver, op, adds, removes, rowsAdded, meta, txn.orNull)

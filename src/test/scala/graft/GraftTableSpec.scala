@@ -665,6 +665,12 @@ class GraftTableSpec extends SparkSpecBase {
     val h2 = GraftTable.history(spark, root2).select($"operation", $"txn").head()
     h2.getString(0) shouldBe "CREATE"
     h2.getString(1) shouldBe "s#0"
+    // pure-metadata commits get their own labels, not "APPEND"
+    GraftTable.setProperty(root, "changeDataFeed", Some("true"))       // v6
+    GraftTable.renameColumn(root, "v", "val")                          // v7
+    GraftTable.history(spark, root).orderBy($"version")
+      .select($"operation").as[String].collect().drop(5) shouldBe
+      Array("SET PROPERTY", "ALTER SCHEMA")
   }
 
   test("writeEvolve: new columns extend the schema atomically, old files read as nulls") {
