@@ -85,8 +85,9 @@ final case class MaintenanceSpec(
     check: Option[String] = None,          // add_constraint
     retentionHours: Option[Double] = None, // vacuum (default 168 = 7 days)
     partition: Map[String, String] = Map.empty, // drop_partition: col -> value
-    column: Option[String] = None) // drop_column: the column to drop;
+    column: Option[String] = None, // drop_column: the column to drop;
                                    // rename_column uses set: {old: new}
+    deadRowFraction: Option[Double] = None) // auto_compact trigger knob
 
 /** Declared incremental materialized view (`mode: mv_refresh`): maintain
   * `keys × aggs` over the graft_table `source`, stored at `path`. Agg
@@ -443,16 +444,16 @@ object PipelineSpec {
       fields(n, "maintenance", Set("op", "path", "where", "set",
         "to_version", "target_files", "zorder_by", "zorder_bits",
         "constraint_name", "check", "retention_hours", "partition",
-        "column"))
+        "column", "dead_row_fraction"))
       val op = reqStr(n, "op", "maintenance")
       require(Set("delete_where", "update_where", "restore", "optimize",
         "vacuum", "add_constraint", "drop_constraint",
         "verify_constraints", "drop_partition", "set_property",
-        "rename_column", "drop_column")(op),
+        "rename_column", "drop_column", "auto_compact")(op),
         s"maintenance.op: unknown '$op' (delete_where|" +
         "update_where|restore|optimize|vacuum|add_constraint|" +
         "drop_constraint|verify_constraints|drop_partition|set_property|" +
-        "rename_column|drop_column)")
+        "rename_column|drop_column|auto_compact)")
       def intOpt(f: String): Option[Int] = optStr(n, f).map(s =>
         s.toIntOption.getOrElse(throw new IllegalArgumentException(
           s"maintenance.$f: integer expected, got '$s'")))
@@ -466,7 +467,12 @@ object PipelineSpec {
         optStr(n, "retention_hours").map(s => s.toDoubleOption
           .filter(_ >= 0).getOrElse(throw new IllegalArgumentException(
             s"maintenance.retention_hours: number >= 0 expected, got '$s'"))),
-        strMap(n, "partition"), optStr(n, "column"))
+        strMap(n, "partition"), optStr(n, "column"),
+        optStr(n, "dead_row_fraction").map(s => s.toDoubleOption
+          .filter(v => v > 0 && v <= 1).getOrElse(
+            throw new IllegalArgumentException(
+              s"maintenance.dead_row_fraction: number in (0, 1] " +
+                s"expected, got '$s'"))))
       // one-op contract: required knobs present, every foreign knob
       // rejected — a key that doesn't apply must FAIL, not no-op
       def need(cond: Boolean, msg: String): Unit =
@@ -480,7 +486,18 @@ object PipelineSpec {
         need(m.partition.isEmpty, "partition belongs to drop_partition")
       if (op != "drop_column")
         need(m.column.isEmpty, "column belongs to drop_column")
+      if (op != "auto_compact")
+        need(m.deadRowFraction.isEmpty,
+          "dead_row_fraction belongs to auto_compact")
       op match {
+        case "auto_compact" => // policy compaction: cheap log-metadata
+          // check every run, real rewrite only when small-file sprawl
+          // or dead-row fraction (merge-on-read vectors) accumulated
+          need(m.where.isEmpty && m.set.isEmpty && m.toVersion.isEmpty &&
+            m.targetFiles.isEmpty && m.zorderBy.isEmpty &&
+            m.zorderBits.isEmpty,
+            "takes `dead_row_fraction` only (defaults: 32 MB small-file " +
+              "bar, 8 small files, 256 MB target, 0.2 dead fraction)")
         case "rename_column" => // schema evolution as pure metadata:
           // set: {old_name: new_name}, exactly one pair
           need(m.set.size == 1,

@@ -157,6 +157,10 @@ object PipelineRunner {
           GraftTable.renameColumn(m.path, from, to)
         case "drop_column" =>
           GraftTable.dropColumn(m.path, m.column.get)
+        case "auto_compact" => // no-op when the layout is healthy —
+          // the streaming-ingest post-batch policy as a declared op
+          m.deadRowFraction.fold(GraftTable.autoCompact(spark, m.path))(f =>
+            GraftTable.autoCompact(spark, m.path, deadRowFraction = f))
       }
       val out = GraftTable.read(spark, m.path)
       return RunResult(spec, out, out.limit(0), Nil)

@@ -2203,6 +2203,7 @@ object GraftTable {
       "partition column = value pair")
     val snap = snapshot(root)
     val st = replayState(root, snap.version)
+    fireRaceHook()
     require(st.partitionBy.nonEmpty,
       s"graft_table $root: not a partitioned table — use deleteWhere")
     values.keys.foreach(c => require(st.partitionBy.contains(c),
@@ -2220,7 +2221,13 @@ object GraftTable {
       values.forall { case (c, v) => pv.get(c).contains(v) }
     }
     if (victims.isEmpty) return snap.version // no such partition: no-op
-    commit(root, snap.version, victims.sorted.map(removeAction))
+    // concurrent APPENDS never conflict with a partition drop — even
+    // into the dropped partition, the outcome serializes as
+    // drop-then-insert (the drop removes exactly the files it resolved);
+    // concurrent DML on a victim file still aborts
+    commitDml(root, snap.version, victims.sorted.map(removeAction),
+      depFiles = victims.toSet, AddsNeverConflict, st.partitionBy,
+      "dropPartition")
   }
 
   // -- CHECK constraints -------------------------------------------------------

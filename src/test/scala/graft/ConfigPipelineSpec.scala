@@ -2098,6 +2098,19 @@ class ConfigPipelineSpec extends SparkSpecBase {
            |mode: maintenance
            |maintenance: {op: vacuum, path: "$root", column: x}
            |""".stripMargin, "column belongs to drop_column")
+    bad(s"""name: b6f
+           |mode: maintenance
+           |maintenance: {op: vacuum, path: "$root", dead_row_fraction: "0.3"}
+           |""".stripMargin, "dead_row_fraction belongs to auto_compact")
+    bad(s"""name: b6g
+           |mode: maintenance
+           |maintenance: {op: auto_compact, path: "$root",
+           |              dead_row_fraction: "1.5"}
+           |""".stripMargin, "number in (0, 1]")
+    bad(s"""name: b6h
+           |mode: maintenance
+           |maintenance: {op: auto_compact, path: "$root", target_files: 2}
+           |""".stripMargin, "takes `dead_row_fraction` only")
     bad(s"""name: b7
            |mode: maintenance
            |source: {format: parquet, path: "/tmp/x"}

@@ -1476,6 +1476,13 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.optimize(spark, root, 1)                              // v8
     GraftTable.read(spark, root).count() shouldBe 4L
     GraftTable.read(spark, root).where($"k" === 9L).count() shouldBe 1L
+    // dropPartition retries past a concurrent append too (TTL drop +
+    // live ingest compose; the raced row into ANOTHER partition lives)
+    GraftTable.testRaceHook = () => GraftTable.write(spark,
+      Seq(("p1", 10L, 100.0)).toDF("p", "k", "v"), root, "append")   // v9
+    GraftTable.dropPartition(root, Map("p" -> "p2"))                 // v10
+    GraftTable.read(spark, root).select($"k").as[Long]
+      .collect().sorted shouldBe Array(1L, 2L, 9L, 10L)
   }
 
   test("deletion vectors apply INSIDE the scan (no join node) for " +
@@ -1621,6 +1628,14 @@ class GraftTableSpec extends SparkSpecBase {
     // healthy layout now: a second pass is a no-op
     GraftTable.autoCompact(spark, root, minSmall = 999,
       deadRowFraction = 0.2) shouldBe None
+    // the same policy as a declared YAML op (no-op here: healthy)
+    PipelineRunner.run(spark,
+      s"""name: ac_yaml
+         |mode: maintenance
+         |maintenance: {op: auto_compact, path: "$root",
+         |              dead_row_fraction: "0.2"}
+         |""".stripMargin).passed.count() shouldBe 700L
+    GraftTable.latestVersion(root).get shouldBe 4L // still the OPTIMIZE
     // time travel to the pre-compaction DV state still answers exactly
     GraftTable.read(spark, root, Some(3L)).count() shouldBe 700L
     GraftTable.read(spark, root, Some(1L)).count() shouldBe 1000L
@@ -2145,8 +2160,11 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.snapshot(root).files
       .forall(_.matches("data/country=(US|DE)/.*\\.parquet")) shouldBe true
     GraftTable.read(spark, root).count() shouldBe 601L
+    // z-order composes with the partition layout (round 19) — only a
+    // PARTITION column as a dimension is rejected (it is already a
+    // directory-level constant)
     (the[IllegalArgumentException] thrownBy GraftTable.optimize(spark, root,
-      2, zorderBy = Seq("id", "id"))).getMessage should include("z-order")
+      2, zorderBy = Seq("country", "id"))).getMessage should include("z-order")
     // restore carries partition values back: drop US, restore, drop again ok
     val vOpt = GraftTable.latestVersion(root).get
     GraftTable.dropPartition(root, Map("country" -> "US"))
