@@ -654,8 +654,13 @@ object PipelineSpec {
             s"source.options.$k: a STREAMING mv_refresh takes " +
               "skipChangeCommits, maxVersionsPerTrigger, and withImages " +
               "only — the view's txn cursor owns version selection"))
-        require(!(src.options.get("withImages").contains("true") &&
-          src.options.get("skipChangeCommits").contains("true")),
+        // case-insensitive like the ok-set above (the stream source reads
+        // options through CaseInsensitiveStringMap, so `withimages:` is
+        // honored downstream — the guard must see it the same way)
+        def optCi(k: String): Option[String] =
+          src.options.collectFirst { case (n, v) if n.equalsIgnoreCase(k) => v }
+        require(!(optCi("withImages").contains("true") &&
+          optCi("skipChangeCommits").contains("true")),
           "source: withImages consumes change commits — skipChangeCommits " +
             "would drop exactly the retractions it exists to apply")
       } else require(src.options.isEmpty,

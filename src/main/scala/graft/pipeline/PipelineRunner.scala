@@ -89,7 +89,10 @@ object PipelineRunner {
         val ss = spark.newSession()
         ss.conf.set("spark.sql.shuffle.partitions",
           sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
-        val direct = spec.source.options.get("withImages").contains("true")
+        // case-insensitive: the stream source honors `withimages:` via
+        // CaseInsensitiveStringMap, so the dispatch must match it
+        val direct = spec.source.options.exists { case (k, v) =>
+          k.equalsIgnoreCase("withImages") && v == "true" }
         val src = readStream(ss, spec.source)
         val q = (if (direct) src
           else src.select(col("_commit_version"))).writeStream

@@ -118,6 +118,7 @@ object GraftTable {
     val fileSizes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val filePartVals = scala.collection.mutable.LinkedHashMap
       .empty[String, Map[String, String]]
+    var version: Long = 0 // the version this state was replayed AT
     var schemaDdl = ""
     var partitionBy: Seq[String] = Nil
     // logical column name -> PHYSICAL parquet column name. Empty =
@@ -300,6 +301,7 @@ object GraftTable {
       Files.readAllLines(f).asScala.filter(_.nonEmpty)
         .foreach(line => st.applyLine(json.readTree(line)))
     }
+    st.version = v
     st
   }
 
@@ -928,6 +930,18 @@ object GraftTable {
     replayState(root, asOf.getOrElse(latest)).colMap.toMap
   }
 
+  /** Does a CHECK expression reference `column`? Whole-identifier match
+    * (case-insensitive, backtick-quoted or bare) — a plain substring
+    * test would block renaming `rice` because a constraint mentions
+    * `price`. Conservative the other way: a matching word inside a
+    * string literal still counts as a reference (rename stays blocked —
+    * a spurious block beats a silently-broken constraint). */
+  private def referencesColumn(checkExpr: String, column: String): Boolean =
+    java.util.regex.Pattern.compile(
+      "(?i)(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(column) +
+        "(?![A-Za-z0-9_])")
+      .matcher(checkExpr).find()
+
   /** Fresh physical name for a column added AFTER mapping activation: a
     * dropped column's physical data may still live in old files under
     * the plain name, so re-using it would resurrect stale values. */
@@ -957,7 +971,7 @@ object GraftTable {
     require(!st.partitionBy.contains(oldName),
       s"graft_table $root: '$oldName' is a partition column — its name IS " +
         "the directory layout; relayout via overwrite instead")
-    st.constraints.find(_._2.toLowerCase.contains(oldName.toLowerCase))
+    st.constraints.find(c => referencesColumn(c._2, oldName))
       .foreach { case (n, e) => throw new IllegalArgumentException(
         s"graft_table $root: constraint '$n' ($e) references '$oldName' — " +
           "drop it first, re-add against the new name") }
@@ -1001,7 +1015,7 @@ object GraftTable {
     require(!st.partitionBy.contains(name),
       s"graft_table $root: '$name' is a partition column — relayout via " +
         "overwrite instead")
-    st.constraints.find(_._2.toLowerCase.contains(name.toLowerCase))
+    st.constraints.find(c => referencesColumn(c._2, name))
       .foreach { case (n, e) => throw new IllegalArgumentException(
         s"graft_table $root: constraint '$n' ($e) references '$name' — " +
           "drop the constraint first") }
@@ -1504,9 +1518,11 @@ object GraftTable {
             partitionBy: Seq[String] = Nil): Long = {
     require(Set("append", "overwrite")(mode),
       s"graft_table: write mode must be append|overwrite, got '$mode'")
-    val tablePb = partitioning(root)
+    // one log replay covers layout AND mapping at staging time
+    val st0 = latestVersion(root).map(v => replayState(root, v))
+    val tablePb = st0.fold(Seq.empty[String])(_.partitionBy)
     val effPb = mode match {
-      case "append" if latestVersion(root).isDefined =>
+      case "append" if st0.isDefined =>
         require(partitionBy.isEmpty || partitionBy == tablePb,
           s"graft_table $root: append cannot change the partition layout " +
             s"(table: [${tablePb.mkString(",")}], write asked " +
@@ -1518,8 +1534,7 @@ object GraftTable {
     // overwrite re-declares meta WITHOUT a mapping (all data replaced —
     // the fresh files carry logical names, identity resumes)
     val stageDf =
-      if (mode == "append" && latestVersion(root).isDefined)
-        toPhysical(df, replayState(root, latestVersion(root).get).colMap)
+      if (mode == "append") st0.fold(df)(s => toPhysical(df, s.colMap))
       else df
     val adds = stageDataFiles(stageDf, root, partitionBy = effPb)
     var attempt = 0
@@ -1533,11 +1548,13 @@ object GraftTable {
       // dirs/partitionValues (reads stay correct — identity partitioning
       // keeps the columns in the data — but a later dropPartition fails
       // on the blind files)
-      if (mode == "append" && cur.isDefined && partitioning(root) != effPb)
+      val nowPb = if (mode == "append" && cur.isDefined)
+        partitioning(root) else effPb
+      if (nowPb != effPb)
         throw new ConcurrentWriteException(
           s"graft_table $root: partition layout changed concurrently " +
             s"(staged [${effPb.mkString(",")}], table now " +
-            s"[${partitioning(root).mkString(",")}]) — re-run the append " +
+            s"[${nowPb.mkString(",")}]) — re-run the append " +
             "against the fresh snapshot")
       val actions = txn.map(t => txnAction(t._1, t._2)).toSeq ++ (mode match {
         case "append" if snap.isDefined => adds
@@ -2430,6 +2447,25 @@ object GraftTable {
     * anti-join; the bound is per-SNAPSHOT and enforced from metadata
     * alone, so a heavily-deleted table degrades gracefully instead of
     * OOMing the plan. */
+  // dv-set signature → the loaded vector map for THAT snapshot's full
+  // dv-carrying file set. The signature is the (data file → sidecar,
+  // count) mapping itself — sidecar paths are UUID-stamped per staging
+  // write, so the signature is content-unique even across a table
+  // deleted and recreated at the same root (a (root, version) key would
+  // collide there and serve the old table's vectors). Vectors are
+  // immutable per version, so entries never go stale; a tiny LRU bounds
+  // driver memory, and repeat reads of one snapshot (DML probes,
+  // back-to-back queries) stop re-collecting the sidecars.
+  private val dvVectorCache = new java.util.LinkedHashMap[
+      String,
+      java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]](
+      16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String,
+          java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]])
+        : Boolean = size() > 8
+  }
+
   private def dvVectorsInline(spark: SparkSession, root: String,
       state: LogState, files: Seq[String])
       : Option[java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]] = {
@@ -2439,14 +2475,31 @@ object GraftTable {
       .map(_.toLong).getOrElse(2000000L)
     if (total > max) return None
     import org.apache.spark.unsafe.types.UTF8String
-    val out = new java.util.HashMap[UTF8String, Array[Long]]()
-    if (withDv.isEmpty) return Some(out)
-    val dataOfSidecar = withDv.map { f =>
+    if (withDv.isEmpty)
+      return Some(new java.util.HashMap[UTF8String, Array[Long]]())
+    // load (and cache) the WHOLE snapshot's vectors keyed by data-file
+    // name when the full set also fits the budget — a superset map
+    // serves any scanned file subset (the filter only probes names it
+    // actually scans), so one load per version covers every read/probe
+    // against it. A snapshot whose full set exceeds the budget loads
+    // just the subset, uncached.
+    val stateTotal = state.dvs.valuesIterator.map(_._2).sum
+    val cacheable = stateTotal <= max
+    val key = Paths.get(root).toAbsolutePath.normalize.toString + "§" +
+      state.dvs.toSeq.map { case (f, (p, c)) => s"$f→$p:$c" }
+        .sorted.mkString("|")
+    if (cacheable) dvVectorCache.synchronized {
+      val hit = dvVectorCache.get(key)
+      if (hit != null) return Some(hit)
+    }
+    val load = if (cacheable) state.dvs.keys.toSeq else withDv
+    val dataOfSidecar = load.map { f =>
       (Paths.get(state.dvs(f)._1).getFileName.toString,
         Paths.get(f).getFileName.toString)
     }.toMap
-    val abs = withDv.map(f =>
+    val abs = load.map(f =>
       Paths.get(root).resolve(state.dvs(f)._1).toString).distinct
+    val out = new java.util.HashMap[UTF8String, Array[Long]]()
     // a bounded collect: ≤ inlineMaxRows (idx, sidecar) pairs — the same
     // sidecar bytes the anti-join read per query, landed once as arrays
     spark.read.schema(StructType.fromDDL("idx BIGINT")).parquet(abs: _*)
@@ -2457,6 +2510,7 @@ object GraftTable {
         val arr = rows.map(_.getLong(0)).sorted
         out.put(UTF8String.fromString(dataName), arr)
       }
+    if (cacheable) dvVectorCache.synchronized { dvVectorCache.put(key, out) }
     Some(out)
   }
 

@@ -213,18 +213,22 @@ private[tables] class GraftMicroBatchStream(root: String, schema: StructType,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // column mapping: files carry stable PHYSICAL names; the stream
-    // schema (pinned at query start, like any streaming schema) speaks
-    // logical. Resolve each field's physical name once here — physical
-    // names never change after assignment, so files written before OR
-    // after a mid-stream rename read identically; engine columns
-    // (_change_type, _commit_version) and pre-mapping tables map to
-    // themselves.
+  // column mapping: files carry stable PHYSICAL names; the stream schema
+  // (pinned at query start, like any streaming schema) speaks logical.
+  // Resolve each field's physical name ONCE AT STREAM CONSTRUCTION — not
+  // per batch: a mid-stream rename would otherwise re-point the mapping
+  // under the pinned logical names and silently null the renamed column.
+  // Physical names never change after assignment, so files written
+  // before OR after a mid-stream rename read identically under this
+  // pinned resolution; engine columns (_change_type, _commit_version)
+  // and pre-mapping tables map to themselves.
+  private val physNames: Array[String] = {
     val colMap = GraftTable.columnMapping(root)
-    val physNames = schema.fieldNames.map(n => colMap.getOrElse(n, n))
-    new GraftFileReaderFactory(schema.json, physNames)
+    schema.fieldNames.map(n => colMap.getOrElse(n, n))
   }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftFileReaderFactory(schema.json, physNames)
 }
 
 // constChangeType: null = no `_change_type` in the stream schema OR the

@@ -1592,11 +1592,17 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.truncateHistory(root, GraftTable.latestVersion(root).get)
     GraftTable.read(spark, root).where($"id" === 200L)
       .select($"user").as[String].head() shouldBe "NEW"
-    // constraints referencing a column block its rename/drop
+    // constraints referencing a column block its rename/drop —
+    // whole-identifier match only: a column whose name is a SUBSTRING of
+    // a referenced one (rice vs price) renames freely
     GraftTable.addConstraint(spark, root, "pos", "price >= 0")
     intercept[IllegalArgumentException](
       GraftTable.renameColumn(root, "price", "cost"))
     intercept[IllegalArgumentException](GraftTable.dropColumn(root, "price"))
+    GraftTable.writeEvolve(spark,
+      Seq((201L, 6.0, "u", 1L)).toDF("id", "price", "user", "rice"), root)
+    GraftTable.renameColumn(root, "rice", "grain") // not blocked by 'pos'
+    GraftTable.dropColumn(root, "grain")
     // and the constraint still ENFORCES against mapped staged files
     intercept[IllegalArgumentException](GraftTable.write(spark,
       Seq((300L, -1.0, "bad")).toDF("id", "price", "user"), root, "append"))

@@ -106,7 +106,7 @@ def main() -> int:
         # (round-18 verdict, What's-wrong #2).
         print("verdict: NO-DATA — 0 query timings parsed; the capture is "
               "unusable as a floor check, not clean")
-        return 2
+        return 3  # distinct from 2 (usage error) so wrappers can tell
     for q, sec, floor, mult in flags:
         print(f"  FLAG {q}: {sec:.2f}s vs clean floor {floor:.1f}s "
               f"({sec / floor:.1f}x, band {mult:.1f}x)")
