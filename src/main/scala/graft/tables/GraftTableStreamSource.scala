@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -103,11 +103,23 @@ private[tables] class GraftStreamTable(root: String, schema: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // COLUMN PRUNING through to the parquet projection: a maintenance
+      // loop that selects only `_commit_version` (the l14 MV driver) or
+      // a narrow transform must not pay full-row assembly of wide
+      // documents per delivered file. Spark hands us the required
+      // columns; the pruned schema flows into the batch planner and the
+      // per-file reader projects the parquet read itself.
+      private var pruned: StructType = schema
+      override def pruneColumns(required: StructType): Unit =
+        // keep THIS scan's field order stable under the table schema's
+        // order (required arrives in demand order)
+        pruned = StructType(schema.fields.filter(f =>
+          required.fieldNames.contains(f.name)))
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = schema
+        override def readSchema(): StructType = pruned
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftMicroBatchStream(root, schema,
+          new GraftMicroBatchStream(root, pruned,
             Option(options.get("startingVersion")).getOrElse("0"),
             options.getBoolean("skipChangeCommits", false),
             options.getLong("maxVersionsPerTrigger", Long.MaxValue),
@@ -251,8 +263,16 @@ private[tables] class GraftFileReaderFactory(schemaJson: String,
 
 /** Executor-side reader: parquet-mr Group API over one immutable data
   * file — no Spark-internal reader plumbing, just the footer schema and
-  * typed getters. Columns the file predates (schema evolution) read as
-  * nulls; `_commit_version` is the partition's constant. */
+  * typed getters. `schema` may be COLUMN-PRUNED (any field subset in
+  * table order): the reader projects the parquet read to exactly the
+  * requested file columns (footer schema ∩ requested physical names —
+  * columns the file predates read as nulls), and when NO file column is
+  * requested at all (`select _commit_version` — the MV maintenance
+  * driver) it opens no data pages: the footer's record count drives a
+  * pure row-synthesis loop. Engine columns are synthesized per field:
+  * `_commit_version` = the partition's constant, `_change_type` = the
+  * partition constant for appends or the file's own column for cdf/
+  * sidecars. */
 private[tables] class GraftFileReader(absPath: String, version: Long,
     schema: StructType, constChangeType: String = null,
     physNames: Array[String] = Array.empty)
@@ -261,34 +281,69 @@ private[tables] class GraftFileReader(absPath: String, version: Long,
   import org.apache.parquet.hadoop.ParquetReader
   import org.apache.parquet.hadoop.example.GroupReadSupport
 
-  private val reader: ParquetReader[Group] = ParquetReader
-    .builder(new GroupReadSupport(),
-      new org.apache.hadoop.fs.Path(absPath))
-    .withConf(new org.apache.hadoop.conf.Configuration())
-    .build()
-  private val dataFields = schema.fields.dropRight(1) // last = _commit_version
-  private val changeTypeIdx = schema.fieldNames.indexOf("_change_type")
+  private val hconf = new org.apache.hadoop.conf.Configuration()
+  private val hPath = new org.apache.hadoop.fs.Path(absPath)
   private val constChangeTypeUtf8 =
     if (constChangeType == null) null else UTF8String.fromString(constChangeType)
-  private var current: Group = _
+  private def physName(i: Int): String =
+    if (i < physNames.length) physNames(i) else schema.fields(i).name
 
-  override def next(): Boolean = {
-    current = reader.read()
-    current != null
+  // footer once: the file's own schema + record count (pure metadata IO)
+  private val (fileSchema, recordCount) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, hconf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try (r.getFooter.getFileMetaData.getSchema, r.getRecordCount)
+    finally r.close()
   }
+  // per requested field: does it come from the FILE, and under which name
+  private val fromFile: Array[String] = schema.fields.zipWithIndex.map {
+    case (f, i) =>
+      val synth = f.name == "_commit_version" ||
+        (f.name == "_change_type" && constChangeTypeUtf8 != null)
+      val n = physName(i)
+      if (!synth && fileSchema.containsField(n)) n else null
+  }
+  private val wantedFileFields = fromFile.filter(_ != null)
+  // parquet-level projection: the reader assembles ONLY the requested
+  // columns (GroupReadSupport honors parquet.read.schema)
+  private val reader: ParquetReader[Group] =
+    if (wantedFileFields.isEmpty) null // rows-only mode: no data pages
+    else {
+      val projection = new org.apache.parquet.schema.MessageType(
+        fileSchema.getName,
+        wantedFileFields.map(n =>
+          fileSchema.getType(fileSchema.getFieldIndex(n))).toSeq.asJava)
+      hconf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        projection.toString)
+      ParquetReader.builder(new GroupReadSupport(), hPath)
+        .withConf(hconf).build()
+    }
+  private var current: Group = _
+  private var synthesized = 0L // rows emitted in rows-only mode
+
+  override def next(): Boolean =
+    if (reader == null) {
+      val more = synthesized < recordCount
+      if (more) synthesized += 1
+      more
+    } else {
+      current = reader.read()
+      current != null
+    }
 
   override def get(): InternalRow = {
-    val fileType = current.getType
     val values = new Array[Any](schema.length)
     var i = 0
-    while (i < dataFields.length) {
-      val f = dataFields(i)
-      // files store the PHYSICAL column name (identity when unmapped)
-      val fileName = if (i < physNames.length) physNames(i) else f.name
+    while (i < schema.length) {
+      val f = schema.fields(i)
       values(i) =
-        if (!fileType.containsField(fileName)) null // pre-evolution file
+        if (f.name == "_commit_version") version
+        else if (f.name == "_change_type" && constChangeTypeUtf8 != null)
+          constChangeTypeUtf8 // append delivered through the CDF feed
+        else if (fromFile(i) == null) null // pre-evolution file
         else {
-          val fi = fileType.getFieldIndex(fileName)
+          val grpType = current.getType
+          val fi = grpType.getFieldIndex(fromFile(i))
           if (current.getFieldRepetitionCount(fi) == 0) null
           else f.dataType match {
             case LongType | TimestampType | TimestampNTZType =>
@@ -308,14 +363,8 @@ private[tables] class GraftFileReader(absPath: String, version: Long,
         }
       i += 1
     }
-    // an append delivered through the withImages feed stamps the
-    // partition-constant classification (the file itself predates the
-    // column); cdf/ sidecars carried it through the loop above
-    if (constChangeTypeUtf8 != null && changeTypeIdx >= 0)
-      values(changeTypeIdx) = constChangeTypeUtf8
-    values(schema.length - 1) = version
     new GenericInternalRow(values)
   }
 
-  override def close(): Unit = reader.close()
+  override def close(): Unit = if (reader != null) reader.close()
 }
