@@ -2796,7 +2796,10 @@ object GraftTable {
 
   /** DESCRIBE DETAIL parity: one-row table summary from log metadata
     * only — version, live file count/bytes/rows, schema, checkpoint
-    * coverage. Zero data IO. */
+    * coverage, partition layout, reader floor, deletion-vector load
+    * (files carrying one + rows they mark dead — the autoCompact
+    * trigger's own inputs), and whether column mapping is active.
+    * Zero data IO. */
   def describe(spark: SparkSession, root: String): DataFrame = {
     val latest = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"not a graft_table: $root"))
@@ -2808,9 +2811,16 @@ object GraftTable {
       st.files.iterator.map(f => st.fileCounts.getOrElse(f, 0L) -
         st.dvs.get(f).map(_._2).getOrElse(0L)).sum,
       st.schemaDdl,
-      checkpointAtOrBefore(root, latest).getOrElse(0L)))
+      checkpointAtOrBefore(root, latest).getOrElse(0L),
+      st.partitionBy.mkString(","),
+      math.max(st.minReader,
+        if (st.colMap.nonEmpty) 3 else if (st.dvs.nonEmpty) 2 else 1),
+      st.files.count(st.dvs.contains).toLong,
+      st.files.iterator.flatMap(st.dvs.get).map(_._2).sum,
+      st.colMap.nonEmpty))
       .toDF("version", "n_files", "size_bytes", "n_rows", "schema",
-        "checkpoint_version")
+        "checkpoint_version", "partition_by", "min_reader",
+        "n_dv_files", "n_dead_rows", "column_mapped")
   }
 
   /** Policy-driven compaction: OPTIMIZE only when the live layout has at

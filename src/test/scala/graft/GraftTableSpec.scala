@@ -1128,6 +1128,9 @@ class GraftTableSpec extends SparkSpecBase {
     d.getAs[Long]("n_files") shouldBe 1L
     d.getAs[Long]("n_rows") shouldBe 30L
     d.getAs[Long]("checkpoint_version") should be >= 20L
+    d.getAs[Int]("min_reader") shouldBe 1
+    d.getAs[Long]("n_dv_files") shouldBe 0L
+    d.getAs[Boolean]("column_mapped") shouldBe false
     GraftTable.vacuum(root, 0L)
     GraftTable.read(spark, root).count() shouldBe 30L
   }
@@ -1519,6 +1522,11 @@ class GraftTableSpec extends SparkSpecBase {
     fb.select(col("k")).collect().map(_.getLong(0)).sorted shouldBe expect
     // metadata-only row count agrees with both
     GraftTable.rowCount(root) shouldBe expect.size.toLong
+    // DESCRIBE surfaces the vector load from the log alone
+    val d = GraftTable.describe(spark, root).head()
+    d.getAs[Long]("n_dv_files") should be >= 1L
+    d.getAs[Long]("n_dead_rows") shouldBe (20000L - expect.size)
+    d.getAs[Int]("min_reader") shouldBe 2
   }
 
   test("column mapping: rename/drop are metadata commits — old files " +
@@ -1544,6 +1552,10 @@ class GraftTableSpec extends SparkSpecBase {
       """"protocol":{"minReader":3}""")
     GraftTable.columnMapping(root) shouldBe Map(
       "id" -> "id", "price" -> "amount", "user" -> "user")
+    GraftTable.describe(spark, root).head()
+      .getAs[Boolean]("column_mapped") shouldBe true
+    GraftTable.describe(spark, root).head()
+      .getAs[Int]("min_reader") shouldBe 3
     // old files read under the NEW logical name
     GraftTable.read(spark, root).where($"price" === 20.0)
       .select($"id").as[Long].head() shouldBe 10L
