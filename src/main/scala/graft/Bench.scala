@@ -126,6 +126,29 @@ object Bench {
       if (x == 42L) System.err.print("") // keep the loop live under JIT
       n / us
     }
+    // QUIET-WINDOW gate (full runs only — forked children and
+    // SPARK_GRAFT_ONLY iteration skip it): the host's noisy neighbor is
+    // BURSTY (round-19 probing: 1-tick and 359-tick 30 s windows minutes
+    // apart), and a capture started inside a burst is graded HOST-NOISE
+    // against the clean floors — so spending up to 2 min waiting one out
+    // is cheaper than a wasted 5-minute capture. Bounded: after 4 probes
+    // the run starts regardless (its own gate line still tells the
+    // truth). SPARK_GRAFT_NO_WAIT=1 disables.
+    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty &&
+        !sys.env.contains("SPARK_GRAFT_NO_WAIT")) {
+      var tries = 0
+      var quiet = false
+      while (!quiet && tries < 4) {
+        val s0 = stealTicks(); Thread.sleep(30000)
+        val d = stealTicks() - s0
+        quiet = d <= 50 // ≤0.5 steal-seconds per 30 s across the box
+        if (!quiet) {
+          tries += 1
+          System.err.println(s"[bench] steal burst ($d ticks/30s) — " +
+            s"waiting for a quiet window ($tries/4)")
+        }
+      }
+    }
     probeMops(); probeMops() // JIT the probe so probe #1 isn't interpreter-speed
     val runProbe0 = probeMops()
     def mopsStr(v: Double) =
