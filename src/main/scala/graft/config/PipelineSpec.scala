@@ -608,12 +608,13 @@ object PipelineSpec {
       // the streaming table source admits ONLY its own knobs — a batch
       // selector (versionAsOf/changesFrom/rangeCol) here must fail, not
       // silently drive a different read
-      val ok = Set("startingversion", "skipchangecommits",
-        "maxversionspertrigger", "withimages")
+      val ok = Set("startingversion", "startingtimestamp",
+        "skipchangecommits", "maxversionspertrigger", "withimages")
       src.options.keys.find(k => !ok(k.toLowerCase)).foreach(k =>
         throw new IllegalArgumentException(
           s"source.options.$k: a STREAMING graft_table source takes " +
-            "startingVersion ('0'|'latest'|N), skipChangeCommits, " +
+            "startingVersion ('0'|'latest'|N), startingTimestamp, " +
+            "skipChangeCommits, " +
             "maxVersionsPerTrigger, and withImages (the continuous " +
             "change feed) only — version selection lives in the query " +
             "checkpoint"))

@@ -2891,9 +2891,13 @@ object GraftTable {
     * publishes references to deleted files, corrupting the table. The
     * default (7 days) makes vacuum safe to run alongside any live
     * ingest; `0` disables the guard (reclaim regardless of age —
-    * test/offline use ONLY, never while a writer may be in flight). */
+    * test/offline use ONLY, never while a writer may be in flight).
+    * `dryRun`: report what WOULD be reclaimed, delete nothing — the
+    * sanity check every operator runs before the first destructive
+    * vacuum of a production table. */
   def vacuum(root: String,
-      retentionMillis: Long = 7L * 24 * 60 * 60 * 1000): Seq[String] = {
+      retentionMillis: Long = 7L * 24 * 60 * 60 * 1000,
+      dryRun: Boolean = false): Seq[String] = {
     require(retentionMillis >= 0,
       s"vacuum: retentionMillis must be >= 0, got $retentionMillis")
     val cutoff = System.currentTimeMillis() - retentionMillis
@@ -2937,19 +2941,22 @@ object GraftTable {
         val rel = "data/" + dataDir(root).relativize(p).toString
           .replace(java.io.File.separatorChar, '/')
         if (!referenced.contains(rel) && oldEnough(p)) {
-          Files.delete(p); removed += rel
+          if (!dryRun) Files.delete(p)
+          removed += rel
         }
       } finally s.close()
       // drop now-empty partition dirs (bottom-up), keeping data/ itself
-      val d = Files.walk(dataDir(root))
-      try d.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
-        .filter(p => p != dataDir(root) && Files.isDirectory(p))
-        .foreach { p =>
-          val ls = Files.list(p)
-          val empty = try !ls.iterator().hasNext finally ls.close()
-          if (empty) Files.delete(p)
-        }
-      finally d.close()
+      if (!dryRun) {
+        val d = Files.walk(dataDir(root))
+        try d.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+          .filter(p => p != dataDir(root) && Files.isDirectory(p))
+          .foreach { p =>
+            val ls = Files.list(p)
+            val empty = try !ls.iterator().hasNext finally ls.close()
+            if (empty) Files.delete(p)
+          }
+        finally d.close()
+      }
     }
     Seq("cdf", "dv").foreach { side =>
       val dir = Paths.get(root, side)
@@ -2958,7 +2965,8 @@ object GraftTable {
         try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
           val rel = s"$side/${p.getFileName}"
           if (!referenced.contains(rel) && oldEnough(p)) {
-            Files.delete(p); removed += rel
+            if (!dryRun) Files.delete(p)
+            removed += rel
           }
         } finally s.close()
       }
@@ -2971,10 +2979,12 @@ object GraftTable {
       .filter(p => p.getFileName.toString.startsWith("_staging_") &&
         oldEnough(p))
       .foreach { st =>
-        val w = Files.walk(st)
-        try w.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.deleteIfExists(_))
-        finally w.close()
+        if (!dryRun) {
+          val w = Files.walk(st)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.deleteIfExists(_))
+          finally w.close()
+        }
         removed += st.getFileName.toString
       }
     finally rs.close()
@@ -2982,7 +2992,10 @@ object GraftTable {
       val ls = Files.list(logDir(root))
       try ls.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".tmp") && oldEnough(p))
-        .foreach { p => Files.delete(p); removed += s"_graft_log/${p.getFileName}" }
+        .foreach { p =>
+          if (!dryRun) Files.delete(p)
+          removed += s"_graft_log/${p.getFileName}"
+        }
       finally ls.close()
     }
     removed.toSeq

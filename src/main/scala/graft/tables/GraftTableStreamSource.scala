@@ -118,12 +118,36 @@ private[tables] class GraftStreamTable(root: String, schema: StructType)
           required.fieldNames.contains(f.name)))
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = pruned
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          // startingTimestamp (Delta parity, INCLUSIVE): deliver every
+          // commit whose wall-clock is AT or AFTER the timestamp — the
+          // exclusive start is the newest version committed strictly
+          // BEFORE it (ts-1 against the at-or-before resolver); no such
+          // version means deliver everything. Mutually exclusive with
+          // startingVersion.
+          val fromTs = Option(options.get("startingTimestamp")).map { t =>
+            require(options.get("startingVersion") == null,
+              "graft_table stream source: startingVersion and " +
+                "startingTimestamp are mutually exclusive")
+            val ms =
+              if (t.forall(_.isDigit)) t.toLong
+              else {
+                val ldt = if (t.contains(" ") || t.contains("T"))
+                  java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+                else java.time.LocalDate.parse(t).atStartOfDay()
+                ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+              }
+            // no commit strictly before ts → deliver everything (from 0)
+            scala.util.Try(GraftTable.versionAtTimestamp(root, ms - 1))
+              .getOrElse(0L).toString
+          }
           new GraftMicroBatchStream(root, pruned,
-            Option(options.get("startingVersion")).getOrElse("0"),
+            fromTs.orElse(Option(options.get("startingVersion")))
+              .getOrElse("0"),
             options.getBoolean("skipChangeCommits", false),
             options.getLong("maxVersionsPerTrigger", Long.MaxValue),
             options.getBoolean("withImages", false))
+        }
       }
     }
 }

@@ -1720,6 +1720,54 @@ class GraftTableSpec extends SparkSpecBase {
       GraftTable.optimize(spark, root, 4, zorderBy = Seq("p", "x")))
   }
 
+  test("stream startingTimestamp: inclusive Delta semantics — commits at " +
+    "or after the timestamp deliver; vacuum dryRun deletes nothing") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot("start_ts")
+    val scratch = freshRoot("start_ts_run")
+    GraftTable.write(spark, Seq((1L, "a")).toDF("k", "v"), root, "overwrite")
+    Thread.sleep(20)
+    val cut = GraftTable.commitTimestamp(root, 1L) + 1 // after v1's commit
+    Thread.sleep(20)
+    GraftTable.write(spark, Seq((2L, "b")).toDF("k", "v"), root, "append")
+    GraftTable.write(spark, Seq((3L, "c")).toDF("k", "v"), root, "append")
+    val q = spark.readStream
+      .format("graft.tables.GraftTableStreamSource")
+      .option("path", root)
+      .option("startingTimestamp", cut.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$scratch/cp")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$scratch/out/b$id"); ()
+      }
+      .start()
+    q.awaitTermination()
+    val dirs = scala.util.Using.resource(
+      Files.list(Paths.get(s"$scratch/out")))(
+      _.iterator().asScala.map(_.toString).toSeq.sorted)
+    spark.read.parquet(dirs: _*).select($"k").as[Long]
+      .collect().sorted shouldBe Array(2L, 3L) // v1 predates the cut
+    // both options together fail loud
+    intercept[Exception] {
+      spark.readStream.format("graft.tables.GraftTableStreamSource")
+        .option("path", root).option("startingVersion", "0")
+        .option("startingTimestamp", cut.toString).load()
+        .writeStream.option("checkpointLocation", s"$scratch/cp2")
+        .trigger(Trigger.AvailableNow())
+        .format("noop").start().awaitTermination()
+    }
+    // vacuum dryRun: reports the reclaim set, touches nothing
+    GraftTable.deleteWhere(spark, root, "k = 1") // orphan v1's file later
+    GraftTable.truncateHistory(root, GraftTable.latestVersion(root).get)
+    val wouldRemove = GraftTable.vacuum(root, 0L, dryRun = true)
+    wouldRemove should not be empty
+    GraftTable.read(spark, root).count() shouldBe 2L
+    GraftTable.vacuum(root, 0L) shouldBe wouldRemove
+    GraftTable.read(spark, root).count() shouldBe 2L
+  }
+
   test("merge deleteKeys: upsert + companion deletes land as ONE commit " +
     "with exactly-classified CDC; overlapping key sets fail loud") {
     val root = freshRoot("merge_delkeys")
