@@ -1673,7 +1673,8 @@ object GraftTable {
             on: Seq[String], how: String = "upsert",
             txn: Option[(String, Long)] = None,
             condition: Option[String] = None,
-            deleteKeys: Option[DataFrame] = None): Long = {
+            deleteKeys: Option[DataFrame] = None,
+            evolve: Boolean = false): Long = {
     require(on.nonEmpty, "graft_table merge needs `on` key columns")
     require(Set("upsert", "delete")(how),
       s"graft_table merge: how must be upsert|delete, got '$how'")
@@ -1685,19 +1686,37 @@ object GraftTable {
       "graft_table merge: `deleteKeys` (upsert + delete in ONE atomic " +
         "commit — the MV-refresh shape) composes with the plain upsert " +
         "only; a pure delete is how=delete, a conditional one a filter")
+    require(!evolve || (how == "upsert" && condition.isEmpty),
+      "graft_table merge: `evolve` (schema-evolving upsert) composes " +
+        "with the plain upsert only")
     val snap = snapshot(root)
     if (how == "upsert") {
-      requireSchemaMatch(updates, snap, root)
+      if (!evolve) requireSchemaMatch(updates, snap, root)
       // SQL MERGE law: one target row must match at most one source row
       val dup = updates.groupBy(on.map(col): _*).count()
         .where(col("count") > 1).limit(1).collect()
       require(dup.isEmpty, s"graft_table merge: change set has duplicate " +
         s"keys on (${on.mkString(",")}), e.g. ${dup.headOption.fold("")(_.toString)}")
     }
-    val schema = StructType.fromDDL(snap.schemaDdl)
     val state = replayState(root, snap.version)
     fireRaceHook()
-    val keys = updates.select(on.map(col): _*).distinct()
+    // schema EVOLUTION (evolve=true): genuinely-new source columns widen
+    // the table schema in the SAME commit (meta + data atomically —
+    // writeEvolve's contract on the merge path); rewritten and untouched
+    // old rows read the new columns as typed nulls, type conflicts fail,
+    // and on a column-mapped table new columns get fresh physical names.
+    val (ups, schema, mapNew, evolvedCols) =
+      if (how == "upsert" && evolve) {
+        val (conformed, union, nc) = conformEvolved(spark, updates, snap, root)
+        val m: Map[String, String] =
+          if (state.colMap.isEmpty) Map.empty
+          else state.colMap.toMap ++
+            nc.map(f => f.name -> freshPhysical(f.name))
+        (conformed, union, m, nc)
+      } else (updates, StructType.fromDDL(snap.schemaDdl),
+        state.colMap.toMap,
+        Array.empty[org.apache.spark.sql.types.StructField])
+    val keys = ups.select(on.map(col): _*).distinct()
     val delKeys = deleteKeys.map(_.select(on.map(col): _*).distinct())
     delKeys.foreach { dk =>
       val overlap = dk.join(keys, on, "left_semi").limit(1).collect()
@@ -1740,8 +1759,8 @@ object GraftTable {
       case ("upsert", None) =>
         val matchedPre = touchedRows.join(broadcast(keys), on, "left_semi")
         val matchedKeys = matchedPre.select(on.map(col): _*).distinct()
-        val post = updates.join(broadcast(matchedKeys), on, "left_semi")
-        val inserts = updates.join(broadcast(matchedKeys), on, "left_anti")
+        val post = ups.join(broadcast(matchedKeys), on, "left_semi")
+        val inserts = ups.join(broadcast(matchedKeys), on, "left_anti")
         // atomic companion deletes (deleteKeys): their matched rows join
         // the victim set and tag `delete` in the feed — one commit, one
         // version, never an observable upsert-without-delete interim
@@ -1751,7 +1770,7 @@ object GraftTable {
         val upsertCdc = tag(matchedPre.select(dataCols: _*), "update_preimage")
           .unionByName(tag(post, "update_postimage"))
           .unionByName(tag(inserts, "insert"))
-        (rewritten.unionByName(updates), Some(updates), victims,
+        (rewritten.unionByName(ups), Some(ups), victims,
           Some(delMatched.fold(upsertCdc)(dm =>
             upsertCdc.unionByName(tag(dm.select(dataCols: _*), "delete")))))
       case ("upsert", Some(cond)) =>
@@ -1762,7 +1781,7 @@ object GraftTable {
         // stale sources are DROPPED, unmatched sources insert. Only the
         // cond-winning target rows are victims — a tgtWins row stays in
         // place under merge-on-read (no rewrite, no vector entry).
-        val t = touchedRows.as("t"); val s = updates.as("s")
+        val t = touchedRows.as("t"); val s = ups.as("s")
         val onExpr = on.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
         val pairs = t.join(s, onExpr, "inner")
         val tCols = schema.fields.toSeq.map(f => col(s"t.${f.name}").as(f.name))
@@ -1788,9 +1807,9 @@ object GraftTable {
     // vectors, only new rows are staged, no file is removed or rewritten
     val mor = dvEnabled(state) && touchedRel.nonEmpty
     val adds =
-      if (mor) morData.map(d => stageDataFiles(toPhysical(d, state.colMap),
+      if (mor) morData.map(d => stageDataFiles(toPhysical(d, mapNew),
         root, partitionBy = state.partitionBy)).getOrElse(Nil)
-      else stageDataFiles(toPhysical(cowData, state.colMap), root,
+      else stageDataFiles(toPhysical(cowData, mapNew), root,
         partitionBy = state.partitionBy)
     enforceConstraints(spark, root, adds, snap.version, s"merge ($how)")
     val dvActs = if (!mor) Nil else stageDvFiles(spark, root, state,
@@ -1798,9 +1817,13 @@ object GraftTable {
     val removes = if (mor) Nil else touchedRel.map(removeAction)
     val cdc = if (!changeFeedEnabled(state)) Nil
       else cdcDf.toSeq.flatMap(d =>
-        stageCdcFiles(toPhysical(d, state.colMap), root))
+        stageCdcFiles(toPhysical(d, mapNew), root))
+    // the widening meta (evolve with genuinely-new columns) rides the
+    // SAME commit — schema + data change atomically, like writeEvolve
+    val meta = if (evolvedCols.isEmpty) Nil
+      else Seq(metaAction(schema.toDDL, state.partitionBy, mapNew))
     commitDml(root, snap.version,
-      txn.map(t => txnAction(t._1, t._2)).toSeq ++
+      txn.map(t => txnAction(t._1, t._2)).toSeq ++ meta ++
         removes ++ adds ++ dvActs ++ cdc,
       depFiles = touchedRel.toSet, dmlAddRule(state, touchedRel, adds),
       state.partitionBy, s"merge ($how)")

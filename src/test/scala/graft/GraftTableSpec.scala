@@ -1768,6 +1768,39 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.read(spark, root).count() shouldBe 2L
   }
 
+  test("merge evolve: a schema-evolving upsert widens the table in the " +
+    "SAME commit; old rows read typed nulls; type conflicts still fail; " +
+    "composes with column mapping via fresh physicals") {
+    val root = freshRoot("merge_evolve")
+    GraftTable.write(spark,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), root, "overwrite")  // v1
+    val before = GraftTable.latestVersion(root).get
+    GraftTable.merge(spark, root,
+      Seq((2L, 22.0, "eu"), (3L, 30.0, "us")).toDF("k", "v", "region"),
+      Seq("k"), evolve = true)                                        // v2
+    GraftTable.latestVersion(root).get shouldBe before + 1 // one commit
+    GraftTable.read(spark, root).orderBy($"k")
+      .as[(Long, Double, String)].collect() shouldBe
+      Array((1L, 10.0, null), (2L, 22.0, "eu"), (3L, 30.0, "us"))
+    // non-evolving merge against the widened schema still type-checks
+    (the[IllegalArgumentException] thrownBy GraftTable.merge(spark, root,
+      Seq((1L, "oops", "x")).toDF("k", "v", "region"), Seq("k"),
+      evolve = true)).getMessage should include("type conflict")
+    // on a column-mapped table the evolved column gets a FRESH physical
+    GraftTable.renameColumn(root, "v", "price")                       // v3
+    GraftTable.merge(spark, root,
+      Seq((4L, 40.0, "de", 7L)).toDF("k", "price", "region", "score"),
+      Seq("k"), evolve = true)                                        // v4
+    GraftTable.columnMapping(root)("score") should not be "score"
+    GraftTable.read(spark, root).where($"k" === 4L)
+      .select($"price", $"score").as[(Double, Long)].head() shouldBe
+      (40.0, 7L)
+    GraftTable.read(spark, root).where($"k" === 1L)
+      .select($"score").as[java.lang.Long].head() shouldBe null
+    // time travel to pre-evolution keeps the narrow schema
+    GraftTable.read(spark, root, Some(1L)).columns shouldBe Array("k", "v")
+  }
+
   test("merge deleteKeys: upsert + companion deletes land as ONE commit " +
     "with exactly-classified CDC; overlapping key sets fail loud") {
     val root = freshRoot("merge_delkeys")
