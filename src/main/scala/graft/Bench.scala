@@ -425,18 +425,40 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // the per-query line above can exceed the driver's tail-capture window
     // (BENCH_r07 preserved 65/132 queries and lost the head-positioned
-    // total) — repeat the headline number in a short LAST line so the
-    // total always survives truncation, now with the per-stage seconds of
-    // every query that recorded attribution (the clustering family)
-    // attribution goes on its OWN line, before the final total: round 13's
-    // surviving tail cut the total's leading digits because the
-    // attribution blob stretched the last line past the capture window —
-    // the LAST line must stay short enough (≈200 chars) to always land
-    // intact, so it carries only the headline numbers.
-    if (attributions.nonEmpty)
-      println("{\"metric\":\"attribution\",\"queries\":" + attributions
+    // total; BENCH_r19's ~2.3 KB tail kept only 3 of 207 timings) — so the
+    // tail is budgeted back-to-front by importance:
+    //   1. gate line (LAST, ≈350 chars — always survives)
+    //   2. compact "qsec" map (one line, ~1.8 KB): EVERY query's seconds
+    //      under a short id (the family prefix before the first '_' —
+    //      unique across the registry except b5/h5, which print in full),
+    //      1-decimal precision. check_floors.py expands the ids via
+    //      clean_floors.json names; 0.1 s rounding is immaterial against
+    //      its 0.75 s absolute flag guard.
+    //   3. slim attribution (k12b + other forked queries only — the heavy
+    //      block the judge reads; the FULL attribution map goes to stderr,
+    //      which local clean captures keep as a separate file)
+    // Dup-prone ids resolved by full-name fallback, so the map stays
+    // mechanically invertible no matter what queries are added later.
+    if (attributions.nonEmpty) {
+      val full = "{\"metric\":\"attribution\",\"queries\":" + attributions
         .map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}") + "}")
+        .mkString("{", ",", "}") + "}"
+      System.err.println("[bench-attr] " + full)
+      val slim = attributions.filter { case (k, _) => isForked(k) }
+      if (slim.nonEmpty)
+        println("{\"metric\":\"attribution\",\"queries\":" + slim
+          .map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}") + "}")
+    }
+    val shortId: String => String = n =>
+      if (n == "c_metrics" || n == "pricing_summary") n
+      else n.takeWhile(_ != '_')
+    val idCounts = names.groupBy(shortId).map { case (k, v) => k -> v.size }
+    val qsec = results.map { case (k, v) =>
+      val id = if (idCounts(shortId(k)) == 1) shortId(k) else k
+      id + ":" + String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    }.mkString(",")
+    println(s"""{"metric":"qsec","n":${results.size},"q":{$qsec}}""")
     // whole-run steal: nonzero here means the hypervisor taxed this bench
     // (the per-query "steal" attribution entries say which queries paid)
     val runSteal = String.format(java.util.Locale.ROOT, "%.1f",

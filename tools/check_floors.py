@@ -56,6 +56,33 @@ def main() -> int:
         if qname.match(k):
             times[k] = v  # last occurrence wins (the final line repeats)
 
+    # Compact "qsec" line (round 20): the full per-query line is ~6 KB and
+    # the driver keeps only a ~2.3 KB tail, so Bench also prints
+    # {"metric":"qsec","n":N,"q":{a1:0.3,k12b:23.9,...}} near the END with
+    # unquoted SHORT ids (the prefix before the first '_'; ambiguous ids
+    # print in full). Expand ids back to full names via the floors file's
+    # own name list — floors are regenerated from untruncated clean logs,
+    # so every registered query is listed there by the time this runs.
+    sid = lambda n: n if n in ("c_metrics", "pricing_summary") \
+        else n.split("_", 1)[0]
+    by_sid = {}
+    for n in floors:
+        by_sid.setdefault(sid(n), []).append(n)
+    expand = {s: ns[0] for s, ns in by_sid.items() if len(ns) == 1}
+    qlines = re.findall(r'"metric":"qsec".*?"q":\{([^}]*)\}', text)
+    if not qlines:
+        # the qsec line itself may lose its head (and with it the marker)
+        # to the tail window — fall back to scanning for UNQUOTED id:secs
+        # pairs, which appear nowhere else in the bench output (every
+        # other JSON key is quoted; sbt's clock stamps start with digits)
+        qlines = [" ".join(re.findall(
+            r'(?<![\w":])(?:[a-z]{1,4}[0-9]+[a-z]?|c_metrics|'
+            r'pricing_summary):-?[0-9][0-9.]*', text))]
+    for qline in qlines:
+        for m in re.finditer(r'([a-z][a-z0-9_]*):(-?[0-9][0-9.]*)', qline):
+            k, v = m.group(1), float(m.group(2))
+            times[expand.get(k, k)] = v
+
     gate = {}
     for key in ("heap_gb", "steal_sec", "probe_mops_start", "probe_mops_end"):
         m = re.findall(rf'"{key}":(-?[0-9][0-9.eE+-]*)', text)
