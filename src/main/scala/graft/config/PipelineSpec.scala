@@ -621,7 +621,7 @@ object PipelineSpec {
     }
     if (mode != "streaming" && src.format == "graft_table" &&
       !(mode == "mv_refresh" && optStr(root, "streaming").contains("true")))
-      require(!src.options.contains("withImages") ||
+      require(!src.options.keys.exists(_.equalsIgnoreCase("withImages")) ||
         src.options.contains("changesFrom"),
         "source: withImages qualifies the change feed — a batch read " +
           "needs changesFrom (streaming mode streams the feed " +
@@ -660,8 +660,8 @@ object PipelineSpec {
         // honored downstream — the guard must see it the same way)
         def optCi(k: String): Option[String] =
           src.options.collectFirst { case (n, v) if n.equalsIgnoreCase(k) => v }
-        require(!(optCi("withImages").contains("true") &&
-          optCi("skipChangeCommits").contains("true")),
+        require(!(optCi("withImages").exists(_.equalsIgnoreCase("true")) &&
+          optCi("skipChangeCommits").exists(_.equalsIgnoreCase("true"))),
           "source: withImages consumes change commits — skipChangeCommits " +
             "would drop exactly the retractions it exists to apply")
       } else require(src.options.isEmpty,
@@ -786,8 +786,11 @@ object PipelineSpec {
       // In batch it qualifies a changesFrom range (enforced at the
       // pipeline level, where the mode is known); in streaming it turns
       // the table source into the continuous CDF.
-      s.options.get("withImages").foreach { v =>
-        require(Set("true", "false")(v),
+      // key AND value case-insensitive: downstream reads this through
+      // CaseInsensitiveStringMap.getBoolean, which accepts "True"
+      s.options.collect { case (k, v)
+          if k.equalsIgnoreCase("withImages") => v }.foreach { v =>
+        require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
           s"$at.options.withImages: true|false, got '$v'")
       }
       require(!(s.options.contains("versionAsOf") &&

@@ -89,10 +89,13 @@ object PipelineRunner {
         val ss = spark.newSession()
         ss.conf.set("spark.sql.shuffle.partitions",
           sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
-        // case-insensitive: the stream source honors `withimages:` via
-        // CaseInsensitiveStringMap, so the dispatch must match it
+        // case-insensitive on KEY and VALUE: the stream source honors
+        // `withimages: True` via CaseInsensitiveStringMap.getBoolean
+        // (Boolean.parseBoolean ignores case), so the dispatch must
+        // match it or "True" would stream classified change rows into
+        // the per-version refresh branch
         val direct = spec.source.options.exists { case (k, v) =>
-          k.equalsIgnoreCase("withImages") && v == "true" }
+          k.equalsIgnoreCase("withImages") && v.equalsIgnoreCase("true") }
         val src = readStream(ss, spec.source)
         val q = (if (direct) src
           else src.select(col("_commit_version"))).writeStream
@@ -644,7 +647,8 @@ object PipelineRunner {
           })
         (s.options.get("changesFrom"), s.options.get("rangeCol")) match {
           case (Some(cf), _)
-            if s.options.get("withImages").contains("true") =>
+            if s.options.exists { case (k, v) =>
+              k.equalsIgnoreCase("withImages") && v.equalsIgnoreCase("true") } =>
             // FULL feed: _change_type-classified pre/post images (cdf/
             // sidecars; appends deliver as inserts)
             graft.tables.GraftTable.changesWithImages(spark, path,

@@ -434,15 +434,27 @@ object GraftTable {
     * retained commit fails loud (the state at that time is unknowable
     * after truncation, not silently the earliest snapshot). */
   def versionAtTimestamp(root: String, tsMillis: Long): Long = {
+    versionAtTimestampOpt(root, tsMillis).getOrElse {
+      val latest = latestVersion(root).get
+      val retained = (1L to latest).filter(v => Files.exists(verFile(root, v)))
+      throw new IllegalArgumentException(
+        s"graft_table $root: no commit at or before ts=$tsMillis — earliest " +
+          s"retained commit is version ${retained.headOption.getOrElse(-1L)} " +
+          s"at ts=${retained.headOption.map(commitTimestamp(root, _)).getOrElse(-1L)}")
+    }
+  }
+
+  /** [[versionAtTimestamp]]'s Option face: None when no retained commit
+    * is at or before `tsMillis` — the ONE case a caller may legitimately
+    * absorb (a stream's startingTimestamp predating the table delivers
+    * everything). Not-a-table still fails loud; a blanket Try around
+    * versionAtTimestamp would swallow that too and silently deliver
+    * everything on a typo'd path. */
+  def versionAtTimestampOpt(root: String, tsMillis: Long): Option[Long] = {
     val latest = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"not a graft_table: $root"))
-    val retained = (1L to latest).filter(v => Files.exists(verFile(root, v)))
-    val at = retained.filter(v => commitTimestamp(root, v) <= tsMillis)
-    require(at.nonEmpty,
-      s"graft_table $root: no commit at or before ts=$tsMillis — earliest " +
-        s"retained commit is version ${retained.headOption.getOrElse(-1L)} " +
-        s"at ts=${retained.headOption.map(commitTimestamp(root, _)).getOrElse(-1L)}")
-    at.max
+    (1L to latest).filter(v => Files.exists(verFile(root, v)))
+      .filter(v => commitTimestamp(root, v) <= tsMillis).maxOption
   }
 
   /** Snapshot-isolated read of `asOf` (default latest). The schema comes
@@ -1530,12 +1542,22 @@ object GraftTable {
         tablePb
       case _ => partitionBy
     }
-    // appends into a column-mapped table stage under PHYSICAL names;
-    // overwrite re-declares meta WITHOUT a mapping (all data replaced —
-    // the fresh files carry logical names, identity resumes)
+    // appends into a column-mapped table stage under PHYSICAL names.
+    // Overwrite PRESERVES an active mapping (Delta's rule) instead of
+    // resetting it: a change feed spanning rename → overwrite reads
+    // pre-overwrite files, which carry the OLD physical names — under a
+    // reset (identity) schema every renamed column would come back null.
+    // Surviving logical columns keep their physicals, genuinely-new
+    // columns get FRESH ones (a dropped column's bytes in old files must
+    // never resurrect under a re-used name), vanished columns drop out.
+    val owMap: Map[String, String] =
+      if (mode != "overwrite") Map.empty
+      else st0.map(_.colMap).filter(_.nonEmpty)
+        .fold(Map.empty[String, String])(cm => df.schema.fields.map(f =>
+          f.name -> cm.getOrElse(f.name, freshPhysical(f.name))).toMap)
     val stageDf =
       if (mode == "append") st0.fold(df)(s => toPhysical(df, s.colMap))
-      else df
+      else toPhysical(df, owMap)
     val adds = stageDataFiles(stageDf, root, partitionBy = effPb)
     var attempt = 0
     while (true) {
@@ -1559,7 +1581,7 @@ object GraftTable {
       val actions = txn.map(t => txnAction(t._1, t._2)).toSeq ++ (mode match {
         case "append" if snap.isDefined => adds
         case _ => // first-ever commit, or overwrite: (re)declare schema
-          metaAction(df.schema.toDDL, effPb) +:
+          metaAction(df.schema.toDDL, effPb, owMap) +:
             (snap.toSeq.flatMap(_.files.map(removeAction)) ++ adds)
       })
       enforceConstraints(spark, root, adds, cur.getOrElse(0L), s"$mode")
@@ -1674,7 +1696,8 @@ object GraftTable {
             txn: Option[(String, Long)] = None,
             condition: Option[String] = None,
             deleteKeys: Option[DataFrame] = None,
-            evolve: Boolean = false): Long = {
+            evolve: Boolean = false,
+            keysPartitionLocal: Boolean = false): Long = {
     require(on.nonEmpty, "graft_table merge needs `on` key columns")
     require(Set("upsert", "delete")(how),
       s"graft_table merge: how must be upsert|delete, got '$how'")
@@ -1759,7 +1782,26 @@ object GraftTable {
       case ("upsert", None) =>
         val matchedPre = touchedRows.join(broadcast(keys), on, "left_semi")
         val matchedKeys = matchedPre.select(on.map(col): _*).distinct()
-        val post = ups.join(broadcast(matchedKeys), on, "left_semi")
+        val post0 = ups.join(broadcast(matchedKeys), on, "left_semi")
+        // evolve + a source MISSING existing table columns: the conform
+        // pass null-filled them, and replacing matched rows wholesale
+        // would silently null real data (Delta's updateAll with schema
+        // evolution PRESERVES target columns absent from the source; the
+        // non-evolve path rejects such a source loudly — evolve must not
+        // turn that error into data loss). Matched rows take the source
+        // value only for columns the ORIGINAL source carried; inserts
+        // keep the null fill — there is no target row to preserve.
+        val resolver = spark.sessionState.conf.resolver
+        val srcMissing = schema.fields.map(_.name).filter(n =>
+          !updates.columns.exists(resolver(_, n)))
+        val post = if (!evolve || srcMissing.isEmpty) post0 else {
+          val t = matchedPre.as("t"); val s = post0.as("s")
+          val onExpr = on.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+          t.join(s, onExpr, "inner").select(schema.fields.toSeq.map { f =>
+            (if (srcMissing.contains(f.name)) col(s"t.${f.name}")
+             else col(s"s.${f.name}")).as(f.name)
+          }: _*)
+        }
         val inserts = ups.join(broadcast(matchedKeys), on, "left_anti")
         // atomic companion deletes (deleteKeys): their matched rows join
         // the victim set and tag `delete` in the feed — one commit, one
@@ -1770,7 +1812,10 @@ object GraftTable {
         val upsertCdc = tag(matchedPre.select(dataCols: _*), "update_preimage")
           .unionByName(tag(post, "update_postimage"))
           .unionByName(tag(inserts, "insert"))
-        (rewritten.unionByName(ups), Some(ups), victims,
+        // post ∪ inserts ≡ ups except on the evolve-preserve path, where
+        // post carries the target-preserved matched rows
+        val upsEff = if (post eq post0) ups else post.unionByName(inserts)
+        (rewritten.unionByName(upsEff), Some(upsEff), victims,
           Some(delMatched.fold(upsertCdc)(dm =>
             upsertCdc.unionByName(tag(dm.select(dataCols: _*), "delete")))))
       case ("upsert", Some(cond)) =>
@@ -1822,10 +1867,25 @@ object GraftTable {
     // SAME commit — schema + data change atomically, like writeEvolve
     val meta = if (evolvedCols.isEmpty) Nil
       else Seq(metaAction(schema.toDDL, state.partitionBy, mapNew))
+    // Partition-scoped add tolerance is SOUND for a merge only when a
+    // row's key pins its partition: the not-matched classification probed
+    // every live file by key, so a concurrent insert of the same key into
+    // an untouched partition would otherwise commit alongside this
+    // merge's insert — duplicate keys with no serial schedule producing
+    // them. keys ⊇ partition columns makes that impossible (same key ⇒
+    // same partition ⇒ rule 3 catches it); `keysPartitionLocal = true` is
+    // the caller's explicit contract for the one-writer-per-partition
+    // layout. Everything else defaults to all-adds-conflict (Delta
+    // conflicts concurrent AddFiles against the txn's read scope — a
+    // merge's read scope here is the whole key space).
+    val keyedParts = keysPartitionLocal || state.partitionBy.forall(p =>
+      on.exists(spark.sessionState.conf.resolver(_, p)))
+    val addRule = if (keyedParts) dmlAddRule(state, touchedRel, adds)
+      else AddsAlwaysConflict
     commitDml(root, snap.version,
       txn.map(t => txnAction(t._1, t._2)).toSeq ++ meta ++
         removes ++ adds ++ dvActs ++ cdc,
-      depFiles = touchedRel.toSet, dmlAddRule(state, touchedRel, adds),
+      depFiles = touchedRel.toSet, addRule,
       state.partitionBy, s"merge ($how)")
   }
 

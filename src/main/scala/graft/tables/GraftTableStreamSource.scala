@@ -125,20 +125,32 @@ private[tables] class GraftStreamTable(root: String, schema: StructType)
           // BEFORE it (ts-1 against the at-or-before resolver); no such
           // version means deliver everything. Mutually exclusive with
           // startingVersion.
-          val fromTs = Option(options.get("startingTimestamp")).map { t =>
+          val fromTs = Option(options.get("startingTimestamp")).map { raw =>
             require(options.get("startingVersion") == null,
               "graft_table stream source: startingVersion and " +
                 "startingTimestamp are mutually exclusive")
+            val t = raw.trim
+            require(t.nonEmpty, "graft_table stream source: " +
+              "startingTimestamp must be epoch millis or a timestamp " +
+              "string, got an empty value")
             val ms =
               if (t.forall(_.isDigit)) t.toLong
               else {
+                // naive timestamps resolve in the SESSION timezone
+                // (Delta parity) — pinning UTC would shift every
+                // wall-clock string by the session's offset
+                val zone = java.time.ZoneId.of(org.apache.spark.sql
+                  .SparkSession.active.sessionState.conf.sessionLocalTimeZone)
                 val ldt = if (t.contains(" ") || t.contains("T"))
                   java.time.LocalDateTime.parse(t.replace(' ', 'T'))
                 else java.time.LocalDate.parse(t).atStartOfDay()
-                ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+                ldt.atZone(zone).toInstant.toEpochMilli
               }
-            // no commit strictly before ts → deliver everything (from 0)
-            scala.util.Try(GraftTable.versionAtTimestamp(root, ms - 1))
+            // ONLY the no-commit-before-ts case means "deliver
+            // everything" — truncated history / unreadable logs / a
+            // typo'd path must propagate, not silently become a
+            // full-table replay (versionAtTimestampOpt's contract)
+            GraftTable.versionAtTimestampOpt(root, ms - 1)
               .getOrElse(0L).toString
           }
           new GraftMicroBatchStream(root, pruned,

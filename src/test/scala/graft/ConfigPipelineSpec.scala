@@ -355,6 +355,46 @@ class ConfigPipelineSpec extends SparkSpecBase {
     }.getMessage should include("duplicate")
   }
 
+  test("withImages is case-insensitive on key AND value everywhere " +
+    "(the stream source reads it via CaseInsensitiveStringMap, so the " +
+    "guards must see 'True' the same way)") {
+    // conflict guard catches the mixed-case spelling too
+    intercept[IllegalArgumentException] {
+      PipelineSpec.parse(
+        """name: x
+          |mode: mv_refresh
+          |streaming: true
+          |source: {format: graft_table, path: p,
+          |  options: {withImages: "True", skipChangeCommits: "true"}}
+          |mv: {path: q, keys: [k], aggs: ["sum(v) AS s"]}
+          |""".stripMargin)
+    }.getMessage should include("withImages consumes change commits")
+    // value validation accepts any casing of true/false, rejects junk
+    PipelineSpec.parse(
+      """name: x
+        |source: {format: graft_table, path: p,
+        |  options: {changesFrom: "0", withimages: "TRUE"}}
+        |sink: {format: parquet, path: out}
+        |""".stripMargin)
+    intercept[IllegalArgumentException] {
+      PipelineSpec.parse(
+        """name: x
+          |source: {format: graft_table, path: p,
+          |  options: {changesFrom: "0", withImages: "yep"}}
+          |sink: {format: parquet, path: out}
+          |""".stripMargin)
+    }.getMessage should include("withImages")
+    // batch guard: withimages (lowercase key) without changesFrom fails
+    intercept[IllegalArgumentException] {
+      PipelineSpec.parse(
+        """name: x
+          |source: {format: graft_table, path: p,
+          |  options: {withimages: "true"}}
+          |sink: {format: parquet, path: out}
+          |""".stripMargin)
+    }.getMessage should include("changesFrom")
+  }
+
   test("parse errors are path-qualified") {
     val e1 = intercept[IllegalArgumentException](PipelineSpec.parse("name: x\n"))
     e1.getMessage should include("pipeline.source")

@@ -1758,6 +1758,34 @@ class GraftTableSpec extends SparkSpecBase {
         .trigger(Trigger.AvailableNow())
         .format("noop").start().awaitTermination()
     }
+    // an EMPTY startingTimestamp is a typo, not "deliver everything"
+    intercept[Exception] {
+      spark.readStream.format("graft.tables.GraftTableStreamSource")
+        .option("path", root).option("startingTimestamp", " ").load()
+        .writeStream.option("checkpointLocation", s"$scratch/cp3")
+        .trigger(Trigger.AvailableNow())
+        .format("noop").start().awaitTermination()
+    }
+    // a timestamp PREDATING the table is the ONE legitimately-absorbed
+    // failure (versionAtTimestampOpt → None → everything); parsed in the
+    // session timezone, not pinned UTC
+    val q2 = spark.readStream
+      .format("graft.tables.GraftTableStreamSource")
+      .option("path", root)
+      .option("startingTimestamp", "1970-01-02")
+      .load().writeStream
+      .option("checkpointLocation", s"$scratch/cp4")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$scratch/out2/b$id"); ()
+      }
+      .start()
+    q2.awaitTermination()
+    val dirs2 = scala.util.Using.resource(
+      Files.list(Paths.get(s"$scratch/out2")))(
+      _.iterator().asScala.map(_.toString).toSeq.sorted)
+    spark.read.parquet(dirs2: _*).select($"k").as[Long]
+      .collect().sorted shouldBe Array(1L, 2L, 3L)
     // vacuum dryRun: reports the reclaim set, touches nothing
     GraftTable.deleteWhere(spark, root, "k = 1") // orphan v1's file later
     GraftTable.truncateHistory(root, GraftTable.latestVersion(root).get)
@@ -1766,6 +1794,38 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.read(spark, root).count() shouldBe 2L
     GraftTable.vacuum(root, 0L) shouldBe wouldRemove
     GraftTable.read(spark, root).count() shouldBe 2L
+  }
+
+  test("change feed across rename → overwrite: overwrite PRESERVES an " +
+    "active column mapping, so pre-overwrite versions read their renamed " +
+    "columns (not silent nulls); new columns still get fresh physicals") {
+    val root = freshRoot("feed_ow_map")
+    GraftTable.write(spark,
+      Seq((1L, 10.0)).toDF("k", "v"), root, "overwrite")              // v1
+    GraftTable.renameColumn(root, "v", "price")                       // v2
+    GraftTable.write(spark,
+      Seq((2L, 20.0)).toDF("k", "price"), root, "append")             // v3
+    GraftTable.write(spark,
+      Seq((3L, 30.0)).toDF("k", "price"), root, "overwrite")          // v4
+    // mapping survives: price still reads the stable physical 'v', so
+    // v1's pre-rename file and v3's append stay coherent in the feed
+    GraftTable.columnMapping(root) shouldBe Map("k" -> "k", "price" -> "v")
+    GraftTable.changes(spark, root, 0L)
+      .select($"k", $"price", $"_commit_version")
+      .as[(Long, Double, Long)].collect().sortBy(_._1) shouldBe Array(
+      (1L, 10.0, 1L), (2L, 20.0, 3L), (3L, 30.0, 4L))
+    // snapshot read sees only the overwrite's data
+    GraftTable.read(spark, root).as[(Long, Double)].collect() shouldBe
+      Array((3L, 30.0))
+    // an overwrite column the mapping never saw gets a FRESH physical
+    // (never a plain name that could collide with dropped bytes)
+    GraftTable.write(spark,
+      Seq((4L, 40.0, "x")).toDF("k", "price", "tag"), root, "overwrite")
+    val cm = GraftTable.columnMapping(root)
+    cm("price") shouldBe "v"
+    cm("tag") should not be "tag"
+    GraftTable.read(spark, root).select($"tag").as[String]
+      .head() shouldBe "x"
   }
 
   test("merge evolve: a schema-evolving upsert widens the table in the " +
@@ -1799,6 +1859,61 @@ class GraftTableSpec extends SparkSpecBase {
       .select($"score").as[java.lang.Long].head() shouldBe null
     // time travel to pre-evolution keeps the narrow schema
     GraftTable.read(spark, root, Some(1L)).columns shouldBe Array("k", "v")
+  }
+
+  test("merge evolve preserves target columns the source does not carry " +
+    "on matched rows (no silent null-out); inserts still null-fill") {
+    val root = freshRoot("merge_evolve_preserve")
+    GraftTable.write(spark,
+      Seq((1L, 10.0, "eu"), (2L, 20.0, "us")).toDF("k", "v", "region"),
+      root, "overwrite")                                              // v1
+    // source carries k + a NEW column only — v/region must survive on
+    // the matched row (Delta updateAll-with-evolution semantics; the
+    // non-evolve path rejects this source loudly, so evolve converting
+    // that error into a null-out would be silent data loss)
+    GraftTable.merge(spark, root,
+      Seq((2L, 7L), (3L, 9L)).toDF("k", "score"), Seq("k"),
+      evolve = true)                                                  // v2
+    GraftTable.read(spark, root).orderBy($"k")
+      .as[(Long, java.lang.Double, String, java.lang.Long)]
+      .collect() shouldBe Array(
+      (1L, Double.box(10.0), "eu", null), // untouched
+      (2L, Double.box(20.0), "us", Long.box(7L)), // matched: v/region KEPT
+      (3L, null, null, Long.box(9L))) // insert: honest null fill
+    // same contract under merge-on-read (DV path stages post rows only)
+    GraftTable.setProperty(root, "deletionVectors", Some("true"))
+    GraftTable.merge(spark, root,
+      Seq(Tuple2(1L, 5L)).toDF("k", "score"), Seq("k"), evolve = true)
+    GraftTable.read(spark, root).where($"k" === 1L)
+      .select($"v", $"region", $"score")
+      .as[(Double, String, Long)].head() shouldBe (10.0, "eu", 5L)
+  }
+
+  test("merge OCC defaults to all-adds-conflict when keys do not pin the " +
+    "partition; keysPartitionLocal opts back into partition scoping") {
+    val root = freshRoot("occ_keyscope")
+    GraftTable.write(spark,
+      Seq(("p1", 1L, 10.0), ("p2", 2L, 20.0)).toDF("p", "k", "v"),
+      root, "overwrite", partitionBy = Seq("p"))                     // v1
+    // merge on k ONLY: its not-matched probe spans every partition, so a
+    // raced insert of k=7 into p2 while this merge inserts k=7 into p1
+    // would yield duplicate keys — must abort even though the partitions
+    // differ
+    GraftTable.testRaceHook = () => GraftTable.write(spark,
+      Seq(("p2", 7L, 70.0)).toDF("p", "k", "v"), root, "append")     // v2
+    (the[GraftTable.ConcurrentWriteException] thrownBy
+      GraftTable.merge(spark, root,
+        Seq(("p1", 7L, 77.0)).toDF("p", "k", "v"), Seq("k")))
+      .getMessage should include("conflicts with a concurrent commit")
+    // the caller that KNOWS keys are partition-local (one writer per
+    // partition) opts in explicitly and sails past the disjoint add
+    GraftTable.testRaceHook = () => GraftTable.write(spark,
+      Seq(("p2", 8L, 80.0)).toDF("p", "k", "v"), root, "append")     // v3
+    GraftTable.merge(spark, root,
+      Seq(("p1", 9L, 90.0)).toDF("p", "k", "v"), Seq("k"),
+      keysPartitionLocal = true)                                     // v4
+    GraftTable.read(spark, root).select($"k").as[Long]
+      .collect().sorted shouldBe Array(1L, 2L, 7L, 8L, 9L)
   }
 
   test("merge deleteKeys: upsert + companion deletes land as ONE commit " +
