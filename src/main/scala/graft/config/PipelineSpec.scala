@@ -338,6 +338,7 @@ final case class TransformSpec(
     threshold: Option[Double],
     bucketCap: Option[Int],
     k: Option[Int],
+    minLen: Option[Int],
     fraction: Option[Double],
     seed: Option[Long],
     statePath: Option[String])
@@ -760,8 +761,13 @@ object PipelineSpec {
       // root path; schema comes from the table's own log, so a declared
       // schema / drift policy would be silently ignored — reject both.
       // options.versionAsOf = "<n>" time-travels to version n.
-      require(s.path.isDefined && s.table.isEmpty,
-        s"$at: graft_table sources are addressed by `path` (the table root)")
+      require(s.path.isDefined ^ s.table.isDefined,
+        s"$at: graft_table sources are addressed by `path` (the table " +
+          "root) XOR `table` (a graft-catalog name like db.tbl, resolved " +
+          "against spark.sql.catalog.graft.warehouse)")
+      s.table.foreach(t => require(
+        t.split("\\.", -1).forall(_.trim.nonEmpty),
+        s"$at.table: malformed catalog table name '$t'"))
       require(s.schema.isEmpty,
         s"$at: a graft_table's schema is owned by its commit log — " +
           "conform downstream with cast/select instead of declaring one")
@@ -857,15 +863,28 @@ object PipelineSpec {
   private def transform(n: JsonNode, at: String): TransformSpec = {
     fields(n, at, Set("op", "cols", "name", "expr", "to", "table", "on",
       "how", "broadcast", "aggs", "orderBy", "where", "values", "max_rows",
-      "threshold", "bucket_cap", "k", "fraction", "seed", "state_path"))
+      "threshold", "bucket_cap", "k", "min_len", "fraction", "seed",
+      "state_path"))
     val op = reqStr(n, "op", at)
     require(Set("select", "rename", "drop", "derive", "filter", "cast", "join",
       "limit", "sort", "shuffle", "aggregate", "union", "dedup", "asof_join",
       "flatten", "pivot", "unpivot", "surrogate_key", "merge", "diff",
       "tokenize", "tfidf", "minhash_dedup", "semdedup", "ann_topk",
       "sample", "mix", "pack", "quality_filter", "decontaminate", "redact",
-      "bpe_train", "bpe_tokenize", "sessionize")(op),
+      "bpe_train", "bpe_tokenize", "sessionize", "span_dedup")(op),
       s"$at.op: unknown '$op'")
+    if (op == "span_dedup") {
+      // §2-adjacent exact-substring dedup (Lee et al. 2022): remove every
+      // duplicated span of >= min_len tokens, matched via k-token
+      // windows. min_len DEFAULTS to the paper's 50-token bar; a lower
+      // bar (j20's sf-scale 16) stays available but must be asked for.
+      require(opt(n, "cols").exists(_.size() == 2),
+        s"$at: span_dedup needs `cols: [idCol, textCol]`")
+      opt(n, "k").map(_.asInt()).foreach(v => require(v >= 2,
+        s"$at.k: span_dedup match window must be >= 2, got $v"))
+      opt(n, "min_len").map(_.asInt()).foreach(v => require(v >= 2,
+        s"$at.min_len: must be >= 2, got $v"))
+    }
     TransformSpec(op,
       cols = strArr(n, "cols"), name = optStr(n, "name"),
       expr = optStr(n, "expr"), to = optStr(n, "to"),
@@ -879,6 +898,7 @@ object PipelineSpec {
       bucketCap = opt(n, "bucket_cap").map(_.asInt()),
       k = opt(n, "k").map(_.asInt()),
       fraction = optNum(n, "fraction"),
+      minLen = opt(n, "min_len").map(_.asInt()),
       seed = opt(n, "seed").map(_.asLong()),
       statePath = optStr(n, "state_path"))
   }
@@ -890,7 +910,7 @@ object PipelineSpec {
     val fmt = reqStr(n, "format", at)
     require(Set("parquet", "orc", "csv", "json", "xml", "graft_table")(fmt),
       s"$at.format: unknown '$fmt'")
-    val s = SinkSpec(fmt, reqStr(n, "path", at),
+    val s = SinkSpec(fmt, optStr(n, "path").getOrElse(""),
       mode = optStr(n, "mode").getOrElse("overwrite"),
       partitionBy = strArr(n, "partitionBy"), options = strMap(n, "options"),
       buckets = opt(n, "buckets").map(_.asInt()),
@@ -899,6 +919,18 @@ object PipelineSpec {
       evolve = optStr(n, "evolve"),
       clusterBy = strArr(n, "clusterBy"),
       files = opt(n, "files").map(_.asInt()))
+    // graft_table sinks address by path XOR catalog name; every other
+    // format still requires a path (table there is the bucketed-sink
+    // catalog entry, which RIDES a path)
+    if (fmt == "graft_table") {
+      require(s.path.nonEmpty ^ s.table.isDefined,
+        s"$at: graft_table sinks are addressed by `path` (the table " +
+          "root) XOR `table` (a graft-catalog name like db.tbl, resolved " +
+          "against spark.sql.catalog.graft.warehouse)")
+      s.table.foreach(t => require(
+        t.split("\\.", -1).forall(_.trim.nonEmpty),
+        s"$at.table: malformed catalog table name '$t'"))
+    } else require(s.path.nonEmpty, s"$at.path: required")
     require(s.clusterBy.isEmpty || s.buckets.isEmpty,
       s"$at: clusterBy (range layout) and buckets (hash layout) are " +
         "mutually exclusive — pick the layout the dominant read pattern needs")
@@ -974,10 +1006,9 @@ object PipelineSpec {
         s"$at: graft_table partitionBy declares the layout on overwrite " +
           s"only — mode=${s.mode} inherits the table's existing layout")
       require(s.buckets.isEmpty &&
-        s.clusterBy.isEmpty && s.files.isEmpty &&
-        s.table.isEmpty,
+        s.clusterBy.isEmpty && s.files.isEmpty,
         s"$at: graft_table owns its physical layout — buckets/" +
-          "clusterBy/files/table do not apply (partitionBy on overwrite " +
+          "clusterBy/files do not apply (partitionBy on overwrite " +
           "and evolve: add_nulls on append are the policy knobs)")
     }
     s

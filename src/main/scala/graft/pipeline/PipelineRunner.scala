@@ -83,7 +83,7 @@ object PipelineRunner {
         // lastTxn ≥ its watermark and no-ops — so the checkpoint here is
         // run-scoped scratch, like every other run-to-completion stream
         // in this runner.
-        val base = spec.source.path.get
+        val base = graftRoot(spark, spec.source.path, spec.source.table)
         val cpBase = s"/tmp/graft_stream/mv_${spec.name}"
         graft.streaming.StreamOps.rmrf(cpBase)
         val ss = spark.newSession()
@@ -119,7 +119,8 @@ object PipelineRunner {
           .start()
         q.awaitTermination()
       } else graft.tables.MaterializedView.refresh(
-        spark, spec.source.path.get, mv.path, mv.keys, aggs)
+        spark, graftRoot(spark, spec.source.path, spec.source.table),
+        mv.path, mv.keys, aggs)
       val out = graft.tables.MaterializedView.estimated(
         graft.tables.GraftTable.read(spark, mv.path), aggs)
       return RunResult(spec, out, out.limit(0), Nil)
@@ -377,11 +378,12 @@ object PipelineRunner {
           "per-batch gate keep streaming semantics; move it ahead of the gate"))
     streamPrefix.foreach(t => require(
       !Set("tfidf", "minhash_dedup", "semdedup", "ann_topk", "decontaminate",
-        "mix")(t.op),
+        "mix", "span_dedup")(t.op),
       s"streaming mode: '${t.op}' is batch-only (idf / LSH or semantic " +
         "clustering / top-k / the contaminated-id set / the mixture counts " +
-        "all need the whole corpus; `tokenize` and `quality_filter` stream " +
-        "fine, and the dedup gates stream with `state_path`)"))
+        "/ the span election all need the whole corpus; `tokenize` and " +
+        "`quality_filter` stream fine, and the dedup gates stream with " +
+        "`state_path`)"))
 
     // Transforms apply to the PASS side only — batch parity: the batch
     // quarantine keeps pre-transform rows (+ failed_checks), and a select
@@ -457,14 +459,15 @@ object PipelineRunner {
       (oc, () => {
         deferred.foreach(_())
         tableSink.foreach { s =>
-          graft.tables.GraftTable.appendBatch(bs, oc, s.path, txnAppId, id,
+          val tRoot = graftRoot(bs, Some(s.path).filter(_.nonEmpty), s.table)
+          graft.tables.GraftTable.appendBatch(bs, oc, tRoot, txnAppId, id,
             evolve = s.evolve.contains("add_nulls"))
           if ((id + 1) % ckptEvery == 0)
-            graft.tables.GraftTable.checkpoint(s.path)
+            graft.tables.GraftTable.checkpoint(tRoot)
           // the per-batch small-file check is log metadata only; the
           // rewrite itself fires only past the sprawl threshold
           if (s.options.get("auto_compact").contains("true"))
-            graft.tables.GraftTable.autoCompact(bs, s.path)
+            graft.tables.GraftTable.autoCompact(bs, tRoot)
         }
         if (tableSink.isDefined) oc.unpersist()
       })
@@ -491,6 +494,17 @@ object PipelineRunner {
 
   /** §2.A9 — streaming file source from the same SourceSpec vocabulary,
     * plus the message-bus (`format: kafka`) pass-through contract. */
+  /** graft_table addressing: a root `path`, or a catalog `table` name
+    * (db.tbl) resolved through the graft catalog's warehouse — the YAML
+    * face of [[graft.catalog.GraftCatalog]], so configs name tables
+    * exactly like SQL does instead of copy-pasting path strings. */
+  private def graftRoot(spark: SparkSession, path: Option[String],
+      table: Option[String]): String =
+    path.filter(_.nonEmpty).getOrElse(
+      graft.catalog.GraftCatalog.tablePath(spark, table.getOrElse(
+        throw new IllegalArgumentException(
+          "graft_table needs `path` or `table`"))))
+
   def readStream(spark: SparkSession, s: SourceSpec): DataFrame = {
     require(s.incremental.isEmpty,
       "incremental watermark state is batch-only — a streaming source " +
@@ -523,7 +537,8 @@ object PipelineRunner {
       // pipelines — the streaming dual of the changesFrom batch feed.
       return spark.readStream
         .format("graft.tables.GraftTableStreamSource")
-        .options(s.options).option("path", s.path.get).load()
+        .options(s.options)
+        .option("path", graftRoot(spark, s.path, s.table)).load()
     }
     val path = s.path.orElse(s.table.map(t => s"${t}.parquet")).getOrElse(
       throw new IllegalArgumentException("source needs path or table"))
@@ -620,6 +635,8 @@ object PipelineRunner {
         // read of the latest version, options.versionAsOf for time
         // travel, or options.changesFrom (exclusive; + changesTo) for the
         // incremental change feed — rows added after that version,
+        // addressed by root path or by graft-catalog `table:` name
+        val path = graftRoot(spark, s.path, s.table)
         // stamped _commit_version, OPTIMIZE rewrites skipped. Schema
         // comes from the log (parse-time validation rejected a declared
         // one). changesFrom composes with `incremental` on the
@@ -1252,6 +1269,19 @@ object PipelineRunner {
         // idf is a whole-corpus aggregate). RESHAPES to (id, term, tf, score).
         require(t.cols.length == 2, "tfidf needs `cols: [idCol, tokensCol]`")
         graft.queries.TextOps.tfidfOf(df, t.cols(0), t.cols(1))
+      case "span_dedup" => // exact-substring SPAN removal (Lee et al.
+        // 2022, arXiv:2107.06499) through the config surface (batch only
+        // — the window election is a corpus-wide keyed shuffle): every
+        // duplicated span of >= min_len tokens loses all but its first
+        // occurrence, matched via k-token windows. Adds n_tokens /
+        // kept_tokens / `name` (default text_dedup); all other columns
+        // ride through. min_len DEFAULTS to the paper's 50-token bar.
+        require(t.cols.length == 2, "span_dedup needs `cols: [idCol, textCol]`")
+        val out = t.name.getOrElse("text_dedup")
+        Seq(out, "n_tokens", "kept_tokens").foreach(c =>
+          requireFreshColumn(df, c, "span_dedup"))
+        graft.queries.TextOps2.spanDedupOf(df, t.cols(0), t.cols(1),
+          t.k.getOrElse(8), t.minLen.getOrElse(50), out)
       case "minhash_dedup" => // §2.K6+K12 through the config surface
         // (batch only): banded LSH candidates → exact Jaccard verify →
         // connected components. Default: keep only cluster survivors
@@ -1735,16 +1765,18 @@ object PipelineRunner {
       // rewritten, and the commit aborts if another writer raced in
       // (its rewrite would be against a stale snapshot). No rename-swap
       // needed here: the log IS the commit protocol.
+      val root = graftRoot(df.sparkSession,
+        Some(s.path).filter(_.nonEmpty), s.table)
       s.mode match {
         case "merge" | "delete" =>
           val on = s.options("on").split(",").map(_.trim).filter(_.nonEmpty).toSeq
           val how = if (s.mode == "merge")
             s.options.getOrElse("how", "upsert") else "delete"
-          graft.tables.GraftTable.merge(df.sparkSession, s.path, df, on, how,
+          graft.tables.GraftTable.merge(df.sparkSession, root, df, on, how,
             condition = s.options.get("condition"))
         case "append" if s.evolve.contains("add_nulls") =>
-          graft.tables.GraftTable.writeEvolve(df.sparkSession, df, s.path)
-        case m => graft.tables.GraftTable.write(df.sparkSession, df, s.path, m,
+          graft.tables.GraftTable.writeEvolve(df.sparkSession, df, root)
+        case m => graft.tables.GraftTable.write(df.sparkSession, df, root, m,
           partitionBy = s.partitionBy) // overwrite declares the layout
           // (parse rejects partitionBy on other modes; appends inherit)
       }

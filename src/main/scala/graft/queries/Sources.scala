@@ -1923,9 +1923,99 @@ object Sources extends QueryPack {
          |""".stripMargin).passed
   }
 
+  /** EP38 — NAME-ADDRESSABLE CATALOG (DSv2 TableCatalog, VERDICT r19
+    * task 1): the pipeline publishes orders into the graft catalog by
+    * NAME — `sink: {table: db.orders_ep38}`, no path string in the YAML
+    * — and the result is `spark.sql` over `graft.db.orders_ep38`, whose
+    * V1Scan compiles onto the same GraftFileIndex plan as the path API
+    * (pushed date filter prunes files from logged min/max; projection
+    * reaches the parquet scan). The oracle replays the identical SQL
+    * over the raw parquet. CatalogSpec pins the DDL/DML/time-travel
+    * lifecycle; this query pins the config-surface + SQL round trip. */
+  val ep38: QueryDef = m(
+    "ep38_catalog_table",
+    """SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1995-01-01'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    val wh = s"$ioDir/catalog_wh_ep38"
+    val whPath = new org.apache.hadoop.fs.Path(wh)
+    whPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(whPath, true)
+    // runtime registration: catalogs resolve lazily from the conf, so a
+    // session needs no restart to gain the graft catalog
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    PipelineRunner.run(spark,
+      s"""name: ep38_publish
+         |source: {format: parquet, path: "$dir/orders.parquet"}
+         |sink: {format: graft_table, table: db.orders_ep38, mode: overwrite}
+         |""".stripMargin)
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+        |FROM graft.db.orders_ep38
+        |WHERE o_orderdate >= DATE '1995-01-01'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** EP39 — SPAN DEDUP ON THE CONFIG SURFACE (VERDICT r19 task 3):
+    * `op: span_dedup {cols: [doc_id, text]}` runs j20's exact-substring
+    * election at the published default bar — Lee et al. 2022's 50-token
+    * minimum span (arXiv:2107.06499) — with k left at its 8-token match
+    * window. The oracle replays the IDENTICAL election in DuckDB at
+    * L=50, so the default-bar semantics (not just the sf-tuned L=16 of
+    * j20) are hash-checked cross-engine. PlanSpec's no-single-partition
+    * pin covers the shared spanDedupOf plan. */
+  val ep39: QueryDef = m(
+    "ep39_config_span_dedup",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |wins AS (SELECT doc_id, i AS pos,
+      |    array_to_string(toks[(i+1):(i+8)], ' ') AS win
+      |  FROM t, UNNEST(range(0, len(toks) - 8 + 1)) AS u(i)
+      |  WHERE len(toks) >= 8),
+      |r AS (SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+      |  FROM wins),
+      |mk AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+      |g AS (SELECT doc_id, pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM mk),
+      |runs AS (SELECT doc_id, min(pos) AS s, max(pos) AS e
+      |  FROM g GROUP BY doc_id, grp
+      |  HAVING max(pos) - min(pos) + 8 >= 50),
+      |rem AS (SELECT DISTINCT doc_id, s + j AS tp
+      |  FROM runs, UNNEST(range(0, e - s + 8)) AS v(j)),
+      |toksp AS (SELECT doc_id, tp, toks[CAST(tp AS INT) + 1] AS tok
+      |  FROM t, UNNEST(range(0, len(toks))) AS u(tp)),
+      |keep AS (SELECT p.doc_id, p.tp, p.tok
+      |  FROM toksp p LEFT JOIN rem ON p.doc_id = rem.doc_id AND p.tp = rem.tp
+      |  WHERE rem.tp IS NULL),
+      |agg AS (SELECT doc_id, COUNT(*) AS kept_tokens,
+      |    string_agg(tok, ' ' ORDER BY tp) AS text_dedup
+      |  FROM keep GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(agg.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+      |  COALESCE(agg.text_dedup, '') AS text_dedup
+      |FROM t LEFT JOIN agg USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin) { (spark, dir) =>
+    PipelineRunner.run(spark,
+      s"""name: ep39_span
+         |source: {format: parquet, path: "$dir/documents.parquet"}
+         |transforms:
+         |  - {op: span_dedup, cols: [doc_id, text]}
+         |  - {op: select, cols: [doc_id, n_tokens, kept_tokens, text_dedup]}
+         |  - {op: sort, cols: [doc_id]}
+         |""".stripMargin).passed
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(a3, a3b, a3c, a4, a4b, a4c, a5, a7, a7b, ep1, ep1b, ep2, ep2b, ep3,
       ep3b, ep4, ep5, ep5b, ep6, ep7, ep7b, ep8, ep9, ep10, ep11, ep12, ep13,
       ep14, ep15, ep16, ep17, ep18, ep19, ep20, ep21, ep22, ep23, ep24, ep25,
-      ep26, ep27, ep28, ep29, ep30, ep31, ep32, ep33, ep34, ep35, ep36, ep37)
+      ep26, ep27, ep28, ep29, ep30, ep31, ep32, ep33, ep34, ep35, ep36, ep37,
+      ep38, ep39)
 }

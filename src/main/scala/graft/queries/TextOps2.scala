@@ -641,42 +641,79 @@ object TextOps2 extends QueryPack {
       |  COALESCE(agg.text_dedup, '') AS text_dedup
       |FROM t LEFT JOIN agg USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin) { (spark, dir) =>
-    val K = 8; val L = 16
-    val t = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
-      .withColumn("n", size(col("toks")))
-    val wins = t.where(col("n") >= K)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), col("n") - K),
-        i => array_join(slice(col("toks"), i + 1, lit(K)), " "))))
-      .toDF("doc_id", "pos", "win")
+    // the SHARED election (also the `op: span_dedup` config surface);
+    // K=8 / L=16 kept here so the sf-scale oracle has real spans to kill
+    spanDedupOf(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text", k = 8, minLen = 16, out = "text_dedup")
+      .select(col("doc_id"), col("n_tokens"), col("kept_tokens"),
+        col("text_dedup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared exact-substring SPAN-dedup election — the engine behind j20
+    * AND the `op: span_dedup` config vocabulary. Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499) remove every duplicated span of ≥ 50 tokens; the
+    * K-token match windows approximate the suffix-array match with a
+    * keyed election: a window that appears elsewhere in the corpus marks
+    * its start position, maximal consecutive marked runs become spans,
+    * and a run covering ≥ `minLen` tokens condemns exactly its covered
+    * positions (the FIRST occurrence, by (id, pos) order, always
+    * survives).
+    *
+    * Returns `df` + three columns: `n_tokens`, `kept_tokens`, `out`
+    * (the rebuilt text); every other input column rides through. `id`
+    * must be unique and non-null (rows with NULL ids keep all their
+    * tokens — a null key matches no election row).
+    *
+    * 100 TB shape (PlanSpec-pinned via j20): row-local explode → ONE
+    * election shuffle keyed by the window string → per-doc run grouping
+    * (doc-keyed window) → per-doc removal agg → doc join → HOF rebuild.
+    * No single-partition stage; state per position is one window key,
+    * independent of document length. */
+  def spanDedupOf(df: org.apache.spark.sql.DataFrame, id: String,
+      text: String, k: Int, minLen: Int,
+      out: String): org.apache.spark.sql.DataFrame = {
+    require(k >= 2, s"span_dedup: window k must be >= 2, got $k")
+    require(minLen >= k,
+      s"span_dedup: min_len ($minLen) must be >= the match window k ($k)")
+    val t = df
+      .withColumn("__sd_toks", split(lower(col(text)), " "))
+      .withColumn("__sd_n", size(col("__sd_toks")))
+    val wins = t.where(col("__sd_n") >= k)
+      .select(col(id).as("__sd_id"), posexplode(transform(
+        sequence(lit(0), col("__sd_n") - k),
+        i => array_join(slice(col("__sd_toks"), i + 1, lit(k)), " "))))
+      .toDF("__sd_id", "pos", "win")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("win")).orderBy(col("doc_id"), col("pos"))
+      .partitionBy(col("win")).orderBy(col("__sd_id"), col("pos"))
     val wd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .partitionBy(col("__sd_id")).orderBy(col("pos"))
     // marked starts → maximal consecutive runs → bar filter → coverage
     val runs = wins.withColumn("rn", row_number().over(w))
-      .where(col("rn") > 1).select(col("doc_id"), col("pos"))
+      .where(col("rn") > 1).select(col("__sd_id"), col("pos"))
       .withColumn("grp", col("pos") - row_number().over(wd))
-      .groupBy(col("doc_id"), col("grp"))
+      .groupBy(col("__sd_id"), col("grp"))
       .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
-      .where(col("e") - col("s") + K >= L)
+      .where(col("e") - col("s") + k >= minLen)
     val remPos = runs
-      .select(col("doc_id"),
-        explode(sequence(col("s"), col("e") + K - 1)).as("tp"))
-      .groupBy(col("doc_id")).agg(collect_set(col("tp")).as("rem"))
-    t.join(remPos, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n").cast(LongType).as("n_tokens"),
+      .select(col("__sd_id"),
+        explode(sequence(col("s"), col("e") + k - 1)).as("tp"))
+      .groupBy(col("__sd_id")).agg(collect_set(col("tp")).as("__sd_rem"))
+    t.join(remPos, t(id) === remPos("__sd_id"), "left")
+      .withColumn("__sd_kept",
         org.apache.spark.sql.functions.filter(
-          transform(col("toks"), (tok, i) => struct(i.as("tp"), tok.as("tok"))),
+          transform(col("__sd_toks"),
+            (tok, i) => struct(i.as("tp"), tok.as("tok"))),
           s => !array_contains(
-            coalesce(col("rem"), array().cast("array<int>")),
-            s.getField("tp"))).as("kept"))
-      .select(col("doc_id"), col("n_tokens"),
-        size(col("kept")).cast(LongType).as("kept_tokens"),
-        array_join(transform(col("kept"), s => s.getField("tok")), " ")
-          .as("text_dedup"))
-      .orderBy(col("doc_id"))
+            coalesce(col("__sd_rem"), array().cast("array<int>")),
+            s.getField("tp"))))
+      .withColumn("n_tokens", col("__sd_n").cast(LongType))
+      .withColumn("kept_tokens", size(col("__sd_kept")).cast(LongType))
+      .withColumn(out,
+        array_join(transform(col("__sd_kept"), s => s.getField("tok")), " "))
+      .drop("__sd_toks", "__sd_n", "__sd_id", "__sd_rem", "__sd_kept")
   }
 
   /** J-tier extension — REAL BPE tokenization with a LEARNED vocabulary

@@ -1518,6 +1518,22 @@ object GraftTable {
       case Some(latest) => replayState(root, asOf.getOrElse(latest)).partitionBy
     }
 
+  /** CREATE TABLE: a metadata-only first commit declaring schema, layout
+    * and properties — no data files. The catalog's `CREATE TABLE` /
+    * CTAS-staging face; a subsequent append sees a normal 0-file
+    * snapshot. Fails loud if the table already exists (the catalog maps
+    * that to TableAlreadyExistsException). */
+  def create(root: String, schema: StructType, partitionBy: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): Long = {
+    require(latestVersion(root).isEmpty, s"graft_table $root already exists")
+    val props = properties.toSeq.sortBy(_._1).map { case (k, v) =>
+      val n = json.createObjectNode()
+      val p = n.putObject("property"); p.put("key", k); p.put("value", v)
+      n
+    }
+    commit(root, 0L, metaAction(schema.toDDL, partitionBy) +: props)
+  }
+
   /** Append or overwrite. Appends retry on commit races (their adds are
     * valid against any snapshot); overwrites recompute their removes per
     * attempt so the swap is against the snapshot they actually beat.

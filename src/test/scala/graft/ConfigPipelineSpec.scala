@@ -395,6 +395,67 @@ class ConfigPipelineSpec extends SparkSpecBase {
     }.getMessage should include("changesFrom")
   }
 
+  test("span_dedup: first occurrence survives, later >= min_len spans " +
+    "are removed, other columns ride through; parse + streaming guards") {
+    import spark.implicits._
+    val src = s"/tmp/graft_io/span_cfg_src"
+    // doc 1 owns the span; doc 2 repeats it verbatim inside other text;
+    // doc 3 shares only a 3-token overlap (< min_len=4) and keeps it
+    Seq(
+      (1L, "alpha beta gamma delta unique one", "a"),
+      (2L, "prefix words alpha beta gamma delta suffix tail here", "b"),
+      (3L, "beta gamma delta other stuff entirely", "c"))
+      .toDF("doc_id", "text", "tag")
+      .write.mode("overwrite").parquet(src)
+    val out = PipelineRunner.run(spark,
+      s"""name: span_cfg
+         |source: {format: parquet, path: "$src"}
+         |transforms:
+         |  - {op: span_dedup, cols: [doc_id, text], k: 2, min_len: 4}
+         |  - {op: sort, cols: [doc_id]}
+         |""".stripMargin).passed
+    // extra column `tag` rides through beside the three outputs
+    out.columns.toSet shouldBe
+      Set("doc_id", "text", "tag", "n_tokens", "kept_tokens", "text_dedup")
+    val rows = out.select($"doc_id", $"kept_tokens", $"text_dedup", $"tag")
+      .as[(Long, Long, String, String)].collect()
+    rows(0) shouldBe ((1L, 6L, "alpha beta gamma delta unique one", "a"))
+    // doc 2 loses exactly the 4-token repeated span
+    rows(1)._2 shouldBe 5L
+    rows(1)._3 shouldBe "prefix words suffix tail here"
+    rows(1)._4 shouldBe "b"
+    // doc 3's 3-token overlap is below the bar — untouched
+    rows(2)._3 shouldBe "beta gamma delta other stuff entirely"
+    // parse guards: cols arity, k floor, min_len floor
+    intercept[IllegalArgumentException](PipelineSpec.parse(
+      s"""name: x
+         |source: {format: parquet, path: p}
+         |transforms: [{op: span_dedup, cols: [doc_id]}]
+         |sink: {format: parquet, path: out}
+         |""".stripMargin)).getMessage should include("idCol, textCol")
+    intercept[IllegalArgumentException](PipelineSpec.parse(
+      s"""name: x
+         |source: {format: parquet, path: p}
+         |transforms: [{op: span_dedup, cols: [doc_id, text], k: 1}]
+         |sink: {format: parquet, path: out}
+         |""".stripMargin)).getMessage should include(">= 2")
+    // streaming mode rejects the corpus-wide election
+    intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: x
+         |mode: streaming
+         |source: {format: parquet, path: "$src", schema: auto}
+         |transforms: [{op: span_dedup, cols: [doc_id, text]}]
+         |sink: {format: parquet, path: /tmp/graft_io/span_cfg_out}
+         |""".stripMargin)).getMessage should include("batch-only")
+    // min_len < k rejected at apply (the window cannot match less than k)
+    intercept[IllegalArgumentException](PipelineRunner.run(spark,
+      s"""name: x
+         |source: {format: parquet, path: "$src"}
+         |transforms: [{op: span_dedup, cols: [doc_id, text], k: 8, min_len: 4}]
+         |sink: {format: parquet, path: /tmp/graft_io/span_cfg_out2}
+         |""".stripMargin)).getMessage should include("must be >= the match window")
+  }
+
   test("parse errors are path-qualified") {
     val e1 = intercept[IllegalArgumentException](PipelineSpec.parse("name: x\n"))
     e1.getMessage should include("pipeline.source")
