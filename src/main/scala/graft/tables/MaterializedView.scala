@@ -18,9 +18,14 @@ import org.apache.spark.sql.types.StructType
   *    time); holistic aggregates (median, distinct) need the base scan.
   *  - APPEND-ONLY feed: min/max (and the algebra above) are only sound
   *    when no base row is retracted. `GraftTable.appendOnlySince` checks
-  *    the consumed version range; a merge/delete/overwrite in it forces
-  *    an automatic FULL recompute of that refresh (the production MV
-  *    behavior: incremental when the log allows, correct always).
+  *    the consumed version range; rewrites degrade down a LADDER, never
+  *    straight to a full rescan: (a) count/sum views with full pre/post
+  *    images consume the signed change delta — O(changes + touched
+  *    groups); (b) min/max (and sketch) views with images re-derive ONLY
+  *    the touched groups from the base and MERGE — O(changes +
+  *    touched groups' base rows), an overwrite only when the feed cannot
+  *    even name the touched groups (changeDataFeed off, overwrite/
+  *    restore/drop_partition in the range).
   *  - EXACTLY-ONCE cursor: the consumed base version rides the MV's own
   *    commit as a txn action `(appId = "mv:" + base, batchId = version)`
   *    — data advance and cursor advance are ONE atomic commit, so a
@@ -274,9 +279,36 @@ object MaterializedView {
       val delta = GraftTable.changesWithImages(spark, base, from, Some(baseV))
         .withColumn("__w", signOf)
       Some(mergeSignedDelta(mv, keys, aggs, delta, appId -> baseV))
+    } else if (last.isDefined &&
+        GraftTable.cdcCoveredSince(base, from, baseV)) {
+      // TOUCHED-GROUP RECOMPUTE (min/max & sketches under retraction):
+      // the algebra cannot un-see a retracted extreme, but the change
+      // feed names every group the range touched (pre AND post images),
+      // and only THOSE groups can have changed — re-derive them from the
+      // base filtered to the touched keys and MERGE, instead of
+      // overwriting the whole view. A delete touching one group of a
+      // min view now costs O(changes + touched groups' base rows) in
+      // shuffle/compute (the base scan itself streams past the semi-join
+      // filter), not O(|MV|) rewrite + O(base) aggregation. Groups whose
+      // last base row vanished are deleted in the SAME merge commit.
+      val touched = GraftTable
+        .changesWithImages(spark, base, from, Some(baseV))
+        .select(keys.map(col): _*).distinct()
+      val freshAgg = GraftTable.read(spark, base, asOf = Some(baseV))
+        .join(touched, keys, "left_semi")
+        .groupBy(keys.map(col): _*).agg(
+          aggCols(aggs).head, aggCols(aggs).tail: _*)
+      val up = conformTo(freshAgg, GraftTable.snapshot(mv).schemaDdl).cache()
+      try {
+        val dead = touched.join(up.select(keys.map(col): _*), keys, "left_anti")
+        Some(GraftTable.merge(spark, mv, up, keys,
+          txn = Some(appId -> baseV), deleteKeys = Some(dead)))
+      } finally up.unpersist()
     } else {
-      // FULL: first materialization, or the base rewrote rows the feed
-      // cannot retract — recompute from the snapshot the cursor names
+      // FULL: first materialization, or the base rewrote rows with no
+      // change images to even NAME the touched groups (changeDataFeed
+      // off, overwrite/restore/drop_partition) — recompute from the
+      // snapshot the cursor names
       val full = GraftTable.read(spark, base, asOf = Some(baseV))
         .groupBy(keys.map(col): _*).agg(
           aggCols(aggs).head, aggCols(aggs).tail: _*)

@@ -1418,6 +1418,60 @@ class GraftTableSpec extends SparkSpecBase {
       Array("a")
   }
 
+  test("min/max MV under retraction: touched-group recompute MERGES " +
+    "(never overwrites), re-surfaces the second-place value, kills dead " +
+    "groups in the same commit; no-CDF rewrites still overwrite") {
+    import graft.tables.MaterializedView
+    import graft.tables.MaterializedView.AggSpec
+    val base = freshRoot("mm_mv_b"); val mv = freshRoot("mm_mv_m")
+    GraftTable.write(spark,
+      Seq(("a", 1.0), ("a", 5.0), ("b", 7.0), ("c", 3.0)).toDF("k", "v"),
+      base, "overwrite")                                               // v1
+    GraftTable.setProperty(base, "changeDataFeed", Some("true"))       // v2
+    val aggs = Seq(AggSpec("min", "v", "lo"), AggSpec("max", "v", "hi"))
+    MaterializedView.refresh(spark, base, mv, Seq("k"), aggs) // first: full
+    GraftTable.read(spark, mv).orderBy($"k")
+      .as[(String, Double, Double)].collect() shouldBe
+      Array(("a", 1.0, 5.0), ("b", 7.0, 7.0), ("c", 3.0, 3.0))
+    // a retraction touching ONE group: the deleted max must give way to
+    // the second-place value — impossible for merge algebra, exactly
+    // what the touched-group recompute re-derives from the base
+    GraftTable.deleteWhere(spark, base, "v = 5.0")                     // v3
+    val mvBefore = GraftTable.latestVersion(mv).get
+    MaterializedView.refresh(spark, base, mv, Seq("k"), aggs)
+    GraftTable.latestVersion(mv).get shouldBe mvBefore + 1
+    GraftTable.history(spark, mv).orderBy($"version".desc)
+      .select($"operation").head().getString(0) should include("MERGE")
+    GraftTable.read(spark, mv).orderBy($"k")
+      .as[(String, Double, Double)].collect() shouldBe
+      Array(("a", 1.0, 1.0), ("b", 7.0, 7.0), ("c", 3.0, 3.0))
+    // dead group: all of c's rows vanish → the group leaves the view in
+    // the SAME merge commit (deleteKeys), never a stale survivor
+    GraftTable.deleteWhere(spark, base, "k = 'c'")                     // v4
+    val before2 = GraftTable.latestVersion(mv).get
+    MaterializedView.refresh(spark, base, mv, Seq("k"), aggs)
+    GraftTable.latestVersion(mv).get shouldBe before2 + 1
+    GraftTable.read(spark, mv).select($"k").as[String]
+      .collect().sorted shouldBe Array("a", "b")
+    // appends afterwards still ride the cheap append-incremental branch
+    GraftTable.write(spark, Seq(("b", 9.0)).toDF("k", "v"), base, "append")
+    MaterializedView.refresh(spark, base, mv, Seq("k"), aggs)
+    GraftTable.read(spark, mv).where($"k" === "b")
+      .as[(String, Double, Double)].head() shouldBe (("b", 7.0, 9.0))
+    // without a change feed the touched groups cannot even be NAMED —
+    // the fallback stays the full overwrite
+    val base2 = freshRoot("mm_mv_b2"); val mv2 = freshRoot("mm_mv_m2")
+    GraftTable.write(spark,
+      Seq(("a", 1.0), ("a", 2.0)).toDF("k", "v"), base2, "overwrite")
+    MaterializedView.refresh(spark, base2, mv2, Seq("k"), aggs)
+    GraftTable.deleteWhere(spark, base2, "v = 2.0")
+    MaterializedView.refresh(spark, base2, mv2, Seq("k"), aggs)
+    GraftTable.history(spark, mv2).orderBy($"version".desc)
+      .select($"operation").head().getString(0) shouldBe "OVERWRITE"
+    GraftTable.read(spark, mv2)
+      .as[(String, Double, Double)].collect() shouldBe Array(("a", 1.0, 1.0))
+  }
+
   test("deletion-vector staging is immune to the caller's " +
     "maxRecordsPerFile: one cumulative sidecar per data file, always") {
     val root = freshRoot("dv_onepart")
