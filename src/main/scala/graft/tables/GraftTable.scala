@@ -546,7 +546,8 @@ object GraftTable {
         case None => true // conservative
         case Some(cs) =>
           val (mn, mx) = (cs.get("min"), cs.get("max"))
-          if (mn.isTextual) { // string order: bounds must be strings
+          if (mn == null || mx == null) true // bloom-only node: keep
+          else if (mn.isTextual) { // string order: bounds must be strings
             val (l, h) = (lo.toString, hi.toString)
             !(h.compareTo(mn.asText()) < 0 || l.compareTo(mx.asText()) > 0)
           } else { // exact decimal compare — no double rounding ever
@@ -585,6 +586,9 @@ object GraftTable {
       st.fileStats.get(f).flatMap(s => Option(s.get(physCol))))
     if (per.isEmpty || per.exists(_.isEmpty)) return None
     val nodes = per.flatten
+    // a node may carry only a bloom (no range stats for the type)
+    if (nodes.exists(n => n.get("min") == null || n.get("max") == null))
+      return None
     if (nodes.head.get("min").isTextual) {
       val mins = nodes.map(_.get("min").asText())
       val maxs = nodes.map(_.get("max").asText())
@@ -1381,6 +1385,9 @@ object GraftTable {
         .toSeq.sortBy { case (d, p) => (d, p.getFileName.toString) }
       finally s.close()
     }
+    // optional per-file bloom stats (`stats_bloom` property): staged
+    // absolute path -> (physical column, base64 sketch) pairs
+    val blooms = stageBlooms(df.sparkSession, root, staging)
     // numRecords AND per-column min/max from the parquet FOOTER (pure
     // metadata IO) — a count/stats job over the staged output would
     // re-scan everything just written, which at 100 TB doubles the write
@@ -1410,7 +1417,20 @@ object GraftTable {
       val subdir = comps.map(_.stripPrefix("__p_")).mkString("/")
       val rel = if (subdir.isEmpty) s"data/${stamp}_part$i.parquet"
         else s"data/$subdir/${stamp}_part$i.parquet"
-      val (cnt, stats) = footerInfo(p)
+      val (cnt, stats0) = footerInfo(p)
+      // bloom sketches ride INSIDE the per-column stats node, so the
+      // checkpoint and replay plumbing carry them with zero new state
+      val stats = blooms.get(p.toAbsolutePath.normalize.toString) match {
+        case None => stats0
+        case Some(cols) =>
+          val node = stats0.getOrElse(json.createObjectNode())
+          cols.foreach { case (c, b64) =>
+            val cn = Option(node.get(c)).collect { case o: ObjectNode => o }
+              .getOrElse(node.putObject(c))
+            cn.put("bloom", b64)
+          }
+          Some(node)
+      }
       if (cnt == 0L) None // an empty part adds no rows, only metadata
       else {
         val bytes = Files.size(p)
@@ -1426,6 +1446,114 @@ object GraftTable {
       .iterator().asScala.foreach(Files.deleteIfExists(_))
     finally leftovers.close()
     adds
+  }
+
+  /** Optional per-file BLOOM stats (opt-in via the `stats_bloom` table
+    * property: comma-separated LOGICAL column names; `stats_bloom_bits`
+    * bounds the sketch, default 16384 bits = 2 KiB per column per file).
+    * Point lookups (`=` / `IN`) on a high-cardinality column whose value
+    * ranges overlap across files — the case min/max skipping cannot
+    * touch — drop whole files from the LOG alone, the Delta/Iceberg
+    * answer bounded to a few KB of log per file.
+    *
+    * Computed with ONE column-pruned Spark job over the freshly staged
+    * files (reads only the bloom'd columns, page-cache warm), partial
+    * sketches merged per file on the driver — bounded by file count ×
+    * columns × sketch bytes, the same class as the stats maps. Only
+    * integral and string columns are bloomable (the sketch hashes
+    * putLong/putString; lossy renderings of other types would risk a
+    * WRONG skip — rejected loud instead). Returns staged-absolute-path →
+    * (physical column, base64 sketch) pairs. */
+  private def stageBlooms(spark: SparkSession, root: String,
+      staging: Path): Map[String, Seq[(String, String)]] = {
+    val stOpt = latestVersion(root).map(v => replayState(root, v))
+    val propCols = stOpt.flatMap(_.properties.get("stats_bloom"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    if (propCols.isEmpty) return Map.empty
+    val st = stOpt.get
+    val bits = st.properties.get("stats_bloom_bits").map(_.toLong)
+      .getOrElse(16384L)
+    require(bits >= 1024L && bits <= (1L << 23),
+      s"graft_table $root: stats_bloom_bits must be in [1024, ${1L << 23}]" +
+        s", got $bits")
+    val phys = propCols.map(c => physOf(st, c))
+    val reader = spark.read.parquet(staging.toString)
+    val resolver = spark.sessionState.conf.resolver
+    // a bloom'd column can legitimately be absent from one write (schema
+    // evolution staged the narrow shape) — skip it, never fail the write
+    val present = phys.flatMap(c =>
+      reader.schema.fields.find(f => resolver(f.name, c)))
+    if (present.isEmpty) return Map.empty
+    present.foreach { f =>
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.ByteType]
+          || f.dataType.isInstanceOf[org.apache.spark.sql.types.ShortType]
+          || f.dataType.isInstanceOf[org.apache.spark.sql.types.IntegerType]
+          || f.dataType.isInstanceOf[org.apache.spark.sql.types.LongType]
+          || f.dataType.isInstanceOf[org.apache.spark.sql.types.StringType],
+        s"graft_table $root: stats_bloom column '${f.name}' has type " +
+          s"${f.dataType.sql} — only integral and string columns take " +
+          "bloom stats (other types' hash renderings would risk a wrong " +
+          "skip)")
+    }
+    val names = present.map(_.name)
+    val isStr = present.map(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.StringType]).toArray
+    val n = names.size
+    import org.apache.spark.util.sketch.BloomFilter
+    def ser(b: BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos); bos.toByteArray
+    }
+    val rows = reader.select(
+      (org.apache.spark.sql.functions.input_file_name().as("__f") +:
+        names.map(col)): _*)
+    val bitsC = bits // stable capture for the task closure
+    val isStrC = isStr
+    val partial = rows.rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap
+        .empty[String, Array[BloomFilter]]
+      it.foreach { r =>
+        val bs = m.getOrElseUpdate(r.getString(0),
+          Array.fill(n)(BloomFilter.create(bitsC / 16, bitsC)))
+        var i = 0
+        while (i < n) {
+          if (!r.isNullAt(i + 1)) {
+            if (isStrC(i)) bs(i).putString(r.getString(i + 1))
+            else bs(i).putLong(r.get(i + 1) match {
+              case l: java.lang.Long => l.longValue()
+              case x: java.lang.Integer => x.longValue()
+              case s: java.lang.Short => s.longValue()
+              case b: java.lang.Byte => b.longValue()
+              case other => throw new IllegalStateException(
+                s"unreachable: validated integral, got ${other.getClass}")
+            })
+          }
+          i += 1
+        }
+      }
+      m.iterator.map { case (f, bs) => f -> bs.map(ser) }
+    }.collect()
+    // driver-side merge: a file split across input partitions yields
+    // partial sketches — same create() params, so mergeInPlace is exact
+    val merged = scala.collection.mutable.LinkedHashMap
+      .empty[String, Array[BloomFilter]]
+    partial.foreach { case (f, arrs) =>
+      val des = arrs.map(a =>
+        BloomFilter.readFrom(new java.io.ByteArrayInputStream(a)))
+      merged.get(f) match {
+        case None => merged(f) = des
+        case Some(acc) => acc.zip(des).foreach { case (a, d) =>
+          a.mergeInPlace(d); ()
+        }
+      }
+    }
+    val b64 = java.util.Base64.getEncoder
+    merged.map { case (f, bs) =>
+      java.nio.file.Paths.get(new java.net.URI(f).getPath)
+        .toAbsolutePath.normalize.toString ->
+        names.zip(bs.map(b => b64.encodeToString(ser(b)))).toSeq
+    }.toMap
   }
 
   /** Merge row-group statistics into one per-file {col: {min, max}} node
@@ -1972,8 +2100,39 @@ object GraftTable {
           Some(n.decimalValue().compareTo(x).sign)
         case _ => None
       }
-    type Test = (com.fasterxml.jackson.databind.JsonNode,
-      com.fasterxml.jackson.databind.JsonNode) => Boolean
+    // a Test judges the COLUMN's whole stats node: min/max range checks
+    // guard on the fields being present (a node may carry only a bloom),
+    // and equality checks ALSO consult the optional per-file bloom — the
+    // point-lookup skip min/max ranges cannot provide when file value
+    // ranges overlap. Bloom semantics are conservative by construction:
+    // mightContain never returns false for an inserted value, and the
+    // consult only fires for the exact hash domains staging used
+    // (putLong for integral columns, putString for strings).
+    type Test = com.fasterxml.jackson.databind.JsonNode => Boolean
+    def rangeOk(cs: com.fasterxml.jackson.databind.JsonNode,
+        f: (com.fasterxml.jackson.databind.JsonNode,
+            com.fasterxml.jackson.databind.JsonNode) => Boolean): Boolean = {
+      val mn = cs.get("min"); val mx = cs.get("max")
+      if (mn == null || mx == null) true else f(mn, mx)
+    }
+    def bloomOk(cs: com.fasterxml.jackson.databind.JsonNode,
+        v: Lit): Boolean = Option(cs.get("bloom")).forall { b =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(
+          java.util.Base64.getDecoder.decode(b.asText())))
+      v match {
+        case StrL(s) => bf.mightContainString(s)
+        case NumL(x) => // only an exact long consults the sketch — a
+          // fractional or out-of-range literal keeps the file (its
+          // equality is Catalyst's to fold, never a bloom's to guess)
+          scala.util.Try(x.longValueExact()).toOption
+            .forall(bf.mightContainLong)
+      }
+    }
+    def eqOk(cs: com.fasterxml.jackson.databind.JsonNode,
+        v: Lit): Boolean =
+      rangeOk(cs, (mn, mx) => cmpNode(mn, v).forall(_ <= 0) &&
+        cmpNode(mx, v).forall(_ >= 0)) && bloomOk(cs, v)
     def tests(e: Expression): Option[(String, Test)] = {
       def col(x: Expression): Option[String] = x match {
         case UnresolvedAttribute(Seq(n)) => Some(n)
@@ -1985,22 +2144,20 @@ object GraftTable {
       def mk(name: String, t: Test) = Some((name, t))
       e match {
         case LessThan(c, l: Literal) => col(c).flatMap(n => lit(l).flatMap(v =>
-          mk(n, (mn, _) => cmpNode(mn, v).forall(_ < 0))))
+          mk(n, cs => rangeOk(cs, (mn, _) => cmpNode(mn, v).forall(_ < 0)))))
         case LessThanOrEqual(c, l: Literal) => col(c).flatMap(n => lit(l).flatMap(v =>
-          mk(n, (mn, _) => cmpNode(mn, v).forall(_ <= 0))))
+          mk(n, cs => rangeOk(cs, (mn, _) => cmpNode(mn, v).forall(_ <= 0)))))
         case GreaterThan(c, l: Literal) => col(c).flatMap(n => lit(l).flatMap(v =>
-          mk(n, (_, mx) => cmpNode(mx, v).forall(_ > 0))))
+          mk(n, cs => rangeOk(cs, (_, mx) => cmpNode(mx, v).forall(_ > 0)))))
         case GreaterThanOrEqual(c, l: Literal) => col(c).flatMap(n => lit(l).flatMap(v =>
-          mk(n, (_, mx) => cmpNode(mx, v).forall(_ >= 0))))
+          mk(n, cs => rangeOk(cs, (_, mx) => cmpNode(mx, v).forall(_ >= 0)))))
         case EqualTo(c, l: Literal) => col(c).flatMap(n => lit(l).flatMap(v =>
-          mk(n, (mn, mx) => cmpNode(mn, v).forall(_ <= 0) &&
-            cmpNode(mx, v).forall(_ >= 0))))
+          mk(n, cs => eqOk(cs, v))))
         case In(c, ls) if ls.nonEmpty && ls.forall(_.isInstanceOf[Literal]) =>
           col(c).flatMap { n =>
             val vs = ls.map(l => lit(l.asInstanceOf[Literal]))
             if (vs.exists(_.isEmpty)) None
-            else mk(n, (mn, mx) => vs.flatten.exists(v =>
-              cmpNode(mn, v).forall(_ <= 0) && cmpNode(mx, v).forall(_ >= 0)))
+            else mk(n, cs => vs.flatten.exists(v => eqOk(cs, v)))
           }
         // literal-first order: swap into the canonical form
         case LessThan(l: Literal, c) => tests(GreaterThan(c, l))
@@ -2018,10 +2175,7 @@ object GraftTable {
         case None => true // no stats recorded = keep
         case Some(stats) => understood.forall { case (name, possible) =>
           val key = stats.fieldNames().asScala.find(_.equalsIgnoreCase(name))
-          key.forall { k =>
-            val cs = stats.get(k)
-            possible(cs.get("min"), cs.get("max"))
-          }
+          key.forall(k => possible(stats.get(k)))
         }
       }
     }

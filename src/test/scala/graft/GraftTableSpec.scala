@@ -1418,6 +1418,68 @@ class GraftTableSpec extends SparkSpecBase {
       Array("a")
   }
 
+  test("bloom file stats: point lookups on a bloom'd column skip files " +
+    "whose min/max ranges fully overlap; un-bloom'd columns cannot; " +
+    "sketches survive checkpointed replay; bad types fail loud") {
+    val root = freshRoot("bloom")
+    GraftTable.write(spark, Seq((0L, "seed")).toDF("id", "s"),
+      root, "overwrite")                                               // v1
+    GraftTable.setProperty(root, "stats_bloom", Some("id"))            // v2
+    // round-robin repartition makes every staged file span the whole id
+    // range — min/max stats become useless for a point lookup, exactly
+    // the case the sketch exists for
+    val a = (0L to 999L).map(i => (i * 3, s"x${i % 7}")).toDF("id", "s")
+      .repartition(2)
+    val b = (0L to 999L).map(i => (i * 3 + 1, s"x${i % 7}")).toDF("id", "s")
+      .repartition(2)
+    GraftTable.write(spark, a, root, "overwrite")                      // v3
+    GraftTable.write(spark, b, root, "append")                         // v4
+    val total = GraftTable.snapshot(root).files.size
+    total should be >= 4
+    // the sketch landed in the log, inside the column's stats node
+    Files.readString(Paths.get(root, "_graft_log")
+      .resolve(f"${3L}%020d.json")) should include(""""bloom":"""")
+    import org.apache.spark.sql.functions.col
+    def probe(cond: org.apache.spark.sql.Column): (Long, Int) = {
+      val n = GraftTable.read(spark, root).where(cond).count()
+      (n, GraftTable.lastReadIndex.get.lastPrune.get._1)
+    }
+    // id=300 lives in exactly one file; every file's range covers it
+    val (n1, kept1) = probe(col("id") === 300L)
+    n1 shouldBe 1L
+    kept1 should be < total
+    // IN-list keeps only files that might hold either value
+    val (n2, kept2) = probe(col("id").isin(300L, 301L))
+    n2 shouldBe 2L
+    kept2 should be < total
+    // an un-bloom'd overlapping column cannot skip anything
+    val (n3, kept3) = probe(col("s") === "x3")
+    n3 should be > 0L
+    kept3 shouldBe total
+    // a value NO file contains: bloom empties the candidate set
+    val (n4, kept4) = probe(col("id") === 2L) // ≡2 mod 3 — never written
+    n4 shouldBe 0L
+    kept4 should be < total
+    // checkpoint carries the stats nodes verbatim — replay after
+    // truncation keeps skipping
+    GraftTable.checkpoint(root)
+    GraftTable.truncateHistory(root, GraftTable.latestVersion(root).get)
+    val (n5, kept5) = probe(col("id") === 300L)
+    n5 shouldBe 1L
+    kept5 should be < total
+    // a non-integral, non-string column is rejected loud at stage time
+    GraftTable.setProperty(root, "stats_bloom", Some("missing_col"))
+    GraftTable.write(spark, Seq((9999L, "z")).toDF("id", "s"),
+      root, "append") // absent column: skipped, never an error
+    val root2 = freshRoot("bloom_badtype")
+    GraftTable.write(spark, Seq((1L, 2.0)).toDF("id", "v"),
+      root2, "overwrite")
+    GraftTable.setProperty(root2, "stats_bloom", Some("v"))
+    (the[IllegalArgumentException] thrownBy GraftTable.write(spark,
+      Seq((2L, 3.0)).toDF("id", "v"), root2, "append"))
+      .getMessage should include("only integral and string")
+  }
+
   test("min/max MV under retraction: touched-group recompute MERGES " +
     "(never overwrites), re-surfaces the second-place value, kills dead " +
     "groups in the same commit; no-CDF rewrites still overwrite") {
