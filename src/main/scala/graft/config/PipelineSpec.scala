@@ -79,7 +79,7 @@ final case class MaintenanceSpec(
     set: Map[String, String],     // update_where: col -> SQL expr
     toVersion: Option[Long],      // restore
     targetFiles: Option[Int],     // optimize
-    zorderBy: Seq[String],        // optimize (exactly two, optional)
+    zorderBy: Seq[String],        // optimize (2-4 columns, optional)
     zorderBits: Option[Int],      // optimize
     constraintName: Option[String] = None, // add_constraint / drop_constraint
     check: Option[String] = None,          // add_constraint
@@ -427,11 +427,19 @@ object IncrementalState {
 object PipelineSpec {
   private val mapper = new ObjectMapper(new YAMLFactory())
 
-  /** `clusterBy: ["zorder(x, y[, bits])"]` — parse-validated here, then
-    * re-extracted by the write path (PipelineRunner) with the same
-    * pattern. Groups: (colA, colB, bits?). */
+  /** `clusterBy: ["zorder(a, b[, c[, d]][, bits])"]` (2–4 dimensions) —
+    * parse-validated here, then re-extracted by the write path
+    * (PipelineRunner) with the same pattern. Groups: (colsCsv, bits?) —
+    * columns are identifiers, bits is pure digits, so the trailing
+    * number is never ambiguous. */
   val ZOrderClusterKey: scala.util.matching.Regex =
-    """(?i)^\s*zorder\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:,\s*(\d+)\s*)?\)\s*$""".r
+    ("""(?i)^\s*zorder\s*\(\s*([A-Za-z_][A-Za-z0-9_]*""" +
+      """(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*){1,3})\s*""" +
+      """(?:,\s*(\d+)\s*)?\)\s*$""").r
+
+  /** Split a ZOrderClusterKey cols group into trimmed column names. */
+  def zorderCols(colsCsv: String): Seq[String] =
+    colsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
   def parse(yaml: String): PipelineSpec = {
     val root = mapper.readTree(yaml)
@@ -541,8 +549,9 @@ object PipelineSpec {
             "takes `to_version` only")
         case "optimize" =>
           need(m.targetFiles.exists(_ > 0), "needs `target_files` > 0")
-          need(m.zorderBy.isEmpty || m.zorderBy.length == 2,
-            "`zorder_by` needs exactly two columns")
+          need(m.zorderBy.isEmpty ||
+            (m.zorderBy.length >= 2 && m.zorderBy.length <= 4),
+            "`zorder_by` takes 2-4 columns")
           need(m.where.isEmpty && m.set.isEmpty && m.toVersion.isEmpty,
             "takes target_files/zorder_by/zorder_bits only")
         case "set_property" =>
@@ -939,15 +948,19 @@ object PipelineSpec {
     if (s.clusterBy.exists(_.matches("""(?i)\s*zorder\s*\(.*"""))) {
       require(s.clusterBy.size == 1,
         s"$at.clusterBy: zorder(...) must be the sole layout entry — its " +
-          "Morton code already totally orders both dimensions")
+          "Morton code already totally orders every dimension")
       val m = PipelineSpec.ZOrderClusterKey.findFirstMatchIn(s.clusterBy.head)
       require(m.isDefined,
         s"$at.clusterBy: malformed '${s.clusterBy.head.trim}' — expected " +
-          "zorder(colA, colB) or zorder(colA, colB, bits)")
-      require(m.get.group(1).toLowerCase != m.get.group(2).toLowerCase,
-        s"$at.clusterBy: zorder needs two distinct columns")
-      Option(m.get.group(3)).map(_.toInt).foreach(b => require(b >= 1 && b <= 20,
-        s"$at.clusterBy: zorder bits must be in [1,20], got $b"))
+          "zorder(colA, colB[, colC[, colD]][, bits]) (2-4 columns)")
+      val zc = PipelineSpec.zorderCols(m.get.group(1))
+      require(zc.map(_.toLowerCase).distinct.size == zc.size,
+        s"$at.clusterBy: zorder needs distinct columns, got " +
+          zc.mkString(", "))
+      Option(m.get.group(2)).map(_.toInt).foreach(b =>
+        require(b >= 1 && b * zc.size <= 62,
+          s"$at.clusterBy: zorder bits x dims must fit a positive BIGINT " +
+            s"(bits*dims <= 62), got $b x ${zc.size}"))
     }
     s.files.foreach { f =>
       require(f > 0, s"$at.files: must be > 0, got $f")

@@ -1812,9 +1812,10 @@ object PipelineRunner {
         // aggregate over the output — the same cost class as
         // surrogate_key's bound probe, paid once at write time.
         val clustered = s.clusterBy match {
-          case Seq(PipelineSpec.ZOrderClusterKey(x, y, bitsStr)) =>
-            graft.ext.ZOrder.zLayout(evolvedOut, x, y,
-              Option(bitsStr).map(_.toInt).getOrElse(12))
+          case Seq(PipelineSpec.ZOrderClusterKey(colsCsv, bitsStr)) =>
+            graft.ext.ZOrder.zLayout(evolvedOut,
+              PipelineSpec.zorderCols(colsCsv),
+              Option(bitsStr).map(_.toInt).getOrElse(12), None, Nil)
           case Seq() => evolvedOut
           case cols => evolvedOut.repartitionByRange(cols.map(col): _*)
             .sortWithinPartitions(cols.map(col): _*)

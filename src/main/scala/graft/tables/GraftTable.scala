@@ -2985,8 +2985,9 @@ object GraftTable {
       zorderBy: Seq[String] = Nil, zorderBits: Int = 12,
       partitions: Seq[Map[String, String]] = Nil): Long = {
     require(targetFiles > 0, s"optimize: targetFiles must be > 0, got $targetFiles")
-    require(zorderBy.isEmpty || zorderBy.length == 2,
-      s"optimize: zorderBy needs exactly two columns, got ${zorderBy.mkString(",")}")
+    require(zorderBy.isEmpty ||
+      (zorderBy.length >= 2 && zorderBy.length <= 4),
+      s"optimize: zorderBy takes 2-4 columns, got ${zorderBy.mkString(",")}")
     val snap = snapshot(root)
     if (snap.files.isEmpty) return snap.version // nothing to lay out
     val schema = StructType.fromDDL(snap.schemaDdl)
@@ -3020,13 +3021,13 @@ object GraftTable {
         .parquet(victims.map(f => Paths.get(root).resolve(f).toString): _*))
     zorderBy.foreach(c => require(!pb.contains(c),
       s"optimize: z-order dimension '$c' is a partition column — it is " +
-        "already a directory-level constant; pick two data columns"))
+        "already a directory-level constant; pick data columns"))
     val laid = zorderBy match {
-      case Seq(x, y) => // within a partitioned layout the range key is
-        // (partition cols..., zkey): dirs survive, and every file covers
-        // a small (x, y) square inside its partition
+      case ds if ds.nonEmpty => // within a partitioned layout the range
+        // key is (partition cols..., zkey): dirs survive, and every file
+        // covers a small quantized cell inside its partition
         graft.ext.ZOrder.zLayout(base,
-          physOf(state, x), physOf(state, y), zorderBits,
+          ds.map(physOf(state, _)), zorderBits,
           parts = Some(targetFiles), partitionBy = pb)
       case _ if pb.isEmpty => base.coalesce(targetFiles)
       case _ => // partitioned bin-pack: hash the partition columns into

@@ -140,6 +140,49 @@ class StreamingOpsSpec extends SparkSpecBase {
       Seq(("events", 0L, "hello"), ("events", 2L, "world"))
   }
 
+  test("A9 integration (GATED): the real {format: kafka} translation " +
+    "runs against a live broker when the connector jar + broker are " +
+    "present; otherwise cancels with a visible notice") {
+    // the offline image ships no spark-sql-kafka-0-10 — this spec is the
+    // standing claim-keeper: the DAY the jar lands on the classpath (and
+    // GRAFT_KAFKA_BOOTSTRAP names a broker) the untouched YAML surface is
+    // exercised against real Kafka. Until then the cancel message says
+    // exactly what is missing; the MemoryStream contract spec above
+    // keeps the schema/transform semantics tested offline.
+    val connector = scala.util.Try(Class.forName(
+      "org.apache.spark.sql.kafka010.KafkaSourceProvider")).isSuccess
+    if (!connector)
+      cancel("kafka connector (spark-sql-kafka-0-10 + kafka-clients) not " +
+        "on the classpath — integration spec skipped; the MemoryStream " +
+        "contract spec still covers the translation semantics")
+    val bootstrap = sys.env.getOrElse("GRAFT_KAFKA_BOOTSTRAP",
+      cancel("connector present but GRAFT_KAFKA_BOOTSTRAP is unset — " +
+        "point it at host:port to run the live-broker integration"))
+    import graft.config.PipelineSpec
+    import graft.pipeline.PipelineRunner
+    val topic = s"graft_it_${System.currentTimeMillis()}"
+    // produce through the SAME connector (batch kafka sink) — no direct
+    // kafka-clients API use, so this file compiles offline
+    Seq("hello", "world").toDF("v")
+      .selectExpr("CAST(v AS BINARY) AS value")
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic).save()
+    val spec = PipelineSpec.parse(
+      s"""name: kafka_live
+         |mode: streaming
+         |source:
+         |  format: kafka
+         |  options: {kafka.bootstrap.servers: "$bootstrap",
+         |            subscribe: "$topic", startingOffsets: earliest}
+         |""".stripMargin)
+    val out = StreamOps.runToBatch(spark, "kafka_live",
+      ss => PipelineRunner.readStream(ss, spec.source)
+        .selectExpr("CAST(value AS STRING) AS payload"),
+      "append")
+    out.as[String].collect().sorted shouldBe Array("hello", "world")
+  }
+
   test("L5: streaming dedup drops crafted duplicate keys within the stream") {
     val base = "/tmp/graft_stream_test/l5"
     StreamOps.rmrf(base)

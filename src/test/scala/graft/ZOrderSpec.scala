@@ -66,6 +66,104 @@ class ZOrderSpec extends SparkSpecBase {
     xy shouldBe 255L
   }
 
+  private def mortonRefN(vs: Seq[Long], bits: Int): Long = {
+    val d = vs.size
+    (for (i <- 0 until bits; (v, j) <- vs.zipWithIndex)
+      yield ((v >> i) & 1L) << (i * d + j)).sum
+  }
+
+  test("3-dim interleave: bijection, SQL-emitter agreement, and " +
+    "contiguous z-ranges bound ALL THREE dimensions") {
+    forSamples(for {
+      x <- org.scalacheck.Gen.choose(0L, 31L)
+      y <- org.scalacheck.Gen.choose(0L, 31L)
+      w <- org.scalacheck.Gen.choose(0L, 31L)
+    } yield (x, y, w), n = 25) { case (x, y, w) =>
+      val z = mortonRefN(Seq(x, y, w), 5)
+      ZOrder.deinterleave(z, 0, 3, 5) shouldBe x
+      ZOrder.deinterleave(z, 1, 3, 5) shouldBe y
+      ZOrder.deinterleave(z, 2, 3, 5) shouldBe w
+    }
+    // column algebra == SQL emitter == the reference, on real data
+    import graft.core.Tables
+    val q = Tables.orders(spark, sf).select(
+      (col("o_custkey") % 32).as("a"),
+      (floor(col("o_totalprice")).cast("bigint") % 32).as("b"),
+      (col("o_orderkey") % 32).as("c"))
+    val both = q.select(
+      ZOrder.interleave(Seq(col("a"), col("b"), col("c")), 5).as("z_col"),
+      expr(s"(${ZOrder.interleaveSql(Seq("a", "b", "c"), 5)})").as("z_sql"))
+    both.where(col("z_col") =!= col("z_sql")).count() shouldBe 0L
+    // 32^3 grid in 8 contiguous z-chunks: every chunk is a 16^3 cube, so
+    // ALL THREE per-chunk spreads are bounded at 15 — an x-major sort
+    // leaves the trailing dimensions at the full 31
+    val pts = for (x <- 0L until 32L; y <- 0L until 32L; w <- 0L until 32L)
+      yield (x, y, w)
+    def spread(sorted: Seq[(Long, Long, Long)]): (Long, Long, Long) =
+      sorted.grouped(sorted.size / 8).map { c =>
+        (c.map(_._1).max - c.map(_._1).min,
+          c.map(_._2).max - c.map(_._2).min,
+          c.map(_._3).max - c.map(_._3).min)
+      }.foldLeft((0L, 0L, 0L)) { case ((a, b, g), (p, q2, r)) =>
+        (a max p, b max q2, g max r) }
+    spread(pts.sortBy { case (x, y, w) =>
+      mortonRefN(Seq(x, y, w), 5) }) shouldBe ((15L, 15L, 15L))
+    val (_, ly, lw) = spread(pts.sortBy(identity))
+    ly shouldBe 31L; lw shouldBe 31L
+    // guards: dims 2-4 only, bits*dims must fit a positive BIGINT
+    intercept[IllegalArgumentException](
+      ZOrder.interleave(Seq(col("a")), 4))
+    intercept[IllegalArgumentException](
+      ZOrder.interleave(Seq(col("a"), col("b"), col("c")), 21))
+    // parse: 3-col clusterBy accepted, 5 cols / oversized bits rejected
+    config.PipelineSpec.parse(
+      """name: x
+        |source: {format: parquet, path: p}
+        |sink: {format: parquet, path: out,
+        |  clusterBy: ["zorder(a, b, c, 10)"]}
+        |""".stripMargin)
+    intercept[IllegalArgumentException](config.PipelineSpec.parse(
+      """name: x
+        |source: {format: parquet, path: p}
+        |sink: {format: parquet, path: out,
+        |  clusterBy: ["zorder(a, b, c, d, e)"]}
+        |""".stripMargin))
+    intercept[IllegalArgumentException](config.PipelineSpec.parse(
+      """name: x
+        |source: {format: parquet, path: p}
+        |sink: {format: parquet, path: out,
+        |  clusterBy: ["zorder(a, b, c, 21)"]}
+        |""".stripMargin))
+  }
+
+  test("3-dim zLayout: every written file bounds all three quantized " +
+    "dimensions (per-file min/max spread << global range)") {
+    val base = "/tmp/graft_zorder3_sink"
+    graft.streaming.StreamOps.rmrf(base)
+    import spark.implicits._
+    val df = (for (x <- 0 until 32; y <- 0 until 32; w <- 0 until 32)
+      yield (x, y, w)).toDF("x", "y", "w")
+    ZOrder.zLayout(df, Seq("x", "y", "w"), 5, Some(8), Nil)
+      .write.mode("overwrite").parquet(s"$base/out")
+    val perFile = spark.read.parquet(s"$base/out")
+      .groupBy(input_file_name().as("f"))
+      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"),
+        (max($"w") - min($"w")).as("sw"))
+      .select($"sx", $"sy", $"sw").as[(Int, Int, Int)].collect()
+    perFile.length should be >= 6
+    // 32768 rows over ~8 contiguous z-ranges: interior files sit inside
+    // one 16^3 octant (spread 15); the range partitioner SAMPLES its
+    // boundaries, so a file may straddle an octant seam and momentarily
+    // span a full dimension — the layout claim is about the MEAN: an
+    // x-sorted layout pins y/w at 31 for EVERY file, the z layout keeps
+    // every dimension's average spread far below that
+    def mean(f: ((Int, Int, Int)) => Int) =
+      perFile.map(f).sum.toDouble / perFile.length
+    mean(_._1) should be <= 24.0
+    mean(_._2) should be <= 24.0
+    mean(_._3) should be <= 24.0
+  }
+
   test("sink clusterBy zorder(x,y): written files bound BOTH dimensions, linear layout does not") {
     val base = "/tmp/graft_zorder_sink"
     graft.streaming.StreamOps.rmrf(base)
@@ -125,8 +223,8 @@ class ZOrderSpec extends SparkSpecBase {
       .getMessage should include("malformed")
     intercept[IllegalArgumentException](parse("\"zorder(x, x)\""))
       .getMessage should include("distinct")
-    intercept[IllegalArgumentException](parse("\"zorder(x, y, 25)\""))
-      .getMessage should include("bits")
+    intercept[IllegalArgumentException](parse("\"zorder(x, y, 40)\""))
+      .getMessage should include("bits") // 40 x 2 dims > 62-bit BIGINT
     intercept[IllegalArgumentException](parse("\"zorder(x, y)\", other"))
       .getMessage should include("sole")
   }
