@@ -283,13 +283,17 @@ private[graft] class GraftNamedTable(val root: String, ident: String,
     // V1_BATCH_WRITE (not BATCH_WRITE): the planner only routes an
     // AppendData/Overwrite through V1Write.toInsertableRelation when the
     // table declares the V1 capability — with BATCH_WRITE it calls
-    // Write.toBatch and throws
+    // Write.toBatch and throws. MICRO_BATCH_READ: readStream.table(name)
+    // delivers the table's own columns incrementally (Delta's shape —
+    // the path source remains the face for _commit_version/_change_type
+    // enriched feeds, whose schema differs from the table's).
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, asOf, schema())
+    new GraftScanBuilder(root, asOf, schema(), options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty,
@@ -322,7 +326,8 @@ private[graft] class GraftNamedTable(val root: String, ident: String,
   * conjunct of the predicate is always sound for a filter (subset), and
   * partially-translated NOT/OR shapes are never applied at all. */
 private[graft] class GraftScanBuilder(root: String, asOf: Option[Long],
-    full: StructType) extends ScanBuilder
+    full: StructType,
+    options: CaseInsensitiveStringMap) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = full
@@ -343,6 +348,29 @@ private[graft] class GraftScanBuilder(root: String, asOf: Option[Long],
     val req = required; val flt = pushed
     new V1Scan {
       override def readSchema(): StructType = req
+      // readStream.table("graft.db.tbl"): the same pruned schema streams
+      // through the existing micro-batch machinery (offsets = commit
+      // versions, exactly-once via the query checkpoint). The catalog
+      // face delivers the TABLE's columns — the path-addressed source
+      // remains the face for _commit_version/_change_type enriched
+      // feeds, whose schema differs from the table's.
+      override def toMicroBatchStream(checkpointLocation: String)
+          : graft.tables.GraftMicroBatchStream = {
+        require(asOf.isEmpty,
+          "graft catalog: cannot stream a time-travel read")
+        require(!options.getBoolean("withImages", false),
+          "graft catalog: withImages adds _change_type to the schema — " +
+            "stream the change feed via the path source " +
+            "(format graft.tables.GraftTableStreamSource)")
+        // same fail-loud-at-construction type contract as the path
+        // source: unsupported column types are named here, not mid-batch
+        graft.tables.GraftTableStreamSource.streamSchema(root)
+        new graft.tables.GraftMicroBatchStream(root, req,
+          graft.tables.GraftTableStreamSource
+            .resolveStartingVersion(root, options),
+          options.getBoolean("skipChangeCommits", false),
+          options.getLong("maxVersionsPerTrigger", Long.MaxValue))
+      }
       override def toV1TableScan[T <: BaseRelation with TableScan](
           context: SQLContext): T = {
         new BaseRelation with TableScan {

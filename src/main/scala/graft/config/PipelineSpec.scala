@@ -268,6 +268,14 @@ final case class CheckSpec(
   *    published label), and this batch's survivors append only AFTER
   *    the run's sinks commit (retry-idempotent via anti-join on ids;
   *    ids must be unique across all runs sharing one state_path).
+  *  - span_dedup (Lee et al. 2022, batch only): exact-substring SPAN
+  *    removal — every duplicated span of ≥ `min_len` tokens (default 50,
+  *    the published bar) loses all but its first occurrence, matched via
+  *    `k`-token windows (default 8, `min_len ≥ k` enforced). `cols` =
+  *    [idCol, textCol] (id unique, non-null); adds n_tokens /
+  *    kept_tokens / `name` (default text_dedup), all other columns ride
+  *    through. Unlike the row-killing dedup gates this REWRITES text in
+  *    place — doc count is preserved, duplicated passages vanish.
   *  - ann_topk (§2.K4, batch only): `cols` = [idCol, vectorCol], `where`
   *    = predicate selecting EXACTLY ONE query row (enforced; the query
   *    row is excluded from results), `k` = result size (default 10).

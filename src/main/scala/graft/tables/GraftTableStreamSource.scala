@@ -72,7 +72,7 @@ object GraftTableStreamSource {
     * classification + the `_commit_version` stamp; every column type
     * must be reader-supported — checked HERE so an unsupported table
     * fails at stream construction with the column named. */
-  private[tables] def streamSchema(root: String,
+  private[graft] def streamSchema(root: String,
       withImages: Boolean = false): StructType = {
     val base = StructType.fromDDL(GraftTable.snapshot(root).schemaDdl)
     base.fields.foreach { f =>
@@ -93,6 +93,37 @@ object GraftTableStreamSource {
          FloatType | BooleanType | StringType | BinaryType |
          TimestampType | TimestampNTZType | DateType => true
     case _ => false
+  }
+
+  /** Shared startingVersion/startingTimestamp resolution (path source AND
+    * the catalog's streaming scan). startingTimestamp is INCLUSIVE (Delta
+    * parity): the exclusive start is the newest version committed
+    * strictly BEFORE it; only the no-commit-before-ts case means
+    * "deliver everything" — truncated history / typo'd paths propagate.
+    * Naive timestamps parse in the SESSION timezone. */
+  private[graft] def resolveStartingVersion(root: String,
+      options: CaseInsensitiveStringMap): String = {
+    val fromTs = Option(options.get("startingTimestamp")).map { raw =>
+      require(options.get("startingVersion") == null,
+        "graft_table stream source: startingVersion and " +
+          "startingTimestamp are mutually exclusive")
+      val t = raw.trim
+      require(t.nonEmpty, "graft_table stream source: " +
+        "startingTimestamp must be epoch millis or a timestamp " +
+        "string, got an empty value")
+      val ms =
+        if (t.forall(_.isDigit)) t.toLong
+        else {
+          val zone = java.time.ZoneId.of(org.apache.spark.sql
+            .SparkSession.active.sessionState.conf.sessionLocalTimeZone)
+          val ldt = if (t.contains(" ") || t.contains("T"))
+            java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+          else java.time.LocalDate.parse(t).atStartOfDay()
+          ldt.atZone(zone).toInstant.toEpochMilli
+        }
+      GraftTable.versionAtTimestampOpt(root, ms - 1).getOrElse(0L).toString
+    }
+    fromTs.orElse(Option(options.get("startingVersion"))).getOrElse("0")
   }
 }
 
@@ -118,48 +149,12 @@ private[tables] class GraftStreamTable(root: String, schema: StructType)
           required.fieldNames.contains(f.name)))
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = pruned
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-          // startingTimestamp (Delta parity, INCLUSIVE): deliver every
-          // commit whose wall-clock is AT or AFTER the timestamp — the
-          // exclusive start is the newest version committed strictly
-          // BEFORE it (ts-1 against the at-or-before resolver); no such
-          // version means deliver everything. Mutually exclusive with
-          // startingVersion.
-          val fromTs = Option(options.get("startingTimestamp")).map { raw =>
-            require(options.get("startingVersion") == null,
-              "graft_table stream source: startingVersion and " +
-                "startingTimestamp are mutually exclusive")
-            val t = raw.trim
-            require(t.nonEmpty, "graft_table stream source: " +
-              "startingTimestamp must be epoch millis or a timestamp " +
-              "string, got an empty value")
-            val ms =
-              if (t.forall(_.isDigit)) t.toLong
-              else {
-                // naive timestamps resolve in the SESSION timezone
-                // (Delta parity) — pinning UTC would shift every
-                // wall-clock string by the session's offset
-                val zone = java.time.ZoneId.of(org.apache.spark.sql
-                  .SparkSession.active.sessionState.conf.sessionLocalTimeZone)
-                val ldt = if (t.contains(" ") || t.contains("T"))
-                  java.time.LocalDateTime.parse(t.replace(' ', 'T'))
-                else java.time.LocalDate.parse(t).atStartOfDay()
-                ldt.atZone(zone).toInstant.toEpochMilli
-              }
-            // ONLY the no-commit-before-ts case means "deliver
-            // everything" — truncated history / unreadable logs / a
-            // typo'd path must propagate, not silently become a
-            // full-table replay (versionAtTimestampOpt's contract)
-            GraftTable.versionAtTimestampOpt(root, ms - 1)
-              .getOrElse(0L).toString
-          }
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftMicroBatchStream(root, pruned,
-            fromTs.orElse(Option(options.get("startingVersion")))
-              .getOrElse("0"),
+            GraftTableStreamSource.resolveStartingVersion(root, options),
             options.getBoolean("skipChangeCommits", false),
             options.getLong("maxVersionsPerTrigger", Long.MaxValue),
             options.getBoolean("withImages", false))
-        }
       }
     }
 }
@@ -170,7 +165,7 @@ private[tables] case class GraftVersionOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
-private[tables] class GraftMicroBatchStream(root: String, schema: StructType,
+private[graft] class GraftMicroBatchStream(root: String, schema: StructType,
     startingVersion: String, skipChangeCommits: Boolean,
     maxVersionsPerTrigger: Long, withImages: Boolean = false)
   extends MicroBatchStream with SupportsTriggerAvailableNow {

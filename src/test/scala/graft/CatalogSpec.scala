@@ -124,6 +124,50 @@ class CatalogSpec extends SparkSpecBase {
       .head() shouldBe 2000L
   }
 
+  test("readStream.table(graft.db.tbl): commit-version offsets, " +
+    "exactly-once resume via the checkpoint, enriched feeds stay on " +
+    "the path source") {
+    import org.apache.spark.sql.streaming.Trigger
+    resetWarehouse()
+    spark.sql("CREATE NAMESPACE graft.db")
+    spark.sql("CREATE TABLE graft.db.st (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.st VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.db.st VALUES (3, 'c')")
+    val scratch = "/tmp/graft_io/catalog_stream"
+    graft.streaming.StreamOps.rmrf(scratch)
+    def drain(): Unit = {
+      val q = spark.readStream.table("graft.db.st")
+        .writeStream
+        .option("checkpointLocation", s"$scratch/cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$scratch/out/b${System.nanoTime}")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    def outRows() = {
+      val dirs = scala.util.Using.resource(
+        Files.list(Paths.get(s"$scratch/out")))(
+        _.iterator().asScala.map(_.toString).toSeq.sorted)
+      spark.read.parquet(dirs: _*).select($"k").as[Long].collect().sorted
+    }
+    outRows() shouldBe Array(1L, 2L, 3L)
+    // resume: only the NEW commit delivers
+    spark.sql("INSERT INTO graft.db.st VALUES (4, 'd')")
+    drain()
+    outRows() shouldBe Array(1L, 2L, 3L, 4L)
+    // the enriched change feed stays on the path source by contract
+    intercept[Exception] {
+      spark.readStream.option("withImages", "true").table("graft.db.st")
+        .writeStream.option("checkpointLocation", s"$scratch/cp2")
+        .trigger(Trigger.AvailableNow()).format("noop")
+        .start().awaitTermination()
+    }
+  }
+
   test("catalog edge contracts: duplicate create fails, drop is " +
     "idempotent-false, rename moves, column rename/drop ride ALTER, " +
     "tablePath validates input") {
