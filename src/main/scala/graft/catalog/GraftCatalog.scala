@@ -85,8 +85,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // -- namespaces ------------------------------------------------------------
 
   override def namespaceExists(ns: Array[String]): Boolean =
-    ns.nonEmpty && Files.isDirectory(nsDir(ns)) &&
-      !GraftTable.isTable(nsDir(ns).toString)
+    // the empty namespace IS the warehouse root: createTable permits a
+    // root-level table, so SHOW TABLES against the default namespace
+    // must answer rather than throw NoSuchNamespace
+    ns.isEmpty || (Files.isDirectory(nsDir(ns)) &&
+      !GraftTable.isTable(nsDir(ns).toString))
 
   override def listNamespaces(): Array[Array[String]] = {
     if (!Files.isDirectory(warehouse)) return Array.empty
@@ -129,6 +132,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(ns: Array[String],
       cascade: Boolean): Boolean = {
+    // the root namespace is the warehouse itself — never deletable
+    require(ns.nonEmpty, "graft catalog: cannot drop the root namespace")
     if (!namespaceExists(ns)) return false
     if (!cascade && listTables(ns).nonEmpty)
       throw new NonEmptyNamespaceException(ns)
@@ -139,6 +144,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listTables(ns: Array[String]): Array[Identifier] = {
     if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    if (!Files.isDirectory(nsDir(ns))) return Array.empty // root, no warehouse yet
     scala.util.Using.resource(Files.list(nsDir(ns)))(
       _.iterator().asScala
         .filter(p => GraftTable.isTable(p.toString))
@@ -256,7 +262,13 @@ object GraftCatalog {
         s"table: '$table' needs spark.sql.catalog.$catalog.warehouse set " +
           "(the graft catalog's root directory)"))
     val parts = table.split("\\.").toSeq
-    require(parts.forall(_.nonEmpty), s"malformed table name '$table'")
+    // non-empty AND no path syntax: a part containing a separator (or
+    // '..', or an absolute segment) would make Path.resolve escape the
+    // warehouse entirely and silently address a table outside the
+    // catalog layout
+    require(parts.forall(p => p.nonEmpty && !p.contains('/') &&
+        !p.contains('\\') && p != ".." && p != "."),
+      s"malformed table name '$table'")
     parts.foldLeft(Paths.get(wh))(_.resolve(_)).toString
   }
 }

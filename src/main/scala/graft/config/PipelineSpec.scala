@@ -783,7 +783,9 @@ object PipelineSpec {
           "root) XOR `table` (a graft-catalog name like db.tbl, resolved " +
           "against spark.sql.catalog.graft.warehouse)")
       s.table.foreach(t => require(
-        t.split("\\.", -1).forall(_.trim.nonEmpty),
+        t.split("\\.", -1).forall(q => q.trim.nonEmpty &&
+          !q.contains('/') && !q.contains('\\') &&
+          q.trim != ".." && q.trim != "."),
         s"$at.table: malformed catalog table name '$t'"))
       require(s.schema.isEmpty,
         s"$at: a graft_table's schema is owned by its commit log — " +
@@ -945,7 +947,9 @@ object PipelineSpec {
           "root) XOR `table` (a graft-catalog name like db.tbl, resolved " +
           "against spark.sql.catalog.graft.warehouse)")
       s.table.foreach(t => require(
-        t.split("\\.", -1).forall(_.trim.nonEmpty),
+        t.split("\\.", -1).forall(q => q.trim.nonEmpty &&
+          !q.contains('/') && !q.contains('\\') &&
+          q.trim != ".." && q.trim != "."),
         s"$at.table: malformed catalog table name '$t'"))
     } else require(s.path.nonEmpty, s"$at.path: required")
     require(s.clusterBy.isEmpty || s.buckets.isEmpty,

@@ -1424,10 +1424,15 @@ object GraftTable {
         case None => stats0
         case Some(cols) =>
           val node = stats0.getOrElse(json.createObjectNode())
-          cols.foreach { case (c, b64) =>
+          cols.foreach { case (c, b64, dom) =>
             val cn = Option(node.get(c)).collect { case o: ObjectNode => o }
               .getOrElse(node.putObject(c))
             cn.put("bloom", b64)
+            // the sketch's hash domain (putLong vs putString), so the
+            // prune side never consults it with a mismatched-type
+            // literal — a string predicate against a long-built sketch
+            // would hash differently and WRONGLY skip a matching file
+            cn.put("bloomT", dom)
           }
           Some(node)
       }
@@ -1463,9 +1468,9 @@ object GraftTable {
     * integral and string columns are bloomable (the sketch hashes
     * putLong/putString; lossy renderings of other types would risk a
     * WRONG skip — rejected loud instead). Returns staged-absolute-path →
-    * (physical column, base64 sketch) pairs. */
+    * (physical column, base64 sketch, hash domain) triples. */
   private def stageBlooms(spark: SparkSession, root: String,
-      staging: Path): Map[String, Seq[(String, String)]] = {
+      staging: Path): Map[String, Seq[(String, String, String)]] = {
     val stOpt = latestVersion(root).map(v => replayState(root, v))
     val propCols = stOpt.flatMap(_.properties.get("stats_bloom"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -1552,7 +1557,9 @@ object GraftTable {
     merged.map { case (f, bs) =>
       java.nio.file.Paths.get(new java.net.URI(f).getPath)
         .toAbsolutePath.normalize.toString ->
-        names.zip(bs.map(b => b64.encodeToString(ser(b)))).toSeq
+        names.indices.map(i => (names(i),
+          b64.encodeToString(ser(bs(i))),
+          if (isStr(i)) "string" else "long")).toSeq
     }.toMap
   }
 
@@ -1939,7 +1946,16 @@ object GraftTable {
         val srcMissing = schema.fields.map(_.name).filter(n =>
           !updates.columns.exists(resolver(_, n)))
         val post = if (!evolve || srcMissing.isEmpty) post0 else {
-          val t = matchedPre.as("t"); val s = post0.as("s")
+          // duplicate-key targets: the non-evolve path collapses every
+          // matched target row to the ONE source row per key, so the
+          // preserve join must not fan out N post-images — keep the
+          // deterministic first target row ((__f, __i) scan position,
+          // unique per row) per key as the preserve donor
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(on.map(col): _*).orderBy(col("__f"), col("__i"))
+          val t = matchedPre.withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1).drop("__rn").as("t")
+          val s = post0.as("s")
           val onExpr = on.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
           t.join(s, onExpr, "inner").select(schema.fields.toSeq.map { f =>
             (if (srcMissing.contains(f.name)) col(s"t.${f.name}")
@@ -2117,16 +2133,30 @@ object GraftTable {
     }
     def bloomOk(cs: com.fasterxml.jackson.databind.JsonNode,
         v: Lit): Boolean = Option(cs.get("bloom")).forall { b =>
-      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      // consult ONLY when the literal's type matches the sketch's hash
+      // domain. The unresolved string-DML path can hand a string
+      // literal for a BIGINT column (deleteWhere(root, "id = '123'")):
+      // row evaluation would cast-match it, but putString('123') and
+      // putLong(123) hash differently, so a cross-domain consult would
+      // WRONGLY skip the file. Domain source: the logged "bloomT" tag
+      // (written with the sketch), else inferred from the min/max node
+      // type (string stats are textual, integral stats numeric); no
+      // domain evidence = no consult, never a wrong skip.
+      val domain = Option(cs.get("bloomT")).map(_.asText()).orElse {
+        Option(cs.get("min")).orElse(Option(cs.get("max"))).map(n =>
+          if (n.isTextual) "string" else "long")
+      }
+      lazy val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(
           java.util.Base64.getDecoder.decode(b.asText())))
-      v match {
-        case StrL(s) => bf.mightContainString(s)
-        case NumL(x) => // only an exact long consults the sketch — a
-          // fractional or out-of-range literal keeps the file (its
-          // equality is Catalyst's to fold, never a bloom's to guess)
+      (domain, v) match {
+        case (Some("string"), StrL(s)) => bf.mightContainString(s)
+        case (Some("long"), NumL(x)) => // only an exact long consults the
+          // sketch — a fractional or out-of-range literal keeps the file
+          // (its equality is Catalyst's to fold, never a bloom's to guess)
           scala.util.Try(x.longValueExact()).toOption
             .forall(bf.mightContainLong)
+        case _ => true // type mismatch or unknown domain: keep the file
       }
     }
     def eqOk(cs: com.fasterxml.jackson.databind.JsonNode,

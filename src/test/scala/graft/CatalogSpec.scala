@@ -199,5 +199,28 @@ class CatalogSpec extends SparkSpecBase {
     cat.namespaceExists(Array("db")) shouldBe false
     intercept[IllegalArgumentException](
       GraftCatalog.tablePath(spark, "db..t"))
+    // path syntax in a name part must not escape the warehouse
+    intercept[IllegalArgumentException](
+      GraftCatalog.tablePath(spark, "db.../../etc/x"))
+    intercept[IllegalArgumentException](
+      GraftCatalog.tablePath(spark, "/etc.x"))
+    intercept[IllegalArgumentException](
+      GraftCatalog.tablePath(spark, "db.a/b"))
+  }
+
+  test("root namespace: a table created without a namespace is listable " +
+    "via SHOW TABLES against the catalog default, and the root namespace " +
+    "exists but is not droppable") {
+    resetWarehouse()
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    cat.namespaceExists(Array.empty) shouldBe true
+    spark.sql("CREATE TABLE graft.rootless (a BIGINT)")
+    cat.listTables(Array.empty).map(_.name) should contain("rootless")
+    spark.sql("SHOW TABLES IN graft").select("tableName")
+      .as[String].collect() should contain("rootless")
+    intercept[IllegalArgumentException](
+      cat.dropNamespace(Array.empty, cascade = true))
+    spark.sql("DROP TABLE graft.rootless")
   }
 }

@@ -2682,4 +2682,54 @@ class GraftTableSpec extends SparkSpecBase {
     GraftTable.read(spark, mv).orderBy($"k")
       .as[(String, Long, Long)].collect() shouldBe want
   }
+
+  test("bloom stats record their hash domain: a cross-typed string-DML " +
+    "predicate never consults the long-built sketch (a cross-domain " +
+    "consult would hash differently and WRONGLY skip the matching file)") {
+    val root = freshRoot("bloom_domain")
+    GraftTable.write(spark, Seq((0L, "seed")).toDF("id", "s"),
+      root, "overwrite")                                               // v1
+    GraftTable.setProperty(root, "stats_bloom", Some("id"))            // v2
+    // round-robin files: every file spans the id range, so only the
+    // sketch can prune — exactly the wrong-skip hazard surface
+    GraftTable.write(spark,
+      (0L to 999L).map(i => (i * 3, s"x${i % 7}")).toDF("id", "s")
+        .repartition(2), root, "overwrite")                            // v3
+    // the hash domain is logged with the sketch
+    Files.readString(Paths.get(root, "_graft_log")
+      .resolve(f"${3L}%020d.json")) should include(""""bloomT":"long"""")
+    // string-literal point DELETE on the BIGINT column: row evaluation
+    // cast-matches id=300, so file pruning must keep the file (the
+    // pre-fix bloom consult ran mightContainString against a putLong
+    // sketch and pruned it — a silent no-op delete)
+    GraftTable.deleteWhere(spark, root, "id = '300'")
+    GraftTable.read(spark, root).where(col("id") === 300L)
+      .count() shouldBe 0L
+    GraftTable.read(spark, root).count() shouldBe 999L
+    // matched-type predicates still consult and still skip
+    GraftTable.read(spark, root).where(col("id") === 2L).count() shouldBe 0L
+    GraftTable.lastReadIndex.get.lastPrune.get._1 should be <
+      GraftTable.snapshot(root).files.size
+  }
+
+  test("evolve-preserve upsert on duplicate-key targets: ONE post-image " +
+    "per key (deterministic first target row by scan position donates " +
+    "the preserved columns), matching the non-evolve collapse") {
+    val root = freshRoot("evolve_dupkey")
+    // one file, so (__f, __i) order is the write order: ("a") precedes ("b")
+    GraftTable.write(spark,
+      Seq((1L, "a", 10.0), (1L, "b", 20.0), (2L, "c", 30.0))
+        .toDF("id", "tag", "v").coalesce(1), root, "overwrite")
+    // source misses `tag` (the preserve column) and updates id=1
+    GraftTable.merge(spark, root,
+      Seq((1L, 99.0), (3L, 40.0)).toDF("id", "v"), Seq("id"),
+      evolve = true)
+    val out = GraftTable.read(spark, root)
+      .orderBy($"id").as[(Long, String, Double)].collect()
+    // pre-fix: the preserve join fanned out to TWO id=1 post rows
+    out shouldBe Array(
+      (1L, "a", 99.0),   // one post-image; tag preserved from the first row
+      (2L, "c", 30.0),
+      (3L, null, 40.0))  // insert: no target row to preserve
+  }
 }

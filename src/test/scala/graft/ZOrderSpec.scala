@@ -147,21 +147,25 @@ class ZOrderSpec extends SparkSpecBase {
       .write.mode("overwrite").parquet(s"$base/out")
     val perFile = spark.read.parquet(s"$base/out")
       .groupBy(input_file_name().as("f"))
-      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"),
-        (max($"w") - min($"w")).as("sw"))
-      .select($"sx", $"sy", $"sw").as[(Int, Int, Int)].collect()
+      .agg(expr("percentile(x, 0.75) - percentile(x, 0.25)").as("sx"),
+        expr("percentile(y, 0.75) - percentile(y, 0.25)").as("sy"),
+        expr("percentile(w, 0.75) - percentile(w, 0.25)").as("sw"))
+      .select($"sx", $"sy", $"sw").as[(Double, Double, Double)].collect()
     perFile.length should be >= 6
     // 32768 rows over ~8 contiguous z-ranges: interior files sit inside
-    // one 16^3 octant (spread 15); the range partitioner SAMPLES its
-    // boundaries, so a file may straddle an octant seam and momentarily
-    // span a full dimension — the layout claim is about the MEAN: an
-    // x-sorted layout pins y/w at 31 for EVERY file, the z layout keeps
-    // every dimension's average spread far below that
-    def mean(f: ((Int, Int, Int)) => Int) =
-      perFile.map(f).sum.toDouble / perFile.length
-    mean(_._1) should be <= 24.0
-    mean(_._2) should be <= 24.0
-    mean(_._3) should be <= 24.0
+    // one 16^3 octant; the range partitioner SAMPLES its boundaries, so
+    // a file may carry a small sliver past an octant seam, and min/max
+    // spread then jumps to the full 31 nondeterministically (the r20
+    // flake: mean 24.5 vs a 24.0 bound). The INTERQUARTILE spread is
+    // immune to slivers up to 25% of a file — far beyond the sampler's
+    // ~1-2% boundary noise: an octant-local file has per-dim IQR ~7.5
+    // (≤15 even with a maximal sliver), while an x-sorted layout pins
+    // the y/w IQR at ~16 for EVERY file. 12.0 splits the two soundly.
+    def mean(f: ((Double, Double, Double)) => Double) =
+      perFile.map(f).sum / perFile.length
+    mean(_._1) should be <= 12.0
+    mean(_._2) should be <= 12.0
+    mean(_._3) should be <= 12.0
   }
 
   test("sink clusterBy zorder(x,y): written files bound BOTH dimensions, linear layout does not") {
