@@ -1,0 +1,276 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Dev-only measurement scratchpad for the optimization rounds: isolates
+  * pipeline stages of the heavy queries and times alternative
+  * formulations head-to-head on the bench session config. Never part of
+  * the declared query surface — results here feed OPTIMIZATION_rNN.md,
+  * the real changes land in the query/operator code.
+  *
+  *   runMain graft.Lab <experiment> [sfDir]
+  */
+object Lab {
+  private def t[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[lab] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val exp = args(0)
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.ext.GraftFunctions.register(spark)
+
+    exp match {
+      case "k12b_cand" => k12bCand(spark, sfDir)
+      case "k12b_verify" => k12bVerify(spark, sfDir)
+      case "k12b_cand_plans" => k12bCandPlans(spark, sfDir)
+      case "noop" => ()
+    }
+    spark.stop()
+  }
+
+  /** Write the INTERNAL candidate-stage plans (the stage k12b's top-level
+    * explain hides behind checkpoints) as before/after evidence files:
+    * before = lshCandidatesOf's join+distinct shape + the downstream size
+    * filter, after = fbwCandidates' first-band-wins shape. Both build the
+    * LOGICAL plan only (no checkpoint is executed — the builders are
+    * re-spelled here up to, not including, their materialization). */
+  private def k12bCandPlans(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.execution.ExplainMode
+    import graft.core.{Checkpoints, Tables}
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .select(col("doc_id"), array_distinct(col("toks")).as("ts"))
+    val keyed = Checkpoints.eager(docs
+      .select(col("doc_id"),
+        array_sort(array_distinct(col("ts"))).as("ts"),
+        md5(to_json(array_sort(array_distinct(col("ts"))))).as("__k")))
+    val reps = Checkpoints.eager(keyed.groupBy(col("__k"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("ts")).as("ts")))
+    val repDocs = reps.select(col("doc_id"), col("ts"))
+    val tau = math.round(0.8 * 1e6) - 1
+    // BEFORE: banding + exact-key self-join + union + distinct + size
+    // filter (what lshCandidatesOf + lshClusters' sizeOk did)
+    val nHashes = 24; val rowsPerBand = 3; val bucketCap = 4096
+    val sigs = repDocs.select(
+      col("doc_id"), size(col("ts")).as("__sz"),
+      expr(s"graft_minhash_sig(ts, $nHashes)").as("sig"))
+    val bands = sigs.select(col("doc_id"), col("__sz"),
+      posexplode(expr(s"transform(sequence(0, ${nHashes / rowsPerBand - 1}), " +
+        s"b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))")))
+      .toDF("doc_id", "__sz", "band_id", "band_sig")
+    val stats = bands.groupBy(col("band_id"), col("band_sig"))
+      .agg(count(lit(1)).as("__n"), min(col("doc_id")).as("__anchor"),
+        min_by(col("__sz"), col("doc_id")).as("__anchor_sz"))
+      .where(col("__n") >= 2)
+    val sized = bands.join(stats, Seq("band_id", "band_sig"))
+    val pruned = sized.where(col("__n") <= bucketCap)
+      .select(col("band_id"), col("band_sig"), col("doc_id"), col("__sz"))
+    val a = pruned.toDF("band_a", "sig_a", "id_a", "sz_a")
+    val b = pruned.toDF("band_b", "sig_b", "id_b", "sz_b")
+    val fullPairs = a.join(b,
+      col("band_a") === col("band_b") && col("sig_a") === col("sig_b")
+        && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+    val starPairs = sized.where(col("__n") > bucketCap)
+      .where(col("doc_id") =!= col("__anchor"))
+      .select(col("__anchor").as("id_a"), col("doc_id").as("id_b"),
+        col("__anchor_sz").as("sz_a"), col("__sz").as("sz_b"))
+    val before = fullPairs.union(starPairs).distinct()
+      .where(col("sz_a").cast("long") * 1000000L >= col("sz_b") * tau &&
+        col("sz_b").cast("long") * 1000000L >= col("sz_a") * tau)
+      .select(col("id_a"), col("id_b"))
+    // AFTER: the shipped fbwCandidates plan, stopped before materialization
+    val after = queries.Similarity.fbwCandidatesPlanOnly(repDocs, bucketCap, tau)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/plans/r21/k12b_candidates_stage_before.txt"),
+      before.queryExecution.explainString(ExplainMode.fromString("formatted")))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/plans/r21/k12b_candidates_stage_after.txt"),
+      after.queryExecution.explainString(ExplainMode.fromString("formatted")))
+    println("[lab] wrote candidate-stage plans")
+    Checkpoints.release(reps, keyed)
+  }
+
+  /** Verify-join strategy A/B over the real candidate set. */
+  private def k12bVerify(spark: SparkSession, dir: String): Unit = {
+    import graft.core.{Checkpoints, Tables}
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .select(col("doc_id"), array_distinct(col("toks")).as("ts"))
+    val keyed = Checkpoints.eager(docs
+      .select(col("doc_id"),
+        array_sort(array_distinct(col("ts"))).as("ts"),
+        md5(to_json(array_sort(array_distinct(col("ts"))))).as("__k")))
+    val reps = Checkpoints.eager(keyed.groupBy(col("__k"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("ts")).as("ts")))
+    val repDocs = reps.select(col("doc_id"), col("ts"))
+    val pairs = t("candidates") {
+      queries.Similarity.fbwCandidates(repDocs, 4096,
+        math.round(0.8 * 1e6) - 1) }
+    println(s"[lab] pairs: ${pairs.count()}")
+    def verify(hint: String): DataFrame = pairs
+      .join(repDocs.toDF("id_a", "ts_a").hint(hint), "id_a")
+      .join(repDocs.toDF("id_b", "ts_b").hint(hint), "id_b")
+      .withColumn("__i", expr("graft_sorted_intersect_size(ts_a, ts_b)"))
+      .where(round(col("__i").cast(DoubleType)
+        / (size(col("ts_a")) + size(col("ts_b")) - col("__i")), 6) >= 0.8)
+      .select(col("id_a"), col("id_b"))
+    for (rep <- 1 to 2; hint <- Seq("shuffle_hash", "broadcast", "merge")) {
+      val v = t(s"verify_${hint}_$rep") { Checkpoints.eager(verify(hint)) }
+      println(s"[lab] $hint edges: ${v.count()}")
+      Checkpoints.release(v)
+    }
+    Checkpoints.release(pairs, reps, keyed)
+  }
+
+  /** Dissect lshCandidatesOf at sf0.1 exactly as k12b drives it. */
+  private def k12bCand(spark: SparkSession, dir: String): Unit = {
+    import graft.core.{Checkpoints, Tables}
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .select(col("doc_id"), array_distinct(col("toks")).as("ts"))
+    val keyed = t("collapse_keys") { Checkpoints.eager(docs
+      .select(col("doc_id"),
+        array_sort(array_distinct(col("ts"))).as("ts"),
+        md5(to_json(array_sort(array_distinct(col("ts"))))).as("__k"))) }
+    val reps = t("reps") { Checkpoints.eager(keyed.groupBy(col("__k"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("ts")).as("ts"))) }
+    val repDocs = reps.select(col("doc_id"), col("ts"))
+    val nHashes = 24; val rowsPerBand = 3; val bucketCap = 4096
+    val sigs = repDocs.select(
+      col("doc_id"), size(col("ts")).as("__sz"),
+      expr(s"graft_minhash_sig(ts, $nHashes)").as("sig"))
+    val bands = t("bands_checkpoint") { Checkpoints.eager(
+      sigs.select(col("doc_id"), col("__sz"),
+        posexplode(expr(s"transform(sequence(0, ${nHashes / rowsPerBand - 1}), " +
+          s"b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))")))
+      .toDF("doc_id", "__sz", "band_id", "band_sig")) }
+    println(s"[lab] bands rows: ${bands.count()}")
+    val stats = bands.groupBy(col("band_id"), col("band_sig"))
+      .agg(count(lit(1)).as("__n"), min(col("doc_id")).as("__anchor"),
+        min_by(col("__sz"), col("doc_id")).as("__anchor_sz"))
+      .where(col("__n") >= 2)
+    t("bucket_histogram") {
+      stats.groupBy(col("__n")).count().orderBy(col("__n").desc)
+        .show(20, false)
+    }
+    val sized = t("sized_checkpoint") { Checkpoints.eager(bands.join(stats, Seq("band_id", "band_sig"))) }
+    val pruned = sized.where(col("__n") <= bucketCap)
+      .select(col("band_id"), col("band_sig"), col("doc_id"), col("__sz"))
+    val a = pruned.toDF("band_a", "sig_a", "id_a", "sz_a")
+    val b = pruned.toDF("band_b", "sig_b", "id_b", "sz_b")
+    val fullPairs = a.join(b,
+      col("band_a") === col("band_b") && col("sig_a") === col("sig_b")
+        && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+    val starPairs = sized.where(col("__n") > bucketCap)
+      .where(col("doc_id") =!= col("__anchor"))
+      .select(col("__anchor").as("id_a"), col("doc_id").as("id_b"),
+        col("__anchor_sz").as("sz_a"), col("__sz").as("sz_b"))
+    val tau = math.round(0.8 * 1e6) - 1
+    if (sys.env.contains("LAB_ALL")) {
+      // A: current shape — join + union + distinct, materialized
+      val outA = t("A_join_union_distinct_checkpoint") {
+        Checkpoints.eager(fullPairs.union(starPairs).distinct()) }
+      println(s"[lab] A distinct pairs: ${outA.count()}")
+      val sizeOkA = outA
+        .where(col("sz_a").cast("long") * 1000000L >= col("sz_b") * tau &&
+          col("sz_b").cast("long") * 1000000L >= col("sz_a") * tau)
+      println(s"[lab] A sizeOk pairs: ${t("A_sizeok_count")(sizeOkA.count())}")
+      Checkpoints.release(outA)
+    }
+    val starPairsF = starPairs
+      .where(col("sz_a").cast("long") * 1000000L >= col("sz_b") * tau &&
+        col("sz_b").cast("long") * 1000000L >= col("sz_a") * tau)
+
+    // C: single-long hashed band key for the self-join + size filter first
+    val prunedH = sized.where(col("__n") <= bucketCap)
+      .select(xxhash64(col("band_id"), col("band_sig")).as("bk"),
+        col("doc_id"), col("__sz"))
+    val ah = prunedH.toDF("bk_a", "id_a", "sz_a")
+    val bh = prunedH.toDF("bk_b", "id_b", "sz_b")
+    val fullPairsH = ah.join(bh,
+      col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
+      .where(col("sz_a").cast("long") * 1000000L >= col("sz_b") * tau &&
+        col("sz_b").cast("long") * 1000000L >= col("sz_a") * tau)
+      .select(col("id_a"), col("id_b"))
+    val outC = t("C_hashedkey_sizefilter_distinct_checkpoint") {
+      Checkpoints.eager(fullPairsH.union(
+        starPairsF.select(col("id_a"), col("id_b"))).distinct()) }
+    println(s"[lab] C pairs: ${outC.count()}")
+
+    // D: hashed band keys + FIRST-BAND-WINS dedup (no distinct at all):
+    // each doc carries its per-band hashed keys array; a pair is emitted
+    // only at the first band whose keys match, so output rows are unique
+    // by construction. Unrolled earlier-band checks stay codegen.
+    val nBands = nHashes / rowsPerBand
+    val sigsD = repDocs.select(
+      col("doc_id"), size(col("ts")).as("__sz"),
+      expr(s"transform(sequence(0, ${nBands - 1}), " +
+        s"b -> xxhash64(b, slice(graft_minhash_sig(ts, $nHashes), b * $rowsPerBand + 1, $rowsPerBand)))").as("bks"))
+    val bandsD = t("D_bands_checkpoint") { Checkpoints.eager(
+      sigsD.select(col("doc_id"), col("__sz"), col("bks"),
+        posexplode(col("bks"))).toDF("doc_id", "__sz", "bks", "band_id", "bk")) }
+    val statsD = bandsD.groupBy(col("bk"))
+      .agg(count(lit(1)).as("__n"), min(col("doc_id")).as("__anchor"),
+        min_by(col("__sz"), col("doc_id")).as("__anchor_sz"))
+      .where(col("__n") >= 2)
+    val sizedD = bandsD.join(statsD, Seq("bk"))
+    val prunedD = sizedD.where(col("__n") <= bucketCap)
+      .select(col("bk"), col("band_id"), col("doc_id"), col("__sz"), col("bks"))
+    val ad = prunedD.toDF("bk_a", "band_id", "id_a", "sz_a", "bks_a")
+    val bd = prunedD.select(col("bk"), col("doc_id"), col("__sz"), col("bks"))
+      .toDF("bk_b", "id_b", "sz_b", "bks_b")
+    val noEarlier = (0 until nBands - 1).map(i =>
+      col("band_id") <= i || element_at(col("bks_a"), i + 1) =!=
+        element_at(col("bks_b"), i + 1)).reduce(_ && _)
+    val fullPairsD = ad.join(bd, col("bk_a") === col("bk_b") &&
+        col("id_a") < col("id_b"))
+      .where(noEarlier)
+      .where(col("sz_a").cast("long") * 1000000L >= col("sz_b") * tau &&
+        col("sz_b").cast("long") * 1000000L >= col("sz_a") * tau)
+      .select(col("id_a"), col("id_b"))
+    val starPairsD = sizedD.where(col("__n") > bucketCap)
+      .where(col("doc_id") =!= col("__anchor"))
+      .select(col("__anchor").as("id_a"), col("doc_id").as("id_b"))
+    val outD = t("D_firstband_checkpoint") {
+      Checkpoints.eager(fullPairsD.union(starPairsD)) }
+    println(s"[lab] D pairs: ${outD.count()}")
+    println(s"[lab] D==C set: ${outD.except(outC).count()} extra, ${outC.except(outD).count()} missing")
+    Checkpoints.release(outC)
+
+    // E: verify join — shuffle_hash (current) vs broadcast of the tiny
+    // collapsed rep side (scale-adaptive: reps is known-small here).
+    def verify(pairs: DataFrame, hint: String): DataFrame = pairs
+      .join(repDocs.toDF("id_a", "ts_a").hint(hint), "id_a")
+      .join(repDocs.toDF("id_b", "ts_b").hint(hint), "id_b")
+      .withColumn("__i", expr("graft_sorted_intersect_size(ts_a, ts_b)"))
+      .where(round(col("__i").cast(DoubleType)
+        / (size(col("ts_a")) + size(col("ts_b")) - col("__i")), 6) >= 0.8)
+      .select(col("id_a"), col("id_b"))
+    val vSh = t("E_verify_shuffle_hash") {
+      Checkpoints.eager(verify(outD, "shuffle_hash")) }
+    println(s"[lab] E shuffle_hash edges: ${vSh.count()}")
+    Checkpoints.release(vSh)
+    val vBc = t("E_verify_broadcast") {
+      Checkpoints.eager(verify(outD, "broadcast")) }
+    println(s"[lab] E broadcast edges: ${vBc.count()}")
+    Checkpoints.release(vBc, outD, sizedD, bandsD)
+    Checkpoints.release(sized, bands, reps, keyed)
+  }
+}

@@ -272,6 +272,132 @@ object Similarity extends QueryPack {
       sys.env.getOrElse("SPARK_GRAFT_LSH_BUCKET_CAP", "1024").toInt)
   }
 
+  /** CLUSTERING-path candidate generator: same banding as
+    * [[lshCandidatesOf]], rebuilt around three measured round-21 wins
+    * (the verify step downstream re-checks every pair exactly, so a
+    * candidate SUPERSET is result-identical — that freedom is what the
+    * first two moves spend):
+    *
+    *  1. SINGLE-LONG band keys — the self-join matches on
+    *     xxhash64(band_id, band_sig) instead of the (int, array<long>)
+    *     pair. A 64-bit collision can only MERGE two buckets, i.e. ADD
+    *     candidate pairs, which exact verification then discards; it can
+    *     never lose a pair (equal band slices always hash equal). Bucket
+    *     stats/cap/star logic all run on the same hashed key, so cap
+    *     semantics stay internally consistent.
+    *  2. FIRST-BAND-WINS dedup instead of distinct() — the dominant cost
+    *     at sf0.1 was the post-join exchange deduplicating ~15M raw pair
+    *     rows down to 5.5M (one giant near-dup cluster co-buckets in all
+    *     8 bands, so every pair was generated ~8×). Each doc carries its
+    *     per-band keys (`bks`) plus per-band emittability flags (`ems`:
+    *     bucket occupancy 2..cap — the bands the pairwise join actually
+    *     emits from); a pair survives only at its FIRST mutually-emittable
+    *     matching band. Uniqueness is by construction — the distinct
+    *     exchange disappears. Emittability matters: suppressing on a
+    *     shared OVER-CAP earlier band would lose pairs the star path
+    *     doesn't re-create (the star only links members to the anchor).
+    *     Equal keys imply the same bucket, hence equal flags — checking
+    *     `ems_a` alone is exact, and collisions stay additive-only: a
+    *     merged bucket emits the pair at that band, which is the same
+    *     band the later check suppresses on.
+    *  3. SIZE-BOUND PREFILTER INLINE — J ≥ τ requires |A|,|B| within a
+    *     factor τ (J ≤ min/max), so size-incompatible pairs die as raw
+    *     join output instead of surviving into the pair materialization
+    *     and the verify join (lshClusters previously filtered after the
+    *     distinct; same predicate, same surviving set, applied earlier).
+    *
+    * Measured at sf0.1 (Lab, one JVM, back-to-back): current shape
+    * 10.6-11.9 s → 3.5 s for a set-identical pair output (3,392,061
+    * pairs). Returns (id_a, id_b), unique, already size-filtered;
+    * `tau` is the scaled-integer Jaccard bound from lshClusters. */
+  private[graft] def fbwCandidates(docs: DataFrame, bucketCap: Int, tau: Long,
+      nHashes: Int = 24, rowsPerBand: Int = 3): DataFrame = {
+    val (pairs, bands, flagged) =
+      fbwCandidatesPlan(docs, bucketCap, tau, nHashes, rowsPerBand)
+    val tPairs = System.nanoTime()
+    val out = Checkpoints.materializeThenRelease(pairs, bands, flagged)
+    ccStage("cand_pairs", tPairs)
+    out
+  }
+
+  /** Plan-only twin for explain dumps (Lab/PlanDump evidence): same plan,
+    * nothing materialized — the intermediate eager checkpoints still run
+    * when the plan is built, so only use this for explain, not timing. */
+  private[graft] def fbwCandidatesPlanOnly(docs: DataFrame, bucketCap: Int,
+      tau: Long): DataFrame = fbwCandidatesPlan(docs, bucketCap, tau, 24, 3)._1
+
+  private def fbwCandidatesPlan(docs: DataFrame, bucketCap: Int, tau: Long,
+      nHashes: Int, rowsPerBand: Int): (DataFrame, DataFrame, DataFrame) = {
+    graft.ext.GraftFunctions.register(docs.sparkSession)
+    val nBands = nHashes / rowsPerBand
+    val tBands = System.nanoTime()
+    val sigs = docs.select(
+      col("doc_id"), size(col("ts")).as("__sz"),
+      expr(s"transform(sequence(0, ${nBands - 1}), b -> xxhash64(b, " +
+        s"slice(graft_minhash_sig(ts, $nHashes), b * $rowsPerBand + 1, " +
+        s"$rowsPerBand)))").as("bks"))
+    // per-band rows for the bucket stats + the join (same explode shape
+    // as lshCandidatesOf, one long key instead of int+array)
+    val bands = Checkpoints.eager(sigs
+      .select(col("doc_id"), col("__sz"), col("bks"), posexplode(col("bks")))
+      .toDF("doc_id", "__sz", "bks", "band_id", "bk"))
+    val stats = bands.groupBy(col("bk"))
+      .agg(count(lit(1)).as("__n"), min(col("doc_id")).as("__anchor"),
+        min_by(col("__sz"), col("doc_id")).as("__anchor_sz"))
+      .where(col("__n") >= 2)
+    val sized = bands.join(stats, Seq("bk"))
+    // per-doc emittability flags: ems[b] ⇔ the doc's band-b bucket has
+    // occupancy 2..cap (exactly the rows the pairwise join below emits
+    // from). Built once per doc — the HOFs here run over docs, not pairs.
+    val okBands = sized.where(col("__n") <= bucketCap)
+      .groupBy(col("doc_id")).agg(collect_set(col("band_id")).as("__okb"))
+    val flagged = Checkpoints.eager(sigs
+      .join(okBands, Seq("doc_id"), "left")
+      .withColumn("ems", expr(s"transform(sequence(0, ${nBands - 1}), " +
+        "b -> coalesce(array_contains(__okb, b), false))"))
+      .select(col("doc_id"), col("__sz"), col("bks"), col("ems")))
+    ccStage("cand_bands", tBands)
+    val exploded = flagged
+      .select(col("doc_id"), col("__sz"), col("bks"), col("ems"),
+        posexplode(col("bks")))
+      .toDF("doc_id", "__sz", "bks", "ems", "band_id", "bk")
+      .where(element_at(col("ems"), col("band_id") + 1))
+    val a = exploded.toDF("id_a", "sz_a", "bks_a", "ems_a", "band_id", "bk_a")
+    val b = exploded
+      .select(col("doc_id"), col("__sz"), col("bks"), col("ems"), col("bk"))
+      .toDF("id_b", "sz_b", "bks_b", "ems_b", "bk_b")
+    // suppress any pair that already matched at an earlier emittable band
+    // — unrolled to plain comparisons so the 15M-row filter stays inside
+    // WholeStageCodegen (a HOF here would interpret per raw pair)
+    val noEarlier = (0 until nBands - 1).map(i =>
+      col("band_id") <= i ||
+        element_at(col("bks_a"), i + 1) =!= element_at(col("bks_b"), i + 1) ||
+        !element_at(col("ems_a"), i + 1)).reduce(_ && _)
+    val fullPairs = a.join(b, col("bk_a") === col("bk_b") &&
+        col("id_a") < col("id_b"))
+      .where(noEarlier)
+      .where(col("sz_a").cast("long") * 1000000L >= col("sz_b") * tau &&
+        col("sz_b").cast("long") * 1000000L >= col("sz_a") * tau)
+      .select(col("id_a"), col("id_b"))
+    // linear star for over-cap buckets (anchor = bucket min): same
+    // connectivity contract as lshCandidatesOf, same size bound as the
+    // full pairs (star pairs never collide with first-band-wins output:
+    // over-cap bands are non-emittable there by construction)
+    // distinct: the same (anchor, member) can star out of several over-cap
+    // bands — the star side is linear in bucket membership, so deduping it
+    // costs ~nothing (the 15M-row full-pair side needs no distinct, which
+    // is the whole point). A star pair that ALSO matched at an in-cap band
+    // arrives twice through the union — harmless: the verify join checks
+    // it twice and CC is duplicate-edge-insensitive (groupBy-min).
+    val starPairs = sized.where(col("__n") > bucketCap)
+      .where(col("doc_id") =!= col("__anchor"))
+      .where(col("__anchor_sz").cast("long") * 1000000L >= col("__sz") * tau &&
+        col("__sz").cast("long") * 1000000L >= col("__anchor_sz") * tau)
+      .select(col("__anchor").as("id_a"), col("doc_id").as("id_b"))
+      .distinct()
+    (fullPairs.union(starPairs), bands, flagged)
+  }
+
   /** IVF coarse quantizer: every vector's nearest-centroid cell id.
     *
     * Centroids are the `nCentroids` lowest vec_ids — a fixed, reproducible
@@ -883,23 +1009,20 @@ object Similarity extends QueryPack {
     // verify accepts round(J, 6) ≥ τ, i.e. true J ≥ τ − 5e-7, so the
     // bound must not cut that margin.
     val tau = math.round(threshold * 1e6) - 1
+    // candidates arrive UNIQUE (first-band-wins) and already past the
+    // Jaccard size bound (J ≥ τ ⇒ |A|,|B| within a factor τ) — the bound
+    // runs on raw join output while rows are still two longs, BEFORE the
+    // pair set is materialized or any token array is joined on. At 100 TB
+    // the verify join's pair shuffle carrying a token array per candidate
+    // is the widest shuffle in the dedup path, so every pair killed here
+    // never pays it. See fbwCandidates for the measured plan.
     val tCand = System.nanoTime()
-    val candidates = lshCandidatesOf(repDocs, bucketCap, nHashes = 24)
+    val candidates = fbwCandidates(repDocs, bucketCap, tau, nHashes = 24)
     ccStage("candidates", tCand)
     // free read off the checkpoint blocks; sizes the verify join's input
     // (the quantity the τ-prefilter and banding dials actually control)
     ccLog(s"candidate pairs: ${candidates.count()}")
-    // the size bound runs on the candidate pair set itself (sizes rode
-    // the LSH banding), so size-incompatible pairs die while the rows
-    // are still two longs + two ints — BEFORE either token array is
-    // joined on. The verify join's second shuffle carries ts_a per
-    // surviving pair; at 100 TB that is the widest shuffle in the dedup
-    // path and pre-pruning is the difference between shuffling arrays
-    // for all candidates vs only plausibly-similar ones.
     val sizeOk = candidates
-      .where(col("sz_a").cast("long") * 1000000L >= col("sz_b") * tau &&
-        col("sz_b").cast("long") * 1000000L >= col("sz_a") * tau)
-      .select(col("id_a"), col("id_b"))
     val labels = if (frugal) {
       frugalComponents(repDocs, sizeOk, threshold)
     } else {

@@ -136,6 +136,38 @@ class SimilarityOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("K12b: first-band-wins candidates ≡ exact-key distinct + size filter") {
+    // fbwCandidates (round-21: hashed single-long band keys, first-band-
+    // wins dedup, inline size bound) must produce exactly the pair SET
+    // the old shape produced — lshCandidatesOf's exact-key join+distinct
+    // followed by lshClusters' size filter — both over the collapsed rep
+    // table, at the default cap AND at an aggressive cap that engages the
+    // star path + the emittability interplay (a pair sharing an OVER-cap
+    // earlier band must still be emitted at its first in-cap band).
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_distinct(split(lower(col("text")), " ")).as("ts"))
+    val keyed = docs.select(col("doc_id"),
+      array_sort(array_distinct(col("ts"))).as("ts"),
+      md5(to_json(array_sort(array_distinct(col("ts"))))).as("__k"))
+    val repDocs = keyed.groupBy(col("__k"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("ts")).as("ts"))
+      .select(col("doc_id"), col("ts"))
+    val tau = math.round(0.8 * 1e6) - 1
+    for (cap <- Seq(4096, 8)) {
+      val oldSet = Similarity.lshCandidatesOf(repDocs, cap, nHashes = 24)
+        .where(col("sz_a").cast("long") * 1000000L >= col("sz_b") * tau &&
+          col("sz_b").cast("long") * 1000000L >= col("sz_a") * tau)
+        .select(col("id_a"), col("id_b"))
+        .as[(Long, Long)].collect().toSet
+      val newSet = Similarity.fbwCandidates(repDocs, cap, tau)
+        .as[(Long, Long)].collect().toSet
+      withClue(s"cap=$cap old=${oldSet.size} new=${newSet.size}: ") {
+        newSet shouldBe oldSet
+      }
+    }
+  }
+
   test("K8: fused graft_simhash ≡ the explode + 64-sum aggregate bit-for-bit") {
     GraftFunctions.register(spark)
     import org.apache.spark.sql.functions.{explode, sum}
