@@ -38,6 +38,8 @@ object Lab {
       case "k12b_cand" => k12bCand(spark, sfDir)
       case "k12b_verify" => k12bVerify(spark, sfDir)
       case "k12b_cand_plans" => k12bCandPlans(spark, sfDir)
+      case "l16_dissect" => l16Dissect(spark, sfDir)
+      case "scalar_variants" => scalarVariants(spark, sfDir)
       case "noop" => ()
     }
     spark.stop()
@@ -104,6 +106,118 @@ object Lab {
       after.queryExecution.explainString(ExplainMode.fromString("formatted")))
     println("[lab] wrote candidate-stage plans")
     Checkpoints.release(reps, keyed)
+  }
+
+  /** Time each phase of l16 (streaming CDF -> MV) separately. */
+  private def l16Dissect(spark: SparkSession, dir: String): Unit = {
+    import graft.tables.GraftTable
+    import graft.streaming.StreamOps
+    val base = "/tmp/graft_io/l16_cdfmv_base"
+    val view = "/tmp/graft_io/l16_cdfmv_view"
+    StreamOps.rmrf(base); StreamOps.rmrf(view)
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    t("v1_write") { GraftTable.write(spark, o, base, "overwrite") }
+    t("v2_setprop") { GraftTable.setProperty(base, "changeDataFeed", Some("true")) }
+    t("v3_updateWhere") { GraftTable.updateWhere(spark, base, "o_orderkey % 100 = 0",
+      Map("o_totalprice" -> "o_totalprice * 2")) }
+    t("v4_deleteWhere") { GraftTable.deleteWhere(spark, base, "o_orderkey % 100 = 50") }
+    val upserts = o.where(col("o_orderkey") % 100 === 25)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .unionByName(o.where(col("o_orderkey") % 100 === 75)
+        .withColumn("o_orderkey", col("o_orderkey") + 5000000L))
+    t("v5_merge") { GraftTable.merge(spark, base, upserts, Seq("o_orderkey")) }
+    val yaml =
+      s"""name: l16_mv
+         |mode: mv_refresh
+         |streaming: true
+         |source: {format: graft_table, path: "$base",
+         |  options: {withImages: "true", maxVersionsPerTrigger: "2"}}
+         |mv:
+         |  path: "$view"
+         |  keys: [o_orderstatus]
+         |  aggs: ["count() AS n",
+         |         "count(CAST(o_totalprice AS DECIMAL(12,2))) AS n_v",
+         |         "sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_v"]
+         |""".stripMargin
+    t("stream_run1_v1to5") { graft.pipeline.PipelineRunner.run(spark, yaml) }
+    t("v6_updateWhere") { GraftTable.updateWhere(spark, base, "o_orderkey % 100 = 30",
+      Map("o_totalprice" -> "o_totalprice + 7")) }
+    val out = t("stream_run2_replay") { graft.pipeline.PipelineRunner.run(spark, yaml).passed
+      .select(col("o_orderstatus"), col("n"), col("n_v"),
+        col("sum_v").cast("double").as("sum_v"))
+      .orderBy(col("o_orderstatus")) }
+    t("noop_force") { out.write.format("noop").mode("overwrite").save() }
+  }
+
+  /** c12 / i4 / b6 alternative formulations, noop-forced, 2 reps each
+    * (measured 2026-08-19: c12 Expand 3.6-8.5s vs split 0.8-1.9s; i4
+    * project-sort 2.9-4.2 vs sort-project 1.1-1.3; b6 2.4-3.0 vs 0.7-0.9,
+    * and b6 without any sort 1.2-1.5 — the pre-sort projection pays twice:
+    * once in the range sampler, once wide through the exchange). */
+  private def scalarVariants(spark: SparkSession, dir: String): Unit = {
+    import graft.core.{Det, Tables}
+    import org.apache.spark.sql.types._
+    def force(label: String)(df: => DataFrame): Unit = {
+      val d = df
+      t(label) { d.write.format("noop").mode("overwrite").save() }
+    }
+    val li = Tables.lineitem(spark, dir)
+    for (rep <- 1 to 2) {
+      force(s"c12_A_expand_$rep") {
+        li.agg(
+          count(col("l_quantity")).as("q_n"),
+          countDistinct(col("l_quantity")).as("q_d"),
+          min(col("l_quantity").cast(LongType)).cast(StringType).as("q_min"),
+          max(col("l_quantity").cast(LongType)).cast(StringType).as("q_max"),
+          count(col("l_extendedprice")).as("p_n"),
+          countDistinct(col("l_extendedprice")).as("p_d"),
+          min(Det.dec2(col("l_extendedprice"))).cast(StringType).as("p_min"),
+          max(Det.dec2(col("l_extendedprice"))).cast(StringType).as("p_max"),
+          count(col("l_returnflag")).as("r_n"),
+          countDistinct(col("l_returnflag")).as("r_d"),
+          min(col("l_returnflag")).as("r_min"),
+          max(col("l_returnflag")).as("r_max"))
+          .select(expr(
+            """stack(3,
+              |  'l_extendedprice', p_n, p_d, p_min, p_max,
+              |  'l_quantity', q_n, q_d, q_min, q_max,
+              |  'l_returnflag', r_n, r_d, r_min, r_max)
+              |AS (col_name, n_nonnull, n_distinct, min_v, max_v)""".stripMargin))
+          .orderBy(col("col_name"))
+      }
+      force(s"c12_B_split_$rep") { queries.Validation.c12.build(spark, dir) }
+      def i4proj(df: DataFrame) = df.select(
+        col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("l_extendedprice"),
+        abs(col("l_extendedprice") * -1).as("abs_price"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        round(Det.dec2(col("l_extendedprice")), 1).cast(DoubleType).as("round1"),
+        round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+        round(exp(col("l_discount")), 6).as("exp_disc"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        round(log10(col("l_extendedprice")), 6).as("log10_price"),
+        round(pow(col("l_quantity"), 1.5), 6).as("qty_pow"),
+        pmod(col("l_orderkey"), lit(7)).as("pmod7"),
+        signum(col("l_discount") - 0.05).as("sgn"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
+        least(col("l_quantity"), col("l_discount") * 100).as("le"))
+      force(s"i4_A_projsort_$rep") {
+        i4proj(li).orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), col("l_extendedprice"))
+      }
+      force(s"i4_B_sortproj_$rep") { queries.Scalars.i4.build(spark, dir) }
+      val o = Tables.orders(spark, dir)
+      def b6proj(df: DataFrame) = df.select(
+        col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).cast(DoubleType).as("price_dec"),
+        col("o_orderdate").cast(DateType).cast(StringType).as("order_date"),
+        expr("try_cast(o_orderstatus AS INT)").as("status_int"),
+        col("o_orderkey").cast(StringType).as("okey_str"))
+      force(s"b6_A_projsort_$rep") { b6proj(o).orderBy(col("o_orderkey")) }
+      force(s"b6_B_sortproj_$rep") { queries.Relational.b6.build(spark, dir) }
+      force(s"b6_C_nosort_$rep") { b6proj(o) }
+    }
   }
 
   /** Verify-join strategy A/B over the real candidate set. */

@@ -167,14 +167,22 @@ object Relational extends QueryPack {
       |  TRY_CAST(o_orderstatus AS INTEGER) AS status_int,
       |  CAST(o_orderkey AS VARCHAR) AS okey_str
       |FROM orders ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    // sort-first, cast-after (round-21, see Scalars.i1): the range sort
+    // runs over the 4 narrow base columns and the casts run once above
+    // the exchange — previously the range sampler re-computed every cast
+    // just to sample o_orderkey and the exchange carried the cast
+    // strings. o_orderkey is unique, the projection is 1:1, so rows,
+    // values and order are identical. Measured 2.4 → 0.7 s at sf0.1.
     Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
       .select(
         col("o_orderkey"),
         col("o_totalprice").cast(DecimalType(18, 2)).cast(DoubleType).as("price_dec"),
         col("o_orderdate").cast(DateType).cast(StringType).as("order_date"),
         expr("try_cast(o_orderstatus AS INT)").as("status_int"),
         col("o_orderkey").cast(StringType).as("okey_str"))
-      .orderBy(col("o_orderkey"))
   }
 
   /** §2.B8 — parse JSON props → extracted scalars (D-rule 6). */
@@ -183,12 +191,15 @@ object Relational extends QueryPack {
     """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k_val,
       |  props->>'$.missing' AS missing_val
       |FROM events ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    // sort-first (see Scalars.i1): event_id is unique, the JSON parse
+    // runs once above the exchange instead of also inside the sampler
     Tables.events(spark, dir)
+      .select(col("event_id"), col("props"))
+      .orderBy(col("event_id"))
       .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast(LongType).as("k_val"),
         get_json_object(col("props"), "$.missing").as("missing_val"))
-      .orderBy(col("event_id"))
   }
 
   /** §2.B9 — surrogate key: stable dense ids from a total order.
