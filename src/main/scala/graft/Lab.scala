@@ -40,6 +40,8 @@ object Lab {
       case "k12b_cand_plans" => k12bCandPlans(spark, sfDir)
       case "l16_dissect" => l16Dissect(spark, sfDir)
       case "scalar_variants" => scalarVariants(spark, sfDir)
+      case "cc_jump" => ccJump(spark, sfDir)
+      case "sort_child" => sortChild(spark, sfDir)
       case "noop" => ()
     }
     spark.stop()
@@ -106,6 +108,121 @@ object Lab {
       after.queryExecution.explainString(ExplainMode.fromString("formatted")))
     println("[lab] wrote candidate-stage plans")
     Checkpoints.release(reps, keyed)
+  }
+
+  /** Final-global-sort cost: does materializing the expensive child
+    * (window / aggregate) before orderBy beat letting the range sampler
+    * re-execute it? */
+  private def sortChild(spark: SparkSession, dir: String): Unit = {
+    import graft.core.{Checkpoints, Det, Tables}
+    import org.apache.spark.sql.expressions.Window
+    def force(label: String)(df: => DataFrame): Unit = {
+      t(label) { df.write.format("noop").mode("overwrite").save() }
+      Checkpoints.releaseAll(spark)
+    }
+    val fullKey = Seq(col("l_shipdate"), col("l_orderkey"),
+      col("l_linenumber"), col("l_extendedprice"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(fullKey: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def f3body(df: DataFrame) = df
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_extendedprice"),
+        Det.money(sum(Det.dec2(col("l_extendedprice"))).over(w)).as("running_price"))
+    for (rep <- 1 to 2) {
+      force(s"f3_A_current_$rep") {
+        f3body(Tables.lineitem(spark, dir))
+          .orderBy(col("l_suppkey") +: fullKey: _*)
+      }
+      force(s"f3_B_checkpoint_$rep") {
+        Checkpoints.eager(f3body(Tables.lineitem(spark, dir)))
+          .orderBy(col("l_suppkey") +: fullKey: _*)
+      }
+    }
+  }
+
+  /** Pointer-jumping CC variant vs the shipped min-propagation loop, on
+    * the real k11 (within-cell cosine) and k12b (LSH-verified) graphs. */
+  private def ccJump(spark: SparkSession, dir: String): Unit = {
+    import graft.core.{Checkpoints, Tables}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType => DT}
+    // k11-shaped graph: 500 embeddings, 16 cells, cosine >= 0.35 pairs
+    val vecs = Tables.embeddings(spark, dir)
+      .withColumn("e", col("embedding").cast(ArrayType(DT)))
+      .select(col("vec_id"), col("e"))
+    val cents = vecs.orderBy(col("vec_id")).limit(16)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("e").as("c"))).as("cs"))
+    val assigned = Checkpoints.eager(
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("cell", expr(
+          "(array_max(transform(cs, s -> struct(round(graft_cosine(e, s.c), 6) AS sc, s.cid AS cid)))).cid"))
+        .select(col("vec_id"), col("e"), col("cell")))
+    val pairs = assigned.select(col("cell"), col("vec_id").as("id_a"), col("e").as("e_a"))
+      .join(assigned.select(col("cell"), col("vec_id").as("id_b"), col("e").as("e_b")),
+        Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(round(expr("graft_cosine(e_a, e_b)"), 6) >= 0.35)
+      .select(col("id_a"), col("id_b"))
+    val nodes = assigned.select("vec_id")
+    for (rep <- 1 to 2) {
+      val base = t(s"k11_cc_base_$rep") {
+        graft.queries.Similarity.connectedComponents(nodes, pairs) }
+      val jump = t(s"k11_cc_jump_$rep") { ccJumpLoop(nodes, pairs) }
+      println(s"[lab] k11 label diff: ${jump.except(base).count()} / ${base.except(jump).count()}")
+      Checkpoints.release(base, jump)
+    }
+    Checkpoints.release(assigned)
+  }
+
+  /** The jump variant: each round min-reduces over self ∪ neighbor labels
+    * ∪ lbl(lbl(v)) — O(log diameter) rounds instead of O(diameter). */
+  private def ccJumpLoop(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    import graft.core.Checkpoints
+    val directed = Checkpoints.eager(edges.toDF("src", "dst"))
+    val spark = nodes.sparkSession
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled")
+    val partsPrev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def lblSum(df: DataFrame): Option[Long] =
+        Option(df.agg(sum("lbl")).head.get(0)).map(_.asInstanceOf[Number].longValue)
+      var labels = Checkpoints.eager(
+        nodes.toDF("vec_id").select(col("vec_id"), col("vec_id").as("lbl")))
+      var sumv = lblSum(labels)
+      if (sumv.isEmpty) { Checkpoints.release(directed); return labels }
+      val nEdges = directed.count(); val nNodes = labels.count()
+      val sessionParts = partsPrev.toInt
+      val loopParts = math.max(1L, math.min(sessionParts.toLong,
+        math.max(2 * nEdges, nNodes) / 500000L + 1)).toInt
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+      val sym = Checkpoints.eager(
+        directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
+          .repartition(loopParts, col("dst")))
+      Checkpoints.release(directed)
+      var converged = false; var rounds = 0
+      while (!converged && rounds < maxRounds) {
+        val nb = sym.join(labels.withColumnRenamed("vec_id", "dst2"),
+            col("dst") === col("dst2"))
+          .select(col("src").as("vec_id"), col("lbl"))
+        val jump = labels.toDF("v0", "l0")
+          .join(labels.toDF("v1", "l1"), col("l0") === col("v1"))
+          .select(col("v0").as("vec_id"), col("l1").as("lbl"))
+        val next = Checkpoints.eager(
+          labels.union(nb).union(jump).groupBy("vec_id").agg(min("lbl").as("lbl")))
+        val nextSum = lblSum(next)
+        Checkpoints.release(labels)
+        labels = next
+        converged = nextSum == sumv
+        sumv = nextSum
+        rounds += 1
+      }
+      Checkpoints.release(sym)
+      println(s"[lab] jump rounds: $rounds")
+      labels
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+      spark.conf.set("spark.sql.shuffle.partitions", partsPrev)
+    }
   }
 
   /** Time each phase of l16 (streaming CDF -> MV) separately. */
@@ -244,10 +361,31 @@ object Lab {
       .where(round(col("__i").cast(DoubleType)
         / (size(col("ts_a")) + size(col("ts_b")) - col("__i")), 6) >= 0.8)
       .select(col("id_a"), col("id_b"))
-    for (rep <- 1 to 2; hint <- Seq("shuffle_hash", "broadcast", "merge")) {
-      val v = t(s"verify_${hint}_$rep") { Checkpoints.eager(verify(hint)) }
-      println(s"[lab] $hint edges: ${v.count()}")
-      Checkpoints.release(v)
+    // nowalk: same joins/shuffles, intersect replaced by a free size read
+    // (WRONG result — isolates the join machinery from the merge walk)
+    def verifyNoWalk(): DataFrame = pairs
+      .join(repDocs.toDF("id_a", "ts_a").hint("shuffle_hash"), "id_a")
+      .join(repDocs.toDF("id_b", "ts_b").hint("shuffle_hash"), "id_b")
+      .withColumn("__i", size(col("ts_a")))
+      .where(round(col("__i").cast(DoubleType)
+        / (size(col("ts_a")) + size(col("ts_b")) - col("__i")), 6) >= 0.8)
+      .select(col("id_a"), col("id_b"))
+    // MEASURED 2026-08-19 (warm reps, steal-bracketed): shuffle_hash 1.99s,
+    // nowalk 1.49s (the string merge walk itself is ~0.5s), broadcast
+    // 9.3-12.7s (per-probe row copies of the 1KB arrays dominate), and a
+    // sorted-xxhash64-long-array variant measured 1.83s — within noise of
+    // strings, NOT worth trading provable exactness for (reverted). The
+    // bench's larger verify_force readings are checkpoint write + codegen
+    // + allocator weather, not the join plan.
+    for (rep <- 1 to 2) {
+      for (hint <- Seq("shuffle_hash", "broadcast")) {
+        val v = t(s"verify_${hint}_$rep") { Checkpoints.eager(verify(hint)) }
+        println(s"[lab] $hint edges: ${v.count()}")
+        Checkpoints.release(v)
+      }
+      val nw = t(s"verify_nowalk_$rep") { Checkpoints.eager(verifyNoWalk()) }
+      println(s"[lab] nowalk rows (WRONG, timing only): ${nw.count()}")
+      Checkpoints.release(nw)
     }
     Checkpoints.release(pairs, reps, keyed)
   }
