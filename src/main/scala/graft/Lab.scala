@@ -37,6 +37,7 @@ object Lab {
     exp match {
       case "k12b_cand" => k12bCand(spark, sfDir)
       case "k12b_verify" => k12bVerify(spark, sfDir)
+      case "k12b_verify_enc" => k12bVerifyEnc(spark, sfDir)
       case "k12b_cand_plans" => k12bCandPlans(spark, sfDir)
       case "l16_dissect" => l16Dissect(spark, sfDir)
       case "scalar_variants" => scalarVariants(spark, sfDir)
@@ -335,6 +336,94 @@ object Lab {
       force(s"b6_B_sortproj_$rep") { queries.Relational.b6.build(spark, dir) }
       force(s"b6_C_nosort_$rep") { b6proj(o) }
     }
+  }
+
+  /** Round-22 task-1 A/B: the verify join over ENCODED token arrays vs
+    * the shipped string arrays, including every encode/certificate cost
+    * inside the timed window (the honest comparison — the encode runs
+    * inside the query). Variants:
+    *   A current: string arrays + shuffle_hash + string merge walk.
+    *   B certified-hash: ts → array_sort(transform(ts, xxhash64)) — a
+    *     map-only encode, made EXACT (not whp) by a runtime injectivity
+    *     certificate: count(distinct token) == count(distinct hash) over
+    *     the corpus vocabulary proves the hash injective on this corpus,
+    *     so |h(A) ∩ h(B)| = |A ∩ B| for every pair. Certificate cost is
+    *     timed.
+    *   C dictionary: dense int ids via sorted-vocab zipWithIndex + join +
+    *     re-collect — exact by construction, costs two extra shuffles of
+    *     the token explosion. Encode cost is timed.
+    * Pair sets must be identical (except both ways = 0). */
+  private def k12bVerifyEnc(spark: SparkSession, dir: String): Unit = {
+    import graft.core.{Checkpoints, Tables}
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    import org.apache.spark.sql.Row
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .select(col("doc_id"), array_distinct(col("toks")).as("ts"))
+    val keyed = Checkpoints.eager(docs
+      .select(col("doc_id"),
+        array_sort(array_distinct(col("ts"))).as("ts"),
+        md5(to_json(array_sort(array_distinct(col("ts"))))).as("__k")))
+    val reps = Checkpoints.eager(keyed.groupBy(col("__k"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("ts")).as("ts")))
+    val repDocs = reps.select(col("doc_id"), col("ts"))
+    val pairs = t("candidates") {
+      queries.Similarity.fbwCandidates(repDocs, 4096,
+        math.round(0.8 * 1e6) - 1) }
+    println(s"[lab] pairs: ${pairs.count()}")
+    def jaccard(df: DataFrame): DataFrame = df
+      .withColumn("__i", expr("graft_sorted_intersect_size(ts_a, ts_b)"))
+      .where(round(col("__i").cast(DoubleType)
+        / (size(col("ts_a")) + size(col("ts_b")) - col("__i")), 6) >= 0.8)
+      .select(col("id_a"), col("id_b"))
+    def verifyWith(sides: DataFrame): DataFrame = jaccard(pairs
+      .join(sides.toDF("id_a", "ts_a").hint("shuffle_hash"), "id_a")
+      .join(sides.toDF("id_b", "ts_b").hint("shuffle_hash"), "id_b"))
+    for (rep <- 1 to 3) {
+      // A: shipped
+      val vA = t(s"A_strings_$rep") { Checkpoints.eager(verifyWith(repDocs)) }
+      println(s"[lab] A edges: ${vA.count()}")
+      // B: certificate + map-only hash encode
+      val vB = t(s"B_cert_hash_$rep") {
+        val Row(nTok: Long, nHash: Long) = repDocs
+          .select(explode(col("ts")).as("tok")).distinct()
+          .agg(count(lit(1)), count_distinct(xxhash64(col("tok")))).head
+        require(nTok == nHash, s"xxhash64 collision on vocab: $nTok != $nHash")
+        val enc = repDocs.select(col("doc_id"),
+          array_sort(expr("transform(ts, t -> xxhash64(t))")).as("ts"))
+        Checkpoints.eager(verifyWith(enc))
+      }
+      println(s"[lab] B edges: ${vB.count()}; diff vs A: " +
+        s"${vB.except(vA).count()} / ${vA.except(vB).count()}")
+      Checkpoints.release(vB)
+      // C: dictionary encode (dense ints)
+      val vC = t(s"C_dict_$rep") {
+        val sortedVocab = repDocs.select(explode(col("ts")).as("tok"))
+          .distinct().orderBy("tok")
+        val vocab = spark.createDataFrame(
+          sortedVocab.rdd.zipWithIndex.map { case (r, i) =>
+            Row(r.getString(0), i.toInt) },
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("tok",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("tid", IntegerType))))
+        val encRows = repDocs.select(col("doc_id"), explode(col("ts")).as("tok"))
+          .join(vocab, "tok")
+          .groupBy("doc_id").agg(array_sort(collect_list(col("tid"))).as("tsi"))
+        val enc = Checkpoints.eager(repDocs
+          .join(encRows, Seq("doc_id"), "left")
+          .select(col("doc_id"), when(col("ts").isNotNull,
+            coalesce(col("tsi"), array().cast(ArrayType(IntegerType))))
+            .as("ts")))
+        val out = Checkpoints.eager(verifyWith(enc))
+        Checkpoints.release(enc)
+        out
+      }
+      println(s"[lab] C edges: ${vC.count()}; diff vs A: " +
+        s"${vC.except(vA).count()} / ${vA.except(vC).count()}")
+      Checkpoints.release(vC, vA)
+    }
+    Checkpoints.release(pairs, reps, keyed)
   }
 
   /** Verify-join strategy A/B over the real candidate set. */

@@ -4,10 +4,13 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
-/** |A ∩ B| of two SORTED, DISTINCT ARRAY<STRING> columns as one
-  * zero-allocation two-pointer merge walk inside WholeStageCodegen.
+/** |A ∩ B| of two SORTED, DISTINCT arrays (string, int or long — both
+  * sides equally typed) as one zero-allocation two-pointer merge walk
+  * inside WholeStageCodegen. The int/long lanes exist for the
+  * dictionary/hash-encoded verify paths where the elements are already
+  * integers — primitive compares instead of UTF8String byte walks.
   *
   * Why it exists: the LSH-verify join (k12b / the `minhash_dedup` op at
   * threshold < 1) computes exact Jaccard per candidate pair via
@@ -39,10 +42,18 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_sorted_intersect_size expects (array<string>, array<string>), " +
-          s"got (${l.sql}, ${r.sql})")
+        s"graft_sorted_intersect_size expects two equally-typed sorted " +
+          s"arrays of string, int or long, got (${l.sql}, ${r.sql})")
     }
+
+  /** Element kind, fixed at type-check time (both sides equal). */
+  private lazy val elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
 
   override def dataType: DataType = IntegerType
 
@@ -59,7 +70,11 @@ case class SortedIntersectSize(left: Expression, right: Expression)
         if (xn && yn) 0
         else if (xn) 1 // nulls sort last
         else if (yn) -1
-        else x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        else elemType match {
+          case StringType => x.getUTF8String(i).compareTo(y.getUTF8String(j))
+          case IntegerType => java.lang.Integer.compare(x.getInt(i), y.getInt(j))
+          case LongType => java.lang.Long.compare(x.getLong(i), y.getLong(j))
+        }
       if (c == 0) { cnt += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
@@ -73,13 +88,18 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val cnt = ctx.freshName("cnt"); val c = ctx.freshName("c")
       val xn = ctx.freshName("xn"); val yn = ctx.freshName("yn")
+      val cmp = elemType match {
+        case StringType => s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
+        case IntegerType => s"java.lang.Integer.compare($a.getInt($i), $b.getInt($j))"
+        case LongType => s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+      }
       s"""
          |int $nx = $a.numElements(); int $ny = $b.numElements();
          |int $i = 0; int $j = 0; int $cnt = 0;
          |while ($i < $nx && $j < $ny) {
          |  boolean $xn = $a.isNullAt($i); boolean $yn = $b.isNullAt($j);
          |  int $c = ($xn && $yn) ? 0 : $xn ? 1 : $yn ? -1
-         |    : $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    : $cmp;
          |  if ($c == 0) { $cnt++; $i++; $j++; }
          |  else if ($c < 0) { $i++; } else { $j++; }
          |}
