@@ -38,6 +38,7 @@ object Lab {
       case "k12b_cand" => k12bCand(spark, sfDir)
       case "k12b_verify" => k12bVerify(spark, sfDir)
       case "k12b_verify_enc" => k12bVerifyEnc(spark, sfDir)
+      case "k12b_verify_plans" => k12bVerifyPlans(spark, sfDir)
       case "k12b_cand_plans" => k12bCandPlans(spark, sfDir)
       case "l16_dissect" => l16Dissect(spark, sfDir)
       case "scalar_variants" => scalarVariants(spark, sfDir)
@@ -379,7 +380,7 @@ object Lab {
     def verifyWith(sides: DataFrame): DataFrame = jaccard(pairs
       .join(sides.toDF("id_a", "ts_a").hint("shuffle_hash"), "id_a")
       .join(sides.toDF("id_b", "ts_b").hint("shuffle_hash"), "id_b"))
-    for (rep <- 1 to 3) {
+    for (rep <- 1 to 5) {
       // A: shipped
       val vA = t(s"A_strings_$rep") { Checkpoints.eager(verifyWith(repDocs)) }
       println(s"[lab] A edges: ${vA.count()}")
@@ -396,8 +397,8 @@ object Lab {
       println(s"[lab] B edges: ${vB.count()}; diff vs A: " +
         s"${vB.except(vA).count()} / ${vA.except(vB).count()}")
       Checkpoints.release(vB)
-      // C: dictionary encode (dense ints)
-      val vC = t(s"C_dict_$rep") {
+      // C: dictionary encode (dense ints), encode timed apart
+      val enc = t(s"C_encode_$rep") {
         val sortedVocab = repDocs.select(explode(col("ts")).as("tok"))
           .distinct().orderBy("tok")
         val vocab = spark.createDataFrame(
@@ -410,20 +411,78 @@ object Lab {
         val encRows = repDocs.select(col("doc_id"), explode(col("ts")).as("tok"))
           .join(vocab, "tok")
           .groupBy("doc_id").agg(array_sort(collect_list(col("tid"))).as("tsi"))
-        val enc = Checkpoints.eager(repDocs
+        Checkpoints.eager(repDocs
           .join(encRows, Seq("doc_id"), "left")
           .select(col("doc_id"), when(col("ts").isNotNull,
             coalesce(col("tsi"), array().cast(ArrayType(IntegerType))))
             .as("ts")))
-        val out = Checkpoints.eager(verifyWith(enc))
-        Checkpoints.release(enc)
-        out
       }
+      val vC = t(s"C_dict_verify_$rep") { Checkpoints.eager(verifyWith(enc)) }
       println(s"[lab] C edges: ${vC.count()}; diff vs A: " +
         s"${vC.except(vA).count()} / ${vA.except(vC).count()}")
-      Checkpoints.release(vC, vA)
+      Checkpoints.release(vC, vA, enc)
     }
     Checkpoints.release(pairs, reps, keyed)
+  }
+
+  /** Write the verify-stage plans (string arrays vs dictionary ints) as
+    * round-22 before/after evidence. Logical-plan only up to the encode
+    * checkpoint, which must exist for the after-plan to resolve. */
+  private def k12bVerifyPlans(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.execution.ExplainMode
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    import org.apache.spark.sql.Row
+    import graft.core.{Checkpoints, Tables}
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .select(col("doc_id"), array_distinct(col("toks")).as("ts"))
+    val keyed = Checkpoints.eager(docs
+      .select(col("doc_id"),
+        array_sort(array_distinct(col("ts"))).as("ts"),
+        md5(to_json(array_sort(array_distinct(col("ts"))))).as("__k")))
+    val reps = Checkpoints.eager(keyed.groupBy(col("__k"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("ts")).as("ts")))
+    val repDocs = reps.select(col("doc_id"), col("ts"))
+    val pairs = queries.Similarity.fbwCandidates(repDocs, 4096,
+      math.round(0.8 * 1e6) - 1)
+    def verifyWith(sides: DataFrame): DataFrame = pairs
+      .join(sides.toDF("id_a", "ts_a").hint("shuffle_hash"), "id_a")
+      .join(sides.toDF("id_b", "ts_b").hint("shuffle_hash"), "id_b")
+      .withColumn("__i", expr("graft_sorted_intersect_size(ts_a, ts_b)"))
+      .where(round(col("__i").cast(DoubleType)
+        / (size(col("ts_a")) + size(col("ts_b")) - col("__i")), 6) >= 0.8)
+      .select(col("id_a"), col("id_b"))
+    val before = verifyWith(repDocs)
+    val sortedVocab = repDocs.select(explode(col("ts")).as("tok"))
+      .distinct().orderBy("tok")
+    val vocab = spark.createDataFrame(
+      sortedVocab.rdd.zipWithIndex.map { case (r, i) =>
+        Row(r.getString(0), i.toInt) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tok",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("tid", IntegerType))))
+    val encRows = repDocs.select(col("doc_id"), explode(col("ts")).as("tok"))
+      .join(vocab, "tok")
+      .groupBy("doc_id").agg(array_sort(collect_list(col("tid"))).as("tsi"))
+    val encDocs = Checkpoints.eager(repDocs
+      .join(encRows, Seq("doc_id"), "left")
+      .select(col("doc_id"), when(col("ts").isNotNull,
+        coalesce(col("tsi"), array().cast(ArrayType(IntegerType))))
+        .as("ts")))
+    val after = verifyWith(encDocs)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/root/repo/plans/r22"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/plans/r22/k12b_verify_stage_before.txt"),
+      before.queryExecution.explainString(ExplainMode.fromString("formatted")) +
+        s"\n-- verify build side schema: ${repDocs.schema.simpleString}\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/plans/r22/k12b_verify_stage_after.txt"),
+      after.queryExecution.explainString(ExplainMode.fromString("formatted")) +
+        s"\n-- verify build side schema: ${encDocs.schema.simpleString}\n")
+    println("[lab] wrote verify-stage plans")
+    Checkpoints.release(encDocs, pairs, reps, keyed)
   }
 
   /** Verify-join strategy A/B over the real candidate set. */

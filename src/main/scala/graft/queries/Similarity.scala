@@ -280,11 +280,16 @@ object Similarity extends QueryPack {
     *
     *  1. SINGLE-LONG band keys — the self-join matches on
     *     xxhash64(band_id, band_sig) instead of the (int, array<long>)
-    *     pair. A 64-bit collision can only MERGE two buckets, i.e. ADD
-    *     candidate pairs, which exact verification then discards; it can
-    *     never lose a pair (equal band slices always hash equal). Bucket
-    *     stats/cap/star logic all run on the same hashed key, so cap
-    *     semantics stay internally consistent.
+    *     pair. A 64-bit collision MERGES two buckets, i.e. ADDS candidate
+    *     pairs, which exact verification then discards (equal band slices
+    *     always hash equal, so no matching pair is missed at that band).
+    *     One edge case bounds the "additive-only" claim: a collision that
+    *     pushes the merged bucket's occupancy OVER bucketCap makes that
+    *     band non-emittable, so a pair whose only genuine shared band was
+    *     that one survives only via the anchor star — at ~n²/2⁶⁵
+    *     probability, far below the LSH banding miss budget (0.3%/pair at
+    *     8×3). Bucket stats/cap/star logic all run on the same hashed
+    *     key, so cap semantics stay internally consistent.
     *  2. FIRST-BAND-WINS dedup instead of distinct() — the dominant cost
     *     at sf0.1 was the post-join exchange deduplicating ~15M raw pair
     *     rows down to 5.5M (one giant near-dup cluster co-buckets in all
@@ -308,8 +313,11 @@ object Similarity extends QueryPack {
     *
     * Measured at sf0.1 (Lab, one JVM, back-to-back): current shape
     * 10.6-11.9 s → 3.5 s for a set-identical pair output (3,392,061
-    * pairs). Returns (id_a, id_b), unique, already size-filtered;
-    * `tau` is the scaled-integer Jaccard bound from lshClusters. */
+    * pairs). Returns (id_a, id_b), unique EXCEPT that a star pair from an
+    * over-cap band which also co-buckets at an in-cap band arrives once
+    * through each union side (downstream is duplicate-tolerant: verify
+    * re-checks, CC is groupBy-min); already size-filtered; `tau` is the
+    * scaled-integer Jaccard bound from lshClusters. */
   private[graft] def fbwCandidates(docs: DataFrame, bucketCap: Int, tau: Long,
       nHashes: Int = 24, rowsPerBand: Int = 3): DataFrame = {
     val (pairs, bands, flagged) =
@@ -1009,7 +1017,8 @@ object Similarity extends QueryPack {
     // verify accepts round(J, 6) ≥ τ, i.e. true J ≥ τ − 5e-7, so the
     // bound must not cut that margin.
     val tau = math.round(threshold * 1e6) - 1
-    // candidates arrive UNIQUE (first-band-wins) and already past the
+    // candidates arrive unique up to star/full overlap pairs (see
+    // fbwCandidates — verify and CC are duplicate-tolerant) and past the
     // Jaccard size bound (J ≥ τ ⇒ |A|,|B| within a factor τ) — the bound
     // runs on raw join output while rows are still two longs, BEFORE the
     // pair set is materialized or any token array is joined on. At 100 TB
@@ -1026,6 +1035,54 @@ object Similarity extends QueryPack {
     val labels = if (frugal) {
       frugalComponents(repDocs, sizeOk, threshold)
     } else {
+      // DICTIONARY-ENCODED verify (round 22): tokens are dense-int-coded
+      // corpus-wide before the verify join — the vocabulary (distinct
+      // tokens, sorted) gets ids 0..V−1 via a distributed sort +
+      // zipWithIndex, each rep's token set re-collects as a sorted
+      // ARRAY<INT>, and Jaccard runs over the int arrays. EXACT by
+      // construction: the token→id map is a bijection on the corpus
+      // vocabulary, so |enc(A) ∩ enc(B)| = |A ∩ B| and sizes are
+      // preserved (arrays stay distinct); null token sets stay null and
+      // empty stay empty, so the threshold filter sees the same values
+      // row for row (spec-asserted: edge set byte-identical at sf0.001
+      // AND over the real sf0.1 candidate set in the Lab A/B —
+      // 698,435 edges, except() both ways = 0).
+      //
+      // Why (guide §2.3 narrower types, §5 allocation): the verify
+      // join's mid-exchange carries one token array per candidate pair —
+      // the widest shuffle in the dedup path at any scale. Int codes cut
+      // those bytes ~4x vs the UTF8 tokens, and the per-pair merge walk
+      // compares primitives instead of UTF8String byte spans. At sf0.1
+      // the best-case times tie (Lab, 8 reps: strings best 1.70 s, dict
+      // verify best 1.30 + 0.5 encode), but the HIGH modes separate
+      // decisively: strings spiked to 5.2 s and 10.2 s inside one JVM
+      // while the int verify never left 1.3–1.9 s — the stage's
+      // documented GC-bimodality (round 16: 8 s ↔ 42 s) is proportional
+      // to allocated bytes, which the encoding shrinks 4x. The encode
+      // itself is two small shuffles of the token explosion (~0.5 s
+      // warm), amortized against the corpus-sized verify at 100 TB.
+      val tEnc = System.nanoTime()
+      val spark = docs.sparkSession
+      val sortedVocab = repDocs.select(explode(col("ts")).as("tok"))
+        .distinct().orderBy("tok")
+      val vocab = spark.createDataFrame(
+        sortedVocab.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getString(0), i.toInt) },
+        StructType(Seq(StructField("tok", StringType),
+          StructField("tid", IntegerType))))
+      val encRows = repDocs.select(col("doc_id"), explode(col("ts")).as("tok"))
+        .join(vocab, "tok")
+        .groupBy("doc_id").agg(array_sort(collect_list(col("tid"))).as("tsi"))
+      // explode drops null/empty token sets — restore them with the
+      // EXACT null/empty split (size(null) must stay -1 downstream, the
+      // same value the string path divided by; HardeningSpec's null-text
+      // doc rides this)
+      val encDocs = Checkpoints.eager(repDocs
+        .join(encRows, Seq("doc_id"), "left")
+        .select(col("doc_id"), when(col("ts").isNotNull,
+          coalesce(col("tsi"), array().cast(ArrayType(IntegerType))))
+          .as("ts")))
+      ccStage("verify_encode", tEnc)
       // SHUFFLE-HASH, not sort-merge: SMJ must SORT the pair stream —
       // 5.5M rows at sf0.1, and after the first join each row carries a
       // token ARRAY, so the second sort runs over wide rows and spills;
@@ -1041,19 +1098,23 @@ object Similarity extends QueryPack {
       // (Spark 3.1+ honors the hint); spill of the BUILD side would
       // mean rep skew, which the banding bucketCap already bounds.
       // |A∩B| via the zero-allocation two-pointer expression, NOT
-      // size(array_intersect(..)): the arrays are sorted+distinct by the
-      // collapse stage, and ArrayIntersect's per-row hash set + result
+      // size(array_intersect(..)): the arrays are sorted+distinct by
+      // construction, and ArrayIntersect's per-row hash set + result
       // array made this stage GC-BIMODAL (round 16: verify_force 8 s ↔
       // 42 s on identical data, flat probes, tmpfs shuffle unchanged —
       // allocator weather, not IO). The merge walk allocates nothing.
       val verified = sizeOk
-        .join(repDocs.toDF("id_a", "ts_a").hint("shuffle_hash"), "id_a")
-        .join(repDocs.toDF("id_b", "ts_b").hint("shuffle_hash"), "id_b")
+        .join(encDocs.toDF("id_a", "ts_a").hint("shuffle_hash"), "id_a")
+        .join(encDocs.toDF("id_b", "ts_b").hint("shuffle_hash"), "id_b")
         .withColumn("__i", expr("graft_sorted_intersect_size(ts_a, ts_b)"))
         .where(round(col("__i").cast(DoubleType)
           / (size(col("ts_a")) + size(col("ts_b")) - col("__i")), 6) >= threshold)
         .select(col("id_a"), col("id_b"))
-      connectedComponents(repDocs.select("doc_id"), verified)
+      val lbls = connectedComponents(repDocs.select("doc_id"), verified)
+      // CC's eager edge materialization forced the verify join — the
+      // encoded side is dead now
+      Checkpoints.release(encDocs)
+      lbls
     }
     // connectedComponents eagerly materialized its symmetrized edge set
     // (which also forced the verify join), so the candidate-pair

@@ -155,15 +155,60 @@ class SimilarityOpsSpec extends SparkSpecBase {
       .select(col("doc_id"), col("ts"))
     val tau = math.round(0.8 * 1e6) - 1
     for (cap <- Seq(4096, 8)) {
-      val oldSet = Similarity.lshCandidatesOf(repDocs, cap, nHashes = 24)
-        .where(col("sz_a").cast("long") * 1000000L >= col("sz_b") * tau &&
-          col("sz_b").cast("long") * 1000000L >= col("sz_a") * tau)
-        .select(col("id_a"), col("id_b"))
-        .as[(Long, Long)].collect().toSet
-      val newSet = Similarity.fbwCandidates(repDocs, cap, tau)
-        .as[(Long, Long)].collect().toSet
-      withClue(s"cap=$cap old=${oldSet.size} new=${newSet.size}: ") {
-        newSet shouldBe oldSet
+      // both builders return caller-owned checkpoints — release them once
+      // collected, or they pin block-manager storage for the whole suite
+      val oldCp = Similarity.lshCandidatesOf(repDocs, cap, nHashes = 24)
+      val newCp = Similarity.fbwCandidates(repDocs, cap, tau)
+      try {
+        val oldSet = oldCp
+          .where(col("sz_a").cast("long") * 1000000L >= col("sz_b") * tau &&
+            col("sz_b").cast("long") * 1000000L >= col("sz_a") * tau)
+          .select(col("id_a"), col("id_b"))
+          .as[(Long, Long)].collect().toSet
+        val newSet = newCp.as[(Long, Long)].collect().toSet
+        withClue(s"cap=$cap old=${oldSet.size} new=${newSet.size}: ") {
+          newSet shouldBe oldSet
+        }
+      } finally graft.core.Checkpoints.release(oldCp, newCp)
+    }
+  }
+
+  test("K12b: int/long sorted-intersect lanes ≡ string lane; dictionary " +
+      "encode preserves sizes and intersections (incl. null/empty sets)") {
+    GraftFunctions.register(spark)
+    // random sorted-distinct token sets, plus the degenerate shapes the
+    // verify path must carry through unchanged: null set, empty set
+    val tokGen = Gen.listOf(Gen.oneOf(
+      (0 until 40).map(i => s"tok$i"))).map(_.distinct.sorted)
+    forSamples(Gen.zip(tokGen, tokGen), 10) { case (a, b) =>
+      val base = Seq((Option(a), Option(b)), (None, Option(b)),
+        (Option(List.empty[String]), Option(a)))
+        .toDF("a", "b")
+      // corpus-wide dictionary over a ∪ b, dense ints by sorted order —
+      // the exact construction lshClusters' verify encode uses
+      val vocab = (a ++ b).distinct.sorted.zipWithIndex.toMap
+      def enc(x: Option[List[String]]): Option[List[Int]] =
+        x.map(_.map(vocab).sorted)
+      val encd = Seq((enc(Option(a)), enc(Option(b))),
+        (None, enc(Option(b))),
+        (enc(Option(List.empty[String])), enc(Option(a))))
+        .toDF("a", "b")
+      val encl = Seq((enc(Option(a)).map(_.map(_.toLong)), enc(Option(b)).map(_.map(_.toLong))),
+        (None, enc(Option(b)).map(_.map(_.toLong))),
+        (enc(Option(List.empty[String])).map(_.map(_.toLong)), enc(Option(a)).map(_.map(_.toLong))))
+        .toDF("a", "b")
+      def isect(df: org.apache.spark.sql.DataFrame): Seq[Option[Int]] = df
+        .select(expr("graft_sorted_intersect_size(a, b)"))
+        .collect().toSeq.map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      val s = isect(base); val i = isect(encd); val l = isect(encl)
+      // reference: Spark's own array_intersect on the string form
+      val ref = base.select(expr("size(array_intersect(a, b))"))
+        .collect().toSeq.map(r =>
+          if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      withClue(s"a=$a b=$b: ") {
+        s shouldBe ref
+        i shouldBe s // bijective encode ⇒ identical intersection sizes
+        l shouldBe s
       }
     }
   }
