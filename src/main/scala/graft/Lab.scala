@@ -20,6 +20,58 @@ object Lab {
     r
   }
 
+  /** Job-counting twin of [[t]]: how many Spark JOBS a phase launched —
+    * the per-table-op fixed-cost census (each job is one plan+codegen+
+    * schedule round trip; at sf0.1 that fixed cost IS most of an op's
+    * wall time, so "N jobs per op class" is the thing to shrink).
+    * Listener events are async; the 150 ms drain keeps counts exact for
+    * phases that end on an action (every phase here does). */
+  private object JobCounter {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    /** Σ wall-clock inside jobs (submit→end), millis — the gap between
+      * this and phase wall time is DRIVER work: plan/optimize/codegen,
+      * log replay, footer reads, commit IO. */
+    val inJobMs = new java.util.concurrent.atomic.AtomicLong
+    private val startedAt =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]
+    @volatile private var installed = false
+    def install(spark: SparkSession): Unit = synchronized {
+      if (!installed) {
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              jobs.incrementAndGet()
+              startedAt.put(j.jobId, j.time)
+            }
+            override def onJobEnd(
+                j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+              val t0 = startedAt.remove(j.jobId)
+              if (t0 != null) inJobMs.addAndGet(j.time - t0)
+            }
+          })
+        installed = true
+      }
+    }
+  }
+  private def tj[A](spark: SparkSession, label: String)(f: => A): A = {
+    JobCounter.install(spark)
+    Thread.sleep(150)
+    val j0 = JobCounter.jobs.get
+    val m0 = JobCounter.inJobMs.get
+    val t0 = System.nanoTime()
+    val r = f
+    val dt = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(150)
+    val inJob = (JobCounter.inJobMs.get - m0) / 1e3
+    val attr = graft.core.Attribution.snapshotJson()
+    graft.core.Attribution.clear()
+    println(f"[lab] $label: $dt%.2fs jobs=${JobCounter.jobs.get - j0} " +
+      f"in_job=$inJob%.2fs driver=${math.max(0, dt - inJob)}%.2fs" +
+      (if (attr.isEmpty) "" else s" attr=$attr"))
+    r
+  }
+
   def main(args: Array[String]): Unit = {
     val exp = args(0)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
@@ -41,6 +93,7 @@ object Lab {
       case "k12b_verify_plans" => k12bVerifyPlans(spark, sfDir)
       case "k12b_cand_plans" => k12bCandPlans(spark, sfDir)
       case "l16_dissect" => l16Dissect(spark, sfDir)
+      case "op_dissect" => opDissect(spark, sfDir)
       case "scalar_variants" => scalarVariants(spark, sfDir)
       case "cc_jump" => ccJump(spark, sfDir)
       case "sort_child" => sortChild(spark, sfDir)
@@ -236,16 +289,16 @@ object Lab {
     StreamOps.rmrf(base); StreamOps.rmrf(view)
     val o = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    t("v1_write") { GraftTable.write(spark, o, base, "overwrite") }
-    t("v2_setprop") { GraftTable.setProperty(base, "changeDataFeed", Some("true")) }
-    t("v3_updateWhere") { GraftTable.updateWhere(spark, base, "o_orderkey % 100 = 0",
+    tj(spark, "v1_write") { GraftTable.write(spark, o, base, "overwrite") }
+    tj(spark, "v2_setprop") { GraftTable.setProperty(base, "changeDataFeed", Some("true")) }
+    tj(spark, "v3_updateWhere") { GraftTable.updateWhere(spark, base, "o_orderkey % 100 = 0",
       Map("o_totalprice" -> "o_totalprice * 2")) }
-    t("v4_deleteWhere") { GraftTable.deleteWhere(spark, base, "o_orderkey % 100 = 50") }
+    tj(spark, "v4_deleteWhere") { GraftTable.deleteWhere(spark, base, "o_orderkey % 100 = 50") }
     val upserts = o.where(col("o_orderkey") % 100 === 25)
       .withColumn("o_totalprice", col("o_totalprice") + 1000)
       .unionByName(o.where(col("o_orderkey") % 100 === 75)
         .withColumn("o_orderkey", col("o_orderkey") + 5000000L))
-    t("v5_merge") { GraftTable.merge(spark, base, upserts, Seq("o_orderkey")) }
+    tj(spark, "v5_merge") { GraftTable.merge(spark, base, upserts, Seq("o_orderkey")) }
     val yaml =
       s"""name: l16_mv
          |mode: mv_refresh
@@ -259,14 +312,112 @@ object Lab {
          |         "count(CAST(o_totalprice AS DECIMAL(12,2))) AS n_v",
          |         "sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_v"]
          |""".stripMargin
-    t("stream_run1_v1to5") { graft.pipeline.PipelineRunner.run(spark, yaml) }
-    t("v6_updateWhere") { GraftTable.updateWhere(spark, base, "o_orderkey % 100 = 30",
+    tj(spark, "stream_run1_v1to5") { graft.pipeline.PipelineRunner.run(spark, yaml) }
+    tj(spark, "v6_updateWhere") { GraftTable.updateWhere(spark, base, "o_orderkey % 100 = 30",
       Map("o_totalprice" -> "o_totalprice + 7")) }
-    val out = t("stream_run2_replay") { graft.pipeline.PipelineRunner.run(spark, yaml).passed
+    val out = tj(spark, "stream_run2_replay") { graft.pipeline.PipelineRunner.run(spark, yaml).passed
       .select(col("o_orderstatus"), col("n"), col("n_v"),
         col("sum_v").cast("double").as("sum_v"))
       .orderBy(col("o_orderstatus")) }
-    t("noop_force") { out.write.format("noop").mode("overwrite").save() }
+    tj(spark, "noop_force") { out.write.format("noop").mode("overwrite").save() }
+  }
+
+  /** Phase + JOB census of the remaining heavy lakehouse queries (ep24
+    * mv_refresh ladder, ep26 version diff, ep27 conditional CDC merge,
+    * a7b bucketed write+join): where the seconds and the Spark jobs go,
+    * op by op — the evidence base for VERDICT r21 tasks 3-5. */
+  private def opDissect(spark: SparkSession, dir: String): Unit = {
+    import graft.core.Tables
+    import graft.tables.{GraftTable, MaterializedView}
+    def rm(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    // ---- ep24 mv_refresh ladder --------------------------------------
+    val base = "/tmp/graft_lab/mv_base"; val mv = "/tmp/graft_lab/mv_agg"
+    rm(base); rm(mv)
+    val keys = Seq("o_orderstatus")
+    val aggs = Seq(
+      MaterializedView.AggSpec("count", "o_orderkey", "n"),
+      MaterializedView.AggSpec("sum",
+        "CAST(o_totalprice AS DECIMAL(12,2))", "sum_v"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    def slice(r: Int) = o.where(col("o_orderkey") % 3 === r)
+    tj(spark, "ep24_v1_write") { GraftTable.write(spark, slice(0), base, "overwrite") }
+    tj(spark, "ep24_mv_create") { MaterializedView.refresh(spark, base, mv, keys, aggs) }
+    tj(spark, "ep24_v2_append") { GraftTable.write(spark, slice(1), base, "append") }
+    tj(spark, "ep24_mv_incr") { MaterializedView.refresh(spark, base, mv, keys, aggs) }
+    tj(spark, "ep24_v3_merge") { GraftTable.merge(spark, base,
+      slice(0).withColumn("o_totalprice", col("o_totalprice") * 2),
+      Seq("o_orderkey")) }
+    tj(spark, "ep24_mv_full") { MaterializedView.refresh(spark, base, mv, keys, aggs) }
+    tj(spark, "ep24_v4_append") { GraftTable.write(spark, slice(2), base, "append") }
+    tj(spark, "ep24_mv_incr2") { MaterializedView.refresh(spark, base, mv, keys, aggs) }
+    tj(spark, "ep24_read") { GraftTable.read(spark, mv)
+      .orderBy(col("o_orderstatus"))
+      .write.format("noop").mode("overwrite").save() }
+    // ---- ep26 version diff --------------------------------------------
+    val vd = "/tmp/graft_lab/vdiff"
+    rm(vd)
+    tj(spark, "ep26_v1_write") { GraftTable.write(spark, o, vd, "overwrite") }
+    val changes = o.where(col("o_orderkey") % 100 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(o.where(col("o_orderkey") % 100 === 50)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+    tj(spark, "ep26_v2_merge") { GraftTable.merge(spark, vd, changes, Seq("o_orderkey")) }
+    tj(spark, "ep26_v3_merge_del") { GraftTable.merge(spark, vd,
+      o.where(col("o_orderkey") % 100 === 1), Seq("o_orderkey"), "delete") }
+    tj(spark, "ep26_diff_read") { graft.pipeline.PipelineRunner.run(spark,
+      s"""name: lab_vdiff
+         |source: {format: graft_table, path: "$vd", options: {versionAsOf: "1"}}
+         |transforms:
+         |  - op: diff
+         |    on: [o_orderkey]
+         |    table: {format: graft_table, path: "$vd", options: {versionAsOf: "3"}}
+         |  - {op: sort, cols: [o_orderkey]}
+         |""".stripMargin).passed
+      .write.format("noop").mode("overwrite").save() }
+    // ---- ep27 conditional CDC merge ------------------------------------
+    val cdc = "/tmp/graft_lab/cdc"; val cdcCh = "/tmp/graft_lab/cdc_changes"
+    rm(cdc); rm(cdcCh)
+    tj(spark, "ep27_v1_write") { GraftTable.write(spark, o, cdc, "overwrite") }
+    tj(spark, "ep27_changes_parquet") { o.withColumn("o_totalprice",
+      when(col("o_orderkey") % 2 === 0, col("o_totalprice") * 2)
+        .otherwise(col("o_totalprice") * 0.5))
+      .write.mode("overwrite").parquet(cdcCh) }
+    tj(spark, "ep27_cond_merge") { GraftTable.merge(spark, cdc,
+      spark.read.parquet(cdcCh), Seq("o_orderkey"),
+      condition = Some("s.o_totalprice > t.o_totalprice")) }
+    tj(spark, "ep27_read") { GraftTable.read(spark, cdc)
+      .orderBy(col("o_orderkey"))
+      .write.format("noop").mode("overwrite").save() }
+    // ---- a7b bucketed write + join -------------------------------------
+    spark.sql("DROP TABLE IF EXISTS lab_bkt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS lab_bkt_orders")
+    rm("/tmp/graft_lab/bkt_lineitem"); rm("/tmp/graft_lab/bkt_orders")
+    tj(spark, "a7b_write_lineitem") { Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", "/tmp/graft_lab/bkt_lineitem")
+      .saveAsTable("lab_bkt_lineitem") }
+    tj(spark, "a7b_write_orders") { Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", "/tmp/graft_lab/bkt_orders")
+      .saveAsTable("lab_bkt_orders") }
+    tj(spark, "a7b_join") {
+      val l = spark.table("lab_bkt_lineitem")
+      val ob = spark.table("lab_bkt_orders").hint("merge")
+      l.join(ob, l("l_orderkey") === ob("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          graft.core.Det.money(sum(graft.core.Det.dec2(col("l_quantity"))))
+            .as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+        .write.format("noop").mode("overwrite").save() }
   }
 
   /** c12 / i4 / b6 alternative formulations, noop-forced, 2 reps each

@@ -1342,6 +1342,45 @@ object GraftTable {
     sb.toString
   }
 
+  /** Run up to three independent STAGING computations concurrently
+    * (optimization guide §2.6 — Spark runs several jobs at once; a table
+    * op's data/dv/cdc stagings share no mutable state: each writes its
+    * own UUID-stamped staging dir and reads a snapshot-pinned file set,
+    * so sequencing them serialized pure fixed cost — per-action planning
+    * + codegen on the driver plus each job's scheduling tail, which at
+    * test scale IS most of the op and at 100 TB back-fills each job's
+    * straggler tail with the next job's tasks). The commit still happens
+    * strictly after every staging completes — ACID ordering untouched.
+    * The first failure propagates with its original type; the other legs
+    * are still joined first (no orphaned half-running staging). */
+  /** Stage timer into the process-wide Attribution registry (the bench
+    * embeds the per-query snapshot in its gate line): a slow merge-heavy
+    * query arrives with its census/probe/stage/commit split attached. */
+  private def timed[A](stage: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    try f
+    finally graft.core.Attribution.record(stage,
+      (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def staged3[A, B, C](fa: => A, fb: => B, fc: => C): (A, B, C) = {
+    @volatile var rb: Either[Throwable, B] = null
+    @volatile var rc: Either[Throwable, C] = null
+    val tb = new Thread(() =>
+      rb = try Right(fb) catch { case t: Throwable => Left(t) },
+      "graft-stage-b")
+    val tc = new Thread(() =>
+      rc = try Right(fc) catch { case t: Throwable => Left(t) },
+      "graft-stage-c")
+    tb.start(); tc.start()
+    val ra = try Right(fa) catch { case t: Throwable => Left(t) }
+    tb.join(); tc.join()
+    (ra, rb, rc) match {
+      case (Right(a), Right(b), Right(c)) => (a, b, c)
+      case _ => throw Seq(ra, rb, rc).collectFirst { case Left(t) => t }.get
+    }
+  }
+
   private def stageDataFiles(df: DataFrame, root: String,
       dataChange: Boolean = true,
       partitionBy: Seq[String] = Nil): Seq[ObjectNode] = {
@@ -1864,14 +1903,7 @@ object GraftTable {
       "graft_table merge: `evolve` (schema-evolving upsert) composes " +
         "with the plain upsert only")
     val snap = snapshot(root)
-    if (how == "upsert") {
-      if (!evolve) requireSchemaMatch(updates, snap, root)
-      // SQL MERGE law: one target row must match at most one source row
-      val dup = updates.groupBy(on.map(col): _*).count()
-        .where(col("count") > 1).limit(1).collect()
-      require(dup.isEmpty, s"graft_table merge: change set has duplicate " +
-        s"keys on (${on.mkString(",")}), e.g. ${dup.headOption.fold("")(_.toString)}")
-    }
+    if (how == "upsert" && !evolve) requireSchemaMatch(updates, snap, root)
     val state = replayState(root, snap.version)
     fireRaceHook()
     // schema EVOLUTION (evolve=true): genuinely-new source columns widen
@@ -1890,21 +1922,108 @@ object GraftTable {
       } else (updates, StructType.fromDDL(snap.schemaDdl),
         state.colMap.toMap,
         Array.empty[org.apache.spark.sql.types.StructField])
-    val keys = ups.select(on.map(col): _*).distinct()
-    val delKeys = deleteKeys.map(_.select(on.map(col): _*).distinct())
-    delKeys.foreach { dk =>
-      val overlap = dk.join(keys, on, "left_semi").limit(1).collect()
-      require(overlap.isEmpty, "graft_table merge: a key appears in BOTH " +
-        s"the upsert set and deleteKeys (e.g. ${overlap.headOption
-          .fold("")(_.toString)}) — the outcome would be order-dependent")
+    // ---- capped key census ---------------------------------------------
+    // ONE job either returns the COMPLETE key set (small mode — the
+    // MV-maintenance / streaming-CDF shape: a handful to a few thousand
+    // groups) or proves it is large (the bulk-CDC shape). Small mode
+    // localizes every key frame: the SQL-MERGE dup check and the
+    // deleteKeys overlap check come free from the collected counts (each
+    // was its own scan+collect job), and the downstream joins broadcast
+    // LOCAL relations built on the driver with NO Spark job — the old
+    // lazy frames re-ran a build job (re-scanning the change set) per
+    // action: probe, data stage, CDC stage. Large mode keeps the old
+    // distributed frames: hauling >64k keys through driver collects and
+    // single-threaded local-scan broadcast builds measured SLOWER than
+    // letting the executors rebuild them per action (ep27, 150k keys:
+    // +0.5 s), so past the cap the census costs one cheap limit probe
+    // and everything else stays on the executor path.
+    // (a limit(cap+1) census was tried first — Spark's CollectLimit
+    // scale-up re-runs the aggregate stage up to 4x, costing more than
+    // the full collect of a few MB of key counts)
+    val localKeyCap = 64 * 1024
+    val keyCols = on.map(col)
+    val kcDf = ups.groupBy(keyCols: _*).agg(count(lit(1)).as("__cnt"))
+    val kcRows = timed("merge_census")(kcDf.collect())
+    val smallKeys = kcRows.length <= localKeyCap
+    if (how == "upsert") {
+      // SQL MERGE law: one target row must match at most one source row
+      val dup = kcRows.find(_.getLong(on.size) > 1)
+      require(dup.isEmpty, s"graft_table merge: change set has duplicate " +
+        s"keys on (${on.mkString(",")}), e.g. ${dup.fold("")(_.toString)}")
     }
-    // every key this commit acts on — upserts and atomic deletes alike —
-    // drives the touched-file probe and the rewrite's anti-join
-    val allKeys = delKeys.fold(keys)(keys.unionByName(_))
+    val keySchema = StructType(kcDf.schema.fields.dropRight(1))
+    def localKeys(rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(rows.asJava, keySchema)
+    val keyRows =
+      if (smallKeys) kcRows.toSeq.map(r => Row.fromSeq(r.toSeq.dropRight(1)))
+      else Nil
+    val keys = if (smallKeys) localKeys(keyRows)
+      else ups.select(keyCols: _*).distinct()
+    val delRows = if (smallKeys)
+      deleteKeys.map(_.select(keyCols: _*).distinct().collect().toSeq)
+    else None
+    val delKeys = delRows.map(localKeys).orElse(
+      deleteKeys.map(_.select(keyCols: _*).distinct()))
+    delRows match {
+      case Some(dr) =>
+        // SQL-equality set probe, matching what the old left_semi join
+        // reported: NULL never matches (a null-keyed delete cannot
+        // collide with a null-keyed upsert under join semantics) and
+        // -0.0 folds onto 0.0 (SQL normalizes float zeros; Row.equals
+        // does not).
+        def norm(r: Row): Option[Seq[Any]] = {
+          val vs = r.toSeq
+          if (vs.contains(null)) None
+          else Some(vs.map {
+            case d: java.lang.Double if d == 0.0 => 0.0d: java.lang.Double
+            case f: java.lang.Float if f == 0.0f => 0.0f: java.lang.Float
+            case v => v
+          })
+        }
+        val upSet = keyRows.flatMap(norm).toSet
+        val overlap = dr.flatMap(norm).find(upSet)
+        require(overlap.isEmpty, "graft_table merge: a key appears in " +
+          s"BOTH the upsert set and deleteKeys (e.g. ${overlap
+            .fold("")(vs => Row.fromSeq(vs).toString)}) — the outcome " +
+          "would be order-dependent")
+      case None => delKeys.foreach { dk =>
+        val overlap = dk.join(keys, on, "left_semi").limit(1).collect()
+        require(overlap.isEmpty, "graft_table merge: a key appears in " +
+          s"BOTH the upsert set and deleteKeys (e.g. ${overlap.headOption
+            .fold("")(_.toString)}) — the outcome would be order-dependent")
+      }
+    }
     val base = livePosScan(spark, root, state, snap.files, schema)
-    val touchedNames = base.join(broadcast(allKeys), on, "left_semi")
-      .select(col("__f")).distinct()
-      .collect().map(_.getString(0)).toSet
+    // Small mode: ONE probe job returns both outputs — the touched FILE
+    // set (any key, upserts and atomic deletes alike — drives the
+    // rewrite set) and the matched UPSERT key set (feeds the post/insert
+    // split without its own scan+distinct round trip). Only the
+    // plain-upsert branch consumes matched keys — the delete and
+    // conditional branches, and large mode, collect just the file names,
+    // so an every-row-matches merge (the CDC last-writer-wins shape)
+    // never hauls its whole key space through the probe's
+    // distinct+collect. The using-join keeps the base-side key
+    // representation; those values only ever re-enter SQL joins, which
+    // compare under the same normalized equality, so the split is
+    // unchanged. Duplicate representations (e.g. 0.0 vs -0.0) are
+    // harmless in a semi/anti build side.
+    val needMatched = how == "upsert" && condition.isEmpty && smallKeys
+    val probeSrc = keys.withColumn("__up", lit(true))
+    val probeAll = delKeys.fold(probeSrc)(dk =>
+      probeSrc.unionByName(dk.withColumn("__up", lit(false))))
+    val probed = timed("merge_probe")(
+      if (needMatched)
+        base.join(broadcast(probeAll), on, "inner")
+          .select(col("__f") +: col("__up") +: keyCols: _*).distinct()
+          .collect()
+      else
+        base.join(broadcast(probeAll), on, "left_semi")
+          .select(col("__f")).distinct().collect())
+    val touchedNames = probed.map(_.getString(0)).toSet
+    val matchedUpRows =
+      if (!needMatched) Nil
+      else probed.filter(_.getBoolean(1))
+        .map(r => Row.fromSeq(r.toSeq.drop(2))).distinct.toSeq
     // O(live files) filename→rel map (data file names are UUID-unique)
     val relOfName = snap.files.map(r =>
       Paths.get(r).getFileName.toString -> r).toMap
@@ -1916,6 +2035,7 @@ object GraftTable {
         spark.createDataFrame(java.util.Collections.emptyList[Row](),
           schema.add("__f", "string").add("__i", "bigint"))
       else base.where(col("__f").isin(touchedNames.toSeq: _*))
+    val allKeys = delKeys.fold(keys)(keys.unionByName(_))
     val rewritten = touchedRows.join(broadcast(allKeys), on, "left_anti")
       .select(dataCols: _*)
     def tag(df: DataFrame, t: String): DataFrame =
@@ -1932,7 +2052,9 @@ object GraftTable {
           Some(tag(matchedPre.select(dataCols: _*), "delete")))
       case ("upsert", None) =>
         val matchedPre = touchedRows.join(broadcast(keys), on, "left_semi")
-        val matchedKeys = matchedPre.select(on.map(col): _*).distinct()
+        val matchedKeys = // small mode: free from the probe job
+          if (needMatched) localKeys(matchedUpRows)
+          else matchedPre.select(on.map(col): _*).distinct()
         val post0 = ups.join(broadcast(matchedKeys), on, "left_semi")
         // evolve + a source MISSING existing table columns: the conform
         // pass null-filled them, and replacing matched rows wholesale
@@ -2011,18 +2133,18 @@ object GraftTable {
     // merge-on-read: victims' positions extend the touched files'
     // vectors, only new rows are staged, no file is removed or rewritten
     val mor = dvEnabled(state) && touchedRel.nonEmpty
-    val adds =
+    val (adds, dvActs, cdc) = timed("merge_stage")(staged3(
       if (mor) morData.map(d => stageDataFiles(toPhysical(d, mapNew),
         root, partitionBy = state.partitionBy)).getOrElse(Nil)
       else stageDataFiles(toPhysical(cowData, mapNew), root,
-        partitionBy = state.partitionBy)
-    enforceConstraints(spark, root, adds, snap.version, s"merge ($how)")
-    val dvActs = if (!mor) Nil else stageDvFiles(spark, root, state,
-      victims.select(col("__f"), col("__i")), touchedRel)
-    val removes = if (mor) Nil else touchedRel.map(removeAction)
-    val cdc = if (!changeFeedEnabled(state)) Nil
+        partitionBy = state.partitionBy),
+      if (!mor) Nil else stageDvFiles(spark, root, state,
+        victims.select(col("__f"), col("__i")), touchedRel),
+      if (!changeFeedEnabled(state)) Nil
       else cdcDf.toSeq.flatMap(d =>
-        stageCdcFiles(toPhysical(d, mapNew), root))
+        stageCdcFiles(toPhysical(d, mapNew), root))))
+    enforceConstraints(spark, root, adds, snap.version, s"merge ($how)")
+    val removes = if (mor) Nil else touchedRel.map(removeAction)
     // the widening meta (evolve with genuinely-new columns) rides the
     // SAME commit — schema + data change atomically, like writeEvolve
     val meta = if (evolvedCols.isEmpty) Nil
@@ -2042,11 +2164,11 @@ object GraftTable {
       on.exists(spark.sessionState.conf.resolver(_, p)))
     val addRule = if (keyedParts) dmlAddRule(state, touchedRel, adds)
       else AddsAlwaysConflict
-    commitDml(root, snap.version,
+    timed("merge_commit")(commitDml(root, snap.version,
       txn.map(t => txnAction(t._1, t._2)).toSeq ++ meta ++
         removes ++ adds ++ dvActs ++ cdc,
       depFiles = touchedRel.toSet, addRule,
-      state.partitionBy, s"merge ($how)")
+      state.partitionBy, s"merge ($how)"))
   }
 
   /** Conservative log-stats pruning for pushed/parsed predicate
@@ -2312,21 +2434,23 @@ object GraftTable {
     // vector instead of forcing a rewrite. Full-match files stay pure
     // metadata removes either way (cheaper than any vector).
     val mor = dvEnabled(state) && partial.nonEmpty
-    val adds =
+    // the three stagings are independent (snapshot-pinned reads, own
+    // staging dirs) — run them concurrently, commit after all (staged3)
+    val (adds, dvActs, cdc) = staged3(
       if (partial.isEmpty || mor) Nil
       else stageDataFiles(toPhysical(
         live(partial).where(!coalesce(pred, lit(false))).select(dataCols: _*),
-        state.colMap), root, partitionBy = state.partitionBy)
-    val dvActs = if (!mor) Nil else stageDvFiles(spark, root, state,
-      live(partial).where(pred).select(col("__f"), col("__i")), partial)
+        state.colMap), root, partitionBy = state.partitionBy),
+      if (!mor) Nil else stageDvFiles(spark, root, state,
+        live(partial).where(pred).select(col("__f"), col("__i")), partial),
+      // change feed enabled: the deleted rows (pre-images) ride the same
+      // commit as `cdf/` sidecars — one extra pushdown-pruned scan of the
+      // touched subset only
+      if (!changeFeedEnabled(state)) Nil else stageCdcFiles(
+        toPhysical(live(fullMatch ++ partial).where(pred)
+          .select(dataCols: _*).withColumn("_change_type", lit("delete")),
+          state.colMap), root))
     val removes = (if (mor) fullMatch else fullMatch ++ partial).sorted
-    // change feed enabled: the deleted rows (pre-images) ride the same
-    // commit as `cdf/` sidecars — one extra pushdown-pruned scan of the
-    // touched subset only
-    val cdc = if (!changeFeedEnabled(state)) Nil else stageCdcFiles(
-      toPhysical(live(fullMatch ++ partial).where(pred)
-        .select(dataCols: _*).withColumn("_change_type", lit("delete")),
-        state.colMap), root)
     val touched = (fullMatch ++ partial).distinct
     commitDml(root, snap.version,
       txn.map(t => txnAction(t._1, t._2)).toSeq ++
@@ -2375,18 +2499,34 @@ object GraftTable {
         }
       }: _*)
     val mor = dvEnabled(state)
+    // change feed: matched rows before (pre) and after (post) the
+    // assignments, same commit, touched subset only
+    def cdcStage(): Seq[ObjectNode] =
+      if (!changeFeedEnabled(state)) Nil else {
+        val hit = live.where(pred)
+          .select(schema.fields.toSeq.map(f => col(f.name)): _*)
+        val pre = hit.withColumn("_change_type", lit("update_preimage"))
+        val post = applyAssign(hit)
+          .withColumn("_change_type", lit("update_postimage"))
+        stageCdcFiles(toPhysical(pre.unionByName(post), state.colMap), root)
+      }
     // merge-on-read: the matched rows' positions extend each touched
     // file's vector and ONLY the post-image rows are written — a 1-row
     // update writes one 1-row file, never a boundary-file rewrite.
     // Copy-on-write: rewrite the touched files' live rows, assignments
-    // applied to matching rows only.
-    val (removes, adds, dvActs) =
+    // applied to matching rows only. Data/dv/cdc stagings are
+    // independent (snapshot-pinned reads, own staging dirs) — run
+    // concurrently, commit after all (staged3).
+    val (removes, adds, dvActs, cdc) =
       if (mor) {
         val hit = live.where(pred)
-        val adds = stageDataFiles(toPhysical(applyAssign(hit), state.colMap),
-          root, partitionBy = state.partitionBy)
-        (Nil, adds, stageDvFiles(spark, root, state,
-          hit.select(col("__f"), col("__i")), touched))
+        val (adds, dvActs, cdc) = staged3(
+          stageDataFiles(toPhysical(applyAssign(hit), state.colMap),
+            root, partitionBy = state.partitionBy),
+          stageDvFiles(spark, root, state,
+            hit.select(col("__f"), col("__i")), touched),
+          cdcStage())
+        (Nil, adds, dvActs, cdc)
       } else {
         val rewritten = live.select(schema.fields.toSeq.map { f =>
           assign.get(f.name) match {
@@ -2395,22 +2535,13 @@ object GraftTable {
             case None => col(f.name)
           }
         }: _*)
-        (touched.map(removeAction),
+        val (adds, _, cdc) = staged3(
           stageDataFiles(toPhysical(rewritten, state.colMap), root,
             partitionBy = state.partitionBy),
-          Nil)
+          (), cdcStage())
+        (touched.map(removeAction), adds, Nil, cdc)
       }
     enforceConstraints(spark, root, adds, snap.version, "updateWhere")
-    // change feed: matched rows before (pre) and after (post) the
-    // assignments, same commit, touched subset only
-    val cdc = if (!changeFeedEnabled(state)) Nil else {
-      val hit = live.where(pred)
-        .select(schema.fields.toSeq.map(f => col(f.name)): _*)
-      val pre = hit.withColumn("_change_type", lit("update_preimage"))
-      val post = applyAssign(hit)
-        .withColumn("_change_type", lit("update_postimage"))
-      stageCdcFiles(toPhysical(pre.unionByName(post), state.colMap), root)
-    }
     commitDml(root, snap.version,
       txn.map(t => txnAction(t._1, t._2)).toSeq ++
         removes ++ adds ++ dvActs ++ cdc,

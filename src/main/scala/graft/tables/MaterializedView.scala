@@ -254,13 +254,17 @@ object MaterializedView {
       // old rows are ≤1 per touched group
       val oldTouched = GraftTable.read(spark, mv)
         .join(deltaAgg.select(keys.map(col): _*), keys, "left_semi")
+      // cache: merge executes its source several times (key census, data
+      // stage, CDC stage) — without it each action re-runs the delta scan
+      // + aggregation + semi-join (mergeSignedDelta already does this)
       val combined = conformTo(
         oldTouched.unionByName(conformTo(deltaAgg, mvDdl))
           .groupBy(keys.map(col): _*)
           .agg(mergeCols(aggs).head, mergeCols(aggs).tail: _*),
-        mvDdl)
-      Some(GraftTable.merge(spark, mv, combined, keys,
+        mvDdl).cache()
+      try Some(GraftTable.merge(spark, mv, combined, keys,
         txn = Some(appId -> baseV)))
+      finally combined.unpersist()
     } else if (last.isDefined && retractionCapable(aggs) &&
         GraftTable.cdcCoveredSince(base, from, baseV)) {
       // RETRACTION-INCREMENTAL: the base rewrote rows, but the change
