@@ -292,14 +292,25 @@ object Sources extends QueryPack {
       if (fresh) {
         spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
         spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+        // repartition BY THE BUCKET KEY into the bucket count before the
+        // write: the sf0.1 source is one ~11 MB scan split, so without it
+        // the whole sort+write ran as ONE task (guide §2 — the dissection
+        // is in plans/r22/lakehouse_op_census_before.txt). repartition's
+        // HashPartitioning is the same murmur3-pmod the bucket spec uses,
+        // so each task holds exactly one bucket: still 8 files, one per
+        // bucket, now written by 8 parallel tasks — and at 100 TB the
+        // pre-distribution is what avoids the tasks×buckets small-file
+        // matrix every bucketed write otherwise produces.
         Tables.lineitem(spark, dir)
           .select(col("l_orderkey"), col("l_quantity"))
+          .repartition(8, col("l_orderkey"))
           .write.mode("overwrite")
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .option("path", s"$ioDir/bkt_lineitem")
           .saveAsTable("graft_bkt_lineitem")
         Tables.orders(spark, dir)
           .select(col("o_orderkey"), col("o_orderpriority"))
+          .repartition(8, col("o_orderkey"))
           .write.mode("overwrite")
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .option("path", s"$ioDir/bkt_orders")
