@@ -1977,6 +1977,7 @@ object GraftTable {
           else Some(vs.map {
             case d: java.lang.Double if d == 0.0 => 0.0d: java.lang.Double
             case f: java.lang.Float if f == 0.0f => 0.0f: java.lang.Float
+            case b: Array[Byte] => b.toSeq // value equality for binary keys
             case v => v
           })
         }
