@@ -1935,11 +1935,12 @@ object GraftTable {
     // distributed frames: hauling >64k keys through driver collects and
     // single-threaded local-scan broadcast builds measured SLOWER than
     // letting the executors rebuild them per action (ep27, 150k keys:
-    // +0.5 s), so past the cap the census costs one cheap limit probe
-    // and everything else stays on the executor path.
-    // (a limit(cap+1) census was tried first — Spark's CollectLimit
-    // scale-up re-runs the aggregate stage up to 4x, costing more than
-    // the full collect of a few MB of key counts)
+    // +0.5 s), so past the cap only the census itself is collected (it
+    // doubles as the dup check, which always needed this scan) and
+    // everything else stays on the executor path. (A limit(cap+1)
+    // census was tried first — Spark's CollectLimit scale-up re-runs
+    // the aggregate stage up to 4x, costing more than the full collect
+    // of a few MB of key counts.)
     val localKeyCap = 64 * 1024
     val keyCols = on.map(col)
     val kcDf = ups.groupBy(keyCols: _*).agg(count(lit(1)).as("__cnt"))
