@@ -398,12 +398,14 @@ object Lab {
     rm("/tmp/graft_lab/bkt_lineitem"); rm("/tmp/graft_lab/bkt_orders")
     tj(spark, "a7b_write_lineitem") { Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_quantity"))
+      .repartition(8, col("l_orderkey")) // the shipped write shape
       .write.mode("overwrite")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", "/tmp/graft_lab/bkt_lineitem")
       .saveAsTable("lab_bkt_lineitem") }
     tj(spark, "a7b_write_orders") { Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"))
+      .repartition(8, col("o_orderkey")) // the shipped write shape
       .write.mode("overwrite")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", "/tmp/graft_lab/bkt_orders")
@@ -550,23 +552,9 @@ object Lab {
       Checkpoints.release(vB)
       // C: dictionary encode (dense ints), encode timed apart
       val enc = t(s"C_encode_$rep") {
-        val sortedVocab = repDocs.select(explode(col("ts")).as("tok"))
-          .distinct().orderBy("tok")
-        val vocab = spark.createDataFrame(
-          sortedVocab.rdd.zipWithIndex.map { case (r, i) =>
-            Row(r.getString(0), i.toInt) },
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("tok",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("tid", IntegerType))))
-        val encRows = repDocs.select(col("doc_id"), explode(col("ts")).as("tok"))
-          .join(vocab, "tok")
-          .groupBy("doc_id").agg(array_sort(collect_list(col("tid"))).as("tsi"))
-        Checkpoints.eager(repDocs
-          .join(encRows, Seq("doc_id"), "left")
-          .select(col("doc_id"), when(col("ts").isNotNull,
-            coalesce(col("tsi"), array().cast(ArrayType(IntegerType))))
-            .as("ts")))
+        // the SHIPPED encode (Similarity.dictEncodePlan) so the A/B
+        // measures the production shape, not a drifted copy
+        Checkpoints.eager(queries.Similarity.dictEncodePlan(repDocs))
       }
       val vC = t(s"C_dict_verify_$rep") { Checkpoints.eager(verifyWith(enc)) }
       println(s"[lab] C edges: ${vC.count()}; diff vs A: " +
@@ -604,23 +592,8 @@ object Lab {
         / (size(col("ts_a")) + size(col("ts_b")) - col("__i")), 6) >= 0.8)
       .select(col("id_a"), col("id_b"))
     val before = verifyWith(repDocs)
-    val sortedVocab = repDocs.select(explode(col("ts")).as("tok"))
-      .distinct().orderBy("tok")
-    val vocab = spark.createDataFrame(
-      sortedVocab.rdd.zipWithIndex.map { case (r, i) =>
-        Row(r.getString(0), i.toInt) },
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("tok",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("tid", IntegerType))))
-    val encRows = repDocs.select(col("doc_id"), explode(col("ts")).as("tok"))
-      .join(vocab, "tok")
-      .groupBy("doc_id").agg(array_sort(collect_list(col("tid"))).as("tsi"))
-    val encDocs = Checkpoints.eager(repDocs
-      .join(encRows, Seq("doc_id"), "left")
-      .select(col("doc_id"), when(col("ts").isNotNull,
-        coalesce(col("tsi"), array().cast(ArrayType(IntegerType))))
-        .as("ts")))
+    val encDocs = Checkpoints.eager(
+      queries.Similarity.dictEncodePlan(repDocs)) // the shipped encode
     val after = verifyWith(encDocs)
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get("/root/repo/plans/r22"))

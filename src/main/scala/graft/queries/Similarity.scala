@@ -334,6 +334,50 @@ object Similarity extends QueryPack {
   private[graft] def fbwCandidatesPlanOnly(docs: DataFrame, bucketCap: Int,
       tau: Long): DataFrame = fbwCandidatesPlan(docs, bucketCap, tau, 24, 3)._1
 
+  /** Dictionary-encode `(doc_id, ts ARRAY<STRING>)` to
+    * `(doc_id, ts ARRAY<INT>)` — an EXACT bijection on the corpus
+    * vocabulary, so |enc(A) ∩ enc(B)| = |A ∩ B| and sizes are preserved
+    * element for element:
+    *  - non-null tokens get dense ids 0..V−1 via a distributed sort +
+    *    zipWithIndex (fails loud past Int.MaxValue ids rather than
+    *    silently wrapping);
+    *  - a NULL ELEMENT encodes to the reserved id −1 (no real token maps
+    *    there), so null-vs-null still counts as an intersecting element —
+    *    the same semantics the string intersect lane gives sorted arrays
+    *    with nulls, position notwithstanding (−1 sorts first, nulls last;
+    *    intersection size doesn't care);
+    *  - null token SETS stay null and empty stay empty (size(null) must
+    *    stay −1 downstream — HardeningSpec's null-text doc rides this).
+    * Shared by the verify join in [[lshClusters]] and the Lab evidence
+    * experiments so the measured shape IS the shipped shape. Caller owns
+    * checkpointing. */
+  private[graft] def dictEncodePlan(repDocs: DataFrame): DataFrame = {
+    val spark = repDocs.sparkSession
+    val sortedVocab = repDocs.select(explode(col("ts")).as("tok"))
+      .where(col("tok").isNotNull).distinct().orderBy("tok")
+    val vocab = spark.createDataFrame(
+      sortedVocab.rdd.zipWithIndex.map { case (r, i) =>
+        if (i > Int.MaxValue) throw new IllegalStateException(
+          "dictEncodePlan: vocabulary exceeds Int.MaxValue distinct " +
+            "tokens — int ids would wrap; widen the encoding to the " +
+            "long intersect lane")
+        org.apache.spark.sql.Row(r.getString(0), i.toInt) },
+      StructType(Seq(StructField("tok", StringType),
+        StructField("tid", IntegerType))))
+    val encRows = repDocs.select(col("doc_id"), explode(col("ts")).as("tok"))
+      .join(vocab, Seq("tok"), "left")
+      .groupBy("doc_id").agg(array_sort(collect_list(
+        coalesce(col("tid"), lit(-1)))).as("tsi"))
+    // explode drops null/empty token SETS — restore them with the exact
+    // null/empty split. (collect_list would drop a null tid, which is
+    // why the null ELEMENT is folded to -1 BEFORE the aggregate.)
+    repDocs
+      .join(encRows, Seq("doc_id"), "left")
+      .select(col("doc_id"), when(col("ts").isNotNull,
+        coalesce(col("tsi"), array().cast(ArrayType(IntegerType))))
+        .as("ts"))
+  }
+
   private def fbwCandidatesPlan(docs: DataFrame, bucketCap: Int, tau: Long,
       nHashes: Int, rowsPerBand: Int): (DataFrame, DataFrame, DataFrame) = {
     graft.ext.GraftFunctions.register(docs.sparkSession)
@@ -1062,26 +1106,7 @@ object Similarity extends QueryPack {
       // itself is two small shuffles of the token explosion (~0.5 s
       // warm), amortized against the corpus-sized verify at 100 TB.
       val tEnc = System.nanoTime()
-      val spark = docs.sparkSession
-      val sortedVocab = repDocs.select(explode(col("ts")).as("tok"))
-        .distinct().orderBy("tok")
-      val vocab = spark.createDataFrame(
-        sortedVocab.rdd.zipWithIndex.map { case (r, i) =>
-          org.apache.spark.sql.Row(r.getString(0), i.toInt) },
-        StructType(Seq(StructField("tok", StringType),
-          StructField("tid", IntegerType))))
-      val encRows = repDocs.select(col("doc_id"), explode(col("ts")).as("tok"))
-        .join(vocab, "tok")
-        .groupBy("doc_id").agg(array_sort(collect_list(col("tid"))).as("tsi"))
-      // explode drops null/empty token sets — restore them with the
-      // EXACT null/empty split (size(null) must stay -1 downstream, the
-      // same value the string path divided by; HardeningSpec's null-text
-      // doc rides this)
-      val encDocs = Checkpoints.eager(repDocs
-        .join(encRows, Seq("doc_id"), "left")
-        .select(col("doc_id"), when(col("ts").isNotNull,
-          coalesce(col("tsi"), array().cast(ArrayType(IntegerType))))
-          .as("ts")))
+      val encDocs = Checkpoints.eager(dictEncodePlan(repDocs))
       ccStage("verify_encode", tEnc)
       // SHUFFLE-HASH, not sort-merge: SMJ must SORT the pair stream —
       // 5.5M rows at sf0.1, and after the first join each row carries a

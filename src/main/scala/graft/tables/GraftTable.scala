@@ -1342,6 +1342,16 @@ object GraftTable {
     sb.toString
   }
 
+  /** Stage timer into the process-wide Attribution registry (the bench
+    * embeds the per-query snapshot in its gate line): a slow merge-heavy
+    * query arrives with its census/probe/stage/commit split attached. */
+  private def timed[A](stage: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    try f
+    finally graft.core.Attribution.record(stage,
+      (System.nanoTime() - t0) / 1e9)
+  }
+
   /** Run up to three independent STAGING computations concurrently
     * (optimization guide §2.6 — Spark runs several jobs at once; a table
     * op's data/dv/cdc stagings share no mutable state: each writes its
@@ -1353,16 +1363,6 @@ object GraftTable {
     * strictly after every staging completes — ACID ordering untouched.
     * The first failure propagates with its original type; the other legs
     * are still joined first (no orphaned half-running staging). */
-  /** Stage timer into the process-wide Attribution registry (the bench
-    * embeds the per-query snapshot in its gate line): a slow merge-heavy
-    * query arrives with its census/probe/stage/commit split attached. */
-  private def timed[A](stage: String)(f: => A): A = {
-    val t0 = System.nanoTime()
-    try f
-    finally graft.core.Attribution.record(stage,
-      (System.nanoTime() - t0) / 1e9)
-  }
-
   private def staged3[A, B, C](fa: => A, fb: => B, fc: => C): (A, B, C) = {
     @volatile var rb: Either[Throwable, B] = null
     @volatile var rc: Either[Throwable, C] = null
@@ -1375,6 +1375,12 @@ object GraftTable {
     tb.start(); tc.start()
     val ra = try Right(fa) catch { case t: Throwable => Left(t) }
     tb.join(); tc.join()
+    // a null slot means the thread died without even recording a Left
+    // (VM-level error between try entry and slot assignment) — name the
+    // leg instead of failing with None.get below
+    if (rb == null || rc == null) throw new IllegalStateException(
+      s"graft_table staging leg ${if (rb == null) "b" else "c"} died " +
+        "without a result (VM-level error in the staging thread)")
     (ra, rb, rc) match {
       case (Right(a), Right(b), Right(c)) => (a, b, c)
       case _ => throw Seq(ra, rb, rc).collectFirst { case Left(t) => t }.get
@@ -1952,7 +1958,11 @@ object GraftTable {
       require(dup.isEmpty, s"graft_table merge: change set has duplicate " +
         s"keys on (${on.mkString(",")}), e.g. ${dup.fold("")(_.toString)}")
     }
-    val keySchema = StructType(kcDf.schema.fields.dropRight(1))
+    // nullable schema: LocalRelation nullability never changes join
+    // semantics, and collected delete keys may carry nulls the upsert
+    // side's schema did not declare
+    val keySchema = org.apache.spark.sql.GraftSqlBridge.asNullable(
+      StructType(kcDf.schema.fields.dropRight(1)))
     def localKeys(rows: Seq[Row]): DataFrame =
       spark.createDataFrame(rows.asJava, keySchema)
     val keyRows =
@@ -1960,8 +1970,12 @@ object GraftTable {
       else Nil
     val keys = if (smallKeys) localKeys(keyRows)
       else ups.select(keyCols: _*).distinct()
+    // conform delete keys to the upsert key types BEFORE collecting
+    // (the old distributed path coerced both sides inside the joins; a
+    // LocalRelation claiming int cannot hold collected longs)
     val delRows = if (smallKeys)
-      deleteKeys.map(_.select(keyCols: _*).distinct().collect().toSeq)
+      deleteKeys.map(_.select(on.zip(keySchema.fields).map { case (k, f) =>
+        col(k).cast(f.dataType).as(f.name) }: _*).distinct().collect().toSeq)
     else None
     val delKeys = delRows.map(localKeys).orElse(
       deleteKeys.map(_.select(keyCols: _*).distinct()))

@@ -213,6 +213,41 @@ class SimilarityOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("K12b: dictEncodePlan is exact on null ELEMENTS — null intersects " +
+      "null (string-lane parity) and sizes are preserved row for row") {
+    GraftFunctions.register(spark)
+    // a/b share "a" AND a null element: the string lane counts 2 (null
+    // matches null once — SortedIntersectSize's documented semantics);
+    // an encode that dropped nulls would count 1 and silently change
+    // minhash_dedup verdicts on user token columns carrying nulls
+    val docs = Seq(
+      (1L, Option(Seq[String]("a", "b", null))),
+      (2L, Option(Seq[String]("a", "c", null))),
+      (3L, Option(Seq[String]("b", "c"))),
+      (4L, Option.empty[Seq[String]]),
+      (5L, Option(Seq.empty[String])))
+      .toDF("doc_id", "ts")
+    val enc = Similarity.dictEncodePlan(docs)
+    def sizes(df: org.apache.spark.sql.DataFrame): Seq[Int] = df
+      .orderBy("doc_id")
+      .select(coalesce(
+        org.apache.spark.sql.functions.size(col("ts")), lit(-1)))
+      .collect().toSeq.map(_.getInt(0))
+    withClue("sizes (null set -1, empty 0, null ELEMENT counted): ") {
+      sizes(enc) shouldBe sizes(docs)
+    }
+    def pairIsect(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Option[Int]] =
+      df.toDF("id_a", "ts_a")
+        .join(df.toDF("id_b", "ts_b"), col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("graft_sorted_intersect_size(ts_a, ts_b)").as("i"))
+        .collect().toSeq.map(r => ((r.getLong(0), r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    val s = pairIsect(docs); val i = pairIsect(enc)
+    withClue(s"string lane $s vs int lane $i: ") { i shouldBe s }
+    s((1L, 2L)) shouldBe Some(2) // "a" + null — the case that regressed
+  }
+
   test("K8: fused graft_simhash ≡ the explode + 64-sum aggregate bit-for-bit") {
     GraftFunctions.register(spark)
     import org.apache.spark.sql.functions.{explode, sum}
